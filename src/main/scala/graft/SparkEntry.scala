@@ -1,13 +1,420 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB-equivalent in `oracleSql` (the
+  * correctness gate). Numeric conventions for hash-stable comparison:
+  *   - money/value sums go through DECIMAL(18,s) so both engines sum
+  *     exactly, then cast back to DOUBLE;
+  *   - timestamps are compared as epoch numbers (the events table is
+  *     read with nanosAsLong so `ts` is a ns BIGINT in both engines);
+  *   - every query ends in a deterministic ORDER BY on a unique key.
+  */
 object SparkEntry {
+
+  /** Spark reads parquet TIMESTAMP(NANOS) only as a raw long. We want
+    * that anyway: exact ns arithmetic matches DuckDB's epoch_ns().
+    */
+  private def withNanos(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(withNanos(s), d)
+
+  /** Exact decimal sum rendered as double (see class doc). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Operator queries. Names map to SURVEY.md §2 inventory + the
+  // LLM-pipeline additions.
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- event-store read surface over the raw events table ---------
+
+    // EGET (§2.1 #3): point lookup by event key.
+    "eget_point" -> ((s, d) =>
+      ev(s, d).where(col("event_id") === 4321)
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"))),
+
+    // ESCAN (§2.1 #4): per-stream ordered range scan with COUNT limit.
+    "escan_stream" -> ((s, d) =>
+      ev(s, d)
+        .where(col("user_id") === 42 && col("event_id").between(0, 1000000))
+        .orderBy(col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))),
+
+    // EPSCAN (§2.1 #5): partition scan by sequence range (partition =
+    // event_id mod 32, the reference's partition_id derivation shape).
+    "epscan_partition" -> ((s, d) =>
+      ev(s, d)
+        .where(col("event_id") % 32 === 7)
+        .orderBy(col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("event_type"), col("value"))),
+
+    // ESVER (§2.1 #6): head version per stream (max-aggregate form).
+    "esver_heads" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("head"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))),
+
+    // EPSEQ (§2.1 #7): head sequence per partition.
+    "epseq_heads" -> ((s, d) =>
+      ev(s, d).groupBy((col("event_id") % 32).as("partition_id"))
+        .agg(max(col("event_id")).as("head_seq"), count(lit(1)).as("n_events"))
+        .orderBy(col("partition_id"))),
+
+    // Stream-version assignment (write-path semantics, §2.2
+    // append_events): gapless per-stream versions via window.
+    "stream_versions" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("stream_version",
+          row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))).cast("long") - 1)
+        .where(col("user_id") < 10)
+        .select(col("event_id"), col("user_id"), col("stream_version"))
+        .orderBy(col("event_id"))),
+
+    // --- analytics over the star schema -----------------------------
+
+    // TPC-H Q1 shape: scan + filter + grouped aggregation.
+    "q1_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 shape: 3-way join + group + top-k (broadcast the dims).
+    "q3_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).where(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      val l = Tables.lineitem(s, d).where(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join (dims broadcast) + group by nation.
+    "q5_region" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val cst = Tables.customer(s, d)
+      val sp = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window function: rank orders per customer, keep top 3.
+    "window_rank" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))),
+
+    // Window function: running revenue per supplier (exact decimal).
+    "running_sum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_suppkey") < 20)
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(
+            Window.partitionBy(col("l_suppkey"))
+              .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))),
+
+    // Streaming-shaped: tumbling 1h event-time windows per event_type.
+    "events_tumbling" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("window_start_ms",
+          expr("ts div 3600000000000") * lit(3600000L))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    // Stateful-shaped: gap-based sessionization (30 min) per user.
+    "events_sessionize" -> ((s, d) => {
+      // µs granularity on both sides: DuckDB's parquet reader truncates
+      // TIMESTAMP(NANOS) to µs, so ordering/gap math must match that.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts_us") - col("prev_ts") > lit(1800000000L), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Distinct aggregation per stream.
+    "distinct_agg" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))),
+
+    // --- LLM-data-pipeline operators --------------------------------
+
+    // Exact dedup by content hash (scales: one shuffle on the hash).
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dups"))
+        .orderBy(col("fp"))),
+
+    // Token / char counts (whitespace tokenization, portable form).
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          length(col("text")).as("len"),
+          (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))) + 1)
+            .as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: stopword ratio + mean token length.
+    "text_quality" -> ((s, d) => {
+      val toks = (length(col("text")) -
+        length(regexp_replace(col("text"), lit(" "), lit(""))) + 1).cast("double")
+      val theCount = ((length(col("text")) -
+        length(regexp_replace(col("text"), lit("the"), lit("")))) / lit(3)).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          toks.as("n_tokens"),
+          theCount.as("n_the"),
+          (theCount / toks).as("stop_ratio"),
+          (length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / toks)
+            .as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text.
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")).cast("binary"))
+            .as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Brute-force cosine top-k ANN over embeddings (the exact baseline;
+    // LSH/IVF variants are the scale path — see graft.ops.Similarity).
+    "ann_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dot = expr(
+        "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+      val qn = expr(
+        "sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))")
+      val en = expr(
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))")
+      val scored = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cosine", round(dot / (qn * en), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+      scored
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — same names, same column aliases, same ordering.
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "eget_point" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events WHERE event_id = 4321""".stripMargin,
+
+    "escan_stream" ->
+      """SELECT event_id, user_id, event_type, value, props
+        |FROM events WHERE user_id = 42 AND event_id BETWEEN 0 AND 1000000
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "epscan_partition" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id % 32 = 7 ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "esver_heads" ->
+      """SELECT user_id, max(event_id) AS head, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "epseq_heads" ->
+      """SELECT event_id % 32 AS partition_id, max(event_id) AS head_seq,
+        |count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY partition_id""".stripMargin,
+
+    "stream_versions" ->
+      """SELECT event_id, user_id, stream_version FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |      AS stream_version
+        |  FROM events)
+        |WHERE user_id < 10 ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - prev_ts > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_session
+        |  FROM (
+        |    SELECT user_id, ts, lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, n_chars, length(text) AS len,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n_tokens,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS DOUBLE) AS n_the,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS DOUBLE)
+        |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS stop_ratio,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_dot_product(qe, CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[])))), 6) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin
+  )
 }

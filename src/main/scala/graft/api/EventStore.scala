@@ -1,0 +1,364 @@
+package graft.api
+
+import java.util.UUID
+
+import graft.core._
+import graft.storage.{Manifest, ManifestState, StreamHead}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scan result: up to `count` events plus a has-more flag
+  * (`escan.rs:150-162`: fetch count+1, return count).
+  */
+final case class ScanResult(events: DataFrame, hasMore: Boolean)
+
+/** Spark-native event store with SierraDB's command semantics
+  * (SURVEY.md §2.1): optimistic-concurrency appends, point lookups,
+  * version/sequence range scans, head queries, subscriptions.
+  *
+  * Storage: a partitioned parquet event-log table
+  * `<root>/events/partition_id=NN/part-....parquet`, each file sorted by
+  * `partition_sequence` (so parquet row-group min/max stats play the
+  * role of the reference's per-segment MPHF indexes — SURVEY §4), plus
+  * a commit manifest whose per-partition watermark bounds reader
+  * visibility (snapshot isolation; `docs/Watermarks.md` semantics).
+  *
+  * Scale notes (100 TB): all reads are single-partition-pruned filters
+  * or partition-parallel scans; bulk ingest assigns gapless sequences
+  * with one shuffle (window over partition_id) — the per-partition
+  * serialization the reference enforces with one writer thread per
+  * bucket (`writer_thread_pool.rs:292-407`) is here enforced by the
+  * shuffle placing each partition_id in exactly one task.
+  */
+final class EventStore private (
+    val spark: SparkSession,
+    val root: String,
+    val numPartitions: Int,
+    @volatile private var state: ManifestState,
+    strictVersioning: Boolean) {
+
+  import spark.implicits._
+
+  private val eventsDir = s"$root/events"
+  private val lock = new Object
+
+  def manifest: ManifestState = state
+
+  // ---------------------------------------------------------------- writes
+
+  /** EAPPEND (`eappend.rs:179-255`): single-event optimistic append. */
+  def append(input: EventInput, partitionKey: Option[UUID] = None): Either[String, AppendResult] =
+    mappend(
+      partitionKey.getOrElse(Ids.partitionKeyForStream(input.streamId)),
+      Seq(input)).map(_.events.head)
+
+  /** EMAPPEND (`emappend.rs`, `writer_thread_pool.rs:795-850`): atomic
+    * multi-event, multi-stream append within ONE partition. All-or-
+    * nothing; later events in the batch validate against versions
+    * produced by earlier events in the same batch (intra-batch
+    * increments), not just stored state.
+    */
+  def mappend(partitionKey: UUID, inputs: Seq[EventInput]): Either[String, MultiAppendResult] = {
+    if (inputs.isEmpty) return Left("ERR no events")
+    for (in <- inputs) {
+      StreamId.validate(in.streamId) match {
+        case Left(e) => return Left(s"ERR $e")
+        case _       =>
+      }
+      if (strictVersioning && !in.expectedVersion.isStrictAllowed)
+        return Left("ERR strict versioning requires empty or exact expected version")
+    }
+    val pHash = Ids.partitionHash(partitionKey)
+    val pid = Ids.partitionIdFor(pHash, numPartitions)
+    for (in <- inputs; eid <- in.eventId)
+      if (!Ids.validateEventId(eid, pHash))
+        return Left("ERR event id does not carry the transaction's partition hash")
+
+    lock.synchronized {
+      // validate all expected versions against stored + intra-batch state
+      val batchHeads = collection.mutable.Map.empty[String, Long]
+      for (in <- inputs) {
+        val current = batchHeads.get(in.streamId)
+          .map(CurrentVersion.Current(_): CurrentVersion)
+          .getOrElse(currentVersionOf(in.streamId))
+        in.expectedVersion.gapFrom(current) match {
+          case VersionGap.None => batchHeads(in.streamId) = current.next
+          case gap => return Left(s"ERR version conflict on '${in.streamId}': $gap")
+        }
+      }
+
+      val txId = Ids.withSingleEventFlag(
+        UUID.randomUUID(), flag = inputs.lengthCompare(1) == 0)
+      val startSeq = state.watermark(pid) + 1
+      val nowMs = System.currentTimeMillis()
+
+      val versionCursor = collection.mutable.Map.empty[String, Long]
+      val rows = inputs.zipWithIndex.map { case (in, i) =>
+        val tsMs = in.timestampMs.getOrElse(nowMs)
+        val version = versionCursor.get(in.streamId)
+          .map(_ + 1)
+          .getOrElse(currentVersionOf(in.streamId).next)
+        versionCursor(in.streamId) = version
+        Event(
+          event_id = in.eventId.getOrElse(Ids.newEventId(pHash)).toString,
+          transaction_id = txId.toString,
+          partition_key = partitionKey.toString,
+          partition_id = pid,
+          partition_sequence = startSeq + i,
+          stream_version = version,
+          stream_id = in.streamId,
+          event_name = in.eventName,
+          timestamp_ns = math.multiplyExact(tsMs, 1000000L),
+          metadata = in.metadata,
+          payload = in.payload)
+      }
+
+      writeRows(rows)
+
+      val newHeads = rows.groupBy(_.stream_id).map { case (sid, evs) =>
+        sid -> StreamHead(evs.map(_.stream_version).max, partitionKey.toString, pid)
+      }
+      commitState(state.copy(
+        version = state.version + 1,
+        watermarks = state.watermarks.updated(pid, startSeq + rows.size - 1),
+        streamHeads = state.streamHeads ++ newHeads))
+
+      Right(MultiAppendResult(
+        partitionKey.toString, pid, startSeq, startSeq + rows.size - 1,
+        rows.map(r => AppendResult(
+          r.event_id, r.partition_key, r.partition_id,
+          r.partition_sequence, r.stream_version, r.timestamp_ns / 1000000L))))
+    }
+  }
+
+  /** Bulk ingest — the 100 TB path. Routes rows to partitions by
+    * stream-id hash, assigns gapless partition sequences and stream
+    * versions with window functions (ONE shuffle on partition_id; the
+    * stream_version window reuses it where stream→partition routing
+    * allows, otherwise adds a shuffle on stream_id), and appends to the
+    * log with a single manifest commit.
+    *
+    * @param df       columns: stream_id, event_name, payload, metadata,
+    *                 timestamp_ms (missing optional columns defaulted)
+    * @param orderCol arrival-order column defining intra-batch order
+    *                 (must be unique per stream for deterministic seqs)
+    */
+  def ingest(df: DataFrame, orderCol: String): Long = lock.synchronized {
+    val np = numPartitions
+    val pidOfStream = udf((sid: String) => Ids.partitionIdForStream(sid, np))
+    val pkeyOfStream = udf((sid: String) => Ids.partitionKeyForStream(sid).toString)
+    val hashOfStream = udf((sid: String) => Ids.partitionHashForStream(sid))
+    val newId = udf((pHash: Int, tsMs: Long, r1: Int, r2: Long) =>
+      Ids.uuidV7WithPartitionHash(pHash, tsMs, r1 & 0xfff, r2 & ((1L << 46) - 1)).toString)
+
+    val base = df
+      .withColumn("timestamp_ms",
+        if (df.columns.contains("timestamp_ms")) col("timestamp_ms")
+        else lit(System.currentTimeMillis()))
+      .withColumn("metadata",
+        if (df.columns.contains("metadata")) col("metadata") else lit(Array.emptyByteArray))
+      .withColumn("payload",
+        if (df.columns.contains("payload")) col("payload") else lit(Array.emptyByteArray))
+      .withColumn("partition_key", pkeyOfStream($"stream_id"))
+      .withColumn("p_hash", hashOfStream($"stream_id"))
+      .withColumn("partition_id", pidOfStream($"stream_id"))
+
+    val wmMap = state.watermarks
+    val headMap = state.streamHeads.map { case (s, h) => s -> h.version }
+    val wmDf = broadcast(wmMap.toSeq.toDF("partition_id", "wm_base"))
+    val headDf = broadcast(headMap.toSeq.toDF("stream_id", "head_base"))
+
+    val wp = Window.partitionBy($"partition_id").orderBy(col(orderCol))
+    val ws = Window.partitionBy($"stream_id").orderBy(col(orderCol))
+    val txId = UUID.randomUUID().toString
+
+    val assigned = base
+      .join(wmDf, Seq("partition_id"), "left")
+      .join(headDf, Seq("stream_id"), "left")
+      .withColumn("partition_sequence",
+        row_number().over(wp).cast("long") + coalesce($"wm_base", lit(-1L)))
+      .withColumn("stream_version",
+        row_number().over(ws).cast("long") + coalesce($"head_base", lit(-1L)))
+      .withColumn("event_id", newId(
+        $"p_hash", $"timestamp_ms",
+        (rand() * 4096).cast("int"), (rand() * 7.0368744177664e13).cast("long")))
+      .withColumn("transaction_id", lit(txId))
+      .withColumn("timestamp_ns", $"timestamp_ms" * lit(1000000L))
+      .select(EventSchema.columnNames.map(col): _*)
+
+    assigned
+      .sortWithinPartitions($"partition_id", $"partition_sequence")
+      .write
+      .mode("append")
+      .partitionBy("partition_id")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#event_id", "true")
+      .option("parquet.bloom.filter.enabled#stream_id", "true")
+      .parquet(eventsDir)
+
+    // head/watermark roll-up: O(#partitions + #distinct streams in batch)
+    val newWm = assigned.groupBy($"partition_id")
+      .agg(max($"partition_sequence").as("wm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newHeads = assigned
+      .groupBy($"stream_id", $"partition_key", $"partition_id")
+      .agg(max($"stream_version").as("v"))
+      .collect()
+      .map(r => r.getString(0) -> StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
+      .toMap
+    val n = newWm.values.zip(newWm.keys.map(k => wmMap.getOrElse(k, -1L)))
+      .map { case (nw, ow) => nw - ow }.sum
+
+    commitState(state.copy(
+      version = state.version + 1,
+      watermarks = wmMap ++ newWm,
+      streamHeads = state.streamHeads ++ newHeads))
+    n
+  }
+
+  // ----------------------------------------------------------------- reads
+
+  /** Watermark-clamped snapshot of the event log (every read goes
+    * through this — the visibility rule of `read.rs:460-489`).
+    */
+  def events(): DataFrame = {
+    val snap = state
+    if (snap.watermarks.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], EventSchema.schema)
+    val df = spark.read
+      .schema(EventSchema.schema)
+      .option("basePath", eventsDir)
+      .parquet(eventsDir)
+    df.where(wmClamp(snap))
+  }
+
+  private def wmClamp(snap: ManifestState): Column = {
+    // CASE partition_id ... constant expression: folded by Catalyst and
+    // pushed to the scan; O(numPartitions) size, independent of data.
+    val wms = snap.watermarks
+    if (wms.isEmpty) lit(false)
+    else {
+      val wmExpr = wms.foldLeft(when(lit(false), lit(-1L))) {
+        case (acc, (pid, wm)) => acc.when(col("partition_id") === pid, lit(wm))
+      }.otherwise(lit(-1L))
+      col("partition_sequence") <= wmExpr
+    }
+  }
+
+  /** EGET (`eget.rs:26-65`): point lookup routed by the partition hash
+    * embedded in the event UUID — prunes to ONE directory partition,
+    * then parquet bloom filter + row-group stats prune files.
+    */
+  def get(eventId: UUID): DataFrame = {
+    val pid = Ids.partitionIdForEventId(eventId, numPartitions)
+    events()
+      .where(col("partition_id") === pid && col("event_id") === eventId.toString)
+      .limit(1)
+  }
+
+  /** ESCAN (`escan.rs`): stream scan by version range, ascending,
+    * `count` events max, has_more flag. Default count 100
+    * (`escan.rs:138`); start/end inclusive.
+    */
+  def scan(
+      streamId: String,
+      startVersion: Option[Long] = None,
+      endVersion: Option[Long] = None,
+      count: Int = 100,
+      partitionKey: Option[UUID] = None): ScanResult = {
+    val pk = partitionKey.getOrElse(Ids.partitionKeyForStream(streamId))
+    val pid = Ids.partitionIdFor(Ids.partitionHash(pk), numPartitions)
+    var q = events()
+      .where(col("partition_id") === pid && col("stream_id") === streamId)
+    startVersion.foreach(v => q = q.where(col("stream_version") >= v))
+    endVersion.foreach(v => q = q.where(col("stream_version") <= v))
+    val rows = q.orderBy(col("stream_version")).limit(count + 1)
+    page(rows, count)
+  }
+
+  /** EPSCAN (`epscan.rs`, `read.rs:451-563`): partition scan by
+    * sequence range; end clamped to the watermark.
+    */
+  def pscan(
+      partitionId: Int,
+      startSeq: Option[Long] = None,
+      endSeq: Option[Long] = None,
+      count: Int = 100): ScanResult = {
+    var q = events().where(col("partition_id") === partitionId)
+    startSeq.foreach(v => q = q.where(col("partition_sequence") >= v))
+    endSeq.foreach(v => q = q.where(col("partition_sequence") <= v))
+    val rows = q.orderBy(col("partition_sequence")).limit(count + 1)
+    page(rows, count)
+  }
+
+  private def page(rows: DataFrame, count: Int): ScanResult = {
+    val collected = rows.collect()
+    val hasMore = collected.length > count
+    val kept = collected.take(count)
+    ScanResult(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(kept.toIndexedSeq, 1), rows.schema),
+      hasMore)
+  }
+
+  /** ESVER: current max stream version, None if the stream is absent.
+    * O(1) from the manifest's stream heads (the reference's live-index
+    * role); falls back to a max-aggregate only when heads are cold.
+    */
+  def sver(streamId: String): Option[Long] =
+    state.streamHeads.get(streamId).map(_.version)
+
+  /** EPSEQ: current max partition sequence, None if the partition is
+    * empty. O(1) from the watermark vector.
+    */
+  def pseq(partitionId: Int): Option[Long] = {
+    val wm = state.watermark(partitionId)
+    if (wm < 0) None else Some(wm)
+  }
+
+  private def currentVersionOf(streamId: String): CurrentVersion =
+    CurrentVersion.fromOption(sver(streamId))
+
+  /** HELLO / INFO surface (`hello.rs:20-57`). */
+  def info: Map[String, String] = Map(
+    "server" -> "sierraspark",
+    "version" -> "0.1.0",
+    "num_partitions" -> numPartitions.toString,
+    "manifest_version" -> state.version.toString)
+
+  // ------------------------------------------------------------- internals
+
+  private def writeRows(rows: Seq[Event]): Unit = {
+    spark.createDataset(rows)
+      .toDF()
+      .sortWithinPartitions($"partition_sequence")
+      .repartition(1)
+      .write
+      .mode("append")
+      .partitionBy("partition_id")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#event_id", "true")
+      .parquet(eventsDir)
+  }
+
+  private def commitState(next: ManifestState): Unit = {
+    Manifest.commit(root, next)
+    state = next
+  }
+}
+
+object EventStore {
+  val DefaultNumPartitions = 32 // `config.rs:200`
+
+  /** Open an existing store or create an empty one at `root`. */
+  def open(
+      spark: SparkSession,
+      root: String,
+      numPartitions: Int = DefaultNumPartitions,
+      strictVersioning: Boolean = false): EventStore = {
+    val st = Manifest.load(root).getOrElse(Manifest.empty(numPartitions))
+    new EventStore(spark, root, st.numPartitions.max(1), st, strictVersioning)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.storage
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Commit manifest: the Spark-native analogue of SierraDB's confirmation
+  * watermark (`crates/sierradb-cluster/src/confirmation.rs:83-156`,
+  * `docs/Watermarks.md`). Readers only see events with
+  * `partition_sequence <= watermark(partition)` — the gapless committed
+  * prefix. A manifest version is committed by atomic rename, which gives
+  * snapshot isolation for readers: they resolve the newest `v*.json`
+  * once and every query in that snapshot is clamped consistently.
+  *
+  * Layout: `<root>/_manifest/v{N}.json`. Stream heads (the "live index"
+  * role of `writer_thread_pool.rs:188-267`) are persisted inline for
+  * O(1) ESVER and append validation. At 100 TB / billions of streams the
+  * heads map moves to a compacted parquet state table keyed by
+  * stream_id (same commit protocol); watermarks stay O(num_partitions).
+  */
+final case class StreamHead(version: Long, partitionKey: String, partitionId: Int)
+
+final case class ManifestState(
+    version: Long,
+    numPartitions: Int,
+    // partition_id -> highest committed partition_sequence (-1 = empty)
+    watermarks: Map[Int, Long],
+    // stream_id -> head state
+    streamHeads: Map[String, StreamHead]) {
+
+  def watermark(pid: Int): Long = watermarks.getOrElse(pid, -1L)
+}
+
+object Manifest {
+  private val Dir = "_manifest"
+
+  def dirFor(root: String): Path = Paths.get(root, Dir)
+
+  def empty(numPartitions: Int): ManifestState =
+    ManifestState(0L, numPartitions, Map.empty, Map.empty)
+
+  /** Load the newest committed manifest version, if any. */
+  def load(root: String): Option[ManifestState] = {
+    val dir = dirFor(root)
+    if (!Files.isDirectory(dir)) return None
+    val files = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
+      .toSeq
+    if (files.isEmpty) None
+    else {
+      val newest = files.maxBy(p =>
+        p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+      Some(parse(Files.readString(newest)))
+    }
+  }
+
+  /** Commit a new manifest version: write temp file + atomic rename. */
+  def commit(root: String, state: ManifestState): Unit = {
+    val dir = dirFor(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".v${state.version}.json.tmp")
+    Files.write(tmp, render(state).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"v${state.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // --- minimal JSON codec (no external deps available offline) ---
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def render(m: ManifestState): String = {
+    val wm = m.watermarks.toSeq.sorted
+      .map { case (p, w) => s""""$p":$w""" }.mkString("{", ",", "}")
+    val heads = m.streamHeads.toSeq.sortBy(_._1).map { case (sid, h) =>
+      s""""${esc(sid)}":[${h.version},"${esc(h.partitionKey)}",${h.partitionId}]"""
+    }.mkString("{", ",", "}")
+    s"""{"version":${m.version},"num_partitions":${m.numPartitions},""" +
+      s""""watermarks":$wm,"stream_heads":$heads}"""
+  }
+
+  /** Tiny recursive-descent JSON parser for exactly what `render` emits. */
+  def parse(s: String): ManifestState = {
+    val p = new JsonP(s)
+    val obj = p.obj()
+    val version = obj("version").asInstanceOf[Double].toLong
+    val np = obj("num_partitions").asInstanceOf[Double].toInt
+    val wm = obj("watermarks").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k.toInt -> v.asInstanceOf[Double].toLong }
+    val heads = obj("stream_heads").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) =>
+        val arr = v.asInstanceOf[Vector[Any]]
+        k -> StreamHead(
+          arr(0).asInstanceOf[Double].toLong,
+          arr(1).asInstanceOf[String],
+          arr(2).asInstanceOf[Double].toInt)
+      }
+    ManifestState(version, np, wm, heads)
+  }
+
+  private final class JsonP(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = { ws(); require(s(i) == c, s"expected $c at $i"); i += 1 }
+    def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      val m = mutable.Map.empty[String, Any]
+      if (s(i) == '}') { i += 1; return m.toMap }
+      while (true) {
+        val k = str(); expect(':'); m(k) = value(); ws()
+        if (s(i) == ',') { i += 1 } else { expect('}'); return m.toMap }
+      }
+      m.toMap
+    }
+    private def arr(): Vector[Any] = {
+      expect('['); ws()
+      val b = Vector.newBuilder[Any]
+      if (s(i) == ']') { i += 1; return b.result() }
+      while (true) {
+        b += value(); ws()
+        if (s(i) == ',') { i += 1 } else { expect(']'); return b.result() }
+      }
+      b.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c   => sb += c
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    def value(): Any = {
+      ws()
+      s(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ =>
+          val start = i
+          while (i < s.length && "+-0123456789.eE".indexOf(s(i)) >= 0) i += 1
+          s.substring(start, i).toDouble
+      }
+    }
+  }
+}
