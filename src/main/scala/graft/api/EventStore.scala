@@ -207,8 +207,7 @@ final class EventStore private (
       .collect()
       .map(r => r.getString(0) -> StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
       .toMap
-    val n = newWm.values.zip(newWm.keys.map(k => wmMap.getOrElse(k, -1L)))
-      .map { case (nw, ow) => nw - ow }.sum
+    val n = newWm.map { case (k, nw) => nw - wmMap.getOrElse(k, -1L) }.sum
 
     commitState(state.copy(
       version = state.version + 1,

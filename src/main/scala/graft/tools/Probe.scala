@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for probing Spark behavior on the testdata. */
 object Probe {
@@ -12,23 +13,19 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    try {
-      val ev = spark.read.parquet(s"$d/events.parquet")
-      ev.printSchema()
-      ev.show(3, truncate = false)
-    } catch {
-      case e: Throwable => println(s"PLAIN READ FAILED: ${e.getMessage}")
-    }
-    try {
-      val ev2 = spark.sessionState.conf // just to force init
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev3 = spark.read.parquet(s"$d/events.parquet")
-      ev3.printSchema()
-      ev3.show(3, truncate = false)
-    } catch {
-      case e: Throwable => println(s"NANOS-AS-LONG READ FAILED: ${e.getMessage}")
-    }
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("probe-es-").toString
+    val es = graft.api.EventStore.open(spark, dir, 8)
+    val df = (0 until 1000)
+      .map(i => (s"user-${i % 37}", "Evt", i.toLong))
+      .toDF("stream_id", "event_name", "arrival")
+    val n = es.ingest(df, "arrival")
+    println(s"INGESTED n=$n")
+    println(s"WATERMARKS=${es.manifest.watermarks.toSeq.sorted}")
+    val all = es.events()
+    println(s"COUNT=${all.count()}")
+    all.groupBy($"partition_id").count().orderBy($"partition_id").show()
     spark.stop()
   }
 }

@@ -1,0 +1,43 @@
+package graft.storage
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class ManifestSpec extends AnyFunSuite with graft.PropHelpers {
+
+  private val genState: Gen[ManifestState] = for {
+    v <- Gen.chooseNum(0L, 1000L)
+    np <- Gen.oneOf(1, 4, 32)
+    wms <- Gen.mapOf(Gen.zip(Gen.chooseNum(0, 31), Gen.chooseNum(-1L, 1e9.toLong)))
+    heads <- Gen.mapOf(Gen.zip(
+      Gen.alphaNumStr.suchThat(s => s.nonEmpty && s.length <= 64),
+      for {
+        ver <- Gen.chooseNum(0L, 1e9.toLong)
+        pid <- Gen.chooseNum(0, 31)
+      } yield StreamHead(ver, java.util.UUID.randomUUID().toString, pid)))
+  } yield ManifestState(v, np, wms, heads)
+
+  test("render/parse round-trips") {
+    forAllSampled(genState) { st =>
+      assert(Manifest.parse(Manifest.render(st)) == st)
+    }
+  }
+
+  test("escaped stream ids round-trip") {
+    val st = ManifestState(1, 4, Map(0 -> 5L),
+      Map("s\"quote" -> StreamHead(1, "pk", 0),
+        "s\\back" -> StreamHead(2, "pk", 1),
+        "s\ttab" -> StreamHead(3, "pk", 2)))
+    assert(Manifest.parse(Manifest.render(st)) == st)
+  }
+
+  test("commit picks newest version on load") {
+    val dir = Files.createTempDirectory("graft-mf-").toString
+    assert(Manifest.load(dir).isEmpty)
+    Manifest.commit(dir, ManifestState(1, 4, Map(0 -> 1L), Map.empty))
+    Manifest.commit(dir, ManifestState(2, 4, Map(0 -> 9L), Map.empty))
+    Manifest.commit(dir, ManifestState(10, 4, Map(0 -> 99L), Map.empty))
+    assert(Manifest.load(dir).get.watermarks(0) == 99L)
+  }
+}
