@@ -264,14 +264,221 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
         .orderBy(col("qid"), col("rk"))
       scored
+    }),
+
+    // MinHash + LSH near-duplicate detection (full pipeline: word
+    // 3-shingles → 8 minhashes → 4 bands → candidate join → exact
+    // Jaccard verify). md5-based hashes so the oracle can mirror them.
+    "dedup_minhash_lsh" -> ((s, d) =>
+      graft.ops.Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // Exact all-pairs n-gram Jaccard ≥ 0.8 (inverted-index self-join).
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      graft.ops.Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // SimHash 16-bit fingerprints per document.
+    "dedup_simhash" -> ((s, d) =>
+      graft.ops.Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // Language identification via marker-token scoring.
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.TextAnalysis.langId(col("text")).as("pred_lang"),
+          graft.ops.TextAnalysis.langScore(col("text"), "en").as("score_en"))
+        .orderBy(col("doc_id"))),
+
+    // LSH-bucketed ANN (random-hyperplane, 6 planes): the 100 TB path
+    // where brute force becomes a bucket equi-join.
+    "ann_lsh_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.ops.Similarity.lshTopK(e, q, 5, planes = 6)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Multimodal plumbing: binary payload + metadata envelope + the
+    // (stubbed) decode stage — envelope fields are oracle-checked.
+    "multimodal_meta" -> ((s, d) => {
+      val withBin = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.ops.Multimodal.withMediaMeta(withBin, "payload", "text/plain")
+        .select(col("doc_id"),
+          col("media_meta.mime").as("mime"),
+          col("media_meta.byte_len").as("byte_len"))
+        .orderBy(col("doc_id"))
     })
   )
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same names, same column aliases, same ordering.
+  // Mirrors that depend on shared constant tables (lang markers,
+  // simhash bit width) are generated from the same Scala definitions
+  // the Spark operators use, so the two sides cannot drift.
   // ------------------------------------------------------------------
 
+  /** SQL mirror of TextAnalysis.tokenOccurrences. */
+  private def sqlTokenCount(word: String): String = {
+    val w = word.replace("'", "''")
+    s"CAST((length(d2) - length(regexp_replace(d2, ' $w ', ' ', 'g'))) / ${word.length + 1} AS BIGINT)"
+  }
+
+  /** SQL mirror of TextAnalysis.langScore. */
+  private def sqlLangScore(lang: String): String =
+    graft.ops.TextAnalysis.LangMarkers.toMap.apply(lang)
+      .map(sqlTokenCount).mkString("(", " + ", ")")
+
+  private def langIdOracle: String = {
+    val langs = graft.ops.TextAnalysis.LangMarkers.map(_._1)
+    val scoreCols = langs.map(l => s"${sqlLangScore(l)} AS score_$l").mkString(",\n    ")
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN score_$l = best THEN '$l'").mkString("\n      ")
+    s"""WITH raw AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
+       |  FROM documents),
+       |scores AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM raw),
+       |scored AS (
+       |  SELECT *, $best AS best FROM scores)
+       |SELECT doc_id, lang,
+       |  CASE WHEN best <= 0 THEN 'und'
+       |      $cases
+       |      ELSE 'und' END AS pred_lang,
+       |  score_en
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val bits = 16
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val sums = (1 to bits).map(i =>
+      s"sum(CASE WHEN substr(th, $i, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val concatBits = (1 to bits).map(i =>
+      s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $concatBits AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE: distinct word 3-shingles (static series bound — this
+    * DuckDB version lacks lateral generate_series).
+    */
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, generate_series(1, 65536) s(i) WHERE i <= len(t) - 2)""".stripMargin
+
+  private def minhashLshOracle: String = {
+    val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
+    s"""WITH $shinglesCte,
+       |sig AS (SELECT id, $sigs FROM sh GROUP BY id),
+       |bands AS (
+       |  SELECT id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
+       |  SELECT id, 1, h2 || h3 FROM sig UNION ALL
+       |  SELECT id, 2, h4 || h5 FROM sig UNION ALL
+       |  SELECT id, 3, h6 || h7 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS ni
+       |  FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+       |SELECT i.a, i.b,
+       |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.id = i.a
+       |JOIN sizes nb ON nb.id = i.b
+       |ORDER BY i.a, i.b""".stripMargin
+  }
+
+  private def ngramJaccardOracle: String =
+    s"""WITH $shinglesCte,
+       |inter AS (
+       |  SELECT sa.id AS a, sb.id AS b, count(*) AS ni
+       |  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.id < sb.id
+       |  GROUP BY sa.id, sb.id),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+       |SELECT i.a, i.b,
+       |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes na ON na.id = i.a
+       |JOIN sizes nb ON nb.id = i.b
+       |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.8
+       |ORDER BY i.a, i.b""".stripMargin
+
+  private def annLshOracle: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    s"""WITH w AS (
+       |  SELECT p, i,
+       |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN $hexHigh
+       |      THEN 1.0 ELSE -1.0 END AS wt
+       |  FROM generate_series(0, 5) pp(p), generate_series(1, 64) ii(i)),
+       |flat AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, 64) t(i)),
+       |proj AS (
+       |  SELECT vec_id, p, sum(v * wt) AS s
+       |  FROM flat JOIN w USING (i) GROUP BY vec_id, p),
+       |buckets AS (
+       |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+       |    '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |q AS (
+       |  SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe,
+       |    b.bucket AS qbucket
+       |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+       |  WHERE e.vec_id IN (0, 1, 2)),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    round(list_dot_product(qe, CAST(e.embedding AS DOUBLE[])) /
+       |      (sqrt(list_dot_product(qe, qe)) *
+       |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                             CAST(e.embedding AS DOUBLE[])))), 6) AS cosine
+       |  FROM embeddings e
+       |  JOIN buckets b ON b.vec_id = e.vec_id
+       |  JOIN q ON b.bucket = q.qbucket AND e.vec_id != q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_simhash" -> simhashOracle,
+    "text_langid" -> langIdOracle,
+    "ann_lsh_bucketed" -> annLshOracle,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "eget_point" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
         |FROM events WHERE event_id = 4321""".stripMargin,

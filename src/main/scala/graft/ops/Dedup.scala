@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale (100 TB) text corpora.
+  *
+  * All operators are pure DataFrame transformations: shuffles only on
+  * content hashes / band buckets (never on document ids), map-side
+  * combine everywhere, no driver-side loops. `hasher` is pluggable:
+  * `md5` is used where an external SQL oracle must reproduce the exact
+  * values; production at scale should pass `xxhash64String` (codegen'd,
+  * no hex-string materialization).
+  */
+object Dedup {
+
+  /** Hash used by default where speed matters (Spark-native xxhash64). */
+  def xxhash64String(c: Column): Column = xxhash64(c).cast("string")
+
+  /** Hash used where DuckDB must mirror values exactly. */
+  def md5String(c: Column): Column = md5(c.cast("binary"))
+
+  /** Exact dedup: group by content hash, keep the minimum id.
+    * One shuffle on the 128-bit hash; group sizes are tiny (true dup
+    * clusters), so no skew handling needed.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String,
+      hasher: Column => Column = md5String): DataFrame =
+    df.groupBy(hasher(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dups"))
+
+  /** Distinct word k-shingles per document.
+    * Output: (id, sh). Row count ≈ tokens × 1; the distinct is a
+    * map-side-combinable aggregation on (id, sh).
+    */
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val shingle = concat_ws(" ",
+      (0 until k).map(j => element_at(col("t"), col("i") + j)): _*)
+    df.select(col(idCol).as("id"), toks.as("t"))
+      // sequence(1, n) with n < 1 yields a DESCENDING array, not an
+      // empty one — guard short documents with an empty array instead.
+      .withColumn("i", explode(
+        when(size(col("t")) >= k, sequence(lit(1), size(col("t")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("id"), shingle.as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the min hash value over the document's shingle set. One aggregation
+    * with `numHashes` min() columns — a single shuffle on id, partial
+    * aggregation on the map side (this is what makes it 100 TB-safe:
+    * signature size is O(numHashes), independent of document length).
+    */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int,
+      hasher: Column => Column = md5String): DataFrame =
+    shingles.groupBy(col("id"))
+      .agg(
+        min(hasher(concat(lit("0:"), col("sh")))).as("h0"),
+        (1 until numHashes).map(j =>
+          min(hasher(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
+
+  /** LSH banding: candidate pairs = documents agreeing on ALL rows of
+    * at least one band. Shuffle is on (band index, band key) — uniform
+    * by construction (hash values), so no skew.
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      signatures.select(col("id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionAll _)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs, via an inverted-index
+    * join on shingles (never materializes document contents twice).
+    */
+  def jaccardForCandidates(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    candidates
+      .join(shingles.select(col("id").as("a"), col("sh")), "a")
+      .join(shingles.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    * candidate join → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.0,
+      hasher: Column => Column = md5String): DataFrame = {
+    val sh = wordShingles(df, textCol, idCol, k)
+    val sig = minhashSignatures(sh, numHashes, hasher)
+    val cand = minhashCandidates(sig, bands, numHashes / bands)
+    jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs exact n-gram Jaccard ≥ threshold via inverted-index
+    * self-join (no LSH). Correct but O(pairs-sharing-a-shingle); at
+    * 100 TB use `minhashLsh` and reserve this for verification.
+    */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = wordShingles(df, textCol, idCol, k)
+    val pairs = sh.select(col("id").as("a"), col("sh"))
+      .join(sh.select(col("id").as("b"), col("sh")), "sh")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ni"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (16-bit here; width configurable by `bits`,
+    * max 32 with md5-hex weighting). Per token, bit i's weight is +1 if
+    * the i-th hex digit of the token hash is ≥ 8 else -1; the
+    * fingerprint bit is 1 if the summed weight over distinct tokens is
+    * positive. One aggregation, `bits` sum() columns.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val tokens = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .withColumn("th", md5(col("tok").cast("binary")))
+    val bitSums = (1 to bits).map(i =>
+      sum(when(substring(col("th"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$i"))
+    tokens.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        concat((1 to bits).map(i =>
+          when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-width simhash bit strings. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+}

