@@ -312,6 +312,56 @@ object SparkEntry {
           col("media_meta.mime").as("mime"),
           col("media_meta.byte_len").as("byte_len"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- engine-backed queries: the EAPPEND/ingest write path and the
+    // --- command read surface running through the real EventStore
+    // --- (partitioned parquet log + manifest watermark), oracle-checked
+    // --- against window-function recomputations of the same semantics.
+
+    // EAPPEND/EMAPPEND-equivalent bulk write path: full ingested log;
+    // verifies partition routing + gapless version assignment.
+    "es_ingest_versions" -> ((s, d) =>
+      StoreProvider.storeFor(s, d).events()
+        .select(col("stream_id"), col("stream_version"),
+          col("event_name"), expr("timestamp_ns div 1000000").as("ts_ms"),
+          col("payload").cast("string").as("payload"))
+        .orderBy(col("stream_id"), col("stream_version"))),
+
+    // ESCAN through the store: ordered page of one stream.
+    "es_scan_stream" -> ((s, d) =>
+      StoreProvider.storeFor(s, d).scan("user-42", count = 50).events
+        .select(col("stream_id"), col("stream_version"), col("event_name"),
+          col("payload").cast("string").as("payload"))
+        .orderBy(col("stream_version"))),
+
+    // ESCAN with an inclusive version range.
+    "es_scan_range" -> ((s, d) =>
+      StoreProvider.storeFor(s, d)
+        .scan("user-7", startVersion = Some(10), endVersion = Some(25)).events
+        .select(col("stream_id"), col("stream_version"), col("event_name"))
+        .orderBy(col("stream_version"))),
+
+    // ESVER surface: every stream head from the manifest (the O(1)
+    // live-index role) must equal a recount of the data.
+    "es_sver_heads" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      es.manifest.streamHeads.toSeq
+        .map { case (sid, h) => (sid, h.version) }
+        .toDF("stream_id", "head_version")
+        .orderBy(col("stream_id"))
+    }),
+
+    // EPSEQ surface: per-partition watermarks vs an oracle recount
+    // through the same stream→partition routing table.
+    "es_pseq_watermarks" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      es.manifest.watermarks.toSeq
+        .map { case (pid, wm) => (pid, wm) }
+        .toDF("partition_id", "watermark")
+        .orderBy(col("partition_id"))
     })
   )
 
@@ -467,7 +517,52 @@ object SparkEntry {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** stream→partition routing table for the watermark oracle, generated
+    * from the same Ids hash the store uses (covers every user id that
+    * can appear at any scale factor).
+    */
+  private def userPidValues: String =
+    (0 until 2000).map { u =>
+      s"($u, ${graft.core.Ids.partitionIdForStream(s"user-$u", StoreProvider.NumPartitions)})"
+    }.mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    "es_ingest_versions" ->
+      """SELECT 'user-' || user_id AS stream_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |    AS stream_version,
+        |  event_type AS event_name, epoch_ms(ts) AS ts_ms, props AS payload
+        |FROM events ORDER BY stream_id, stream_version""".stripMargin,
+
+    "es_scan_stream" ->
+      """SELECT stream_id, stream_version, event_name, payload FROM (
+        |  SELECT 'user-' || user_id AS stream_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |      AS stream_version,
+        |    event_type AS event_name, props AS payload
+        |  FROM events WHERE user_id = 42)
+        |ORDER BY stream_version LIMIT 50""".stripMargin,
+
+    "es_scan_range" ->
+      """SELECT stream_id, stream_version, event_name FROM (
+        |  SELECT 'user-' || user_id AS stream_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |      AS stream_version,
+        |    event_type AS event_name
+        |  FROM events WHERE user_id = 7)
+        |WHERE stream_version BETWEEN 10 AND 25
+        |ORDER BY stream_version""".stripMargin,
+
+    "es_sver_heads" ->
+      """SELECT 'user-' || user_id AS stream_id, count(*) - 1 AS head_version
+        |FROM events GROUP BY user_id ORDER BY stream_id""".stripMargin,
+
+    "es_pseq_watermarks" ->
+      s"""SELECT pid AS partition_id, count(*) - 1 AS watermark
+         |FROM events JOIN (VALUES $userPidValues) m(uid, pid)
+         |  ON user_id = m.uid
+         |GROUP BY pid ORDER BY partition_id""".stripMargin,
+
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,

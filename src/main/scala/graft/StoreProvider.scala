@@ -1,0 +1,37 @@
+package graft
+
+import graft.api.EventStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds (once per sfDir+session) an EventStore ingested from the
+  * driver's events table, so the correctness gate exercises the real
+  * append path: partition routing by stream-id hash, gapless
+  * partition_sequence / stream_version assignment, manifest commit,
+  * then all reads through the watermark-clamped snapshot.
+  *
+  * Mapping: stream_id = 'user-<user_id>', event_name = event_type,
+  * payload = props bytes, arrival order = event_id.
+  */
+object StoreProvider {
+  val NumPartitions = 32
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, EventStore]
+
+  def storeFor(spark: SparkSession, sfDir: String): EventStore =
+    cache.getOrElseUpdate(sfDir + "@" + System.identityHashCode(spark), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-store-").toString
+      val es = EventStore.open(spark, root, NumPartitions)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = Tables.events(spark, sfDir)
+        .select(
+          concat(lit("user-"), col("user_id")).as("stream_id"),
+          col("event_type").as("event_name"),
+          col("props").cast("binary").as("payload"),
+          expr("ts div 1000000").as("timestamp_ms"),
+          col("event_id").as("arrival"))
+      es.ingest(src, "arrival")
+      es
+    })
+}
