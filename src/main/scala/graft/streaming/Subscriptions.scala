@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.api.EventStore
+import graft.core.EventSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** ESUB/EPSUB/EACK semantics on Structured Streaming
+  * (reference behavior: `crates/sierradb-cluster/src/subscription.rs`,
+  * commands `esub.rs`/`epsub.rs`/`eack.rs`; SURVEY.md §2.1 #8-10, §3.3).
+  *
+  * The event-log parquet directory IS the stream: Spark's file source
+  * delivers all files present at start (history catch-up) and then
+  * every newly committed file (live tail) — the same catch-up→live
+  * seam the reference implements by replaying segment history and then
+  * following the broadcast bus, with exactly-once per-subscription
+  * delivery guaranteed by source offsets + checkpoint instead of
+  * `has_seen` cursors.
+  *
+  *   - FROM version/sequence → a `stream_version`/`partition_sequence`
+  *     lower-bound filter (per stream/partition map supported);
+  *   - WINDOW n (max unacked in flight) → `maxFilesPerTrigger`
+  *     backpressure on the micro-batch, with the sink's checkpoint
+  *     commit playing the EACK role: an unacknowledged (failed) batch
+  *     is redelivered after restart, acked batches never are.
+  */
+object Subscriptions {
+
+  /** Which events a subscription matches (`esub.rs:65-200` shapes):
+    * one/many streams, one/many partitions, or all partitions.
+    */
+  final case class Matcher(
+      streams: Seq[String] = Nil,
+      partitions: Seq[Int] = Nil,
+      allPartitions: Boolean = false)
+
+  sealed trait From
+  object From {
+    /** Live only: start after the current head. */
+    case object Latest extends From
+    /** Catch up from this version/sequence (inclusive) for all matched
+      * streams/partitions.
+      */
+    final case class Value(v: Long) extends From
+    /** Per-stream (ESUB MAP) or per-partition (EPSUB MAP) starting
+      * points, with an optional default for unlisted keys.
+      */
+    final case class PerKey(m: Map[String, Long], default: Option[Long] = None) extends From
+  }
+
+  /** Build the subscription as a streaming DataFrame. The caller picks
+    * the sink (`deliver` below, or any writeStream); the checkpoint
+    * location given at sink time is the subscription's identity (the
+    * reference's subscription UUID + ack cursor in one).
+    */
+  def subscribe(
+      es: EventStore,
+      matcher: Matcher,
+      from: From = From.Value(0),
+      window: Int = 1000): DataFrame = {
+    val spark = es.spark
+    val src = spark.readStream
+      .schema(EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .option("maxFilesPerTrigger", math.max(1, window / 1000))
+      .parquet(s"${es.root}/events")
+
+    val matched = {
+      val streamFilter =
+        if (matcher.streams.nonEmpty) Some(col("stream_id").isin(matcher.streams: _*))
+        else None
+      val partFilter =
+        if (matcher.allPartitions) None
+        else if (matcher.partitions.nonEmpty)
+          Some(col("partition_id").isin(matcher.partitions: _*))
+        else None
+      (streamFilter.toSeq ++ partFilter.toSeq)
+        .reduceOption(_ && _).map(src.where).getOrElse(src)
+    }
+
+    val cursorCol =
+      if (matcher.streams.nonEmpty) col("stream_version") else col("partition_sequence")
+    val keyCol =
+      if (matcher.streams.nonEmpty) col("stream_id")
+      else col("partition_id").cast("string")
+
+    from match {
+      case From.Latest =>
+        // live only: drop everything at or below the head snapshot
+        val heads: Map[String, Long] =
+          if (matcher.streams.nonEmpty)
+            matcher.streams.map(s => s -> es.sver(s).getOrElse(-1L)).toMap
+          else
+            es.manifest.watermarks.map { case (p, w) => p.toString -> w }
+        matched.where(cursorCol > headLookup(heads, keyCol, -1L))
+      case From.Value(v) =>
+        matched.where(cursorCol >= v)
+      case From.PerKey(m, default) =>
+        matched.where(cursorCol >= headLookup(m, keyCol, default.getOrElse(Long.MaxValue)))
+    }
+  }
+
+  private def headLookup(m: Map[String, Long], key: org.apache.spark.sql.Column,
+      default: Long): org.apache.spark.sql.Column =
+    if (m.isEmpty) lit(default)
+    else m.foldLeft(when(lit(false), lit(default))) {
+      case (acc, (k, v)) => acc.when(key === k, lit(v))
+    }.otherwise(lit(default))
+
+  /** Ordered delivery into a callback, one micro-batch at a time —
+    * within a batch, events arrive ordered by (key, cursor) like the
+    * reference's per-subscription ordered push. The checkpoint commit
+    * after each callback IS the ack (EACK): throwing from `onEvents`
+    * nacks the batch and it is redelivered on restart.
+    */
+  def deliver(
+      subscription: DataFrame,
+      checkpoint: String,
+      byStream: Boolean)(onEvents: Seq[Row] => Unit): StreamingQuery =
+    subscription.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ordered =
+          if (byStream) batch.orderBy(col("stream_id"), col("stream_version"))
+          else batch.orderBy(col("partition_id"), col("partition_sequence"))
+        onEvents(ordered.collect().toIndexedSeq)
+      }
+      .start()
+}

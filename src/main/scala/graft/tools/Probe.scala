@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only scratch main for probing Spark behavior on the testdata. */
 object Probe {
@@ -13,19 +12,27 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    val dir = java.nio.file.Files.createTempDirectory("probe-es-").toString
+    val dir = java.nio.file.Files.createTempDirectory("probe-sub-").toString
     val es = graft.api.EventStore.open(spark, dir, 8)
-    val df = (0 until 1000)
-      .map(i => (s"user-${i % 37}", "Evt", i.toLong))
-      .toDF("stream_id", "event_name", "arrival")
-    val n = es.ingest(df, "arrival")
-    println(s"INGESTED n=$n")
-    println(s"WATERMARKS=${es.manifest.watermarks.toSeq.sorted}")
-    val all = es.events()
-    println(s"COUNT=${all.count()}")
-    all.groupBy($"partition_id").count().orderBy($"partition_id").show()
+    def in(n: String) = graft.core.EventInput("live-stream", n, n.getBytes, Array.emptyByteArray)
+    (1 to 3).foreach(i => es.append(in(s"history-$i")))
+
+    import graft.streaming.Subscriptions._
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = deliver(
+      subscribe(es, Matcher(streams = Seq("live-stream")), From.Value(0)),
+      java.nio.file.Files.createTempDirectory("probe-ck-").toString,
+      byStream = true) { rows =>
+      rows.foreach(r => delivered.add(
+        s"${r.getAs[Long]("stream_version")}:${r.getAs[String]("event_name")}"))
+    }
+    q.processAllAvailable()
+    println(s"AFTER-CATCHUP: ${java.util.List.copyOf(delivered)}")
+    (4 to 5).foreach(i => es.append(in(s"live-$i")))
+    q.processAllAvailable()
+    q.stop()
+    println(s"AFTER-LIVE: ${java.util.List.copyOf(delivered)}")
     spark.stop()
   }
 }

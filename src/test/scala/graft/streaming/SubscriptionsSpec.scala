@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.api.EventStore
+import graft.core._
+import graft.streaming.Subscriptions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Subscription hydration tests, porting the matcher-shape coverage of
+  * `subscription.rs:818-1176`: history catch-up, the history→live seam
+  * (no gaps, no duplicates), FROM version/map variants, and partition
+  * subscriptions.
+  */
+class SubscriptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshStore(): EventStore =
+    EventStore.open(spark, Files.createTempDirectory("graft-sub-").toString, 8)
+
+  private def in(sid: String, name: String): EventInput =
+    EventInput(sid, name, name.getBytes, Array.emptyByteArray)
+
+  private def collectDelivered(
+      es: EventStore, matcher: Matcher, from: From,
+      byStream: Boolean,
+      appendDuringLive: () => Unit = () => ()): Seq[(String, Long, String)] = {
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    val sub = subscribe(es, matcher, from)
+    val q = deliver(sub, Files.createTempDirectory("graft-ck-").toString, byStream) {
+      rows => rows.foreach { r =>
+        delivered.add((
+          r.getAs[String]("stream_id"),
+          if (byStream) r.getAs[Long]("stream_version")
+          else r.getAs[Long]("partition_sequence"),
+          r.getAs[String]("event_name")))
+      }
+    }
+    try {
+      q.processAllAvailable() // history catch-up
+      appendDuringLive()
+      q.processAllAvailable() // live tail
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    delivered.asScala.toSeq
+  }
+
+  test("ESUB single stream: history then live, no gaps or duplicates") {
+    val es = freshStore()
+    (1 to 5).foreach(i => es.append(in("a", s"h$i")))
+    es.append(in("other", "x"))
+
+    val got = collectDelivered(es, Matcher(streams = Seq("a")), From.Value(0),
+      byStream = true,
+      appendDuringLive = () => (6 to 8).foreach(i => es.append(in("a", s"l$i"))))
+
+    assert(got.map(_._1).distinct == Seq("a"))
+    assert(got.map(_._2) == (0L to 7L))
+    assert(got.map(_._3) == Seq("h1", "h2", "h3", "h4", "h5", "l6", "l7", "l8"))
+  }
+
+  test("ESUB FROM version: catch-up starts at the requested version") {
+    val es = freshStore()
+    (1 to 6).foreach(i => es.append(in("s", s"e$i")))
+    val got = collectDelivered(es, Matcher(streams = Seq("s")), From.Value(3),
+      byStream = true)
+    assert(got.map(_._2) == (3L to 5L))
+  }
+
+  test("ESUB FROM LATEST: only events appended after subscribing") {
+    val es = freshStore()
+    (1 to 4).foreach(i => es.append(in("s", s"old$i")))
+    val got = collectDelivered(es, Matcher(streams = Seq("s")), From.Latest,
+      byStream = true,
+      appendDuringLive = () => es.append(in("s", "fresh")))
+    assert(got.map(_._3) == Seq("fresh"))
+    assert(got.map(_._2) == Seq(4L))
+  }
+
+  test("ESUB MAP: per-stream starting versions") {
+    val es = freshStore()
+    (1 to 4).foreach(i => es.append(in("a", s"a$i")))
+    (1 to 4).foreach(i => es.append(in("b", s"b$i")))
+    val got = collectDelivered(
+      es, Matcher(streams = Seq("a", "b")),
+      From.PerKey(Map("a" -> 2L, "b" -> 0L)), byStream = true)
+    assert(got.filter(_._1 == "a").map(_._2) == Seq(2L, 3L))
+    assert(got.filter(_._1 == "b").map(_._2) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("EPSUB all partitions: full log in partition-sequence order") {
+    val es = freshStore()
+    Seq("p", "q", "r").foreach(s => (1 to 3).foreach(i => es.append(in(s, s"$s$i"))))
+    val got = collectDelivered(es, Matcher(allPartitions = true), From.Value(0),
+      byStream = false)
+    assert(got.size == 9)
+    // per-partition sequences are contiguous from 0
+    got.groupBy(_._1).foreach { case (_, evs) => // stream ⊂ partition here
+      assert(evs.map(_._3).sorted == evs.map(_._3)) }
+  }
+
+  test("EPSUB one partition: only that partition's events") {
+    val es = freshStore()
+    es.append(in("x", "e1")); es.append(in("y", "e2")); es.append(in("x", "e3"))
+    val pid = Ids.partitionIdForStream("x", 8)
+    val got = collectDelivered(es, Matcher(partitions = Seq(pid)), From.Value(0),
+      byStream = false)
+    assert(got.nonEmpty)
+    assert(got.forall(e => Ids.partitionIdForStream(e._1, 8) == pid))
+  }
+}
