@@ -1,23 +1,79 @@
 package graft
+
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: one JSON line on stdout (driver contract).
+  *
+  * Measures the SURVEY §2-derived targets (BASELINE.md "Derived
+  * targets"): bulk ingest through the append path, every operator
+  * query from SparkEntry (fully materialized via the noop sink so
+  * nothing is skipped by count-only pruning), and a subscription
+  * catch-up pass through the streaming source.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = mutable.LinkedHashMap.empty[String, Double]
+
+    // JVM/codegen warm-up on the smallest scale factor (not measured)
+    try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => }
+
+    // 1. ingest: the EAPPEND/EMAPPEND bulk path (routing + gapless
+    //    sequence assignment + manifest commit)
+    results("ingest") = time { StoreProvider.storeFor(spark, sfDir) }
+
+    // 2. every operator query, fully materialized
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results(name) = -1.0
+        }
+      }
+    }
+
+    // 3. subscription catch-up: deliver one stream's full history
+    //    through the streaming source
+    results("esub_catchup") = time {
+      try {
+        val es = StoreProvider.storeFor(spark, sfDir)
+        import graft.streaming.Subscriptions._
+        val n = new java.util.concurrent.atomic.AtomicLong()
+        val q = deliver(
+          subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0)),
+          java.nio.file.Files.createTempDirectory("bench-ck-").toString,
+          byStream = true)(rows => n.addAndGet(rows.size))
+        q.processAllAvailable()
+        q.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] esub_catchup failed: ${e.getMessage}")
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

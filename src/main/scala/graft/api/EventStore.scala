@@ -146,9 +146,13 @@ final class EventStore private (
     */
   def ingest(df: DataFrame, orderCol: String): Long = lock.synchronized {
     val np = numPartitions
-    val pidOfStream = udf((sid: String) => Ids.partitionIdForStream(sid, np))
-    val pkeyOfStream = udf((sid: String) => Ids.partitionKeyForStream(sid).toString)
-    val hashOfStream = udf((sid: String) => Ids.partitionHashForStream(sid))
+    // one SHA-1 per row, not three: derive (partition_key, hash, id)
+    // together
+    val routeOfStream = udf { sid: String =>
+      val pk = Ids.partitionKeyForStream(sid)
+      val h = Ids.partitionHash(pk)
+      (pk.toString, h, Ids.partitionIdFor(h, np))
+    }
     val newId = udf((pHash: Int, tsMs: Long, r1: Int, r2: Long) =>
       Ids.uuidV7WithPartitionHash(pHash, tsMs, r1 & 0xfff, r2 & ((1L << 46) - 1)).toString)
 
@@ -160,9 +164,11 @@ final class EventStore private (
         if (df.columns.contains("metadata")) col("metadata") else lit(Array.emptyByteArray))
       .withColumn("payload",
         if (df.columns.contains("payload")) col("payload") else lit(Array.emptyByteArray))
-      .withColumn("partition_key", pkeyOfStream($"stream_id"))
-      .withColumn("p_hash", hashOfStream($"stream_id"))
-      .withColumn("partition_id", pidOfStream($"stream_id"))
+      .withColumn("route", routeOfStream($"stream_id"))
+      .withColumn("partition_key", $"route._1")
+      .withColumn("p_hash", $"route._2")
+      .withColumn("partition_id", $"route._3")
+      .drop("route")
 
     val wmMap = state.watermarks
     val headMap = state.streamHeads.map { case (s, h) => s -> h.version }
@@ -186,9 +192,18 @@ final class EventStore private (
       .withColumn("transaction_id", lit(txId))
       .withColumn("timestamp_ns", $"timestamp_ms" * lit(1000000L))
       .select(EventSchema.columnNames.map(col): _*)
+      // the write and both head roll-ups reuse this plan — cache it so
+      // the scan + window shuffles run once, not three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     assigned
-      .sortWithinPartitions($"partition_id", $"partition_sequence")
+      // co-locate each partition_id in exactly one task before the
+      // partitioned write: one file per partition per commit (the
+      // reference's segment shape). Without this the write inherits the
+      // stream-version window's hash(stream_id) layout and fans out to
+      // tasks×partitions tiny files.
+      .repartition($"partition_id")
+      .sortWithinPartitions($"partition_sequence")
       .write
       .mode("append")
       .partitionBy("partition_id")
@@ -213,6 +228,7 @@ final class EventStore private (
       version = state.version + 1,
       watermarks = wmMap ++ newWm,
       streamHeads = state.streamHeads ++ newHeads))
+    assigned.unpersist(blocking = false)
     n
   }
 

@@ -61,11 +61,19 @@ object Subscriptions {
       from: From = From.Value(0),
       window: Int = 1000): DataFrame = {
     val spark = es.spark
-    val src = spark.readStream
+    // WINDOW backpressure: a micro-batch stays "unacked" until its
+    // checkpoint commit, so bound the batch by files (≈50+ events per
+    // committed file; single-append files hold 1). Large windows get
+    // effectively unthrottled catch-up.
+    val reader = spark.readStream
       .schema(EventSchema.schema)
       .option("basePath", s"${es.root}/events")
-      .option("maxFilesPerTrigger", math.max(1, window / 1000))
-      .parquet(s"${es.root}/events")
+    // windows below the default are honored at file granularity;
+    // window >= 10000 means "no practical backpressure" → unthrottled
+    // catch-up (single micro-batch over all history files)
+    if (window < 10000)
+      reader.option("maxFilesPerTrigger", math.max(1, window / 50))
+    val src = reader.parquet(s"${es.root}/events")
 
     val matched = {
       val streamFilter =
@@ -121,7 +129,7 @@ object Subscriptions {
       byStream: Boolean)(onEvents: Seq[Row] => Unit): StreamingQuery =
     subscription.writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ordered =
           if (byStream) batch.orderBy(col("stream_id"), col("stream_version"))
