@@ -353,6 +353,23 @@ object SparkEntry {
         .orderBy(col("stream_id"))
     }),
 
+    // Routing invariant via the native Catalyst expressions: every
+    // stored event's id and partition_key embed the same 16-bit hash,
+    // and hash % 32 equals the directory partition it lives in
+    // (`id.rs:71-73` validation). The oracle pins n_routed_ok == total.
+    "es_routing_check" -> ((s, d) => {
+      import graft.functions.{functions => F}
+      StoreProvider.storeFor(s, d).events()
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(
+            F.uuid_partition_id(col("partition_key"), StoreProvider.NumPartitions)
+              === col("partition_id") &&
+              F.uuid_partition_hash(col("event_id"))
+                === F.uuid_partition_hash(col("partition_key")), 1L)
+            .otherwise(0L)).as("n_routed_ok"))
+    }),
+
     // EPSEQ surface: per-partition watermarks vs an oracle recount
     // through the same stream→partition routing table.
     "es_pseq_watermarks" -> ((s, d) => {
@@ -556,6 +573,10 @@ object SparkEntry {
     "es_sver_heads" ->
       """SELECT 'user-' || user_id AS stream_id, count(*) - 1 AS head_version
         |FROM events GROUP BY user_id ORDER BY stream_id""".stripMargin,
+
+    "es_routing_check" ->
+      """SELECT count(*) AS n_total, count(*) AS n_routed_ok
+        |FROM events""".stripMargin,
 
     "es_pseq_watermarks" ->
       s"""SELECT pid AS partition_id, count(*) - 1 AS watermark

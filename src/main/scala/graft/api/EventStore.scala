@@ -250,15 +250,18 @@ final class EventStore private (
   }
 
   private def wmClamp(snap: ManifestState): Column = {
-    // CASE partition_id ... constant expression: folded by Catalyst and
-    // pushed to the scan; O(numPartitions) size, independent of data.
+    // Two conjuncts: (a) a simple global bound that parquet can push
+    // into row-group stats pruning on every scan shape, and (b) the
+    // exact per-partition CASE (folded to a constant whenever the scan
+    // is pruned to one partition, e.g. EGET/ESCAN).
     val wms = snap.watermarks
     if (wms.isEmpty) lit(false)
     else {
+      val globalMax = wms.values.max
       val wmExpr = wms.foldLeft(when(lit(false), lit(-1L))) {
         case (acc, (pid, wm)) => acc.when(col("partition_id") === pid, lit(wm))
       }.otherwise(lit(-1L))
-      col("partition_sequence") <= wmExpr
+      col("partition_sequence") <= globalMax && col("partition_sequence") <= wmExpr
     }
   }
 
