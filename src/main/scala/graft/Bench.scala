@@ -42,6 +42,19 @@ object Bench {
     //    sequence assignment + manifest commit)
     results("ingest") = time { StoreProvider.storeFor(spark, sfDir) }
 
+    // 1b. group-commit append path (EAPPEND batched like the
+    //     reference's 50-event sync groups): 1000 events / 5 commits
+    val store = StoreProvider.storeFor(spark, sfDir)
+    results("append_group_commit") = time {
+      (0 until 5).foreach { b =>
+        store.appendMany((0 until 200).map(i =>
+          graft.core.EventInput(s"bench-append-${i % 16}", "BenchEvt")))
+      }
+    }
+
+    // 1c. compaction: segment-rollover analogue
+    results("compact") = time { store.compact() }
+
     // 2. every operator query, fully materialized
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {

@@ -132,6 +132,114 @@ final class EventStore private (
     }
   }
 
+  /** Group-commit append (the reference syncs batched writes on
+    * bytes/events/interval thresholds — `writer_thread_pool.rs:684-696`;
+    * here the caller batches). Each input routes by its own stream id;
+    * validation failures are reported per event while accepted events
+    * commit atomically in ONE parquet write + ONE manifest commit.
+    * Versions validate against stored state plus earlier accepted
+    * events in the batch, like EMAPPEND's intra-batch rule.
+    */
+  def appendMany(inputs: Seq[EventInput]): Seq[Either[String, AppendResult]] =
+    lock.synchronized {
+      val nowMs = System.currentTimeMillis()
+      val seqCursor = collection.mutable.Map.empty[Int, Long]
+      val verCursor = collection.mutable.Map.empty[String, Long]
+      val rows = collection.mutable.ArrayBuffer.empty[Event]
+      val results = inputs.map { in =>
+        StreamId.validate(in.streamId) match {
+          case Left(e) => Left(s"ERR $e")
+          case Right(_) if strictVersioning && !in.expectedVersion.isStrictAllowed =>
+            Left("ERR strict versioning requires empty or exact expected version")
+          case Right(_) =>
+            val pk = Ids.partitionKeyForStream(in.streamId)
+            val pHash = Ids.partitionHash(pk)
+            val pid = Ids.partitionIdFor(pHash, numPartitions)
+            if (in.eventId.exists(id => !Ids.validateEventId(id, pHash)))
+              Left("ERR event id does not carry the stream's partition hash")
+            else {
+              val current = verCursor.get(in.streamId)
+                .map(CurrentVersion.Current(_): CurrentVersion)
+                .getOrElse(currentVersionOf(in.streamId))
+              in.expectedVersion.gapFrom(current) match {
+                case VersionGap.None =>
+                  val seq = seqCursor.getOrElse(pid, state.watermark(pid)) + 1
+                  seqCursor(pid) = seq
+                  val version = current.next
+                  verCursor(in.streamId) = version
+                  val tsMs = in.timestampMs.getOrElse(nowMs)
+                  val ev = Event(
+                    event_id = in.eventId.getOrElse(Ids.newEventId(pHash)).toString,
+                    transaction_id = Ids.withSingleEventFlag(
+                      UUID.randomUUID(), flag = true).toString,
+                    partition_key = pk.toString,
+                    partition_id = pid,
+                    partition_sequence = seq,
+                    stream_version = version,
+                    stream_id = in.streamId,
+                    event_name = in.eventName,
+                    timestamp_ns = math.multiplyExact(tsMs, 1000000L),
+                    metadata = in.metadata,
+                    payload = in.payload)
+                  rows += ev
+                  Right(AppendResult(ev.event_id, ev.partition_key, pid,
+                    seq, version, tsMs))
+                case gap => Left(s"ERR version conflict on '${in.streamId}': $gap")
+              }
+            }
+        }
+      }
+      if (rows.nonEmpty) {
+        writeRows(rows.toSeq)
+        val newHeads = rows.groupBy(_.stream_id).map { case (sid, evs) =>
+          sid -> StreamHead(evs.map(_.stream_version).max,
+            evs.head.partition_key, evs.head.partition_id)
+        }
+        commitState(state.copy(
+          version = state.version + 1,
+          watermarks = state.watermarks ++ seqCursor,
+          streamHeads = state.streamHeads ++ newHeads))
+      }
+      results
+    }
+
+  /** Compaction — the segment-rollover analogue
+    * (`writer_thread_pool.rs:698-793`): rewrite each partition
+    * directory into one sequence-sorted file so point lookups and range
+    * scans touch few, stat-tight row groups after many small group
+    * commits. Single-writer engine: done under the write lock with a
+    * directory swap. (A multi-writer deployment would track files in
+    * the manifest and swap there instead.)
+    */
+  def compact(): Unit = lock.synchronized {
+    if (state.watermarks.isEmpty) return
+    val compacted = spark.read
+      .schema(EventSchema.schema)
+      .option("basePath", eventsDir)
+      .parquet(eventsDir)
+      .repartition(col("partition_id"))
+      .sortWithinPartitions(col("partition_sequence"))
+    val tmp = s"$root/events.compact.tmp"
+    compacted.write
+      .mode("overwrite")
+      .partitionBy("partition_id")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#event_id", "true")
+      .option("parquet.bloom.filter.enabled#stream_id", "true")
+      .parquet(tmp)
+    val ev = java.nio.file.Paths.get(eventsDir)
+    val old = java.nio.file.Paths.get(s"$root/events.pre-compact")
+    java.nio.file.Files.move(ev, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), ev)
+    deleteRecursively(old.toFile)
+    commitState(state.copy(version = state.version + 1))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Bulk ingest — the 100 TB path. Routes rows to partitions by
     * stream-id hash, assigns gapless partition sequences and stream
     * versions with window functions (ONE shuffle on partition_id; the
