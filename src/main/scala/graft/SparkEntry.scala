@@ -191,6 +191,42 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Semi join: customers with at least one high-value order (EXISTS).
+    "semi_join" -> ((s, d) => {
+      val big = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join: customers with no orders at all (NOT EXISTS).
+    "anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Rollup: subtotal hierarchy over returnflag/linestatus.
+    "rollup_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // Set ops: high-value customer keys ∩/∖ recent-order customer keys.
+    "set_ops" -> ((s, d) => {
+      val rich = Tables.customer(s, d).where(col("c_acctbal") > 7000)
+        .select(col("c_custkey").as("k"))
+      val recent = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("o_custkey").as("k"))
+      rich.intersect(recent).withColumn("op", lit("both"))
+        .unionAll(rich.except(recent).withColumn("op", lit("rich_only")))
+        .orderBy(col("op"), col("k"))
+    }),
+
     // Distinct aggregation per stream.
     "distinct_agg" -> ((s, d) =>
       ev(s, d).groupBy(col("user_id"))
@@ -693,6 +729,33 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "set_ops" ->
+      """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000),
+        |recent AS (SELECT o_custkey AS k FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT k, 'both' AS op FROM (SELECT k FROM rich INTERSECT SELECT k FROM recent)
+        |UNION ALL
+        |SELECT k, 'rich_only' AS op FROM (SELECT k FROM rich EXCEPT SELECT k FROM recent)
+        |ORDER BY op, k""".stripMargin,
 
     "distinct_agg" ->
       """SELECT user_id, count(DISTINCT event_type) AS n_types,
