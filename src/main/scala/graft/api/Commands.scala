@@ -1,0 +1,262 @@
+package graft.api
+
+import java.util.UUID
+
+import graft.core._
+import graft.streaming.Subscriptions
+import graft.streaming.Subscriptions.{From, Matcher}
+import org.apache.spark.sql.Row
+
+/** Command-level facade: the reference's 13-command surface
+  * (`crates/sierradb-server/src/request.rs:49-135`) with the same
+  * argument grammar — option keywords, `EXPECTED_VERSION
+  * empty|any|exists|N`, the shared ESCAN/EPSCAN range grammar
+  * (`-` = start, `+` = end), COUNT/WINDOW defaults — so a reference
+  * client's commands translate 1:1. Responses come back as the same
+  * field maps `encode_event` emits (`request.rs:798-812`), with ms
+  * timestamps.
+  */
+final class Commands(es: EventStore) {
+
+  /** encode_event field order (`request.rs:798-812`). */
+  def encodeEvent(r: Row): Map[String, Any] = Map(
+    "event_id" -> r.getAs[String]("event_id"),
+    "transaction_id" -> r.getAs[String]("transaction_id"),
+    "partition_key" -> r.getAs[String]("partition_key"),
+    "partition_id" -> r.getAs[Int]("partition_id"),
+    "partition_sequence" -> r.getAs[Long]("partition_sequence"),
+    "stream_version" -> r.getAs[Long]("stream_version"),
+    "stream_id" -> r.getAs[String]("stream_id"),
+    "event_name" -> r.getAs[String]("event_name"),
+    "timestamp" -> r.getAs[Long]("timestamp_ns") / 1000000L,
+    "metadata" -> r.getAs[Array[Byte]]("metadata"),
+    "payload" -> r.getAs[Array[Byte]]("payload"))
+
+  /** Range grammar shared by ESCAN/EPSCAN (`request.rs:474-489`):
+    * `-` only valid as start (→ None), `+` only valid as end (→ None).
+    */
+  def parseRange(start: String, end: String): Either[String, (Option[Long], Option[Long])] =
+    for {
+      s <- start match {
+        case "-" => Right(None)
+        case "+" => Left("ERR '+' is not a valid range start")
+        case v => v.toLongOption.filter(_ >= 0)
+          .toRight(s"ERR invalid range start: $v").map(Some(_))
+      }
+      e <- end match {
+        case "+" => Right(None)
+        case "-" => Left("ERR '-' is not a valid range end")
+        case v => v.toLongOption.filter(_ >= 0)
+          .toRight(s"ERR invalid range end: $v").map(Some(_))
+      }
+    } yield (s, e)
+
+  private def parseOpts(args: Seq[String]): Either[String, Map[String, String]] = {
+    val m = collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i).toUpperCase
+      if (i + 1 >= args.length) return Left(s"ERR missing value for $k")
+      if (m.contains(k)) return Left(s"ERR duplicate argument $k")
+      m(k) = args(i + 1)
+      i += 2
+    }
+    Right(m.toMap)
+  }
+
+  /** EAPPEND stream_id event_name [EVENT_ID u] [PARTITION_KEY u]
+    * [EXPECTED_VERSION v] [TIMESTAMP ms] [PAYLOAD b] [METADATA b]
+    */
+  def eappend(streamId: String, eventName: String, opts: String*): Either[String, Map[String, Any]] =
+    for {
+      o <- parseOpts(opts)
+      ev <- o.get("EXPECTED_VERSION")
+        .map(ExpectedVersion.parse(_).left.map("ERR " + _))
+        .getOrElse(Right(ExpectedVersion.Any))
+      eid <- parseUuidOpt(o.get("EVENT_ID"))
+      pk <- parseUuidOpt(o.get("PARTITION_KEY"))
+      ts <- o.get("TIMESTAMP")
+        .map(t => t.toLongOption.toRight(s"ERR invalid timestamp: $t").map(Some(_)))
+        .getOrElse(Right(None))
+      r <- es.append(
+        EventInput(streamId, eventName,
+          o.get("PAYLOAD").map(_.getBytes).getOrElse(Array.emptyByteArray),
+          o.get("METADATA").map(_.getBytes).getOrElse(Array.emptyByteArray),
+          ev, eid, ts),
+        pk)
+    } yield Map(
+      "event_id" -> r.eventId,
+      "partition_key" -> r.partitionKey,
+      "partition_id" -> r.partitionId,
+      "partition_sequence" -> r.partitionSequence,
+      "stream_version" -> r.streamVersion,
+      "timestamp" -> r.timestampMs)
+
+  /** EMAPPEND partition_key (stream_id event_name [EXPECTED_VERSION v])+ */
+  def emappend(partitionKey: String,
+      events: Seq[(String, String, Option[String])]): Either[String, Map[String, Any]] =
+    for {
+      pk <- parseUuid(partitionKey)
+      inputs <- events.foldLeft(
+        Right(Vector.empty[EventInput]): Either[String, Vector[EventInput]]) {
+        case (acc, (sid, name, evOpt)) => acc.flatMap { v =>
+          evOpt.map(ExpectedVersion.parse(_).left.map("ERR " + _))
+            .getOrElse(Right(ExpectedVersion.Any))
+            .map(ev => v :+ EventInput(sid, name, expectedVersion = ev))
+        }
+      }
+      r <- es.mappend(pk, inputs)
+    } yield Map(
+      "partition_key" -> r.partitionKey,
+      "partition_id" -> r.partitionId,
+      "first_partition_sequence" -> r.firstPartitionSequence,
+      "last_partition_sequence" -> r.lastPartitionSequence,
+      "events" -> r.events.map(e => Map(
+        "event_id" -> e.eventId,
+        "partition_sequence" -> e.partitionSequence,
+        "stream_version" -> e.streamVersion)))
+
+  /** EGET event_id → event map or None (absent/unconfirmed). */
+  def eget(eventId: String): Either[String, Option[Map[String, Any]]] =
+    parseUuid(eventId).map(id => es.get(id).collect().headOption.map(encodeEvent))
+
+  /** ESCAN stream_id start end [PARTITION_KEY u] [COUNT n] */
+  def escan(streamId: String, start: String, end: String,
+      opts: String*): Either[String, Map[String, Any]] =
+    for {
+      o <- parseOpts(opts)
+      r <- parseRange(start, end)
+      pk <- parseUuidOpt(o.get("PARTITION_KEY"))
+      count <- parseCount(o)
+    } yield {
+      val res = es.scan(streamId, r._1, r._2, count, pk)
+      Map("has_more" -> res.hasMore,
+        "events" -> res.events.collect().toSeq.map(encodeEvent))
+    }
+
+  /** EPSCAN partition start end [COUNT n]; partition = id or key UUID. */
+  def epscan(partition: String, start: String, end: String,
+      opts: String*): Either[String, Map[String, Any]] =
+    for {
+      o <- parseOpts(opts)
+      r <- parseRange(start, end)
+      pid <- parsePartition(partition)
+      count <- parseCount(o)
+    } yield {
+      val res = es.pscan(pid, r._1, r._2, count)
+      Map("has_more" -> res.hasMore,
+        "events" -> res.events.collect().toSeq.map(encodeEvent))
+    }
+
+  /** ESVER stream_id → version or None. */
+  def esver(streamId: String): Either[String, Option[Long]] =
+    StreamId.validate(streamId).left.map("ERR " + _).map(_ => es.sver(streamId))
+
+  /** EPSEQ partition → sequence or None. */
+  def epseq(partition: String): Either[String, Option[Long]] =
+    parsePartition(partition).map(es.pseq)
+
+  /** ESUB (stream_id)+ [FROM LATEST|v|MAP s=v,...] [WINDOW n] —
+    * returns the subscription DataFrame; attach with
+    * Subscriptions.deliver (checkpoint = subscription id + EACK).
+    */
+  def esub(streamIds: Seq[String], from: Option[String] = None,
+      window: Int = 1000): Either[String, org.apache.spark.sql.DataFrame] =
+    parseFrom(from).map(f =>
+      Subscriptions.subscribe(es, Matcher(streams = streamIds), f, window))
+
+  /** EPSUB *|p|p1,p2,... [FROM ...] [WINDOW n] */
+  def epsub(partitions: String, from: Option[String] = None,
+      window: Int = 1000): Either[String, org.apache.spark.sql.DataFrame] =
+    for {
+      f <- parseFrom(from)
+      m <- if (partitions == "*") Right(Matcher(allPartitions = true))
+        else partitions.split(",").toSeq
+          .foldLeft(Right(Vector.empty[Int]): Either[String, Vector[Int]]) {
+            (acc, p) => acc.flatMap(v => parsePartition(p.trim).map(v :+ _))
+          }.map(ps => Matcher(partitions = ps))
+    } yield Subscriptions.subscribe(es, m, f, window)
+
+  /** HELLO 3 — protocol 3 only (`hello.rs:20-57`). */
+  def hello(protocol: Int): Either[String, Map[String, String]] =
+    if (protocol != 3) Left("NOPROTO unsupported protocol version")
+    else Right(es.info + ("proto" -> "3"))
+
+  def ping(): String = "PONG"
+
+  /** INFO CACHE-shaped metrics (`info.rs:30-113`): storage/manifest
+    * stats in place of block-cache counters (no block cache here —
+    * parquet readers + OS page cache).
+    */
+  def info(section: String = "CACHE"): Map[String, Any] = {
+    val files = {
+      val dir = java.nio.file.Paths.get(es.root, "events")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val s = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          val ps = s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toVector
+          (ps.size, ps.map(p => java.nio.file.Files.size(p)).sum)
+        } finally s.close()
+      } else (0, 0L)
+    }
+    Map(
+      "entries" -> files._1,
+      "memory_bytes" -> files._2,
+      "manifest_version" -> es.manifest.version,
+      "num_partitions" -> es.numPartitions,
+      "num_streams" -> es.manifest.streamHeads.size)
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def parseCount(o: Map[String, String]): Either[String, Int] =
+    o.get("COUNT")
+      .map(c => c.toIntOption.filter(_ > 0).toRight(s"ERR invalid count: $c"))
+      .getOrElse(Right(100)) // default 100 (`escan.rs:138`)
+
+  private def parseUuid(s: String): Either[String, UUID] =
+    try Right(UUID.fromString(s))
+    catch { case _: IllegalArgumentException => Left(s"ERR invalid uuid: $s") }
+
+  private def parseUuidOpt(s: Option[String]): Either[String, Option[UUID]] =
+    s.map(parseUuid(_).map(Some(_))).getOrElse(Right(None))
+
+  /** partition = numeric id 0-65535 or a partition-key UUID
+    * (`request.rs:494-`, `parser.rs:415-419`).
+    */
+  private def parsePartition(p: String): Either[String, Int] =
+    p.toIntOption match {
+      case Some(id) if id >= 0 && id < 65536 =>
+        Right(id % es.numPartitions)
+      case Some(_) => Left(s"ERR partition id out of range: $p")
+      case None => parseUuid(p).map(u =>
+        Ids.partitionIdFor(Ids.partitionHash(u), es.numPartitions))
+    }
+
+  /** FROM LATEST | version | MAP k=v,k=v[,DEFAULT=v] */
+  private def parseFrom(from: Option[String]): Either[String, From] = from match {
+    case None => Right(From.Value(0))
+    case Some("LATEST") => Right(From.Latest)
+    case Some(s) if s.startsWith("MAP ") =>
+      val parts = s.stripPrefix("MAP ").split(",").map(_.trim).toSeq
+      val (defaults, pairs) = parts.partition(_.toUpperCase.startsWith("DEFAULT="))
+      pairs.foldLeft(Right(Map.empty[String, Long]): Either[String, Map[String, Long]]) {
+        (acc, kv) => acc.flatMap { m =>
+          kv.split("=", 2) match {
+            case Array(k, v) => v.toLongOption
+              .toRight(s"ERR invalid version in MAP: $kv").map(n => m + (k -> n))
+            case _ => Left(s"ERR invalid MAP entry: $kv")
+          }
+        }
+      }.flatMap { m =>
+        defaults.headOption
+          .map(d => d.split("=", 2)(1).toLongOption
+            .toRight(s"ERR invalid DEFAULT").map(Some(_)))
+          .getOrElse(Right(None))
+          .map(df => From.PerKey(m, df))
+      }
+    case Some(v) => v.toLongOption
+      .toRight(s"ERR invalid FROM: $v").map(From.Value(_))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.api
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Walks every command like the reference's comprehensive client test
+  * (`sierradb-client/examples/comprehensive_test.rs`), including the
+  * argument grammar edge cases.
+  */
+class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val es =
+    EventStore.open(spark, Files.createTempDirectory("graft-cmd-").toString, 8)
+  private lazy val cmd = new Commands(es)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("EAPPEND returns the response fields and assigns versions") {
+    val r1 = cmd.eappend("cmd-stream", "Created", "PAYLOAD", """{"name":"john"}""")
+    assert(r1.isRight)
+    val m1 = r1.toOption.get
+    assert(m1("stream_version") == 0L)
+    assert(m1("partition_sequence") == 0L)
+
+    val r2 = cmd.eappend("cmd-stream", "Updated", "EXPECTED_VERSION", "0")
+    assert(r2.toOption.get("stream_version") == 1L)
+
+    assert(cmd.eappend("cmd-stream", "Conflict", "EXPECTED_VERSION", "0").isLeft)
+    assert(cmd.eappend("cmd-stream", "Bad", "EXPECTED_VERSION", "bogus").isLeft)
+    assert(cmd.eappend("s", "dup", "COUNT", "1", "COUNT", "2").isLeft)
+  }
+
+  test("EMAPPEND atomic multi-stream batch in one partition") {
+    val pk = graft.core.Ids.partitionKeyForStream("multi").toString
+    val r = cmd.emappend(pk, Seq(
+      ("multi", "A", Some("empty")),
+      ("multi", "B", Some("0")),
+      ("multi-b", "C", None)))
+    assert(r.isRight)
+    val m = r.toOption.get
+    assert(m("first_partition_sequence") == 0L)
+    assert(m("last_partition_sequence") == 2L)
+  }
+
+  test("EGET by id; Null for absent") {
+    val id = cmd.eappend("get-stream", "E").toOption.get("event_id").toString
+    val got = cmd.eget(id)
+    assert(got.toOption.get.isDefined)
+    val ev = got.toOption.get.get
+    assert(ev("stream_id") == "get-stream")
+    assert(ev("event_name") == "E")
+    // encode_event field order
+    assert(ev.keys.toSet.contains("timestamp"))
+    assert(cmd.eget(java.util.UUID.randomUUID().toString).toOption.get.isEmpty)
+    assert(cmd.eget("not-a-uuid").isLeft)
+  }
+
+  test("ESCAN range grammar: -/+, COUNT, has_more") {
+    (1 to 7).foreach(i => cmd.eappend("scan-s", s"e$i"))
+    val all = cmd.escan("scan-s", "-", "+").toOption.get
+    assert(all("has_more") == false)
+    assert(all("events").asInstanceOf[Seq[_]].size == 7)
+
+    val page = cmd.escan("scan-s", "-", "+", "COUNT", "3").toOption.get
+    assert(page("has_more") == true)
+    assert(page("events").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("stream_version")) == Seq(0L, 1L, 2L))
+
+    val mid = cmd.escan("scan-s", "2", "4").toOption.get
+    assert(mid("events").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("stream_version")) == Seq(2L, 3L, 4L))
+
+    assert(cmd.escan("scan-s", "+", "-").isLeft) // + invalid as start
+    assert(cmd.escan("scan-s", "0", "-").isLeft) // - invalid as end
+  }
+
+  test("EPSCAN accepts partition id or partition-key uuid") {
+    cmd.eappend("pscan-s", "E1"); cmd.eappend("pscan-s", "E2")
+    val pk = graft.core.Ids.partitionKeyForStream("pscan-s")
+    val byId = cmd.epscan(
+      graft.core.Ids.partitionIdFor(graft.core.Ids.partitionHash(pk), 8).toString,
+      "-", "+").toOption.get
+    val byKey = cmd.epscan(pk.toString, "-", "+").toOption.get
+    assert(byId("events").asInstanceOf[Seq[Map[String, Any]]].map(_("event_id")) ==
+      byKey("events").asInstanceOf[Seq[Map[String, Any]]].map(_("event_id")))
+  }
+
+  test("ESVER/EPSEQ: value or Null") {
+    cmd.eappend("ver-s", "E")
+    assert(cmd.esver("ver-s") == Right(Some(0L)))
+    assert(cmd.esver("missing-stream") == Right(None))
+    assert(cmd.esver("").isLeft)
+    val pk = graft.core.Ids.partitionKeyForStream("ver-s")
+    assert(cmd.epseq(pk.toString).toOption.get.isDefined)
+  }
+
+  test("HELLO/PING/INFO") {
+    assert(cmd.hello(2).isLeft)
+    val h = cmd.hello(3).toOption.get
+    assert(h("server") == "sierraspark")
+    assert(h("num_partitions") == "8")
+    assert(cmd.ping() == "PONG")
+    val i = cmd.info()
+    assert(i("num_partitions") == 8)
+    assert(i("entries").asInstanceOf[Int] > 0)
+  }
+
+  test("ESUB/EPSUB build subscriptions with FROM grammar") {
+    assert(cmd.esub(Seq("scan-s"), Some("LATEST")).isRight)
+    assert(cmd.esub(Seq("scan-s"), Some("3")).isRight)
+    assert(cmd.esub(Seq("a", "b"), Some("MAP a=1,b=2")).isRight)
+    assert(cmd.esub(Seq("a"), Some("MAP a=x")).isLeft)
+    assert(cmd.epsub("*").isRight)
+    assert(cmd.epsub("0,1,2").isRight)
+    assert(cmd.epsub("bogus").isLeft)
+  }
+}
