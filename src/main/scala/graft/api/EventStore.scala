@@ -340,6 +340,24 @@ final class EventStore private (
     n
   }
 
+  /** Streaming ingest: continuous EAPPEND through Structured Streaming.
+    * Each micro-batch rides the bulk `ingest` path (exactly-once per
+    * batch via the sink checkpoint: a batch that fails before the
+    * manifest commit replays; sequences stay gapless because
+    * assignment is deterministic given the pre-batch manifest).
+    */
+  def ingestStream(
+      stream: DataFrame,
+      orderCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { ingest(batch, orderCol); () }
+      }
+      .start()
+
   // ----------------------------------------------------------------- reads
 
   /** Watermark-clamped snapshot of the event log (every read goes
