@@ -328,6 +328,35 @@ object SparkEntry {
           graft.ops.TextAnalysis.langScore(col("text"), "en").as("score_en"))
         .orderBy(col("doc_id"))),
 
+    // Exact dedup under skew: two-phase salted aggregation — identical
+    // result to dedup_exact (same oracle), hot keys spread over salts.
+    "dedup_exact_salted" -> ((s, d) =>
+      graft.ops.Skew.exactDedupSalted(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("fp"))),
+
+    // IVF-style ANN: coarse centroids + inverted-list probe.
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.ops.Similarity.ivfTopK(e, q, 5, nlist = 10, nprobe = 2)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // BPE-ish subword token counting (regex pre-tokenizer shape).
+    "text_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("n_subtokens"))
+        .orderBy(col("doc_id"))),
+
+    // Polynomial rolling-hash fingerprint (exact integer arithmetic).
+    "text_rolling_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))),
+
     // LSH-bucketed ANN (random-hyperplane, 6 planes): the 100 TB path
     // where brute force becomes a bucket equi-join.
     "ann_lsh_bucketed" -> ((s, d) => {
@@ -579,7 +608,68 @@ object SparkEntry {
       s"($u, ${graft.core.Ids.partitionIdForStream(s"user-$u", StoreProvider.NumPartitions)})"
     }.mkString(", ")
 
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))), 6)"
+
+  private def ivfOracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings WHERE vec_id < 10),
+       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT corp.vec_id, cents.cid,
+       |      row_number() OVER (PARTITION BY corp.vec_id
+       |        ORDER BY ${cosSql("ve", "ce")} DESC, cents.cid) AS rn
+       |    FROM corp, cents) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |probes AS (
+       |  SELECT qid, cid, qe FROM (
+       |    SELECT q.qid, cents.cid, q.qe,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("qe", "ce")} DESC, cents.cid) AS rn
+       |    FROM q, cents) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, ${cosSql("p.qe", "corp.ve")} AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.qid
+       |  JOIN corp ON corp.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+
+  private def rollingHashOracle: String = {
+    val powRows = graft.ops.TextAnalysis.powTable.zipWithIndex
+      .map { case (p, i) => s"(${i + 1},${p}::BIGINT)" }.mkString(",")
+    s"""WITH pows(i, p) AS (VALUES $powRows),
+       |terms AS (
+       |  SELECT doc_id, ascii(substr(text, i, 1)) * p AS t
+       |  FROM documents JOIN pows ON i <= length(text))
+       |SELECT doc_id,
+       |  CAST(sum(t) % ${graft.ops.TextAnalysis.HashMod} AS BIGINT) AS rhash
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_exact_salted" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "ann_ivf" -> ivfOracle,
+
+    "text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '${graft.ops.TextAnalysis.BpePattern}')) AS BIGINT) AS n_subtokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" -> rollingHashOracle,
+
     "es_ingest_versions" ->
       """SELECT 'user-' || user_id AS stream_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1

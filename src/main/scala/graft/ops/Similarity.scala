@@ -63,6 +63,42 @@ object Similarity {
     concat(projections: _*)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `nlist`
+    * fixed coarse centroids (here: the first `nlist` corpus vectors,
+    * deterministic — production would k-means them; the assignment/
+    * probe shape is identical), then score queries only against the
+    * `nprobe` closest inverted lists. The corpus pass is one broadcast
+    * join + argmax; the probe turns the cross join into an equi-join
+    * on list id — at 100 TB the inverted lists are the shuffle key.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 10, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    // nearest centroid per corpus vector (ties → lowest cid)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("ce"), col(vecCol)), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))))
+      .where(col("crk") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    // nprobe nearest centroids per query
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("ce"), col("qe")), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
+      .where(col("crk") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .where(col(idCol) =!= col("qid"))
+      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+  }
+
   /** LSH-bucketed ANN: score only same-bucket pairs, then top-k.
     * Recall < 1 by construction; increase recall with fewer planes or
     * multiple tables (union of signatures with different seeds).

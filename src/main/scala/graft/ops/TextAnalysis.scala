@@ -84,4 +84,35 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), lit("\\s+"), lit(" ")).cast("binary"))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * individual other non-space characters — the shape of a byte-level
+    * BPE pre-tokenizer's coarse split.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePattern)).cast("long")
+
+  /** Rabin-Karp-style polynomial rolling hash over the characters:
+    * H = Σ ascii(c_i)·B^i mod M, exact 64-bit integer arithmetic so any
+    * engine reproduces it bit-for-bit. Single pass, codegen'd, no UDF.
+    */
+  val HashBase = 31L
+  val HashMod = 1000000007L
+  val MaxHashLen = 1024
+
+  /** B^i mod M for i = 1..MaxHashLen. */
+  lazy val powTable: Seq[Long] =
+    Iterator.iterate(HashBase)(p => p * HashBase % HashMod)
+      .take(MaxHashLen).toSeq
+
+  def rollingHash(text: Column): Column = {
+    val pows = typedLit(powTable)
+    aggregate(
+      sequence(lit(1), least(length(text), lit(MaxHashLen))),
+      lit(0L),
+      (acc, i) => acc + ascii(text.substr(i, lit(1))) * element_at(pows, i)
+    ) % HashMod
+  }
 }
