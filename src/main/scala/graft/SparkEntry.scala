@@ -343,6 +343,12 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Embedding-cosine near-duplicate pairs (LSH-bucketed + exact
+    // verify), the semantic-dedup counterpart of minhash.
+    "dedup_embedding_cosine" -> ((s, d) =>
+      graft.ops.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.95)
+        .orderBy(col("a"), col("b"))),
+
     // BPE-ish subword token counting (regex pre-tokenizer shape).
     "text_bpe_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -560,9 +566,12 @@ object SparkEntry {
        |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.8
        |ORDER BY i.a, i.b""".stripMargin
 
-  private def annLshOracle: String = {
+  /** Shared CTE chain: 6-plane hyperplane-LSH buckets per vector
+    * (mirrors Similarity.lshBucket exactly).
+    */
+  private val lshBucketsCte: String = {
     val hexHigh = "('8','9','a','b','c','d','e','f')"
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT p, i,
        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN $hexHigh
        |      THEN 1.0 ELSE -1.0 END AS wt
@@ -576,7 +585,26 @@ object SparkEntry {
        |buckets AS (
        |  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
        |    '' ORDER BY p) AS bucket
-       |  FROM proj GROUP BY vec_id),
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+  }
+
+  private def embeddingNearDupOracle: String =
+    s"""WITH $lshBucketsCte,
+       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT p.a, p.b, ${cosSql("ca.ve", "cb.ve")} AS cosine
+       |  FROM pairs p
+       |  JOIN corp ca ON ca.vec_id = p.a
+       |  JOIN corp cb ON cb.vec_id = p.b)
+       |SELECT a, b, cosine FROM scored WHERE cosine >= 0.95
+       |ORDER BY a, b""".stripMargin
+
+  private def annLshOracle: String = {
+    s"""WITH $lshBucketsCte,
        |q AS (
        |  SELECT e.vec_id AS qid, CAST(e.embedding AS DOUBLE[]) AS qe,
        |    b.bucket AS qbucket
@@ -661,6 +689,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "ann_ivf" -> ivfOracle,
+
+    "dedup_embedding_cosine" -> embeddingNearDupOracle,
 
     "text_bpe_tokens" ->
       s"""SELECT doc_id,

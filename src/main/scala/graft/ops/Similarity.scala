@@ -99,6 +99,25 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cosine"), col("rk"))
   }
 
+  /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * threshold, discovered through LSH buckets (same-bucket pairs only,
+    * so the quadratic blowup is bounded per bucket) and verified with
+    * the exact cosine. The scale path for "drop semantically duplicate
+    * documents by their embeddings".
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus
+      .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: score only same-bucket pairs, then top-k.
     * Recall < 1 by construction; increase recall with fewer planes or
     * multiple tables (union of signatures with different seeds).

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic tests for the LLM-pipeline operators (the oracle gate
+  * proves engine-equivalence; these prove the operators do the right
+  * THING: near-dups found, skew path equivalent, multimodal shapes).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("minhash LSH recalls the high-jaccard pairs the exact op finds") {
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    // banding with 8 hashes / 4 bands catches ≥ 0.9-jaccard pairs with
+    // probability ~1 - (1-0.9^2)^4 ≈ 0.9987 each; demand full recall on
+    // this corpus and no pairs the exact op rejects
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val nearDups = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.95)
+      .limit(3).collect()
+    assume(nearDups.nonEmpty)
+    val fps = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    nearDups.foreach { r =>
+      val d = fps(r.getAs[Long]("a")).zip(fps(r.getAs[Long]("b")))
+        .count { case (x, y) => x != y }
+      assert(d <= 3, s"near-dup pair should have hamming <= 3, got $d")
+    }
+  }
+
+  test("salted dedup equals unsalted dedup exactly") {
+    val plain = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("fp").collect().map(_.toSeq).toSeq
+    val salted = Skew.exactDedupSalted(docs, "text", "doc_id", saltFactor = 16)
+      .orderBy("fp").collect().map(_.toSeq).toSeq
+    assert(plain == salted)
+  }
+
+  test("brute-force vs IVF: probed lists contain the true top-1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id").isin(3, 4))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(e, q, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, q, 5, nlist = 8, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    exact.foreach { case (qid, top1) =>
+      assert(ivf(qid).contains(top1),
+        s"IVF with nprobe=4 should recall the true top-1 for $qid")
+    }
+  }
+
+  test("multimodal: decode stub + frame sampling preserve shape contracts") {
+    import spark.implicits._
+    val df = Seq(("a", "hello world payload"), ("b", ""), ("c", "xyz"))
+      .toDF("id", "s")
+      .withColumn("payload", col("s").cast("binary"))
+
+    val meta = Multimodal.withMediaMeta(df, "payload", "image/png")
+    val m = meta.select("media_meta.*").collect()
+    assert(m.forall(_.getAs[String]("mime") == "image/png"))
+    assert(m.map(_.getAs[Long]("byte_len")).sorted.toSeq == Seq(0L, 3L, 19L))
+
+    val decoded = Multimodal.decodeImages(df, "payload")
+    val d = decoded.collect()
+    assert(d.length == 3)
+    // empty payload decodes to the null-object shape, not a crash
+    val empty = d.find(_.getAs[String]("id") == "b").get
+    assert(empty.getAs[Int]("img_width") == 0)
+    // non-empty payloads get deterministic fake dimensions
+    val full = d.find(_.getAs[String]("id") == "a").get
+    assert(full.getAs[Int]("img_width") > 0 && full.getAs[Int]("img_channels") == 3)
+
+    val frames = Multimodal.sampleFrames(
+      df.where(col("id") === "a"), "payload", 4)
+    val f = frames.select("frame_idx", "frame_bytes").collect()
+    assert(f.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    assert(f.forall(_.getAs[Array[Byte]]("frame_bytes").length == 19 / 4))
+  }
+
+  test("language id prefers the language whose markers dominate") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is a pet", "en"),
+      ("der hund und die katze ist das tier", "de"),
+      ("el perro es la casa de que", "es"),
+      ("le chat et la maison les des", "fr"),
+      ("nothing matching here xyzzy", "und"))
+      .toDF("text", "expected")
+    val got = df.withColumn("pred", TextAnalysis.langId(col("text"))).collect()
+    got.foreach(r =>
+      assert(r.getAs[String]("pred") == r.getAs[String]("expected"),
+        r.getAs[String]("text")))
+  }
+}
