@@ -150,7 +150,8 @@ object SparkEntry {
           Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
         .where(col("rk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rk").cast("long").as("rk"))
         .orderBy(col("o_custkey"), col("rk"))),
 
     // Window function: running revenue per supplier (exact decimal).
@@ -249,9 +250,9 @@ object SparkEntry {
         .select(
           col("doc_id"),
           col("n_chars"),
-          length(col("text")).as("len"),
+          length(col("text")).cast("long").as("len"),
           (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))) + 1)
-            .as("n_tokens"))
+            .cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
     // Quality scoring: stopword ratio + mean token length.
@@ -297,7 +298,7 @@ object SparkEntry {
           Window.partitionBy(col("qid"))
             .orderBy(col("cosine").desc, col("vec_id"))))
         .where(col("rk") <= 5)
-        .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rk").cast("long").as("rk"))
         .orderBy(col("qid"), col("rk"))
       scored
     }),
@@ -839,7 +840,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
 
     "events_sessionize" ->
-      """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (
         |  SELECT user_id, CASE WHEN prev_ts IS NULL
         |      OR epoch_us(ts) - prev_ts > 1800000000 THEN 1 ELSE 0 END

@@ -42,7 +42,7 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
       .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1.
@@ -96,7 +96,7 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
       .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
@@ -132,6 +132,6 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
       .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
   }
 }
