@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.api.EventStore
+import graft.core.EventSchema
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time analytics over the live event log: windowed aggregation
+  * with watermarks and custom stateful sessionization — the streaming
+  * counterparts of the batch `events_tumbling` / `events_sessionize`
+  * operators. (The reference itself has no event-time windows — its
+  * "watermark" is a confirmation frontier — so these belong to the
+  * engine's analytics surface, not parity.)
+  */
+object EventTimeAggs {
+
+  /** Tumbling-window counts per event_name over the streaming log.
+    * `lateness` bounds state: windows older than the watermark are
+    * finalized and their state dropped — required for unbounded runs.
+    */
+  def tumblingCounts(
+      es: EventStore,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    es.spark.readStream
+      .schema(EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+      .withColumn("event_time", timestamp_micros(expr("timestamp_ns div 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLength), col("event_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_name"), col("n"))
+
+  final case class SessionInput(stream_id: String, timestamp_ns: Long)
+  final case class SessionState(start_ns: Long, last_ns: Long, events: Long)
+  final case class ClosedSession(
+      stream_id: String, start_ns: Long, end_ns: Long, events: Long)
+
+  /** Gap-based sessionization as a custom stateful operator
+    * (flatMapGroupsWithState): emits a session when `gapNs` of
+    * inactivity passes within a stream. State is one (start, last,
+    * count) triple per stream — O(streams), checkpointed. Sessions
+    * close on the in-data gap; a production deployment that needs
+    * idle-stream flushing adds a state timeout (the handler below
+    * already covers `hasTimedOut`).
+    */
+  def sessionize(
+      es: EventStore,
+      gapNs: Long = 30L * 60 * 1000000000L): Dataset[ClosedSession] = {
+    val spark = es.spark
+    import spark.implicits._
+
+    val events = spark.readStream
+      .schema(EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+      .select(col("stream_id"), col("timestamp_ns"))
+      .as[SessionInput]
+
+    events
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (sid: String, rows: Iterator[SessionInput],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => ClosedSession(sid, s.start_ns, s.last_ns, s.events))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.timestamp_ns)
+            val closed = collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              cur match {
+                case Some(s) if r.timestamp_ns - s.last_ns > gapNs =>
+                  closed += ClosedSession(sid, s.start_ns, s.last_ns, s.events)
+                  cur = Some(SessionState(r.timestamp_ns, r.timestamp_ns, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(last_ns = r.timestamp_ns, events = s.events + 1))
+                case None =>
+                  cur = Some(SessionState(r.timestamp_ns, r.timestamp_ns, 1))
+              }
+            }
+            cur.foreach(state.update)
+            closed.iterator
+          }
+        })
+  }
+}

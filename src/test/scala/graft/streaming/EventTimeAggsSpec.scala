@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.api.EventStore
+import graft.core.EventInput
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val HourNs = 3600L * 1000000000L
+
+  test("streaming tumbling window with watermark aggregates per hour") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-eta-").toString, 4)
+    val base = 1700000000000L // ms
+    // 3 events in hour H, 2 in hour H+1, mixed names
+    es.appendMany(Seq(
+      EventInput("w", "A", timestampMs = Some(base)),
+      EventInput("w", "A", timestampMs = Some(base + 60000)),
+      EventInput("w", "B", timestampMs = Some(base + 120000)),
+      EventInput("w", "A", timestampMs = Some(base + 3600000)),
+      EventInput("w", "B", timestampMs = Some(base + 3660000))))
+
+    val q = EventTimeAggs.tumblingCounts(es, "1 hour", "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("eta_tumbling").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("eta_tumbling")
+        .orderBy("window_start", "event_name").collect()
+      val counts = rows.map(r =>
+        (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[String]("event_name"), r.getAs[Long]("n"))).toSeq
+      val h0 = base - base % 3600000
+      val h1 = h0 + 3600000
+      assert(counts == Seq((h0, "A", 2L), (h0, "B", 1L), (h1, "A", 1L), (h1, "B", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions on gap, keeps open ones in state") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-sess-").toString, 4)
+    val base = 1700000000000L
+    es.appendMany(Seq(
+      // stream s1: two sessions separated by a 2-hour gap
+      EventInput("sess-1", "E", timestampMs = Some(base)),
+      EventInput("sess-1", "E", timestampMs = Some(base + 60000)),
+      EventInput("sess-1", "E", timestampMs = Some(base + 2 * 3600000)),
+      // stream s2: one session (still open — never emitted)
+      EventInput("sess-2", "E", timestampMs = Some(base))))
+
+    val q = EventTimeAggs.sessionize(es)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_sessions").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("eta_sessions").collect()
+      // only the FIRST s1 session is closed (the gap closed it);
+      // the second s1 session and s2's are still open state
+      assert(closed.length == 1)
+      val s = closed(0)
+      assert(s.getAs[String]("stream_id") == "sess-1")
+      assert(s.getAs[Long]("events") == 2L)
+      assert(s.getAs[Long]("start_ns") == base * 1000000L)
+      assert(s.getAs[Long]("end_ns") == (base + 60000) * 1000000L)
+    } finally q.stop()
+  }
+}
