@@ -320,14 +320,17 @@ final class EventStore private (
       .option("parquet.bloom.filter.enabled#stream_id", "true")
       .parquet(eventsDir)
 
-    // head/watermark roll-up: O(#partitions + #distinct streams in batch)
-    val newWm = assigned.groupBy($"partition_id")
-      .agg(max($"partition_sequence").as("wm"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val newHeads = assigned
+    // head/watermark roll-up in ONE job: O(#distinct streams in batch)
+    // rows, from which both the per-partition watermarks and the
+    // per-stream heads derive
+    val rollup = assigned
       .groupBy($"stream_id", $"partition_key", $"partition_id")
-      .agg(max($"stream_version").as("v"))
+      .agg(max($"stream_version").as("v"), max($"partition_sequence").as("ps"))
       .collect()
+    val newWm = rollup.groupBy(_.getInt(2)).map { case (pid, rs) =>
+      pid -> rs.map(_.getLong(4)).max
+    }
+    val newHeads = rollup
       .map(r => r.getString(0) -> StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
       .toMap
     val n = newWm.map { case (k, nw) => nw - wmMap.getOrElse(k, -1L) }.sum
@@ -353,8 +356,20 @@ final class EventStore private (
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { ingest(batch, orderCol); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotence across replays: a crash after the manifest commit
+        // but before the sink checkpoint commit replays this batchId —
+        // the manifest remembers the last applied id per checkpoint
+        lock.synchronized {
+          if (state.streamBatchIds.getOrElse(checkpoint, -1L) < batchId &&
+              !batch.isEmpty) {
+            ingest(batch, orderCol)
+            commitState(state.copy(
+              version = state.version + 1,
+              streamBatchIds = state.streamBatchIds.updated(checkpoint, batchId)))
+          }
+        }
+        ()
       }
       .start()
 

@@ -27,7 +27,11 @@ final case class ManifestState(
     // partition_id -> highest committed partition_sequence (-1 = empty)
     watermarks: Map[Int, Long],
     // stream_id -> head state
-    streamHeads: Map[String, StreamHead]) {
+    streamHeads: Map[String, StreamHead],
+    // streaming-ingest idempotence: checkpoint id -> last applied batch
+    // (a replayed foreachBatch after a crash between manifest commit and
+    // checkpoint commit must be a no-op)
+    streamBatchIds: Map[String, Long] = Map.empty) {
 
   def watermark(pid: Int): Long = watermarks.getOrElse(pid, -1L)
 }
@@ -83,8 +87,10 @@ object Manifest {
     val heads = m.streamHeads.toSeq.sortBy(_._1).map { case (sid, h) =>
       s""""${esc(sid)}":[${h.version},"${esc(h.partitionKey)}",${h.partitionId}]"""
     }.mkString("{", ",", "}")
+    val batches = m.streamBatchIds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     s"""{"version":${m.version},"num_partitions":${m.numPartitions},""" +
-      s""""watermarks":$wm,"stream_heads":$heads}"""
+      s""""watermarks":$wm,"stream_heads":$heads,"stream_batch_ids":$batches}"""
   }
 
   /** Tiny recursive-descent JSON parser for exactly what `render` emits. */
@@ -103,7 +109,11 @@ object Manifest {
           arr(1).asInstanceOf[String],
           arr(2).asInstanceOf[Double].toInt)
       }
-    ManifestState(version, np, wm, heads)
+    val batches = obj.get("stream_batch_ids")
+      .map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Double].toLong })
+      .getOrElse(Map.empty[String, Long])
+    ManifestState(version, np, wm, heads, batches)
   }
 
   private final class JsonP(s: String) {

@@ -63,4 +63,41 @@ class IngestStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     assert(es.sver("ss-0") == Some(29L)) // 150/5 - 1
   }
+
+  test("restart with same checkpoint neither drops nor duplicates") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-rs-src-").toString
+    val storeDir = Files.createTempDirectory("graft-rs-store-").toString
+    val ckDir = Files.createTempDirectory("graft-rs-ck-").toString
+    val es = EventStore.open(spark, storeDir, 4)
+    val schema = StructType(Seq(
+      StructField("stream_id", StringType),
+      StructField("event_name", StringType),
+      StructField("arrival", LongType)))
+
+    def emit(from: Int, n: Int): Unit =
+      (from until from + n).map(i => (s"rs-${i % 3}", "E", i.toLong))
+        .toDF("stream_id", "event_name", "arrival")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    def start() = es.ingestStream(
+      spark.readStream.schema(schema).parquet(srcDir), "arrival", ckDir)
+
+    emit(0, 30)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(es.events().count() == 30)
+    assert(es.manifest.streamBatchIds.get(ckDir).contains(0L))
+
+    // restart on the same checkpoint: no data → no change; new data →
+    // exactly the new rows, versions continuing gapless
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(es.events().count() == 30)
+      emit(30, 15)
+      q2.processAllAvailable()
+      assert(es.events().count() == 45)
+    } finally q2.stop()
+    assert(es.sver("rs-0") == Some(14L)) // 45/3 - 1
+  }
 }
