@@ -192,6 +192,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // As-of join: each purchase enriched with the user's latest click
+    // at-or-before it (composed union+window — no row-multiplication;
+    // oracle is DuckDB's NATIVE ASOF JOIN, so the composition must
+    // reproduce true as-of semantics exactly).
+    "asof_join" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts"), col("value").as("click_value"))
+      graft.ops.AsOfJoin.asofJoin(
+        purchases, clicks, "user_id", "ts_us", "click_ts", "click_id",
+        Seq("click_id", "click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi join: customers with at least one high-value order (EXISTS).
     "semi_join" -> ((s, d) => {
       val big = Tables.orders(s, d).where(col("o_totalprice") > 400000)
@@ -850,6 +867,23 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
         |    FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c0 AS (SELECT user_id, event_id AS click_id, ts_us AS click_ts,
+        |    value AS click_value FROM e WHERE event_type = 'click'),
+        |c AS (SELECT user_id, click_id, click_ts, click_value FROM (
+        |  SELECT c0.*, row_number() OVER (
+        |    PARTITION BY user_id, click_ts ORDER BY click_id DESC) AS rn
+        |  FROM c0) WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  c.click_id AS asof_click_id, c.click_value AS asof_click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "semi_join" ->
       """SELECT c_custkey, c_name FROM customer

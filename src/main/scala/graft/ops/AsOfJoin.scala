@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single right row with the
+  * greatest `rightTime <= leftTime` within the same key — the classic
+  * time-series enrichment operator the reference (an event store)
+  * leaves to the query layer.
+  *
+  * Spark-first composition (preference tier (a) — no custom physical
+  * operator needed): union both sides tagged, ONE window pass per key
+  * ordered by (time, side) carrying the last-seen right row forward,
+  * then keep the left rows. Cost: one shuffle on the key + one sort —
+  * the same as a sort-merge join, but with no row-multiplication and
+  * no range-condition blowup, so it scales to 100 TB exactly like a
+  * keyed window.
+  *
+  * Equal timestamps are inclusive (a right row AT the left time
+  * matches), and right-side ties on (key, time) resolve to the largest
+  * `rightOrder` value, deterministically.
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich
+    * @param right      rows providing the as-of value
+    * @param key        equi-join column present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightOrder tie-break column on `right` (unique per
+    *                   (key, time)), e.g. an event id
+    * @param rightCols  right columns to carry (exposed as `asof_<col>`)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightOrder: String,
+      rightCols: Seq[String]): DataFrame = {
+    // dedupe right to one row per (key, time): greatest rightOrder wins
+    val r1 = right.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key), col(rightTime))
+          .orderBy(col(rightOrder).desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+
+    val carried = rightCols.map(c => s"asof_$c")
+    val leftTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1)) // left sorts after right at equal time
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        left.columns.filterNot(_ == key).map(col) ++
+        rightCols.map(c => lit(null).cast(r1.schema(c).dataType).as(s"asof_$c")): _*)
+    val rightTagged = r1
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        left.columns.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(leftTagged.unionByName(rightTagged)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1).drop("__t", "__side")
+  }
+}
