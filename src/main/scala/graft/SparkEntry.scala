@@ -154,6 +154,17 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("o_custkey"), col("rk"))),
 
+    // Grouped top-k through the CUSTOM physical operator (TopKPerKeyExec:
+    // bounded per-key heaps after one hash shuffle — no per-group sort);
+    // the oracle recomputes it with a window, proving plan-level
+    // equivalence of the custom exec.
+    "topk_custom" -> ((s, d) =>
+      graft.plans.TopK.topKPerKey(
+        Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
     // Window function: running revenue per supplier (exact decimal).
     "running_sum" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -839,6 +850,14 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

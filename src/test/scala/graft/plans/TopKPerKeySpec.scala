@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("custom exec matches window row_number semantics exactly") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+
+    val custom = TopK.topKPerKey(
+      orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect().map(_.toSeq).toSeq
+
+    val viaWindow = orders
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect().map(_.toSeq).toSeq
+
+    assert(custom.nonEmpty)
+    assert(custom == viaWindow)
+  }
+
+  test("physical plan is the custom exec fed by one hash exchange, no sort") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val df = TopK.topKPerKey(
+      orders, Seq("o_custkey"), Seq(col("o_totalprice").desc), 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.toLowerCase.contains("sortexec"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("k larger than any group returns everything") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    val df = TopK.topKPerKey(
+      orders, Seq("o_custkey"), Seq(col("o_orderkey").asc), 1000000)
+    assert(df.count() == orders.count())
+  }
+}
