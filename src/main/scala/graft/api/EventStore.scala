@@ -300,10 +300,8 @@ final class EventStore private (
       .withColumn("transaction_id", lit(txId))
       .withColumn("timestamp_ns", $"timestamp_ms" * lit(1000000L))
       .select(EventSchema.columnNames.map(col): _*)
-      // the write and both head roll-ups reuse this plan — cache it so
-      // the scan + window shuffles run once, not three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val preFiles = listDataFiles()
     assigned
       // co-locate each partition_id in exactly one task before the
       // partitioned write: one file per partition per commit (the
@@ -320,10 +318,14 @@ final class EventStore private (
       .option("parquet.bloom.filter.enabled#stream_id", "true")
       .parquet(eventsDir)
 
-    // head/watermark roll-up in ONE job: O(#distinct streams in batch)
-    // rows, from which both the per-partition watermarks and the
-    // per-stream heads derive
-    val rollup = assigned
+    // head/watermark roll-up: ONE columnar scan over just the files
+    // this commit wrote (4 columns, stats-friendly) — cheaper than
+    // caching and re-walking the whole assignment plan
+    val newFiles = (listDataFiles() -- preFiles).toSeq
+    val rollup = spark.read
+      .schema(EventSchema.schema)
+      .option("basePath", eventsDir)
+      .parquet(newFiles: _*)
       .groupBy($"stream_id", $"partition_key", $"partition_id")
       .agg(max($"stream_version").as("v"), max($"partition_sequence").as("ps"))
       .collect()
@@ -339,8 +341,20 @@ final class EventStore private (
       version = state.version + 1,
       watermarks = wmMap ++ newWm,
       streamHeads = state.streamHeads ++ newHeads))
-    assigned.unpersist(blocking = false)
     n
+  }
+
+  private def listDataFiles(): Set[String] = {
+    val dir = java.nio.file.Paths.get(eventsDir)
+    if (!java.nio.file.Files.isDirectory(dir)) Set.empty
+    else {
+      val s = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
   }
 
   /** Streaming ingest: continuous EAPPEND through Structured Streaming.
@@ -490,10 +504,10 @@ final class EventStore private (
   // ------------------------------------------------------------- internals
 
   private def writeRows(rows: Seq[Event]): Unit = {
-    spark.createDataset(rows)
+    spark.createDataset(rows.toList)
       .toDF()
+      .coalesce(1)
       .sortWithinPartitions($"partition_sequence")
-      .repartition(1)
       .write
       .mode("append")
       .partitionBy("partition_id")
