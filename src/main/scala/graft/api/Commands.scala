@@ -18,6 +18,84 @@ import org.apache.spark.sql.Row
   */
 final class Commands(es: EventStore) {
 
+  /** String-level dispatch (`Command::try_from`, `request.rs:100-135`):
+    * a raw argument array as a RESP client would send it. EACK is
+    * accepted and is a no-op acknowledgment — with checkpointed
+    * delivery the sink commit IS the ack (`Subscriptions.deliver`).
+    */
+  def execute(args: Seq[String]): Either[String, Any] = args.toList match {
+    case "EAPPEND" :: sid :: name :: rest => eappend(sid, name, rest: _*)
+    case "EMAPPEND" :: pk :: rest => parseEmappendEvents(rest).flatMap(emappend(pk, _))
+    case "EGET" :: id :: Nil => eget(id)
+    case "ESCAN" :: sid :: start :: end :: rest => escan(sid, start, end, rest: _*)
+    case "EPSCAN" :: p :: start :: end :: rest => epscan(p, start, end, rest: _*)
+    case "ESVER" :: sid :: Nil => esver(sid)
+    case "EPSEQ" :: p :: Nil => epseq(p)
+    case "ESUB" :: rest => parseSubTail(rest).flatMap { case (ids, from, w) =>
+      if (ids.isEmpty) Left("ERR ESUB requires at least one stream")
+      else esub(ids, from, w)
+    }
+    case "EPSUB" :: parts :: rest =>
+      parseSubTail(rest).flatMap { case (extra, from, w) =>
+        if (extra.nonEmpty) Left("ERR unexpected arguments")
+        else epsub(parts, from, w)
+      }
+    case "EACK" :: _ :: _ :: Nil => Right("OK")
+    case "HELLO" :: v :: Nil =>
+      v.toIntOption.toRight(s"ERR invalid protocol: $v").flatMap(hello)
+    case "PING" :: Nil => Right(ping())
+    case "INFO" :: section :: Nil => Right(info(section))
+    case "INFO" :: Nil => Right(info())
+    case cmd :: _ => Left(s"ERR unknown command '$cmd'")
+    case Nil => Left("ERR empty command")
+  }
+
+  /** EMAPPEND tail: (stream_id event_name [EXPECTED_VERSION v])+ */
+  private def parseEmappendEvents(
+      args: List[String]): Either[String, Seq[(String, String, Option[String])]] = {
+    val out = Vector.newBuilder[(String, String, Option[String])]
+    var rest = args
+    while (rest.nonEmpty) {
+      rest match {
+        case sid :: name :: "EXPECTED_VERSION" :: v :: tail =>
+          out += ((sid, name, Some(v))); rest = tail
+        case sid :: name :: tail =>
+          out += ((sid, name, None)); rest = tail
+        case _ => return Left("ERR EMAPPEND requires stream_id event_name pairs")
+      }
+    }
+    val r = out.result()
+    if (r.isEmpty) Left("ERR EMAPPEND requires at least one event") else Right(r)
+  }
+
+  /** ESUB/EPSUB tail: ids* [FROM LATEST|v|MAP k=v...] [WINDOW n] —
+    * MAP consumes k=v tokens until WINDOW or end.
+    */
+  private def parseSubTail(
+      args: List[String]): Either[String, (Seq[String], Option[String], Int)] = {
+    var ids = Vector.empty[String]
+    var from: Option[String] = None
+    var window = 1000 // `esub.rs:219`
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "FROM" :: "MAP" :: tail =>
+        val (pairs, after) = tail.span(t => t.contains("=") )
+        if (pairs.isEmpty) return Left("ERR FROM MAP requires entries")
+        from = Some("MAP " + pairs.mkString(","))
+        rest = after
+      case "FROM" :: v :: tail => from = Some(v); rest = tail
+      case "FROM" :: Nil => return Left("ERR missing FROM value")
+      case "WINDOW" :: v :: tail =>
+        v.toIntOption.filter(_ > 0) match {
+          case Some(n) => window = n; rest = tail
+          case None => return Left(s"ERR invalid window: $v")
+        }
+      case "WINDOW" :: Nil => return Left("ERR missing WINDOW value")
+      case id :: tail => ids :+= id; rest = tail
+    }
+    Right((ids, from, window))
+  }
+
   /** encode_event field order (`request.rs:798-812`). */
   def encodeEvent(r: Row): Map[String, Any] = Map(
     "event_id" -> r.getAs[String]("event_id"),

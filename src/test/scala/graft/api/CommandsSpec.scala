@@ -114,6 +114,30 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(i("entries").asInstanceOf[Int] > 0)
   }
 
+  test("string-level execute dispatches every command") {
+    val r = cmd.execute(Seq("EAPPEND", "exec-s", "Created", "PAYLOAD", "{}"))
+    assert(r.isRight)
+    val id = r.toOption.get.asInstanceOf[Map[String, Any]]("event_id").toString
+    assert(cmd.execute(Seq("EGET", id)).isRight)
+    assert(cmd.execute(Seq("ESVER", "exec-s")) == Right(Some(0L)))
+    assert(cmd.execute(Seq("ESCAN", "exec-s", "-", "+", "COUNT", "10")).isRight)
+    val pk = graft.core.Ids.partitionKeyForStream("exec-s").toString
+    assert(cmd.execute(Seq("EPSCAN", pk, "-", "+")).isRight)
+    assert(cmd.execute(Seq("EPSEQ", pk)).isRight)
+    assert(cmd.execute(Seq(
+      "EMAPPEND", pk, "exec-s", "A", "EXPECTED_VERSION", "0", "exec-s", "B")).isRight)
+    assert(cmd.execute(Seq("ESUB", "exec-s", "FROM", "LATEST", "WINDOW", "50")).isRight)
+    assert(cmd.execute(Seq("ESUB", "a", "b", "FROM", "MAP", "a=1", "b=2")).isRight)
+    assert(cmd.execute(Seq("EPSUB", "*", "FROM", "0")).isRight)
+    assert(cmd.execute(Seq("EACK", "sub-1", "42")) == Right("OK"))
+    assert(cmd.execute(Seq("HELLO", "3")).isRight)
+    assert(cmd.execute(Seq("PING")) == Right("PONG"))
+    assert(cmd.execute(Seq("INFO", "CACHE")).isRight)
+    assert(cmd.execute(Seq("NOSUCH")).isLeft)
+    assert(cmd.execute(Seq("ESUB", "FROM", "LATEST")).isLeft)
+    assert(cmd.execute(Seq("EMAPPEND", pk)).isLeft)
+  }
+
   test("ESUB/EPSUB build subscriptions with FROM grammar") {
     assert(cmd.esub(Seq("scan-s"), Some("LATEST")).isRight)
     assert(cmd.esub(Seq("scan-s"), Some("3")).isRight)
