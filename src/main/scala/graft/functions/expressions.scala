@@ -54,6 +54,25 @@ case class UuidTimestampMs(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): UuidTimestampMs = copy(c)
 }
 
+/** Function descriptors for SparkSessionExtensions.injectFunction. */
+object UuidPartitionHashDescriptor {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("uuid_partition_hash"),
+      new ExpressionInfo(classOf[UuidPartitionHash].getName, "uuid_partition_hash"),
+      (exprs: Seq[Expression]) => UuidPartitionHash(exprs.head))
+}
+
+object UuidTimestampMsDescriptor {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("uuid_timestamp_ms"),
+      new ExpressionInfo(classOf[UuidTimestampMs].getName, "uuid_timestamp_ms"),
+      (exprs: Seq[Expression]) => UuidTimestampMs(exprs.head))
+}
+
 /** Column-API and SQL-registration surface for the native expressions. */
 object functions {
   import org.apache.spark.sql.graftbridge.ColumnBridge

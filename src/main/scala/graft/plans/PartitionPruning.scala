@@ -57,12 +57,15 @@ case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
     } catch { case _: IllegalArgumentException => None }
 }
 
-/** Register with
+/** One-stop registration for everything graft adds to a session:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
-  * or `spark.experimental.extraOptimizations`.
+  * (or per-session via `spark.experimental.*`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => InjectEventIdPartitionPruning())
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectFunction(graft.functions.UuidPartitionHashDescriptor.descriptor)
+    e.injectFunction(graft.functions.UuidTimestampMsDescriptor.descriptor)
   }
 }
