@@ -45,22 +45,47 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1.
+    * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1. Distinct
+    * `table` seeds give independent hash tables.
     */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    when(substring(md5(concat(lit(s"$plane:"), dim.cast("string")).cast("binary")), 1, 1)
+  private def planeWeight(plane: Int, dim: Column, table: Int = 0): Column = {
+    val seed = if (table == 0) s"$plane:" else s"t$table:$plane:"
+    when(substring(md5(concat(lit(seed), dim.cast("string")).cast("binary")), 1, 1)
       .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)
+  }
 
   /** `planes`-bit signature of a vector: bit p = sign(Σ_i w(p,i)·v_i). */
-  def lshBucket(vecCol: Column, planes: Int): Column = {
+  def lshBucket(vecCol: Column, planes: Int, table: Int = 0): Column = {
     val projections = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vecCol, sequence(lit(1), size(vecCol)),
-          (v, i) => v.cast("double") * planeWeight(p, i)),
+          (v, i) => v.cast("double") * planeWeight(p, i, table)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }
     concat(projections: _*)
+  }
+
+  /** Multi-table LSH ANN: union of `tables` independent hyperplane
+    * tables — candidate recall 1-(1-p)^T instead of p, the standard
+    * recall/probe-cost dial. Same bucket equi-join shuffle shape.
+    */
+  def lshTopKMultiTable(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, tables: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val candidates = (0 until tables).map { t =>
+      val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes, t))
+      val qb = queries.withColumn("qbucket", lshBucket(col("qe"), planes, t))
+      bucketed.join(broadcast(qb),
+          col("bucket") === col("qbucket") && col(idCol) =!= col("qid"))
+        .select(col("qid"), col("qe"), col(idCol), col(vecCol))
+    }.reduce(_ unionByName _).distinct()
+    candidates
+      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rk") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `nlist`

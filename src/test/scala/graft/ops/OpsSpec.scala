@@ -70,6 +70,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-table LSH recall >= single-table recall vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 planes → 16 buckets over 500 vectors: dense enough that
+    // recall is meaningful at this corpus size
+    val exact = hits(Similarity.bruteForceTopK(e, q, 3))
+    val single = hits(Similarity.lshTopK(e, q, 3, planes = 4))
+    val multi = hits(Similarity.lshTopKMultiTable(e, q, 3, planes = 4, tables = 3))
+    val rs = (single intersect exact).size
+    val rm = (multi intersect exact).size
+    assert(rm >= rs, s"multi-table recall $rm < single-table $rs")
+    assert(rm > 0)
+  }
+
   test("multimodal: decode stub + frame sampling preserve shape contracts") {
     import spark.implicits._
     val df = Seq(("a", "hello world payload"), ("b", ""), ("c", "xyz"))

@@ -109,6 +109,29 @@ class SubscriptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(evs.map(_._3).sorted == evs.map(_._3)) }
   }
 
+  test("EACK semantics: restart on same checkpoint delivers only unacked events") {
+    val es = freshStore()
+    (1 to 4).foreach(i => es.append(in("ack", s"h$i")))
+    val ck = Files.createTempDirectory("graft-ack-").toString
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q1 = deliver(subscribe(es, Matcher(streams = Seq("ack")), From.Value(0)),
+      ck, byStream = true)(rows =>
+      rows.foreach(r => first.add(r.getAs[Long]("stream_version"))))
+    try q1.processAllAvailable() finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(first.asScala.toSeq == (0L to 3L))
+
+    // new events while disconnected, then reconnect with the SAME
+    // checkpoint (= subscription id): acked history must NOT redeliver
+    (5 to 6).foreach(i => es.append(in("ack", s"l$i")))
+    val second = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = deliver(subscribe(es, Matcher(streams = Seq("ack")), From.Value(0)),
+      ck, byStream = true)(rows =>
+      rows.foreach(r => second.add(r.getAs[Long]("stream_version"))))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(second.asScala.toSeq == Seq(4L, 5L))
+  }
+
   test("EPSUB one partition: only that partition's events") {
     val es = freshStore()
     es.append(in("x", "e1")); es.append(in("y", "e2")); es.append(in("x", "e3"))
