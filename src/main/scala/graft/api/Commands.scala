@@ -31,12 +31,12 @@ final class Commands(es: EventStore) {
     case "EPSCAN" :: p :: start :: end :: rest => epscan(p, start, end, rest: _*)
     case "ESVER" :: sid :: Nil => esver(sid)
     case "EPSEQ" :: p :: Nil => epseq(p)
-    case "ESUB" :: rest => parseSubTail(rest).flatMap { case (ids, from, w) =>
+    case "ESUB" :: rest => parseSubTail(rest).flatMap { case (ids, pks, from, w) =>
       if (ids.isEmpty) Left("ERR ESUB requires at least one stream")
-      else esub(ids, from, w)
+      else esub(ids, from, w, pks)
     }
     case "EPSUB" :: parts :: rest =>
-      parseSubTail(rest).flatMap { case (extra, from, w) =>
+      parseSubTail(rest).flatMap { case (extra, _, from, w) =>
         if (extra.nonEmpty) Left("ERR unexpected arguments")
         else epsub(parts, from, w)
       }
@@ -68,18 +68,19 @@ final class Commands(es: EventStore) {
     if (r.isEmpty) Left("ERR EMAPPEND requires at least one event") else Right(r)
   }
 
-  /** ESUB/EPSUB tail: ids* [FROM LATEST|v|MAP k=v...] [WINDOW n] —
-    * MAP consumes k=v tokens until WINDOW or end.
+  /** ESUB/EPSUB tail: (id [PARTITION_KEY u])* [FROM LATEST|v|MAP k=v...]
+    * [WINDOW n] — MAP consumes k=v tokens until WINDOW or end.
     */
-  private def parseSubTail(
-      args: List[String]): Either[String, (Seq[String], Option[String], Int)] = {
+  private def parseSubTail(args: List[String])
+      : Either[String, (Seq[String], Map[String, UUID], Option[String], Int)] = {
     var ids = Vector.empty[String]
+    var pks = Map.empty[String, UUID]
     var from: Option[String] = None
     var window = 1000 // `esub.rs:219`
     var rest = args
     while (rest.nonEmpty) rest match {
       case "FROM" :: "MAP" :: tail =>
-        val (pairs, after) = tail.span(t => t.contains("=") )
+        val (pairs, after) = tail.span(t => t.contains("="))
         if (pairs.isEmpty) return Left("ERR FROM MAP requires entries")
         from = Some("MAP " + pairs.mkString(","))
         rest = after
@@ -91,9 +92,18 @@ final class Commands(es: EventStore) {
           case None => return Left(s"ERR invalid window: $v")
         }
       case "WINDOW" :: Nil => return Left("ERR missing WINDOW value")
+      case "PARTITION_KEY" :: v :: tail =>
+        ids.lastOption match {
+          case None => return Left("ERR PARTITION_KEY must follow a stream id")
+          case Some(sid) => parseUuid(v) match {
+            case Left(e) => return Left(e)
+            case Right(u) => pks += (sid -> u); rest = tail
+          }
+        }
+      case "PARTITION_KEY" :: Nil => return Left("ERR missing PARTITION_KEY value")
       case id :: tail => ids :+= id; rest = tail
     }
-    Right((ids, from, window))
+    Right((ids, pks, from, window))
   }
 
   /** encode_event field order (`request.rs:798-812`). */
@@ -239,9 +249,13 @@ final class Commands(es: EventStore) {
     * Subscriptions.deliver (checkpoint = subscription id + EACK).
     */
   def esub(streamIds: Seq[String], from: Option[String] = None,
-      window: Int = 1000): Either[String, org.apache.spark.sql.DataFrame] =
+      window: Int = 1000,
+      partitionKeys: Map[String, UUID] = Map.empty)
+      : Either[String, org.apache.spark.sql.DataFrame] =
     parseFrom(from).map(f =>
-      Subscriptions.subscribe(es, Matcher(streams = streamIds), f, window))
+      Subscriptions.subscribe(es,
+        Matcher(streams = streamIds, streamPartitionKeys = partitionKeys),
+        f, window))
 
   /** EPSUB *|p|p1,p2,... [FROM ...] [WINDOW n] */
   def epsub(partitions: String, from: Option[String] = None,

@@ -210,6 +210,11 @@ final class EventStore private (
     * commits. Single-writer engine: done under the write lock with a
     * directory swap. (A multi-writer deployment would track files in
     * the manifest and swap there instead.)
+    *
+    * Run it OFFLINE with respect to subscriptions: the file streaming
+    * source tracks processed files by path, so rewriting the directory
+    * under an active subscription would redeliver history. New
+    * subscriptions started after compaction are unaffected.
     */
   def compact(): Unit = lock.synchronized {
     if (state.watermarks.isEmpty) return

@@ -29,12 +29,15 @@ import org.apache.spark.sql.Row
 object Subscriptions {
 
   /** Which events a subscription matches (`esub.rs:65-200` shapes):
-    * one/many streams, one/many partitions, or all partitions.
+    * one/many streams (each with an optional explicit partition key,
+    * like `ESUB sid PARTITION_KEY u`), one/many partitions, or all
+    * partitions.
     */
   final case class Matcher(
       streams: Seq[String] = Nil,
       partitions: Seq[Int] = Nil,
-      allPartitions: Boolean = false)
+      allPartitions: Boolean = false,
+      streamPartitionKeys: Map[String, java.util.UUID] = Map.empty)
 
   sealed trait From
   object From {
@@ -77,8 +80,20 @@ object Subscriptions {
 
     val matched = {
       val streamFilter =
-        if (matcher.streams.nonEmpty) Some(col("stream_id").isin(matcher.streams: _*))
-        else None
+        if (matcher.streams.nonEmpty) {
+          // stream matchers imply their partitions — add the
+          // partition_id conjunct so the file source directory-prunes
+          // instead of scanning every partition (same routing trick as
+          // EGET)
+          val pids = matcher.streams.map { s =>
+            matcher.streamPartitionKeys.get(s)
+              .map(pk => graft.core.Ids.partitionIdFor(
+                graft.core.Ids.partitionHash(pk), es.numPartitions))
+              .getOrElse(graft.core.Ids.partitionIdForStream(s, es.numPartitions))
+          }.distinct
+          Some(col("stream_id").isin(matcher.streams: _*) &&
+            col("partition_id").isin(pids: _*))
+        } else None
       val partFilter =
         if (matcher.allPartitions) None
         else if (matcher.partitions.nonEmpty)
