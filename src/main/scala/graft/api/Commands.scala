@@ -31,12 +31,12 @@ final class Commands(es: EventStore) {
     case "EPSCAN" :: p :: start :: end :: rest => epscan(p, start, end, rest: _*)
     case "ESVER" :: sid :: Nil => esver(sid)
     case "EPSEQ" :: p :: Nil => epseq(p)
-    case "ESUB" :: rest => parseSubTail(rest).flatMap { case (ids, pks, from, w) =>
-      if (ids.isEmpty) Left("ERR ESUB requires at least one stream")
-      else esub(ids, from, w, pks)
+    case "ESUB" :: rest => parseSubTail(rest).flatMap { case (entries, from, w) =>
+      if (entries.isEmpty) Left("ERR ESUB requires at least one stream")
+      else esubEntries(entries, from, w)
     }
     case "EPSUB" :: parts :: rest =>
-      parseSubTail(rest).flatMap { case (extra, _, from, w) =>
+      parseSubTail(rest).flatMap { case (extra, from, w) =>
         if (extra.nonEmpty) Left("ERR unexpected arguments")
         else epsub(parts, from, w)
       }
@@ -69,12 +69,14 @@ final class Commands(es: EventStore) {
   }
 
   /** ESUB/EPSUB tail: (id [PARTITION_KEY u])* [FROM LATEST|v|MAP k=v...]
-    * [WINDOW n] — MAP consumes k=v tokens until WINDOW or end.
+    * [WINDOW n] — MAP consumes k=v tokens until WINDOW or end. Entries
+    * keep duplicates: the same stream may be listed under several
+    * partition keys (the reference selector is a set of (stream, key)
+    * pairs, `esub.rs:49-50`).
     */
   private def parseSubTail(args: List[String])
-      : Either[String, (Seq[String], Map[String, UUID], Option[String], Int)] = {
-    var ids = Vector.empty[String]
-    var pks = Map.empty[String, UUID]
+      : Either[String, (Seq[(String, Option[UUID])], Option[String], Int)] = {
+    var entries = Vector.empty[(String, Option[UUID])]
     var from: Option[String] = None
     var window = 1000 // `esub.rs:219`
     var rest = args
@@ -93,17 +95,20 @@ final class Commands(es: EventStore) {
         }
       case "WINDOW" :: Nil => return Left("ERR missing WINDOW value")
       case "PARTITION_KEY" :: v :: tail =>
-        ids.lastOption match {
+        entries.lastOption match {
           case None => return Left("ERR PARTITION_KEY must follow a stream id")
-          case Some(sid) => parseUuid(v) match {
+          case Some((sid, None)) => parseUuid(v) match {
             case Left(e) => return Left(e)
-            case Right(u) => pks += (sid -> u); rest = tail
+            case Right(u) =>
+              entries = entries.init :+ (sid -> Some(u)); rest = tail
           }
+          case Some((_, Some(_))) =>
+            return Left("ERR duplicate PARTITION_KEY for the same entry")
         }
       case "PARTITION_KEY" :: Nil => return Left("ERR missing PARTITION_KEY value")
-      case id :: tail => ids :+= id; rest = tail
+      case id :: tail => entries :+= (id -> None); rest = tail
     }
-    Right((ids, pks, from, window))
+    Right((entries, from, window))
   }
 
   /** encode_event field order (`request.rs:798-812`). */
@@ -249,13 +254,19 @@ final class Commands(es: EventStore) {
     * Subscriptions.deliver (checkpoint = subscription id + EACK).
     */
   def esub(streamIds: Seq[String], from: Option[String] = None,
-      window: Int = 1000,
-      partitionKeys: Map[String, UUID] = Map.empty)
-      : Either[String, org.apache.spark.sql.DataFrame] =
-    parseFrom(from).map(f =>
+      window: Int = 1000): Either[String, org.apache.spark.sql.DataFrame] =
+    esubEntries(streamIds.map(_ -> None), from, window)
+
+  /** ESUB with per-entry optional partition keys (the full grammar). */
+  def esubEntries(entries: Seq[(String, Option[UUID])],
+      from: Option[String] = None,
+      window: Int = 1000): Either[String, org.apache.spark.sql.DataFrame] =
+    parseFrom(from).map { f =>
+      val bare = entries.collect { case (s, None) => s }
+      val keyed = entries.collect { case (s, Some(pk)) => s -> pk }
       Subscriptions.subscribe(es,
-        Matcher(streams = streamIds, streamPartitionKeys = partitionKeys),
-        f, window))
+        Matcher(streams = bare, streamKeys = keyed), f, window)
+    }
 
   /** EPSUB *|p|p1,p2,... [FROM ...] [WINDOW n] */
   def epsub(partitions: String, from: Option[String] = None,

@@ -211,10 +211,13 @@ final class EventStore private (
     * directory swap. (A multi-writer deployment would track files in
     * the manifest and swap there instead.)
     *
-    * Run it OFFLINE with respect to subscriptions: the file streaming
-    * source tracks processed files by path, so rewriting the directory
-    * under an active subscription would redeliver history. New
-    * subscriptions started after compaction are unaffected.
+    * Compaction INVALIDATES subscription checkpoints: the file
+    * streaming source tracks processed files by path, and the rewrite
+    * produces all-new paths, so both active subscriptions and ones
+    * resumed from a pre-compaction checkpoint would redeliver history.
+    * Restart subscriptions fresh afterwards, using `From.Value`/
+    * `From.PerKey` at their last delivered cursor to resume without
+    * duplicates.
     */
   def compact(): Unit = lock.synchronized {
     if (state.watermarks.isEmpty) return

@@ -29,15 +29,20 @@ import org.apache.spark.sql.Row
 object Subscriptions {
 
   /** Which events a subscription matches (`esub.rs:65-200` shapes):
-    * one/many streams (each with an optional explicit partition key,
-    * like `ESUB sid PARTITION_KEY u`), one/many partitions, or all
+    * stream entries — bare (`streams`) or with an explicit partition
+    * key (`streamKeys`, like `ESUB sid PARTITION_KEY u`; the same
+    * stream may appear multiple times with different keys, matching the
+    * reference's set-of-(stream, key) selector) — or one/many/all
     * partitions.
     */
   final case class Matcher(
       streams: Seq[String] = Nil,
       partitions: Seq[Int] = Nil,
       allPartitions: Boolean = false,
-      streamPartitionKeys: Map[String, java.util.UUID] = Map.empty)
+      streamKeys: Seq[(String, java.util.UUID)] = Nil) {
+    /** every subscribed stream name */
+    def streamNames: Seq[String] = (streams ++ streamKeys.map(_._1)).distinct
+  }
 
   sealed trait From
   object From {
@@ -80,19 +85,31 @@ object Subscriptions {
 
     val matched = {
       val streamFilter =
-        if (matcher.streams.nonEmpty) {
-          // stream matchers imply their partitions — add the
-          // partition_id conjunct so the file source directory-prunes
-          // instead of scanning every partition (same routing trick as
-          // EGET)
-          val pids = matcher.streams.map { s =>
-            matcher.streamPartitionKeys.get(s)
-              .map(pk => graft.core.Ids.partitionIdFor(
-                graft.core.Ids.partitionHash(pk), es.numPartitions))
-              .getOrElse(graft.core.Ids.partitionIdForStream(s, es.numPartitions))
-          }.distinct
-          Some(col("stream_id").isin(matcher.streams: _*) &&
-            col("partition_id").isin(pids: _*))
+        if (matcher.streamNames.nonEmpty) {
+          // per-stream (stream_id = s AND partition_id IN pids(s))
+          // conjuncts, OR'd — the partition conjunct lets the file
+          // source directory-prune (same routing trick as EGET) while
+          // never dropping a stream stored off its default partition:
+          // allowed pids = explicit PARTITION_KEY entries ∪ the
+          // partition the manifest recorded for the stream's head ∪
+          // the default stream-hash route.
+          val explicit = matcher.streamKeys.groupBy(_._1).map { case (s, ks) =>
+            s -> ks.map { case (_, pk) =>
+              graft.core.Ids.partitionIdFor(
+                graft.core.Ids.partitionHash(pk), es.numPartitions)
+            }.toSet
+          }
+          val snap = es.manifest
+          val perStream = matcher.streamNames.map { s =>
+            val bare = matcher.streams.contains(s) || !explicit.contains(s)
+            val pids = explicit.getOrElse(s, Set.empty[Int]) ++
+              (if (bare)
+                snap.streamHeads.get(s).map(_.partitionId).toSet +
+                  graft.core.Ids.partitionIdForStream(s, es.numPartitions)
+              else Set.empty[Int])
+            col("stream_id") === s && col("partition_id").isin(pids.toSeq: _*)
+          }
+          Some(perStream.reduce(_ || _))
         } else None
       val partFilter =
         if (matcher.allPartitions) None
@@ -104,17 +121,17 @@ object Subscriptions {
     }
 
     val cursorCol =
-      if (matcher.streams.nonEmpty) col("stream_version") else col("partition_sequence")
+      if (matcher.streamNames.nonEmpty) col("stream_version") else col("partition_sequence")
     val keyCol =
-      if (matcher.streams.nonEmpty) col("stream_id")
+      if (matcher.streamNames.nonEmpty) col("stream_id")
       else col("partition_id").cast("string")
 
     from match {
       case From.Latest =>
         // live only: drop everything at or below the head snapshot
         val heads: Map[String, Long] =
-          if (matcher.streams.nonEmpty)
-            matcher.streams.map(s => s -> es.sver(s).getOrElse(-1L)).toMap
+          if (matcher.streamNames.nonEmpty)
+            matcher.streamNames.map(s => s -> es.sver(s).getOrElse(-1L)).toMap
           else
             es.manifest.watermarks.map { case (p, w) => p.toString -> w }
         matched.where(cursorCol > headLookup(heads, keyCol, -1L))

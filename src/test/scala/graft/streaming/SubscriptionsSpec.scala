@@ -132,6 +132,41 @@ class SubscriptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.asScala.toSeq == Seq(4L, 5L))
   }
 
+  test("streams appended under an explicit partition key still deliver") {
+    val es = freshStore()
+    // route "keyed" into a partition that is NOT its default hash route
+    val defaultPid = Ids.partitionIdForStream("keyed", 8)
+    val customPk = Iterator.from(0).map(i => Ids.partitionKeyForStream(s"donor-$i"))
+      .find(pk => Ids.partitionIdFor(Ids.partitionHash(pk), 8) != defaultPid).get
+    assert(es.mappend(customPk, Seq(in("keyed", "k1"), in("keyed", "k2"))).isRight)
+
+    // bare matcher: the manifest head records the actual partition, so
+    // delivery must not silently drop the off-route stream
+    val bare = collectDelivered(es, Matcher(streams = Seq("keyed")),
+      From.Value(0), byStream = true)
+    assert(bare.map(_._3) == Seq("k1", "k2"))
+
+    // explicit PARTITION_KEY matcher targets the same partition
+    val keyed = collectDelivered(
+      es, Matcher(streamKeys = Seq("keyed" -> customPk)),
+      From.Value(0), byStream = true)
+    assert(keyed.map(_._3) == Seq("k1", "k2"))
+  }
+
+  test("same stream under two partition keys: both partitions deliver") {
+    val es = freshStore()
+    val pk1 = Ids.partitionKeyForStream("alpha")
+    val pk2 = Iterator.from(0).map(i => Ids.partitionKeyForStream(s"d2-$i"))
+      .find(pk => Ids.partitionIdFor(Ids.partitionHash(pk), 8) !=
+        Ids.partitionIdFor(Ids.partitionHash(pk1), 8)).get
+    es.mappend(pk1, Seq(in("dual", "in-p1")))
+    es.mappend(pk2, Seq(in("dual", "in-p2")))
+    val got = collectDelivered(
+      es, Matcher(streamKeys = Seq("dual" -> pk1, "dual" -> pk2)),
+      From.Value(0), byStream = true)
+    assert(got.map(_._3).toSet == Set("in-p1", "in-p2"))
+  }
+
   test("EPSUB one partition: only that partition's events") {
     val es = freshStore()
     es.append(in("x", "e1")); es.append(in("y", "e2")); es.append(in("x", "e3"))
