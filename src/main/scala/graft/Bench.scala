@@ -57,13 +57,16 @@ object Bench {
 
     // 2. every operator query, fully materialized
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          results(name) = -1.0
+      val t0 = System.nanoTime()
+      results(name) =
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
         }
-      }
     }
 
     // 3. subscription catch-up: deliver one stream's full history

@@ -497,9 +497,9 @@ object SparkEntry {
   // the Spark operators use, so the two sides cannot drift.
   // ------------------------------------------------------------------
 
-  /** SQL mirror of TextAnalysis.tokenOccurrences. */
+  /** SQL mirror of TextAnalysis.tokenOccurrences (same regex escaping). */
   private def sqlTokenCount(word: String): String = {
-    val w = word.replace("'", "''")
+    val w = graft.ops.TextAnalysis.escapeRegex(word).replace("'", "''")
     s"CAST((length(d2) - length(regexp_replace(d2, ' $w ', ' ', 'g'))) / ${word.length + 1} AS BIGINT)"
   }
 

@@ -330,8 +330,10 @@ final class Commands(es: EventStore) {
     */
   private def parsePartition(p: String): Either[String, Int] =
     p.toIntOption match {
-      case Some(id) if id >= 0 && id < 65536 =>
-        Right(id % es.numPartitions)
+      // numeric ids pass through unchanged like the reference's ById
+      // (`request.rs:500-503`) — an out-of-range id reads as empty, it
+      // is not remapped onto another partition
+      case Some(id) if id >= 0 && id < 65536 => Right(id)
       case Some(_) => Left(s"ERR partition id out of range: $p")
       case None => parseUuid(p).map(u =>
         Ids.partitionIdFor(Ids.partitionHash(u), es.numPartitions))

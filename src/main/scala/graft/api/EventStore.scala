@@ -352,6 +352,33 @@ final class EventStore private (
     n
   }
 
+  /** Crash recovery (the parquet analogue of the reference's segment
+    * reconciliation on open, `database.rs:463-700`): a crash between a
+    * data-file write and its manifest commit leaves orphan files whose
+    * sequences sit above the committed watermark. They are invisible to
+    * watermark-clamped reads, but a LATER commit would advance the
+    * watermark over them and surface duplicates — so delete them before
+    * accepting any new writes. Runs once per open.
+    */
+  private[api] def recoverOrphans(): Unit = lock.synchronized {
+    val files = listDataFiles()
+    if (files.isEmpty) return
+    val wmMap = state.watermarks
+    val perFile = spark.read
+      .schema(EventSchema.schema)
+      .option("basePath", eventsDir)
+      .parquet(eventsDir)
+      .groupBy(input_file_name().as("f"), col("partition_id"))
+      .agg(min(col("partition_sequence")).as("lo"))
+      .collect()
+    perFile.foreach { r =>
+      if (r.getAs[Long]("lo") > wmMap.getOrElse(r.getAs[Int]("partition_id"), -1L)) {
+        val p = java.nio.file.Paths.get(java.net.URI.create(r.getAs[String]("f")))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+    }
+  }
+
   private def listDataFiles(): Set[String] = {
     val dir = java.nio.file.Paths.get(eventsDir)
     if (!java.nio.file.Files.isDirectory(dir)) Set.empty
@@ -540,6 +567,8 @@ object EventStore {
       numPartitions: Int = DefaultNumPartitions,
       strictVersioning: Boolean = false): EventStore = {
     val st = Manifest.load(root).getOrElse(Manifest.empty(numPartitions))
-    new EventStore(spark, root, st.numPartitions.max(1), st, strictVersioning)
+    val es = new EventStore(spark, root, st.numPartitions.max(1), st, strictVersioning)
+    es.recoverOrphans()
+    es
   }
 }

@@ -47,27 +47,32 @@ object AsOfJoin {
       .where(col("__rn") === 1)
       .drop("__rn")
 
-    val carried = rightCols.map(c => s"asof_$c")
+    // carry the matched right row as ONE struct so its fields stay
+    // atomic — carrying columns independently with ignoreNulls would
+    // backfill a legitimate NULL field from an older right row
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => r1.schema(c).copy(name = c)))
     val leftTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts after right at equal time
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        left.columns.filterNot(_ == key).map(col) ++
-        rightCols.map(c => lit(null).cast(r1.schema(c).dataType).as(s"asof_$c")): _*)
+        left.columns.filterNot(_ == key).map(col) :+
+        lit(null).cast(rightStructType).as("__r"): _*)
     val rightTagged = r1
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__t"), col("__side")) ++
         left.columns.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(leftTagged.unionByName(rightTagged)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 1).drop("__t", "__side")
+    val filled = leftTagged.unionByName(rightTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__r.$c"))
+    }.where(col("__side") === 1).drop("__t", "__side", "__r")
   }
 }

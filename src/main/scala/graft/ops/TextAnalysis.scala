@@ -22,9 +22,16 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Escape regex metacharacters with a backslash — valid in both Java
+    * regex (Spark) and RE2 (DuckDB oracle mirrors), unlike \Q..\E.
+    */
+  def escapeRegex(s: String): String =
+    s.flatMap(c => if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString)
+
   /** Occurrences of `word` as a whole token in a space-separated text:
-    * counts matches in " text " of " word ". Portable arithmetic form
-    * (no regex) so any SQL engine computes the identical value.
+    * counts matches in " text " of " word ". Exact-arithmetic form with
+    * the word regex-escaped so any SQL engine computes the identical
+    * value for any word.
     */
   def tokenOccurrences(text: Column, word: String): Column = {
     val padded = concat(lit(" "), text, lit(" "))
@@ -35,7 +42,7 @@ object TextAnalysis {
     // unnecessary for distinct non-adjacent matches. To stay exact for
     // adjacent matches we double the spaces first.
     val doubled = regexp_replace(padded, lit(" "), lit("  "))
-    ((length(doubled) - length(regexp_replace(doubled, lit(s" $word "), lit(" "))))
+    ((length(doubled) - length(regexp_replace(doubled, lit(s" ${escapeRegex(word)} "), lit(" "))))
       / lit(needle.length - 1)).cast("long")
   }
 

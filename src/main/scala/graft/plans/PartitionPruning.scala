@@ -31,7 +31,9 @@ case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
         if child.output.exists(_.name == "partition_id") &&
           child.output.exists(_.name == "event_id") &&
           !mentionsPartitionId(cond) =>
-      val pids = eventIdLiterals(cond).flatMap(partitionIdOf).distinct
+      // ONLY top-level conjuncts imply the equality for every surviving
+      // row — an event_id equality under OR/NOT must not pin the scan
+      val pids = conjuncts(cond).flatMap(eventIdLiteral).flatMap(partitionIdOf).distinct
       pids match {
         case Seq(pid) =>
           val pidAttr = child.output.find(_.name == "partition_id").get
@@ -40,14 +42,20 @@ case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
       }
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
   private def mentionsPartitionId(cond: Expression): Boolean =
     cond.references.exists(_.name == "partition_id")
 
-  private def eventIdLiterals(cond: Expression): Seq[UTF8String] = cond.collect {
+  private def eventIdLiteral(e: Expression): Option[UTF8String] = e match {
     case EqualTo(a, Literal(v: UTF8String, StringType))
-        if a.references.size == 1 && a.references.head.name == "event_id" => v
+        if a.references.size == 1 && a.references.head.name == "event_id" => Some(v)
     case EqualTo(Literal(v: UTF8String, StringType), a)
-        if a.references.size == 1 && a.references.head.name == "event_id" => v
+        if a.references.size == 1 && a.references.head.name == "event_id" => Some(v)
+    case _ => None
   }
 
   private def partitionIdOf(v: UTF8String): Option[Int] =

@@ -48,9 +48,12 @@ object Manifest {
   def load(root: String): Option[ManifestState] = {
     val dir = dirFor(root)
     if (!Files.isDirectory(dir)) return None
-    val files = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
-      .toSeq
+    val listing = Files.list(dir)
+    val files =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
+        .toSeq
+      finally listing.close()
     if (files.isEmpty) None
     else {
       val newest = files.maxBy(p =>

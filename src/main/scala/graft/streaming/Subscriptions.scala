@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.api.EventStore
-import graft.core.EventSchema
+import graft.core.{EventSchema, Ids}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -86,30 +86,22 @@ object Subscriptions {
     val matched = {
       val streamFilter =
         if (matcher.streamNames.nonEmpty) {
-          // per-stream (stream_id = s AND partition_id IN pids(s))
-          // conjuncts, OR'd — the partition conjunct lets the file
-          // source directory-prune (same routing trick as EGET) while
-          // never dropping a stream stored off its default partition:
-          // allowed pids = explicit PARTITION_KEY entries ∪ the
-          // partition the manifest recorded for the stream's head ∪
-          // the default stream-hash route.
-          val explicit = matcher.streamKeys.groupBy(_._1).map { case (s, ks) =>
-            s -> ks.map { case (_, pk) =>
-              graft.core.Ids.partitionIdFor(
-                graft.core.Ids.partitionHash(pk), es.numPartitions)
-            }.toSet
+          // exact reference semantics (`subscription.rs:163-199`): a
+          // stream entry matches (stream_id, partition_key) precisely,
+          // with bare entries resolving to the derived default key
+          // (`esub.rs` parse). The partition_id conjunct is implied by
+          // the key and lets the file source directory-prune (the EGET
+          // routing trick) without changing which rows match.
+          val entries: Seq[(String, java.util.UUID)] =
+            matcher.streams.map(s => s -> Ids.partitionKeyForStream(s)) ++
+              matcher.streamKeys
+          val perEntry = entries.distinct.map { case (s, pk) =>
+            val pid = Ids.partitionIdFor(Ids.partitionHash(pk), es.numPartitions)
+            col("stream_id") === s &&
+              col("partition_key") === pk.toString &&
+              col("partition_id") === pid
           }
-          val snap = es.manifest
-          val perStream = matcher.streamNames.map { s =>
-            val bare = matcher.streams.contains(s) || !explicit.contains(s)
-            val pids = explicit.getOrElse(s, Set.empty[Int]) ++
-              (if (bare)
-                snap.streamHeads.get(s).map(_.partitionId).toSet +
-                  graft.core.Ids.partitionIdForStream(s, es.numPartitions)
-              else Set.empty[Int])
-            col("stream_id") === s && col("partition_id").isin(pids.toSeq: _*)
-          }
-          Some(perStream.reduce(_ || _))
+          Some(perEntry.reduce(_ || _))
         } else None
       val partFilter =
         if (matcher.allPartitions) None
@@ -138,7 +130,9 @@ object Subscriptions {
       case From.Value(v) =>
         matched.where(cursorCol >= v)
       case From.PerKey(m, default) =>
-        matched.where(cursorCol >= headLookup(m, keyCol, default.getOrElse(Long.MaxValue)))
+        // a subscribed key absent from the map (and no DEFAULT) is
+        // unbounded — full history delivers (`subscription.rs:189-194`)
+        matched.where(cursorCol >= headLookup(m, keyCol, default.getOrElse(Long.MinValue)))
     }
   }
 

@@ -139,6 +139,31 @@ class EventStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(es.pseq(0 + 1).isEmpty || es.numPartitions == 1)
   }
 
+  test("crash recovery: orphan files beyond the watermark are purged on open") {
+    val dir = Files.createTempDirectory("graft-orphan-").toString
+    val es1 = EventStore.open(spark, dir)
+    es1.append(in("orph")); es1.append(in("orph"))
+    val committed = java.nio.file.Files.list(
+      graft.storage.Manifest.dirFor(dir)).count()
+    es1.append(in("orph")) // this commit will be "lost"
+
+    // simulate a crash between data write and manifest commit by
+    // rolling the manifest back one version
+    val mdir = graft.storage.Manifest.dirFor(dir)
+    java.nio.file.Files.delete(mdir.resolve(s"v${committed + 1}.json"))
+
+    val es2 = EventStore.open(spark, dir)
+    // the orphan file is gone: no duplicate/ghost event now or after
+    // the watermark advances again
+    assert(es2.sver("orph") == Some(1L))
+    assert(es2.events().count() == 2)
+    val r = es2.append(in("orph", ev = ExpectedVersion.Exact(1)))
+    assert(r.toOption.get.streamVersion == 2L)
+    assert(es2.events().count() == 3)
+    assert(es2.scan("orph").events.collect()
+      .map(_.getAs[Long]("stream_version")).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("manifest recovery: reopening preserves heads and sequences") {
     val dir = Files.createTempDirectory("graft-es-").toString
     val es1 = EventStore.open(spark, dir)

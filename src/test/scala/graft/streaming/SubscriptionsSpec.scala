@@ -132,25 +132,37 @@ class SubscriptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.asScala.toSeq == Seq(4L, 5L))
   }
 
-  test("streams appended under an explicit partition key still deliver") {
+  test("explicit partition keys: keyed matcher delivers, bare matches default key only") {
     val es = freshStore()
-    // route "keyed" into a partition that is NOT its default hash route
+    // route "keyed" under a custom key, away from its default route
     val defaultPid = Ids.partitionIdForStream("keyed", 8)
     val customPk = Iterator.from(0).map(i => Ids.partitionKeyForStream(s"donor-$i"))
       .find(pk => Ids.partitionIdFor(Ids.partitionHash(pk), 8) != defaultPid).get
     assert(es.mappend(customPk, Seq(in("keyed", "k1"), in("keyed", "k2"))).isRight)
+    es.append(in("keyed", "default-routed")) // default pk, separate entry
 
-    // bare matcher: the manifest head records the actual partition, so
-    // delivery must not silently drop the off-route stream
-    val bare = collectDelivered(es, Matcher(streams = Seq("keyed")),
-      From.Value(0), byStream = true)
-    assert(bare.map(_._3) == Seq("k1", "k2"))
-
-    // explicit PARTITION_KEY matcher targets the same partition
+    // explicit PARTITION_KEY matcher: exactly the custom-key events
     val keyed = collectDelivered(
       es, Matcher(streamKeys = Seq("keyed" -> customPk)),
       From.Value(0), byStream = true)
     assert(keyed.map(_._3) == Seq("k1", "k2"))
+
+    // bare matcher resolves to the DERIVED default key (reference
+    // `esub.rs` semantics): only the default-key event matches
+    val bare = collectDelivered(es, Matcher(streams = Seq("keyed")),
+      From.Value(0), byStream = true)
+    assert(bare.map(_._3) == Seq("default-routed"))
+  }
+
+  test("FROM MAP: subscribed stream absent from the map gets full history") {
+    val es = freshStore()
+    (1 to 3).foreach(i => es.append(in("m-a", s"a$i")))
+    (1 to 3).foreach(i => es.append(in("m-b", s"b$i")))
+    val got = collectDelivered(
+      es, Matcher(streams = Seq("m-a", "m-b")),
+      From.PerKey(Map("m-a" -> 2L)), byStream = true)
+    assert(got.filter(_._1 == "m-a").map(_._2) == Seq(2L))
+    assert(got.filter(_._1 == "m-b").map(_._2) == Seq(0L, 1L, 2L))
   }
 
   test("same stream under two partition keys: both partitions deliver") {
