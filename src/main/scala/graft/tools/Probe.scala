@@ -1,63 +1,39 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FormattedMode
 import org.apache.spark.sql.functions._
 
-/** Dumps the physical plans of representative queries to PLANS.md —
-  * the evidence that filters push down, dims broadcast, EGET prunes to
-  * one directory partition, and the custom exec takes over top-k.
-  */
+/** Dev-only scratch: ingest scaling probe (1M events = 10x sf0.1). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfDir = "/root/testdata/sf0.01"
-    val sb = new StringBuilder
-
-    sb.append("# PLANS — physical-plan evidence (generated by graft.tools.Probe at sf0.01)\n")
-
-    def dump(title: String, note: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      sb.append(s"\n## $title\n\n$note\n\n```\n")
-      sb.append(df.queryExecution.explainString(FormattedMode).take(4000))
-      sb.append("\n```\n")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $label ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
-
-    dump("q1_agg", "Filter pushed to the scan, columns pruned, partial aggregation map-side.",
-      graft.SparkEntry.queries("q1_agg")(spark, sfDir))
-    dump("q3_topk", "Both dimension tables broadcast; top-k via TakeOrderedAndProject (no global sort).",
-      graft.SparkEntry.queries("q3_topk")(spark, sfDir))
-
-    val es = graft.StoreProvider.storeFor(spark, sfDir)
-    val someId = es.events().select(col("event_id")).limit(1).collect()(0).getString(0)
-    dump("EGET (EventStore.get)",
-      "Routed by the hash embedded in the UUID: `PartitionFilters: partition_id = k` " +
-        "prunes to ONE directory partition; event_id equality + watermark bound reach " +
-        "`PushedFilters` (bloom + row-group stats prune files).",
-      es.get(java.util.UUID.fromString(someId)))
-
-    dump("topk_custom (TopKPerKeyExec)",
-      "Custom physical operator: one hash exchange feeds bounded per-key heaps — no SortExec.",
-      graft.plans.TopK.topKPerKey(
-        graft.Tables.orders(spark, sfDir), Seq("o_custkey"),
-        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3))
-
-    dump("dedup_minhash_lsh (signature stage)",
-      "MinHash signatures: ONE map-side-combinable aggregation; shuffle carries " +
-        "O(numHashes) state per doc, never document contents.",
-      graft.ops.Dedup.minhashSignatures(
-        graft.ops.Dedup.wordShingles(graft.Tables.documents(spark, sfDir), "text", "doc_id", 3), 8))
-
-    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
-    println("WROTE /root/repo/PLANS.md")
+    val base = graft.Tables.events(spark, "/root/testdata/sf0.1")
+    val big = (0 until 10).map { i =>
+      base.select(
+        concat(lit("user-"), col("user_id")).as("stream_id"),
+        col("event_type").as("event_name"),
+        col("props").cast("binary").as("payload"),
+        expr("ts div 1000000").as("timestamp_ms"),
+        (col("event_id") + lit(i * 100000L)).as("arrival"))
+    }.reduce(_ unionByName _)
+    println(s"ROWS=${big.count()}")
+    val dir = java.nio.file.Files.createTempDirectory("probe-1m-").toString
+    val es = graft.api.EventStore.open(spark, dir, 32)
+    val n = time("ingest-1M") { es.ingest(big, "arrival") }
+    println(s"INGESTED=$n RATE=${(n / 1).toDouble} ev")
+    time("scan-after") { es.scan("user-42", count = 100).events.count() }
+    time("pscan-after") { es.pscan(0, count = 1000).events.count() }
     spark.stop()
   }
 }
