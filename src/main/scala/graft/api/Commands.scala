@@ -29,7 +29,7 @@ final class Commands(es: EventStore) {
     case "EGET" :: id :: Nil => eget(id)
     case "ESCAN" :: sid :: start :: end :: rest => escan(sid, start, end, rest: _*)
     case "EPSCAN" :: p :: start :: end :: rest => epscan(p, start, end, rest: _*)
-    case "ESVER" :: sid :: Nil => esver(sid)
+    case "ESVER" :: sid :: rest => esver(sid, rest: _*)
     case "EPSEQ" :: p :: Nil => epseq(p)
     case "ESUB" :: rest => parseSubTail(rest).flatMap { case (entries, from, w) =>
       if (entries.isEmpty) Left("ERR ESUB requires at least one stream")
@@ -241,9 +241,13 @@ final class Commands(es: EventStore) {
         "events" -> res.events.collect().toSeq.map(encodeEvent))
     }
 
-  /** ESVER stream_id → version or None. */
-  def esver(streamId: String): Either[String, Option[Long]] =
-    StreamId.validate(streamId).left.map("ERR " + _).map(_ => es.sver(streamId))
+  /** ESVER stream_id [PARTITION_KEY u] → version or None. */
+  def esver(streamId: String, opts: String*): Either[String, Option[Long]] =
+    for {
+      _ <- StreamId.validate(streamId).left.map("ERR " + _)
+      o <- parseOpts(opts)
+      pk <- parseUuidOpt(o.get("PARTITION_KEY"))
+    } yield es.sver(streamId, pk)
 
   /** EPSEQ partition → sequence or None. */
   def epseq(partition: String): Either[String, Option[Long]] =

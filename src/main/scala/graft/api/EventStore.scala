@@ -76,12 +76,14 @@ final class EventStore private (
         return Left("ERR event id does not carry the transaction's partition hash")
 
     lock.synchronized {
-      // validate all expected versions against stored + intra-batch state
+      // validate all expected versions against stored + intra-batch
+      // state; version counters are scoped per (partition_key, stream)
+      // like the reference's per-partition stream indexes
       val batchHeads = collection.mutable.Map.empty[String, Long]
       for (in <- inputs) {
         val current = batchHeads.get(in.streamId)
           .map(CurrentVersion.Current(_): CurrentVersion)
-          .getOrElse(currentVersionOf(in.streamId))
+          .getOrElse(currentVersionOf(in.streamId, partitionKey))
         in.expectedVersion.gapFrom(current) match {
           case VersionGap.None => batchHeads(in.streamId) = current.next
           case gap => return Left(s"ERR version conflict on '${in.streamId}': $gap")
@@ -98,7 +100,7 @@ final class EventStore private (
         val tsMs = in.timestampMs.getOrElse(nowMs)
         val version = versionCursor.get(in.streamId)
           .map(_ + 1)
-          .getOrElse(currentVersionOf(in.streamId).next)
+          .getOrElse(currentVersionOf(in.streamId, partitionKey).next)
         versionCursor(in.streamId) = version
         Event(
           event_id = in.eventId.getOrElse(Ids.newEventId(pHash)).toString,
@@ -117,7 +119,8 @@ final class EventStore private (
       writeRows(rows)
 
       val newHeads = rows.groupBy(_.stream_id).map { case (sid, evs) =>
-        sid -> StreamHead(evs.map(_.stream_version).max, partitionKey.toString, pid)
+        headKey(partitionKey.toString, sid) ->
+          StreamHead(evs.map(_.stream_version).max, partitionKey.toString, pid)
       }
       commitState(state.copy(
         version = state.version + 1,
@@ -160,7 +163,7 @@ final class EventStore private (
             else {
               val current = verCursor.get(in.streamId)
                 .map(CurrentVersion.Current(_): CurrentVersion)
-                .getOrElse(currentVersionOf(in.streamId))
+                .getOrElse(currentVersionOf(in.streamId, pk))
               in.expectedVersion.gapFrom(current) match {
                 case VersionGap.None =>
                   val seq = seqCursor.getOrElse(pid, state.watermark(pid)) + 1
@@ -192,8 +195,9 @@ final class EventStore private (
       if (rows.nonEmpty) {
         writeRows(rows.toSeq)
         val newHeads = rows.groupBy(_.stream_id).map { case (sid, evs) =>
-          sid -> StreamHead(evs.map(_.stream_version).max,
-            evs.head.partition_key, evs.head.partition_id)
+          headKey(evs.head.partition_key, sid) ->
+            StreamHead(evs.map(_.stream_version).max,
+              evs.head.partition_key, evs.head.partition_id)
         }
         commitState(state.copy(
           version = state.version + 1,
@@ -287,9 +291,13 @@ final class EventStore private (
       .drop("route")
 
     val wmMap = state.watermarks
-    val headMap = state.streamHeads.map { case (s, h) => s -> h.version }
+    // head state is keyed by (partition_key, stream); ingest derives
+    // default keys, so join the bases on both columns
+    val headMap = state.streamHeads.toSeq.map { case (k, h) =>
+      (headKeyStream(k), h.partitionKey, h.version)
+    }
     val wmDf = broadcast(wmMap.toSeq.toDF("partition_id", "wm_base"))
-    val headDf = broadcast(headMap.toSeq.toDF("stream_id", "head_base"))
+    val headDf = broadcast(headMap.toDF("stream_id", "partition_key", "head_base"))
 
     val wp = Window.partitionBy($"partition_id").orderBy(col(orderCol))
     val ws = Window.partitionBy($"stream_id").orderBy(col(orderCol))
@@ -297,7 +305,7 @@ final class EventStore private (
 
     val assigned = base
       .join(wmDf, Seq("partition_id"), "left")
-      .join(headDf, Seq("stream_id"), "left")
+      .join(headDf, Seq("stream_id", "partition_key"), "left")
       .withColumn("partition_sequence",
         row_number().over(wp).cast("long") + coalesce($"wm_base", lit(-1L)))
       .withColumn("stream_version",
@@ -341,7 +349,8 @@ final class EventStore private (
       pid -> rs.map(_.getLong(4)).max
     }
     val newHeads = rollup
-      .map(r => r.getString(0) -> StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
+      .map(r => headKey(r.getString(1), r.getString(0)) ->
+        StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
       .toMap
     val n = newWm.map { case (k, nw) => nw - wmMap.getOrElse(k, -1L) }.sum
 
@@ -511,12 +520,16 @@ final class EventStore private (
       hasMore)
   }
 
-  /** ESVER: current max stream version, None if the stream is absent.
-    * O(1) from the manifest's stream heads (the reference's live-index
-    * role); falls back to a max-aggregate only when heads are cold.
+  /** ESVER: current max stream version within the stream's partition
+    * (`ESVER sid [PARTITION_KEY u]` — versions are scoped per
+    * (partition_key, stream) exactly like the reference's per-partition
+    * stream indexes, `database.rs:298-357`). None if absent. O(1) from
+    * the manifest heads.
     */
-  def sver(streamId: String): Option[Long] =
-    state.streamHeads.get(streamId).map(_.version)
+  def sver(streamId: String, partitionKey: Option[UUID] = None): Option[Long] = {
+    val pk = partitionKey.getOrElse(Ids.partitionKeyForStream(streamId))
+    state.streamHeads.get(headKey(pk.toString, streamId)).map(_.version)
+  }
 
   /** EPSEQ: current max partition sequence, None if the partition is
     * empty. O(1) from the watermark vector.
@@ -526,8 +539,15 @@ final class EventStore private (
     if (wm < 0) None else Some(wm)
   }
 
-  private def currentVersionOf(streamId: String): CurrentVersion =
-    CurrentVersion.fromOption(sver(streamId))
+  private def currentVersionOf(streamId: String, pk: UUID): CurrentVersion =
+    CurrentVersion.fromOption(sver(streamId, Some(pk)))
+
+  /** heads map key: 36-char uuid prefix + ':' + stream id (fixed-width
+    * prefix, safe for any stream id content).
+    */
+  private def headKey(pk: String, sid: String): String = pk + ":" + sid
+
+  private def headKeyStream(key: String): String = key.substring(37)
 
   /** HELLO / INFO surface (`hello.rs:20-57`). */
   def info: Map[String, String] = Map(

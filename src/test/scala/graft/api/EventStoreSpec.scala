@@ -92,6 +92,24 @@ class EventStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(es.events().count() == 0)
   }
 
+  test("same stream under different partition keys versions independently") {
+    // reference semantics: stream indexes are per partition
+    // (`database.rs:298-357`), so (pk1, s) and (pk2, s) are separate
+    // version sequences — ESVER disambiguates with PARTITION_KEY
+    val es = freshStore()
+    val pk1 = Ids.partitionKeyForStream("shared")
+    val pk2 = Ids.partitionKeyForStream("other-donor")
+    assume(Ids.partitionHash(pk1) != Ids.partitionHash(pk2))
+    assert(es.mappend(pk1, Seq(in("shared"), in("shared"))).isRight)
+    assert(es.mappend(pk2, Seq(in("shared"))).isRight)
+    assert(es.sver("shared") == Some(1L)) // default pk = pk1
+    assert(es.sver("shared", Some(pk2)) == Some(0L))
+    assert(es.sver("shared", Some(pk1)) == Some(1L))
+    // expected-version checks scope to the transaction's key
+    assert(es.mappend(pk2, Seq(in("shared", ev = ExpectedVersion.Exact(0)))).isRight)
+    assert(es.mappend(pk1, Seq(in("shared", ev = ExpectedVersion.Exact(0)))).isLeft)
+  }
+
   test("independent streams keep independent version counters") {
     val es = freshStore()
     es.append(in("x")); es.append(in("y")); es.append(in("x"))
