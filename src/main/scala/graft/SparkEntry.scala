@@ -455,10 +455,8 @@ object SparkEntry {
     "es_sver_heads" -> ((s, d) => {
       val es = StoreProvider.storeFor(s, d)
       import s.implicits._
-      // heads are keyed "<36-char pk>:<stream_id>" (per-partition-key
-      // version scoping); strip the fixed-width key prefix
-      es.manifest.streamHeads.toSeq
-        .map { case (key, h) => (key.substring(37), h.version) }
+      es.streamHeadEntries
+        .map { case (sid, _, v) => (sid, v) }
         .toDF("stream_id", "head_version")
         .orderBy(col("stream_id"))
     }),

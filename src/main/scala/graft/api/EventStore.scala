@@ -119,7 +119,7 @@ final class EventStore private (
       writeRows(rows)
 
       val newHeads = rows.groupBy(_.stream_id).map { case (sid, evs) =>
-        headKey(partitionKey.toString, sid) ->
+        EventStore.headKey(partitionKey.toString, sid) ->
           StreamHead(evs.map(_.stream_version).max, partitionKey.toString, pid)
       }
       commitState(state.copy(
@@ -195,7 +195,7 @@ final class EventStore private (
       if (rows.nonEmpty) {
         writeRows(rows.toSeq)
         val newHeads = rows.groupBy(_.stream_id).map { case (sid, evs) =>
-          headKey(evs.head.partition_key, sid) ->
+          EventStore.headKey(evs.head.partition_key, sid) ->
             StreamHead(evs.map(_.stream_version).max,
               evs.head.partition_key, evs.head.partition_id)
         }
@@ -294,7 +294,7 @@ final class EventStore private (
     // head state is keyed by (partition_key, stream); ingest derives
     // default keys, so join the bases on both columns
     val headMap = state.streamHeads.toSeq.map { case (k, h) =>
-      (headKeyStream(k), h.partitionKey, h.version)
+      (EventStore.headKeyStream(k), h.partitionKey, h.version)
     }
     val wmDf = broadcast(wmMap.toSeq.toDF("partition_id", "wm_base"))
     val headDf = broadcast(headMap.toDF("stream_id", "partition_key", "head_base"))
@@ -349,7 +349,7 @@ final class EventStore private (
       pid -> rs.map(_.getLong(4)).max
     }
     val newHeads = rollup
-      .map(r => headKey(r.getString(1), r.getString(0)) ->
+      .map(r => EventStore.headKey(r.getString(1), r.getString(0)) ->
         StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
       .toMap
     val n = newWm.map { case (k, nw) => nw - wmMap.getOrElse(k, -1L) }.sum
@@ -487,8 +487,12 @@ final class EventStore private (
       partitionKey: Option[UUID] = None): ScanResult = {
     val pk = partitionKey.getOrElse(Ids.partitionKeyForStream(streamId))
     val pid = Ids.partitionIdFor(Ids.partitionHash(pk), numPartitions)
+    // partition_key conjunct: versions are scoped per (pk, stream), so
+    // a colliding key's same-named stream in this partition must not
+    // interleave (its versions also start at 0)
     var q = events()
-      .where(col("partition_id") === pid && col("stream_id") === streamId)
+      .where(col("partition_id") === pid && col("stream_id") === streamId &&
+        col("partition_key") === pk.toString)
     startVersion.foreach(v => q = q.where(col("stream_version") >= v))
     endVersion.foreach(v => q = q.where(col("stream_version") <= v))
     val rows = q.orderBy(col("stream_version")).limit(count + 1)
@@ -528,7 +532,7 @@ final class EventStore private (
     */
   def sver(streamId: String, partitionKey: Option[UUID] = None): Option[Long] = {
     val pk = partitionKey.getOrElse(Ids.partitionKeyForStream(streamId))
-    state.streamHeads.get(headKey(pk.toString, streamId)).map(_.version)
+    state.streamHeads.get(EventStore.headKey(pk.toString, streamId)).map(_.version)
   }
 
   /** EPSEQ: current max partition sequence, None if the partition is
@@ -542,12 +546,13 @@ final class EventStore private (
   private def currentVersionOf(streamId: String, pk: UUID): CurrentVersion =
     CurrentVersion.fromOption(sver(streamId, Some(pk)))
 
-  /** heads map key: 36-char uuid prefix + ':' + stream id (fixed-width
-    * prefix, safe for any stream id content).
+  /** All stream heads as (stream_id, partition_key, version) — the one
+    * public view of the composite head-key format.
     */
-  private def headKey(pk: String, sid: String): String = pk + ":" + sid
-
-  private def headKeyStream(key: String): String = key.substring(37)
+  def streamHeadEntries: Seq[(String, String, Long)] =
+    state.streamHeads.toSeq.map { case (k, h) =>
+      (EventStore.headKeyStream(k), h.partitionKey, h.version)
+    }
 
   /** HELLO / INFO surface (`hello.rs:20-57`). */
   def info: Map[String, String] = Map(
@@ -586,9 +591,28 @@ object EventStore {
       root: String,
       numPartitions: Int = DefaultNumPartitions,
       strictVersioning: Boolean = false): EventStore = {
-    val st = Manifest.load(root).getOrElse(Manifest.empty(numPartitions))
+    val st0 = Manifest.load(root).getOrElse(Manifest.empty(numPartitions))
+    // migrate legacy manifests whose heads were keyed by bare stream id
+    // (the StreamHead value always carried the partition key)
+    val st =
+      if (st0.streamHeads.keys.forall(isCompositeHeadKey)) st0
+      else st0.copy(streamHeads = st0.streamHeads.map { case (k, h) =>
+        (if (isCompositeHeadKey(k)) k else headKey(h.partitionKey, k)) -> h
+      })
     val es = new EventStore(spark, root, st.numPartitions.max(1), st, strictVersioning)
     es.recoverOrphans()
     es
   }
+
+  /** heads map key: 36-char uuid prefix + ':' + stream id (fixed-width
+    * prefix, safe for any stream id content).
+    */
+  private[api] def headKey(pk: String, sid: String): String = pk + ":" + sid
+
+  private[api] def headKeyStream(key: String): String = key.substring(37)
+
+  private val UuidRe = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}".r
+
+  private[api] def isCompositeHeadKey(k: String): Boolean =
+    k.length > 37 && k.charAt(36) == ':' && UuidRe.matches(k.substring(0, 36))
 }

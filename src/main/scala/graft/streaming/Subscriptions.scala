@@ -112,27 +112,39 @@ object Subscriptions {
         .reduceOption(_ && _).map(src.where).getOrElse(src)
     }
 
+    val streamMode = matcher.streamNames.nonEmpty
     val cursorCol =
-      if (matcher.streamNames.nonEmpty) col("stream_version") else col("partition_sequence")
+      if (streamMode) col("stream_version") else col("partition_sequence")
+    // stream cursors are per (partition_key, stream) — key the lookup
+    // the same way the matcher filters, so explicit-key entries get
+    // their own head, not the default key's
     val keyCol =
-      if (matcher.streamNames.nonEmpty) col("stream_id")
+      if (streamMode) concat(col("partition_key"), lit(":"), col("stream_id"))
       else col("partition_id").cast("string")
 
     from match {
       case From.Latest =>
         // live only: drop everything at or below the head snapshot
         val heads: Map[String, Long] =
-          if (matcher.streamNames.nonEmpty)
-            matcher.streamNames.map(s => s -> es.sver(s).getOrElse(-1L)).toMap
-          else
+          if (streamMode) {
+            val entries = matcher.streams.map(s => s -> Ids.partitionKeyForStream(s)) ++
+              matcher.streamKeys
+            entries.map { case (s, pk) =>
+              s"$pk:$s" -> es.sver(s, Some(pk)).getOrElse(-1L)
+            }.toMap
+          } else
             es.manifest.watermarks.map { case (p, w) => p.toString -> w }
         matched.where(cursorCol > headLookup(heads, keyCol, -1L))
       case From.Value(v) =>
         matched.where(cursorCol >= v)
       case From.PerKey(m, default) =>
-        // a subscribed key absent from the map (and no DEFAULT) is
-        // unbounded — full history delivers (`subscription.rs:189-194`)
-        matched.where(cursorCol >= headLookup(m, keyCol, default.getOrElse(Long.MinValue)))
+        // MAP entries are keyed by stream name (partition id for
+        // EPSUB); a subscribed key absent from the map (and no
+        // DEFAULT) is unbounded — full history delivers
+        // (`subscription.rs:189-194`)
+        val mapKeyCol =
+          if (streamMode) col("stream_id") else col("partition_id").cast("string")
+        matched.where(cursorCol >= headLookup(m, mapKeyCol, default.getOrElse(Long.MinValue)))
     }
   }
 
