@@ -35,6 +35,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("simhash: near-dup pairs have small hamming distance") {
+    import org.apache.spark.sql.functions.col
     val nearDups = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.95)
       .limit(3).collect()
     assume(nearDups.nonEmpty)
@@ -44,6 +45,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val d = fps(r.getAs[Long]("a")).zip(fps(r.getAs[Long]("b")))
         .count { case (x, y) => x != y }
       assert(d <= 3, s"near-dup pair should have hamming <= 3, got $d")
+    }
+    // the column-level hammingDistance agrees with the manual count
+    import spark.implicits._
+    val pairs = nearDups.map(r =>
+      (fps(r.getAs[Long]("a")), fps(r.getAs[Long]("b")))).toSeq
+      .toDF("fa", "fb")
+      .withColumn("d", Dedup.hammingDistance(col("fa"), col("fb")))
+      .collect()
+    pairs.foreach { r =>
+      val manual = r.getString(0).zip(r.getString(1)).count { case (x, y) => x != y }
+      assert(r.getAs[Int]("d") == manual)
     }
   }
 
