@@ -263,8 +263,15 @@ final class EventStore private (
     *                 timestamp_ms (missing optional columns defaulted)
     * @param orderCol arrival-order column defining intra-batch order
     *                 (must be unique per stream for deterministic seqs)
+    * @param batchTag streaming-ingest identity (checkpoint, batchId):
+    *                 recorded in the SAME manifest commit as the
+    *                 watermarks/heads so idempotence-marker and data
+    *                 visibility can never diverge across a crash
     */
-  def ingest(df: DataFrame, orderCol: String): Long = lock.synchronized {
+  def ingest(
+      df: DataFrame,
+      orderCol: String,
+      batchTag: Option[(String, Long)] = None): Long = lock.synchronized {
     val np = numPartitions
     // one SHA-1 per row, not three: derive (partition_key, hash, id)
     // together
@@ -357,7 +364,10 @@ final class EventStore private (
     commitState(state.copy(
       version = state.version + 1,
       watermarks = wmMap ++ newWm,
-      streamHeads = state.streamHeads ++ newHeads))
+      streamHeads = state.streamHeads ++ newHeads,
+      streamBatchIds = batchTag.fold(state.streamBatchIds) { case (ck, id) =>
+        state.streamBatchIds.updated(ck, id)
+      }))
     n
   }
 
@@ -417,14 +427,14 @@ final class EventStore private (
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotence across replays: a crash after the manifest commit
         // but before the sink checkpoint commit replays this batchId —
-        // the manifest remembers the last applied id per checkpoint
+        // the manifest remembers the last applied id per checkpoint.
+        // The marker is written by ingest() in the SAME commit as the
+        // watermarks: a crash can never leave the data committed but
+        // the marker missing (which would re-ingest on replay).
         lock.synchronized {
           if (state.streamBatchIds.getOrElse(checkpoint, -1L) < batchId &&
               !batch.isEmpty) {
-            ingest(batch, orderCol)
-            commitState(state.copy(
-              version = state.version + 1,
-              streamBatchIds = state.streamBatchIds.updated(checkpoint, batchId)))
+            ingest(batch, orderCol, Some(checkpoint -> batchId))
           }
         }
         ()

@@ -19,17 +19,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the same "route by the hash inside the id, no global index" trick
   * as `read.rs:756-767`).
   *
-  * numPartitions comes from `spark.graft.numPartitions` (default 32).
+  * numPartitions comes from `spark.graft.numPartitions`. The rule is
+  * INERT unless that conf is explicitly set: defaulting it could
+  * disagree with the numPartitions the store was opened with and the
+  * injected conjunct would silently filter out the matching row. It
+  * also only fires on relations carrying the full event-log column
+  * set, not any table that happens to have event_id+partition_id.
   */
 case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
 
-  private def numPartitions: Int =
-    conf.getConfString("spark.graft.numPartitions", "32").toInt
+  private def numPartitions: Option[Int] =
+    Option(conf.getConfString("spark.graft.numPartitions", null))
+      .flatMap(_.toIntOption).filter(_ > 0)
+
+  private val eventLogCols =
+    Seq("event_id", "partition_id", "partition_sequence", "stream_id", "stream_version")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child)
-        if child.output.exists(_.name == "partition_id") &&
-          child.output.exists(_.name == "event_id") &&
+        if numPartitions.isDefined &&
+          eventLogCols.forall(c => child.output.exists(_.name == c)) &&
           !mentionsPartitionId(cond) =>
       // ONLY top-level conjuncts imply the equality for every surviving
       // row — an event_id equality under OR/NOT must not pin the scan
@@ -61,7 +70,7 @@ case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
   private def partitionIdOf(v: UTF8String): Option[Int] =
     try {
       val u = java.util.UUID.fromString(v.toString)
-      Some(Ids.partitionIdFor(Ids.partitionHash(u), numPartitions))
+      numPartitions.map(np => Ids.partitionIdFor(Ids.partitionHash(u), np))
     } catch { case _: IllegalArgumentException => None }
 }
 

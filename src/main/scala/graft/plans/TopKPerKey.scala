@@ -47,6 +47,9 @@ final case class TopKPerKeyExec(
     k: Int,
     child: SparkPlan) extends UnaryExecNode {
 
+  require(k >= 1, s"top-k requires k >= 1, got $k")
+  require(keys.nonEmpty, "top-k requires at least one grouping key")
+
   override def output: Seq[Attribute] = child.output
 
   /** one hash shuffle on the keys — all rows of a key meet in one task */
@@ -103,6 +106,8 @@ object TopK {
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
       orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
+    require(keyCols.nonEmpty, "top-k requires at least one grouping key")
     val spark = df.sparkSession
     ensureRegistered(spark)
     // Column is a lazy node in Spark 4 — get fully-resolved catalyst

@@ -96,25 +96,34 @@ object Manifest {
       s""""watermarks":$wm,"stream_heads":$heads,"stream_batch_ids":$batches}"""
   }
 
-  /** Tiny recursive-descent JSON parser for exactly what `render` emits. */
+  /** Tiny recursive-descent JSON parser for exactly what `render` emits.
+    * Integral fields parse through Long directly: partition sequences /
+    * watermarks must stay exact past 2^53, where a Double round-trip
+    * would silently round and corrupt watermark clamping.
+    */
   def parse(s: String): ManifestState = {
     val p = new JsonP(s)
     val obj = p.obj()
-    val version = obj("version").asInstanceOf[Double].toLong
-    val np = obj("num_partitions").asInstanceOf[Double].toInt
+    def asLong(v: Any): Long = v match {
+      case l: Long   => l
+      case d: Double => d.toLong
+      case other     => throw new IllegalArgumentException(s"not a number: $other")
+    }
+    val version = asLong(obj("version"))
+    val np = asLong(obj("num_partitions")).toInt
     val wm = obj("watermarks").asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k.toInt -> v.asInstanceOf[Double].toLong }
+      .map { case (k, v) => k.toInt -> asLong(v) }
     val heads = obj("stream_heads").asInstanceOf[Map[String, Any]]
       .map { case (k, v) =>
         val arr = v.asInstanceOf[Vector[Any]]
         k -> StreamHead(
-          arr(0).asInstanceOf[Double].toLong,
+          asLong(arr(0)),
           arr(1).asInstanceOf[String],
-          arr(2).asInstanceOf[Double].toInt)
+          asLong(arr(2)).toInt)
       }
     val batches = obj.get("stream_batch_ids")
       .map(_.asInstanceOf[Map[String, Any]]
-        .map { case (k, v) => k -> v.asInstanceOf[Double].toLong })
+        .map { case (k, v) => k -> asLong(v) })
       .getOrElse(Map.empty[String, Long])
     ManifestState(version, np, wm, heads, batches)
   }
@@ -172,7 +181,11 @@ object Manifest {
         case _ =>
           val start = i
           while (i < s.length && "+-0123456789.eE".indexOf(s(i)) >= 0) i += 1
-          s.substring(start, i).toDouble
+          val tok = s.substring(start, i)
+          // integral → exact Long (sequences can exceed 2^53); only
+          // fractional/exponent forms fall back to Double
+          if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+          else tok.toLong
       }
     }
   }

@@ -32,6 +32,17 @@ class ManifestSpec extends AnyFunSuite with graft.PropHelpers {
     assert(Manifest.parse(Manifest.render(st)) == st)
   }
 
+  test("sequences past 2^53 round-trip exactly (no Double rounding)") {
+    // 2^53 + 1 is the first Long a Double cannot represent
+    val big = (1L << 53) + 1
+    val st = ManifestState(big, 32, Map(7 -> big, 8 -> (Long.MaxValue - 1)),
+      Map("pk:stream" -> StreamHead(big + 2, "pk", 7)),
+      Map("ck" -> (big + 3)))
+    val parsed = Manifest.parse(Manifest.render(st))
+    assert(parsed == st)
+    assert(parsed.watermarks(8) == Long.MaxValue - 1)
+  }
+
   test("commit picks newest version on load") {
     val dir = Files.createTempDirectory("graft-mf-").toString
     assert(Manifest.load(dir).isEmpty)
