@@ -215,13 +215,14 @@ final class EventStore private (
     * directory swap. (A multi-writer deployment would track files in
     * the manifest and swap there instead.)
     *
-    * Compaction INVALIDATES subscription checkpoints: the file
-    * streaming source tracks processed files by path, and the rewrite
-    * produces all-new paths, so both active subscriptions and ones
-    * resumed from a pre-compaction checkpoint would redeliver history.
-    * Restart subscriptions fresh afterwards, using `From.Value`/
-    * `From.PerKey` at their last delivered cursor to resume without
-    * duplicates.
+    * Subscription checkpoints SURVIVE compaction: the streaming source
+    * tracks per-partition sequences, not file paths
+    * ([[graft.streaming.GraftEventSource]]), and compaction rewrites
+    * files without renumbering sequences. A subscription resumed from a
+    * pre-compaction checkpoint re-plans its next (start, end] range
+    * over the rewritten files — no duplicates, no gaps. (A query whose
+    * in-flight batch races the directory swap fails that batch and
+    * redelivers it on restart — fail-safe, never silent loss.)
     */
   def compact(): Unit = lock.synchronized {
     if (state.watermarks.isEmpty) return

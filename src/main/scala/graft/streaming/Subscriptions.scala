@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.api.EventStore
-import graft.core.{EventSchema, Ids}
+import graft.core.Ids
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -11,20 +11,23 @@ import org.apache.spark.sql.Row
   * (reference behavior: `crates/sierradb-cluster/src/subscription.rs`,
   * commands `esub.rs`/`epsub.rs`/`eack.rs`; SURVEY.md §2.1 #8-10, §3.3).
   *
-  * The event-log parquet directory IS the stream: Spark's file source
-  * delivers all files present at start (history catch-up) and then
-  * every newly committed file (live tail) — the same catch-up→live
-  * seam the reference implements by replaying segment history and then
-  * following the broadcast bus, with exactly-once per-subscription
-  * delivery guaranteed by source offsets + checkpoint instead of
-  * `has_seen` cursors.
+  * The event log IS the stream, read through [[GraftEventSource]] —
+  * a custom source whose offsets are per-partition SEQUENCE vectors
+  * (the reference's per-subscription cursor), not file paths. That
+  * gives the same catch-up→live seam the reference implements by
+  * replaying segment history and then following the broadcast bus,
+  * with exactly-once per-subscription delivery guaranteed by source
+  * offsets + checkpoint instead of `has_seen` cursors — and it
+  * survives `compact()`, which renames files but never sequences.
   *
   *   - FROM version/sequence → a `stream_version`/`partition_sequence`
   *     lower-bound filter (per stream/partition map supported);
-  *   - WINDOW n (max unacked in flight) → `maxFilesPerTrigger`
-  *     backpressure on the micro-batch, with the sink's checkpoint
-  *     commit playing the EACK role: an unacknowledged (failed) batch
-  *     is redelivered after restart, acked batches never are.
+  *   - WINDOW n (max unacked in flight) → `maxEventsPerTrigger = n` on
+  *     the source: every micro-batch holds at most n EVENTS (real
+  *     event-granular backpressure, catch-up included), with the
+  *     sink's checkpoint commit playing the EACK role: an
+  *     unacknowledged (failed) batch is redelivered after restart,
+  *     acked batches never are.
   */
 object Subscriptions {
 
@@ -70,18 +73,16 @@ object Subscriptions {
       window: Int = 1000): DataFrame = {
     val spark = es.spark
     // WINDOW backpressure: a micro-batch stays "unacked" until its
-    // checkpoint commit, so bound the batch by files (≈50+ events per
-    // committed file; single-append files hold 1). Large windows get
-    // effectively unthrottled catch-up.
-    val reader = spark.readStream
-      .schema(EventSchema.schema)
-      .option("basePath", s"${es.root}/events")
-    // windows below the default are honored at file granularity;
-    // window >= 10000 means "no practical backpressure" → unthrottled
-    // catch-up (single micro-batch over all history files)
-    if (window < 10000)
-      reader.option("maxFilesPerTrigger", math.max(1, window / 50))
-    val src = reader.parquet(s"${es.root}/events")
+    // checkpoint commit; the sequence-offset source bounds every batch
+    // to `window` events exactly. The source also clamps delivery to
+    // manifest-committed watermarks, so a crash between a data-file
+    // write and its manifest commit can never phantom-deliver rows
+    // that recoverOrphans() later deletes.
+    val src = spark.readStream
+      .format(classOf[GraftEventSourceProvider].getName)
+      .option("root", es.root)
+      .option("maxEventsPerTrigger", window.toString)
+      .load()
 
     val matched = {
       val streamFilter =
