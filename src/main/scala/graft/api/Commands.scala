@@ -312,7 +312,7 @@ final class Commands(es: EventStore) {
       "memory_bytes" -> files._2,
       "manifest_version" -> es.manifest.version,
       "num_partitions" -> es.numPartitions,
-      "num_streams" -> es.manifest.streamHeads.size)
+      "num_streams" -> es.streamCount)
   }
 
   // ---------------------------------------------------------------- helpers

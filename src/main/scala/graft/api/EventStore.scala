@@ -36,7 +36,8 @@ final class EventStore private (
     val root: String,
     val numPartitions: Int,
     @volatile private var state: ManifestState,
-    strictVersioning: Boolean) {
+    strictVersioning: Boolean,
+    maxInlineHeads: Int) {
 
   import spark.implicits._
 
@@ -122,10 +123,8 @@ final class EventStore private (
         EventStore.headKey(partitionKey.toString, sid) ->
           StreamHead(evs.map(_.stream_version).max, partitionKey.toString, pid)
       }
-      commitState(state.copy(
-        version = state.version + 1,
-        watermarks = state.watermarks.updated(pid, startSeq + rows.size - 1),
-        streamHeads = state.streamHeads ++ newHeads))
+      commitAppend(
+        Map(pid -> (startSeq + rows.size - 1)), newHeads.toMap)
 
       Right(MultiAppendResult(
         partitionKey.toString, pid, startSeq, startSeq + rows.size - 1,
@@ -199,10 +198,7 @@ final class EventStore private (
             StreamHead(evs.map(_.stream_version).max,
               evs.head.partition_key, evs.head.partition_id)
         }
-        commitState(state.copy(
-          version = state.version + 1,
-          watermarks = state.watermarks ++ seqCursor,
-          streamHeads = state.streamHeads ++ newHeads))
+        commitAppend(seqCursor.toMap, newHeads.toMap)
       }
       results
     }
@@ -246,6 +242,8 @@ final class EventStore private (
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), ev)
     deleteRecursively(old.toFile)
     commitState(state.copy(version = state.version + 1))
+    // compaction also folds the head LSM into a fresh base table
+    foldHeads()
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -300,12 +298,14 @@ final class EventStore private (
 
     val wmMap = state.watermarks
     // head state is keyed by (partition_key, stream); ingest derives
-    // default keys, so join the bases on both columns
-    val headMap = state.streamHeads.toSeq.map { case (k, h) =>
-      (EventStore.headKeyStream(k), h.partitionKey, h.version)
-    }
+    // default keys, so join the bases on both columns. When heads have
+    // spilled to parquet this is a distributed join (AQE picks the
+    // strategy) — the driver never materializes the head table.
     val wmDf = broadcast(wmMap.toSeq.toDF("partition_id", "wm_base"))
-    val headDf = broadcast(headMap.toDF("stream_id", "partition_key", "head_base"))
+    val headsView = headsDf().select(
+      $"stream_id", $"partition_key", $"version".as("head_base"))
+    val headDf =
+      if (parquetHeadLayers.isEmpty) broadcast(headsView) else headsView
 
     val wp = Window.partitionBy($"partition_id").orderBy(col(orderCol))
     val ws = Window.partitionBy($"stream_id").orderBy(col(orderCol))
@@ -351,24 +351,47 @@ final class EventStore private (
       .option("basePath", eventsDir)
       .parquet(newFiles: _*)
       .groupBy($"stream_id", $"partition_key", $"partition_id")
-      .agg(max($"stream_version").as("v"), max($"partition_sequence").as("ps"))
-      .collect()
-    val newWm = rollup.groupBy(_.getInt(2)).map { case (pid, rs) =>
-      pid -> rs.map(_.getLong(4)).max
-    }
-    val newHeads = rollup
-      .map(r => EventStore.headKey(r.getString(1), r.getString(0)) ->
-        StreamHead(r.getLong(3), r.getString(1), r.getInt(2)))
-      .toMap
+      .agg(max($"stream_version").as("version"), max($"partition_sequence").as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newWm = rollup.groupBy($"partition_id").agg(max($"ps").as("wm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = newWm.map { case (k, nw) => nw - wmMap.getOrElse(k, -1L) }.sum
+    val headCount = rollup.count()
+    val withTag = (st: ManifestState) => st.copy(
+      streamBatchIds = batchTag.fold(st.streamBatchIds) { case (ck, id) =>
+        st.streamBatchIds.updated(ck, id)
+      })
 
-    commitState(state.copy(
-      version = state.version + 1,
-      watermarks = wmMap ++ newWm,
-      streamHeads = state.streamHeads ++ newHeads,
-      streamBatchIds = batchTag.fold(state.streamBatchIds) { case (ck, id) =>
-        state.streamBatchIds.updated(ck, id)
-      }))
+    if (state.streamHeads.size + headCount <= maxInlineHeads) {
+      // small batch: heads stay in the inline overlay (no extra layer)
+      val newHeads = rollup.collect().map(r =>
+        EventStore.headKey(r.getString(1), r.getString(0)) ->
+          StreamHead(r.getLong(3), r.getString(1), r.getInt(2))).toMap
+      rollup.unpersist()
+      commitState(withTag(state.copy(
+        version = state.version + 1,
+        watermarks = wmMap ++ newWm,
+        streamHeads = state.streamHeads ++ newHeads)))
+    } else {
+      // big batch (the 100 TB path): spill batch heads ∪ inline overlay
+      // to ONE parquet delta, straight from the executors — the driver
+      // never holds the head set
+      val v = state.version + 1
+      val batchDf = rollup
+        .select($"stream_id", $"partition_key", $"partition_id", $"version")
+      val deltaDf =
+        if (state.streamHeads.isEmpty) batchDf
+        else resolveLayers(Seq(inlineHeadsDf() -> 0L, batchDf -> 1L))
+      writeHeadsParquet(deltaDf, headsDeltaDir(v))
+      rollup.unpersist()
+      headCache.synchronized(headCache.clear())
+      commitState(withTag(state.copy(
+        version = v,
+        watermarks = wmMap ++ newWm,
+        streamHeads = Map.empty,
+        headsDeltas = state.headsDeltas :+ v)))
+      maybeFoldHeads()
+    }
     n
   }
 
@@ -397,6 +420,186 @@ final class EventStore private (
         java.nio.file.Files.deleteIfExists(p)
       }
     }
+  }
+
+  // ------------------------------------------------------- head-state (LSM)
+
+  /** The reference keeps per-partition live stream indexes in memory
+    * (`writer_thread_pool.rs:188-267`); at billions of streams that is
+    * a driver OOM, so heads are LSM-layered (see ManifestState): a
+    * bounded inline overlay in the manifest JSON, spilled to versioned
+    * parquet deltas under `<root>/_heads/`, folded into a base table.
+    * Newer layer wins per (partition_key, stream_id).
+    */
+  private val headsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("stream_id",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("partition_key",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("partition_id",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def headsBaseDir(v: Long) = s"$root/_heads/base-v$v"
+  private def headsDeltaDir(v: Long) = s"$root/_heads/delta-v$v"
+
+  /** point-lookup cache over the parquet layers (positive + negative);
+    * cleared whenever the layer structure changes (spill/fold)
+    */
+  private val headCache =
+    new java.util.LinkedHashMap[String, Option[StreamHead]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[StreamHead]]): Boolean =
+        size() > 8192
+    }
+
+  private def readHeads(dir: String): DataFrame =
+    spark.read.schema(headsSchema).parquet(dir)
+
+  private def inlineHeadsDf(): DataFrame =
+    state.streamHeads.toSeq.map { case (k, h) =>
+      (EventStore.headKeyStream(k), h.partitionKey, h.partitionId, h.version)
+    }.toDF("stream_id", "partition_key", "partition_id", "version")
+
+  /** parquet layers oldest-first as (df, priority); inline excluded */
+  private def parquetHeadLayers: Seq[(DataFrame, Long)] = {
+    val snap = state
+    val base =
+      if (snap.headsBase > 0) Seq(readHeads(headsBaseDir(snap.headsBase)) -> 0L)
+      else Nil
+    base ++ snap.headsDeltas.map(v => readHeads(headsDeltaDir(v)) -> v)
+  }
+
+  /** latest-wins merge of head layers (higher priority wins per key) */
+  private def resolveLayers(layers: Seq[(DataFrame, Long)]): DataFrame =
+    if (layers.sizeIs == 1) layers.head._1
+    else layers.map { case (df, pri) => df.withColumn("pri", lit(pri)) }
+      .reduce(_ unionByName _)
+      .groupBy($"stream_id", $"partition_key")
+      .agg(max_by(struct($"partition_id", $"version"), $"pri").as("h"))
+      .select($"stream_id", $"partition_key",
+        $"h.partition_id".as("partition_id"), $"h.version".as("version"))
+
+  /** All current stream heads as a DataFrame — the scalable view
+    * (columns: stream_id, partition_key, partition_id, version).
+    */
+  def headsDf(): DataFrame = {
+    val layers = parquetHeadLayers ++
+      (if (state.streamHeads.nonEmpty || parquetHeadLayers.isEmpty)
+        Seq(inlineHeadsDf() -> Long.MaxValue)
+      else Nil)
+    resolveLayers(layers)
+  }
+
+  private def lookupHead(pk: String, sid: String): Option[StreamHead] = {
+    val snap = state
+    val key = EventStore.headKey(pk, sid)
+    snap.streamHeads.get(key) match {
+      case some @ Some(_) => some
+      case None =>
+        if (snap.headsBase == 0 && snap.headsDeltas.isEmpty) None
+        else {
+          val cached = headCache.synchronized(Option(headCache.get(key)))
+          cached.getOrElse {
+            // one pushed-filter scan over the layers, newest wins —
+            // range-sorted files + bloom filters prune to ~one row group
+            val hit = parquetHeadLayers
+              .map { case (df, pri) => df.withColumn("pri", lit(pri)) }
+              .reduce(_ unionByName _)
+              .where($"stream_id" === sid && $"partition_key" === pk)
+              .orderBy($"pri".desc)
+              .limit(1)
+              .collect()
+              .headOption
+              .map(r => StreamHead(r.getAs[Long]("version"), pk,
+                r.getAs[Int]("partition_id")))
+            headCache.synchronized(headCache.put(key, hit))
+            hit
+          }
+        }
+    }
+  }
+
+  /** Commit an append's watermark/head updates; spill the inline
+    * overlay to a parquet delta when it outgrows maxInlineHeads.
+    */
+  private def commitAppend(
+      newWm: Map[Int, Long], newHeads: Map[String, StreamHead]): Unit = {
+    val inline = state.streamHeads ++ newHeads
+    if (inline.size <= maxInlineHeads) {
+      commitState(state.copy(
+        version = state.version + 1,
+        watermarks = state.watermarks ++ newWm,
+        streamHeads = inline))
+    } else {
+      val v = state.version + 1
+      writeHeadsParquet(
+        inline.toSeq.map { case (k, h) =>
+          (EventStore.headKeyStream(k), h.partitionKey, h.partitionId, h.version)
+        }.toDF("stream_id", "partition_key", "partition_id", "version"),
+        headsDeltaDir(v))
+      headCache.synchronized(headCache.clear())
+      commitState(state.copy(
+        version = v,
+        watermarks = state.watermarks ++ newWm,
+        streamHeads = Map.empty,
+        headsDeltas = state.headsDeltas :+ v))
+      maybeFoldHeads()
+    }
+  }
+
+  private val MaxHeadDeltas = 8
+
+  private def maybeFoldHeads(): Unit =
+    if (state.headsDeltas.sizeIs > MaxHeadDeltas) foldHeads()
+
+  /** Fold base + deltas + inline into a fresh base table (the LSM
+    * compaction). Old layer directories become unreferenced and are
+    * removed on next open.
+    */
+  private[api] def foldHeads(): Unit = lock.synchronized {
+    val layers = parquetHeadLayers ++
+      (if (state.streamHeads.nonEmpty) Seq(inlineHeadsDf() -> Long.MaxValue) else Nil)
+    if (layers.isEmpty) return
+    val v = state.version + 1
+    writeHeadsParquet(resolveLayers(layers), headsBaseDir(v))
+    headCache.synchronized(headCache.clear())
+    commitState(state.copy(
+      version = v,
+      streamHeads = Map.empty,
+      headsBase = v,
+      headsDeltas = Nil))
+  }
+
+  /** Range-sorted, bloom-filtered layout: a (stream_id, partition_key)
+    * point lookup prunes to one file / few row groups by min-max stats.
+    */
+  private def writeHeadsParquet(df: DataFrame, dir: String): Unit =
+    df.select($"stream_id", $"partition_key", $"partition_id", $"version")
+      .repartitionByRange($"stream_id", $"partition_key")
+      .sortWithinPartitions($"stream_id", $"partition_key")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#stream_id", "true")
+      .parquet(dir)
+
+  /** Delete head-layer directories no manifest references (crash
+    * between a layer write and its manifest commit, or layers folded
+    * away). Runs once per open.
+    */
+  private[api] def recoverOrphanHeads(): Unit = lock.synchronized {
+    val dir = java.nio.file.Paths.get(root, "_heads")
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val keep = (if (state.headsBase > 0) Set(s"base-v${state.headsBase}") else Set.empty) ++
+      state.headsDeltas.map(v => s"delta-v$v")
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filterNot(p => keep.contains(p.getFileName.toString))
+        .foreach(p => deleteRecursively(p.toFile))
+    } finally listing.close()
   }
 
   private def listDataFiles(): Set[String] = {
@@ -543,7 +746,7 @@ final class EventStore private (
     */
   def sver(streamId: String, partitionKey: Option[UUID] = None): Option[Long] = {
     val pk = partitionKey.getOrElse(Ids.partitionKeyForStream(streamId))
-    state.streamHeads.get(EventStore.headKey(pk.toString, streamId)).map(_.version)
+    lookupHead(pk.toString, streamId).map(_.version)
   }
 
   /** EPSEQ: current max partition sequence, None if the partition is
@@ -557,13 +760,22 @@ final class EventStore private (
   private def currentVersionOf(streamId: String, pk: UUID): CurrentVersion =
     CurrentVersion.fromOption(sver(streamId, Some(pk)))
 
-  /** All stream heads as (stream_id, partition_key, version) — the one
-    * public view of the composite head-key format.
+  /** All stream heads as (stream_id, partition_key, version),
+    * MATERIALIZED to the driver — test/diagnostic convenience; use
+    * `headsDf()` at scale.
     */
   def streamHeadEntries: Seq[(String, String, Long)] =
-    state.streamHeads.toSeq.map { case (k, h) =>
-      (EventStore.headKeyStream(k), h.partitionKey, h.version)
-    }
+    if (parquetHeadLayers.isEmpty)
+      state.streamHeads.toSeq.map { case (k, h) =>
+        (EventStore.headKeyStream(k), h.partitionKey, h.version)
+      }
+    else headsDf().collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(3)))
+
+  /** Number of live (partition_key, stream) head entries. */
+  def streamCount: Long =
+    if (parquetHeadLayers.isEmpty) state.streamHeads.size.toLong
+    else headsDf().count()
 
   /** HELLO / INFO surface (`hello.rs:20-57`). */
   def info: Map[String, String] = Map(
@@ -596,12 +808,19 @@ final class EventStore private (
 object EventStore {
   val DefaultNumPartitions = 32 // `config.rs:200`
 
-  /** Open an existing store or create an empty one at `root`. */
+  /** Open an existing store or create an empty one at `root`.
+    *
+    * @param maxInlineHeads max (partition_key, stream) head entries the
+    *                       manifest keeps inline before spilling to the
+    *                       parquet head-state table — the bound on
+    *                       driver-resident head memory
+    */
   def open(
       spark: SparkSession,
       root: String,
       numPartitions: Int = DefaultNumPartitions,
-      strictVersioning: Boolean = false): EventStore = {
+      strictVersioning: Boolean = false,
+      maxInlineHeads: Int = 100000): EventStore = {
     val st0 = Manifest.load(root).getOrElse(Manifest.empty(numPartitions))
     // migrate legacy manifests whose heads were keyed by bare stream id
     // (the StreamHead value always carried the partition key)
@@ -610,8 +829,10 @@ object EventStore {
       else st0.copy(streamHeads = st0.streamHeads.map { case (k, h) =>
         (if (isCompositeHeadKey(k)) k else headKey(h.partitionKey, k)) -> h
       })
-    val es = new EventStore(spark, root, st.numPartitions.max(1), st, strictVersioning)
+    val es = new EventStore(
+      spark, root, st.numPartitions.max(1), st, strictVersioning, maxInlineHeads)
     es.recoverOrphans()
+    es.recoverOrphanHeads()
     es
   }
 

@@ -14,10 +14,21 @@ import scala.jdk.CollectionConverters._
   * once and every query in that snapshot is clamped consistently.
   *
   * Layout: `<root>/_manifest/v{N}.json`. Stream heads (the "live index"
-  * role of `writer_thread_pool.rs:188-267`) are persisted inline for
-  * O(1) ESVER and append validation. At 100 TB / billions of streams the
-  * heads map moves to a compacted parquet state table keyed by
-  * stream_id (same commit protocol); watermarks stay O(num_partitions).
+  * role of `writer_thread_pool.rs:188-267`) are LSM-shaped so the
+  * driver never holds more than a bounded overlay:
+  *
+  *   - `streamHeads` — the inline overlay: heads written since the last
+  *     spill, bounded by the store's maxInlineHeads. Newest layer.
+  *   - `headsDeltas` — versions of parquet delta tables at
+  *     `<root>/_heads/delta-v{N}`, oldest first; each holds the heads
+  *     spilled by one commit. Newer delta wins on key conflict.
+  *   - `headsBase` — version of the folded parquet base table at
+  *     `<root>/_heads/base-v{N}` (0 = none). Oldest layer.
+  *
+  * Parquet layers are written BEFORE the manifest commit that
+  * references them (atomic rename), so a crash leaves at most an
+  * unreferenced directory, deleted on next open. Watermarks stay
+  * O(num_partitions) inline.
   */
 final case class StreamHead(version: Long, partitionKey: String, partitionId: Int)
 
@@ -26,12 +37,15 @@ final case class ManifestState(
     numPartitions: Int,
     // partition_id -> highest committed partition_sequence (-1 = empty)
     watermarks: Map[Int, Long],
-    // stream_id -> head state
+    // inline head overlay: composite "pk:stream" key -> head state
     streamHeads: Map[String, StreamHead],
     // streaming-ingest idempotence: checkpoint id -> last applied batch
     // (a replayed foreachBatch after a crash between manifest commit and
     // checkpoint commit must be a no-op)
-    streamBatchIds: Map[String, Long] = Map.empty) {
+    streamBatchIds: Map[String, Long] = Map.empty,
+    // parquet head-state layers (see scaladoc above)
+    headsBase: Long = 0L,
+    headsDeltas: Seq[Long] = Nil) {
 
   def watermark(pid: Int): Long = watermarks.getOrElse(pid, -1L)
 }
@@ -92,8 +106,10 @@ object Manifest {
     }.mkString("{", ",", "}")
     val batches = m.streamBatchIds.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val deltas = m.headsDeltas.mkString("[", ",", "]")
     s"""{"version":${m.version},"num_partitions":${m.numPartitions},""" +
-      s""""watermarks":$wm,"stream_heads":$heads,"stream_batch_ids":$batches}"""
+      s""""watermarks":$wm,"stream_heads":$heads,"stream_batch_ids":$batches,""" +
+      s""""heads_base":${m.headsBase},"heads_deltas":$deltas}"""
   }
 
   /** Tiny recursive-descent JSON parser for exactly what `render` emits.
@@ -125,7 +141,11 @@ object Manifest {
       .map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> asLong(v) })
       .getOrElse(Map.empty[String, Long])
-    ManifestState(version, np, wm, heads, batches)
+    val headsBase = obj.get("heads_base").map(asLong).getOrElse(0L)
+    val headsDeltas = obj.get("heads_deltas")
+      .map(_.asInstanceOf[Vector[Any]].map(asLong).toSeq)
+      .getOrElse(Nil)
+    ManifestState(version, np, wm, heads, batches, headsBase, headsDeltas)
   }
 
   private final class JsonP(s: String) {

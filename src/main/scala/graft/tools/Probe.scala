@@ -34,6 +34,31 @@ object Probe {
     println(s"INGESTED=$n RATE=${(n / 1).toDouble} ev")
     time("scan-after") { es.scan("user-42", count = 100).events.count() }
     time("pscan-after") { es.pscan(0, count = 1000).events.count() }
+
+    // heads-at-scale probe: 1M DISTINCT streams must ingest with the
+    // driver holding only the bounded inline overlay (heads spill to
+    // the parquet LSM); manifest JSON stays small, lookups stay correct
+    val rt = Runtime.getRuntime
+    def usedMb() = { System.gc(); (rt.totalMemory() - rt.freeMemory()) / (1 << 20) }
+    val before = usedMb()
+    val wide = spark.range(1000000).select(
+      concat(lit("wide-"), col("id")).as("stream_id"),
+      lit("E").as("event_name"),
+      col("id").as("arrival"))
+    val dir2 = java.nio.file.Files.createTempDirectory("probe-heads-").toString
+    val es2 = graft.api.EventStore.open(spark, dir2, 32)
+    val n2 = time("ingest-1M-distinct-streams") { es2.ingest(wide, "arrival") }
+    val manifestBytes = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir2, "_manifest")).toList.stream()
+      .mapToLong(p => java.nio.file.Files.size(p)).max().orElse(0)
+    println(s"WIDE_INGESTED=$n2 inlineHeads=${es2.manifest.streamHeads.size} " +
+      s"deltas=${es2.manifest.headsDeltas.size} manifestBytes=$manifestBytes " +
+      s"driverHeapDeltaMb=${usedMb() - before}")
+    time("sver-after-spill") {
+      require(es2.sver("wide-123456").contains(0L))
+      require(es2.sver("wide-999999").contains(0L))
+    }
+    println(s"STREAM_COUNT=${time("streamCount")(es2.streamCount)}")
     spark.stop()
   }
 }

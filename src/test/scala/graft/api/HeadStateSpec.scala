@@ -1,0 +1,109 @@
+package graft.api
+
+import java.nio.file.Files
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Head-state LSM behavior: the inline overlay spills to parquet deltas
+  * past maxInlineHeads, deltas fold into a base, and every lookup /
+  * append-validation / ingest path stays correct across spills, folds,
+  * and reopens — the driver never holds more than the bounded overlay.
+  */
+class HeadStateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import org.apache.spark.sql.functions._
+
+  private def in(sid: String, ev: ExpectedVersion = ExpectedVersion.Any): EventInput =
+    EventInput(sid, "E", "p".getBytes, Array.emptyByteArray, ev)
+
+  test("appends spill past maxInlineHeads; lookups and validation stay correct") {
+    val dir = Files.createTempDirectory("graft-heads-").toString
+    val es = EventStore.open(spark, dir, 4, maxInlineHeads = 4)
+    (0 until 10).foreach(i => assert(es.append(in(s"h-$i")).isRight))
+
+    // overlay bounded, spilled layers referenced
+    assert(es.manifest.streamHeads.size <= 4)
+    assert(es.manifest.headsDeltas.nonEmpty || es.manifest.headsBase > 0)
+
+    // every stream's head resolves through the layers
+    (0 until 10).foreach(i => assert(es.sver(s"h-$i") == Some(0L)))
+    assert(es.sver("missing").isEmpty)
+
+    // optimistic-concurrency validation reads spilled heads too
+    assert(es.append(in("h-0", ExpectedVersion.Exact(5))).isLeft)
+    assert(es.append(in("h-0", ExpectedVersion.Exact(0))).isRight)
+    assert(es.sver("h-0") == Some(1L))
+    assert(es.streamCount == 10L)
+  }
+
+  test("state persists across reopen; orphan layers are cleaned") {
+    val dir = Files.createTempDirectory("graft-heads-").toString
+    val es = EventStore.open(spark, dir, 4, maxInlineHeads = 2)
+    (0 until 6).foreach(i => es.append(in(s"p-$i")))
+    // fabricate an orphan layer (crash between layer write and commit)
+    val orphan = java.nio.file.Paths.get(dir, "_heads", "delta-v999")
+    java.nio.file.Files.createDirectories(orphan)
+
+    val es2 = EventStore.open(spark, dir, 4, maxInlineHeads = 2)
+    (0 until 6).foreach(i => assert(es2.sver(s"p-$i") == Some(0L)))
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
+  test("bulk ingest spills straight from executors and versions continue") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-heads-").toString
+    val es = EventStore.open(spark, dir, 4, maxInlineHeads = 4)
+    val batch = (0 until 40)
+      .map(i => (s"b-${i % 20}", "E", i.toLong))
+      .toDF("stream_id", "event_name", "arrival")
+    assert(es.ingest(batch, "arrival") == 40L)
+
+    // 20 distinct streams > maxInlineHeads → spilled, overlay empty
+    assert(es.manifest.streamHeads.isEmpty)
+    assert(es.manifest.headsDeltas.nonEmpty)
+    (0 until 20).foreach(i => assert(es.sver(s"b-$i") == Some(1L)))
+
+    // second ingest must continue versions from the PARQUET heads (the
+    // distributed join path, no driver materialization)
+    assert(es.ingest(batch, "arrival") == 40L)
+    (0 until 20).foreach(i => assert(es.sver(s"b-$i") == Some(3L)))
+    assert(es.streamCount == 20L)
+
+    // events themselves carry gapless versions per stream
+    val maxVers = es.events().groupBy($"stream_id")
+      .agg(max($"stream_version").as("v"), count(lit(1)).as("n")).collect()
+    assert(maxVers.forall(r => r.getAs[Long]("v") == 3L && r.getAs[Long]("n") == 4L))
+  }
+
+  test("deltas fold into a base past the threshold and after compact()") {
+    val dir = Files.createTempDirectory("graft-heads-").toString
+    val es = EventStore.open(spark, dir, 4, maxInlineHeads = 1)
+    // every second append spills; > 8 deltas triggers a fold
+    (0 until 22).foreach(i => es.append(in(s"f-$i")))
+    assert(es.manifest.headsBase > 0)
+    assert(es.manifest.headsDeltas.size <= 8)
+    (0 until 22).foreach(i => assert(es.sver(s"f-$i") == Some(0L)))
+
+    es.compact()
+    assert(es.manifest.headsDeltas.isEmpty)
+    assert(es.manifest.streamHeads.isEmpty)
+    (0 until 22).foreach(i => assert(es.sver(s"f-$i") == Some(0L)))
+
+    // reopen drops the folded-away layer dirs; state intact
+    val es2 = EventStore.open(spark, dir, 4, maxInlineHeads = 1)
+    (0 until 22).foreach(i => assert(es2.sver(s"f-$i") == Some(0L)))
+    assert(es2.streamCount == 22L)
+  }
+}
