@@ -346,9 +346,12 @@ object SparkEntry {
       graft.ops.Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
-    // Exact all-pairs n-gram Jaccard ≥ 0.8 (inverted-index self-join).
+    // Exact n-gram Jaccard ≥ 0.8 — the VERIFICATION path, gated by a
+    // posting-list cap (maxDf) so the self-join has a candidate-pair
+    // budget; minhash_lsh above is the headline discovery path.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      graft.ops.Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id")
+      graft.ops.Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id",
+          maxDf = NgramMaxDf)
         .orderBy(col("a"), col("b"))),
 
     // SimHash 16-bit fingerprints per document.
@@ -356,6 +359,12 @@ object SparkEntry {
       graft.ops.Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
         .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs: banded hamming buckets (exact for
+    // distance <= bands-1 by pigeonhole), verified with hammingDistance.
+    "dedup_simhash_pairs" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("a"), col("b"))),
 
     // Language identification via marker-token scoring.
     "text_langid" -> ((s, d) =>
@@ -380,10 +389,13 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // Embedding-cosine near-duplicate pairs (LSH-bucketed + exact
-    // verify), the semantic-dedup counterpart of minhash.
+    // Embedding-cosine near-duplicate pairs (banded multi-table LSH +
+    // exact verify), the semantic-dedup counterpart of minhash:
+    // 16-plane signatures (65k buckets/table), 3 tables for recall,
+    // over-dense buckets dropped.
     "dedup_embedding_cosine" -> ((s, d) =>
-      graft.ops.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.95)
+      graft.ops.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.95,
+          planes = NearDupPlanes, tables = NearDupTables, maxBucket = NearDupMaxBucket)
         .orderBy(col("a"), col("b"))),
 
     // BPE-ish subword token counting (regex pre-tokenizer shape).
@@ -531,7 +543,10 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  private def simhashOracle: String = {
+  /** Shared CTE chain ending in `fp(doc_id, simhash)` — 16-bit simhash
+    * fingerprints, mirroring Dedup.simhash exactly.
+    */
+  private def simhashCte: String = {
     val bits = 16
     val hexHigh = "('8','9','a','b','c','d','e','f')"
     val sums = (1 to bits).map(i =>
@@ -539,16 +554,33 @@ object SparkEntry {
       .mkString(",\n    ")
     val concatBits = (1 to bits).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
        |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
        |sums AS (
        |  SELECT doc_id,
        |    $sums
-       |  FROM hashed GROUP BY doc_id)
-       |SELECT doc_id, $concatBits AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
+       |  FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $concatBits AS simhash FROM sums)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  /** All-pairs hamming over the fingerprints — the banded Spark path is
+    * exact for distance <= bands-1, so the oracle can brute-force.
+    */
+  private def simhashPairsOracle: String = {
+    val ham = (1 to 16).map(i =>
+      s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $simhashCte
+       |SELECT x.doc_id AS a, y.doc_id AS b, CAST($ham AS BIGINT) AS hamming
+       |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY a, b""".stripMargin
   }
 
   /** Shared CTE: distinct word 3-shingles (static series bound — this
@@ -588,13 +620,19 @@ object SparkEntry {
        |ORDER BY i.a, i.b""".stripMargin
   }
 
+  /** Posting-list cap shared by the Spark query and its oracle. */
+  private val NgramMaxDf = 64
+
   private def ngramJaccardOracle: String =
     s"""WITH $shinglesCte,
+       |shf AS (
+       |  SELECT id, sh FROM sh WHERE sh IN (
+       |    SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $NgramMaxDf)),
        |inter AS (
        |  SELECT sa.id AS a, sb.id AS b, count(*) AS ni
-       |  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.id < sb.id
+       |  FROM shf sa JOIN shf sb ON sa.sh = sb.sh AND sa.id < sb.id
        |  GROUP BY sa.id, sb.id),
-       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+       |sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id)
        |SELECT i.a, i.b,
        |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
        |FROM inter i
@@ -625,13 +663,55 @@ object SparkEntry {
        |  FROM proj GROUP BY vec_id)""".stripMargin
   }
 
+  /** Banded multi-table LSH constants shared by the Spark query and
+    * its oracle (Similarity.cosineNearDupPairs mirror).
+    */
+  private val NearDupPlanes = 16
+  private val NearDupTables = 3
+  private val NearDupMaxBucket = 1000
+
+  /** Per-table hyperplane buckets CTE chain ending in
+    * `allbuckets(vec_id, tbl, bucket)` — mirrors Similarity.lshBucket
+    * seeds exactly (table 0: "p:i", table t: "tT:p:i").
+    */
+  private def lshBucketsMultiCte(planes: Int, tables: Int): String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val per = (0 until tables).map { t =>
+      val seed = if (t == 0) "p || ':' || i" else s"'t$t:' || p || ':' || i"
+      s"""w$t AS (
+         |  SELECT p, i,
+         |    CASE WHEN substr(md5($seed), 1, 1) IN $hexHigh
+         |      THEN 1.0 ELSE -1.0 END AS wt
+         |  FROM generate_series(0, ${planes - 1}) pp(p), generate_series(1, 64) ii(i)),
+         |proj$t AS (
+         |  SELECT vec_id, p, sum(v * wt) AS s
+         |  FROM flat JOIN w$t USING (i) GROUP BY vec_id, p),
+         |buckets$t AS (
+         |  SELECT vec_id, $t AS tbl, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+         |    '' ORDER BY p) AS bucket
+         |  FROM proj$t GROUP BY vec_id)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until tables).map(t => s"SELECT * FROM buckets$t")
+      .mkString(" UNION ALL ")
+    s"""flat AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, 64) t(i)),
+       |$per,
+       |allbuckets AS ($union)""".stripMargin
+  }
+
   private def embeddingNearDupOracle: String =
-    s"""WITH $lshBucketsCte,
+    s"""WITH ${lshBucketsMultiCte(NearDupPlanes, NearDupTables)},
+       |okb AS (
+       |  SELECT ab.vec_id, ab.tbl, ab.bucket FROM allbuckets ab
+       |  JOIN (SELECT tbl, bucket FROM allbuckets
+       |        GROUP BY tbl, bucket HAVING count(*) <= $NearDupMaxBucket) ok
+       |    ON ab.tbl = ok.tbl AND ab.bucket = ok.bucket),
        |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |pairs AS (
-       |  SELECT x.vec_id AS a, y.vec_id AS b
-       |  FROM buckets x JOIN buckets y
-       |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM okb x JOIN okb y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |scored AS (
        |  SELECT p.a, p.b, ${cosSql("ca.ve", "cb.ve")} AS cosine
        |  FROM pairs p
@@ -780,6 +860,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 

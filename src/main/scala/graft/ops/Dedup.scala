@@ -108,13 +108,26 @@ object Dedup {
     jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
   }
 
-  /** All-pairs exact n-gram Jaccard ≥ threshold via inverted-index
-    * self-join (no LSH). Correct but O(pairs-sharing-a-shingle); at
-    * 100 TB use `minhashLsh` and reserve this for verification.
+  /** Exact n-gram Jaccard ≥ threshold via inverted-index self-join (no
+    * LSH) — the VERIFICATION path; `minhashLsh` is the headline
+    * discovery path at scale.
+    *
+    * `maxDf` is the candidate-pair budget: shingles appearing in more
+    * than `maxDf` documents are dropped before the self-join (classic
+    * posting-list capping — a shingle shared by everyone contributes
+    * O(df²) candidate pairs and no discriminative signal). With the
+    * cap the join cost is bounded by Σ min(df, maxDf)² per shingle.
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = wordShingles(df, textCol, idCol, k)
+      k: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = wordShingles(df, textCol, idCol, k)
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
+          .where(col("df_c") <= maxDf).select("sh"),
+        "sh")
     val pairs = sh.select(col("id").as("a"), col("sh"))
       .join(sh.select(col("id").as("b"), col("sh")), "sh")
       .where(col("a") < col("b"))
@@ -156,4 +169,37 @@ object Dedup {
     aggregate(
       zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-duplicate pairs at scale: band the `bits`-wide
+    * fingerprint into `bands` equal slices, equi-join on (band, slice)
+    * — by pigeonhole any pair within hamming distance `bands - 1`
+    * shares at least one identical band, so for
+    * `maxDistance <= bands - 1` this is EXACT (same result as the
+    * all-pairs scan), while the join only expands same-band buckets.
+    * Verification is `hammingDistance` on the candidate pairs.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16, bands: Int = 4, maxDistance: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    require(maxDistance <= bands - 1,
+      s"banding into $bands bands is only exact up to distance ${bands - 1}")
+    val width = bits / bands
+    val fp = simhash(df, textCol, idCol, bits)
+    val banded = (0 until bands).map { b =>
+      fp.select(col("id"), lit(b).as("band"),
+        substring(col("simhash"), b * width + 1, width).as("bkey"),
+        col("simhash"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("bkey"),
+      col("id").as("a"), col("simhash").as("sa"))
+    val r = banded.select(col("band"), col("bkey"),
+      col("id").as("b"), col("simhash").as("sb"))
+    l.join(r, Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .distinct()
+      .withColumn("hamming", hammingDistance(col("sa"), col("sb")).cast("long"))
+      .where(col("hamming") <= maxDistance)
+      .select(col("a"), col("b"), col("hamming"))
+  }
 }

@@ -88,33 +88,47 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** Centroid list sorted by (distance asc, cid asc) as ONE projection
+    * expression over the broadcast-in-plan centroid literals — no join,
+    * no window, no shuffle. Distance is `1 - cosine` (computed on the
+    * ROUNDED cosine) so ordering matches an `ORDER BY cosine DESC, cid`
+    * oracle exactly, including the -0.0/0.0 collapse.
+    */
+  private def centroidRanking(vec: Column, cents: Seq[(Any, Seq[Double])]): Column =
+    array_sort(array(cents.map { case (cid, ce) =>
+      struct(
+        (lit(1.0) - round(cosine(vec, typedLit(ce)), 6)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+
   /** IVF-style ANN: assign every vector to its nearest of `nlist`
     * fixed coarse centroids (here: the first `nlist` corpus vectors,
     * deterministic — production would k-means them; the assignment/
     * probe shape is identical), then score queries only against the
-    * `nprobe` closest inverted lists. The corpus pass is one broadcast
-    * join + argmax; the probe turns the cross join into an equi-join
-    * on list id — at 100 TB the inverted lists are the shuffle key.
+    * `nprobe` closest inverted lists.
+    *
+    * Scale shape: the coarse centroids are a driver-side constant (like
+    * any trained quantizer), so nearest-centroid assignment is a pure
+    * PROJECTION over the corpus scan — zero shuffle, stays inside
+    * whole-stage codegen. The probe is a bucket equi-join on list id —
+    * at 100 TB the inverted lists are the only shuffle key.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 10, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
-    // nearest centroid per corpus vector (ties → lowest cid)
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("ce"), col(vecCol)), 6))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))))
-      .where(col("crk") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
-    // nprobe nearest centroids per query
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("ce"), col("qe")), 6))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
-      .where(col("crk") <= nprobe)
-      .select(col("qid"), col("qe"), col("cid"))
+    // nlist is small by construction: collecting the coarse quantizer
+    // to the driver is the IVF contract, not a scale hazard
+    val cents: Seq[(Any, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Float](1).map(_.toDouble)))
+    // nearest centroid per corpus vector: shuffle-free projection
+    val assigned = corpus.withColumn("cid",
+      element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
+    // nprobe nearest centroids per query: same projection + explode
+    val probes = queries
+      .withColumn("c",
+        explode(slice(centroidRanking(col("qe"), cents), 1, nprobe)))
+      .select(col("qid"), col("qe"), col("c.cid").as("cid"))
     assigned.join(broadcast(probes), Seq("cid"))
       .where(col(idCol) =!= col("qid"))
       .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
@@ -125,19 +139,38 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
-    * threshold, discovered through LSH buckets (same-bucket pairs only,
-    * so the quadratic blowup is bounded per bucket) and verified with
-    * the exact cosine. The scale path for "drop semantically duplicate
-    * documents by their embeddings".
+    * threshold, discovered through banded multi-table LSH and verified
+    * with the exact cosine. The scale path for "drop semantically
+    * duplicate documents by their embeddings".
+    *
+    * Scale shape: `planes` bits per signature (default 16 → 65,536
+    * buckets PER TABLE, growing with the corpus — not a constant-64
+    * all-pairs trap), `tables` independent tables for recall
+    * (1-(1-p^planes)^T), and buckets larger than `maxBucket` dropped
+    * entirely — an over-dense bucket is an uninformative region of the
+    * sphere and quadratic to expand, the embedding analogue of
+    * stop-shingle removal. Candidate dedup shuffles (a, b) ids only;
+    * vectors are re-joined for the exact verify.
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 6,
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, planes: Int = 16,
+      tables: Int = 3, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = corpus
-      .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .where(col("a") < col("b"))
+    val candidates = (0 until tables).map { t =>
+      val bucketed = corpus.select(
+        col(idCol).as("id"), lshBucket(col(vecCol), planes, t).as("bucket"))
+      val smallBuckets = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= maxBucket)
+        .select("bucket")
+      val pruned = bucketed.join(smallBuckets, "bucket")
+      pruned.select(col("bucket"), col("id").as("a"))
+        .join(pruned.select(col("bucket"), col("id").as("b")), "bucket")
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _).distinct()
+    val va = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    candidates.join(va, "a").join(vb, "b")
       .withColumn("cosine", round(cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))

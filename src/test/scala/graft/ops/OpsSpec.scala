@@ -59,6 +59,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("simhashPairs: banded join equals all-pairs hamming scan") {
+    // exact-equivalence claim: for maxDistance <= bands-1, banding
+    // loses nothing (pigeonhole) — verify against a brute-force scan
+    val fps = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash"))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      d = fa.zip(fb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
+  test("near-dup LSH bucket count scales with the corpus (not constant)") {
+    import spark.implicits._
+    // deterministic synthetic vectors: bucket space must GROW with the
+    // corpus — the old 6-plane scheme pinned every corpus into 64
+    // global buckets, making the bucket self-join all-pairs/64
+    def corpus(n: Int): DataFrame = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => (pmod(hash(col("id") * lit(31) + i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    def distinctBuckets(n: Int): Long = corpus(n)
+      .select(Similarity.lshBucket(col("embedding"), 16).as("b"))
+      .agg(countDistinct(col("b"))).head().getLong(0)
+    val small = distinctBuckets(200)
+    val large = distinctBuckets(3000)
+    assert(small > 64, s"16-plane signatures should exceed 64 buckets, got $small")
+    assert(large > small, s"bucket count must grow with corpus: $large <= $small")
+  }
+
   test("salted dedup equals unsalted dedup exactly") {
     val plain = Dedup.exact(docs, "text", "doc_id")
       .orderBy("fp").collect().map(_.toSeq).toSeq
