@@ -422,6 +422,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // REAL image header decode, end-to-end: synthesize a valid PNG per
+    // document (magic + IHDR with width/height derived from doc_id),
+    // then decode it back with the native hex/conv expression path.
+    // The oracle computes the expected dimensions arithmetically —
+    // encode and decode are independent code paths, so a decode bug
+    // hash-mismatches.
+    "multimodal_decode" -> ((s, d) => {
+      val w = (pmod(col("doc_id"), lit(1024)) + 1).cast("long")
+      val h = (pmod(col("doc_id") * 7, lit(768)) + 1).cast("long")
+      val png = concat(
+        unhex(lit(graft.ops.Multimodal.PngMagicHex)),
+        unhex(lit("0000000D49484452")), // IHDR length + chunk type
+        unhex(lpad(hex(w), 8, "0")),
+        unhex(lpad(hex(h), 8, "0")),
+        unhex(lit("0806000000"))) // bit depth, color type, ...
+      graft.ops.Multimodal.decodeDims(
+          Tables.documents(s, d).withColumn("payload", png), "payload")
+        .select(col("doc_id"), col("img_format"), col("img_width"), col("img_height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata envelope + the
     // (stubbed) decode stage — envelope fields are oracle-checked.
     "multimodal_meta" -> ((s, d) => {
@@ -863,6 +884,12 @@ object SparkEntry {
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
+
+    "multimodal_decode" ->
+      """SELECT doc_id, 'png' AS img_format,
+        |  doc_id % 1024 + 1 AS img_width,
+        |  (doc_id * 7) % 768 + 1 AS img_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,

@@ -27,6 +27,7 @@ final class Commands(es: EventStore) {
     case "EAPPEND" :: sid :: name :: rest => eappend(sid, name, rest: _*)
     case "EMAPPEND" :: pk :: rest => parseEmappendEvents(rest).flatMap(emappend(pk, _))
     case "EGET" :: id :: Nil => eget(id)
+    case "EGET" :: id :: "TRANSACTION" :: Nil => egetTransaction(id)
     case "ESCAN" :: sid :: start :: end :: rest => escan(sid, start, end, rest: _*)
     case "EPSCAN" :: p :: start :: end :: rest => epscan(p, start, end, rest: _*)
     case "ESVER" :: sid :: rest => esver(sid, rest: _*)
@@ -209,9 +210,20 @@ final class Commands(es: EventStore) {
         "partition_sequence" -> e.partitionSequence,
         "stream_version" -> e.streamVersion)))
 
-  /** EGET event_id → event map or None (absent/unconfirmed). */
+  /** EGET event_id → event map or None (absent/unconfirmed). Served
+    * through the read cache (the reference serves EGET from its block
+    * cache; hits never touch storage).
+    */
   def eget(eventId: String): Either[String, Option[Map[String, Any]]] =
-    parseUuid(eventId).map(id => es.get(id).collect().headOption.map(encodeEvent))
+    parseUuid(eventId).map(id => es.getCached(id).map(encodeEvent))
+
+  /** EGET event_id TRANSACTION → every committed event of the
+    * transaction containing the event, in partition-sequence order
+    * (`database.rs:138-208` read_transaction).
+    */
+  def egetTransaction(eventId: String): Either[String, Seq[Map[String, Any]]] =
+    parseUuid(eventId).map(id =>
+      es.readTransaction(id).collect().toSeq.map(encodeEvent))
 
   /** ESCAN stream_id start end [PARTITION_KEY u] [COUNT n] */
   def escan(streamId: String, start: String, end: String,
@@ -291,29 +303,11 @@ final class Commands(es: EventStore) {
 
   def ping(): String = "PONG"
 
-  /** INFO CACHE-shaped metrics (`info.rs:30-113`): storage/manifest
-    * stats in place of block-cache counters (no block cache here —
-    * parquet readers + OS page cache).
+  /** INFO CACHE (`info.rs:30-113`): the reference's exact key set —
+    * hits/misses/hit_ratio(3dp)/entries/memory_bytes/max_bytes/
+    * block_size_bytes/evictions — from the store's read cache.
     */
-  def info(section: String = "CACHE"): Map[String, Any] = {
-    val files = {
-      val dir = java.nio.file.Paths.get(es.root, "events")
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val s = java.nio.file.Files.walk(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          val ps = s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toVector
-          (ps.size, ps.map(p => java.nio.file.Files.size(p)).sum)
-        } finally s.close()
-      } else (0, 0L)
-    }
-    Map(
-      "entries" -> files._1,
-      "memory_bytes" -> files._2,
-      "manifest_version" -> es.manifest.version,
-      "num_partitions" -> es.numPartitions,
-      "num_streams" -> es.streamCount)
-  }
+  def info(section: String = "CACHE"): Map[String, Any] = es.cacheInfo
 
   // ---------------------------------------------------------------- helpers
 

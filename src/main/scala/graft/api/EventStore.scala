@@ -689,6 +689,32 @@ final class EventStore private (
       .limit(1)
   }
 
+  /** read_transaction (`database.rs:138-208`): all committed events of
+    * the transaction containing `eventId`, from that event's offset
+    * forward — passing the transaction's FIRST event id (the reference
+    * caller's contract) returns the whole transaction. The stored
+    * transaction id's single-event flag (`Ids.withSingleEventFlag`,
+    * `id.rs` bit layout) short-circuits the second lookup for the
+    * overwhelmingly common single-event case.
+    */
+  def readTransaction(eventId: UUID): DataFrame = {
+    val pid = Ids.partitionIdForEventId(eventId, numPartitions)
+    val hit = events()
+      .where(col("partition_id") === pid && col("event_id") === eventId.toString)
+      .select(col("transaction_id"), col("partition_sequence"))
+      .limit(1).collect()
+    hit.headOption match {
+      case None => events().limit(0)
+      case Some(r) =>
+        val tx = r.getString(0)
+        if (Ids.singleEventFlag(UUID.fromString(tx))) get(eventId)
+        else events()
+          .where(col("partition_id") === pid && col("transaction_id") === tx &&
+            col("partition_sequence") >= r.getLong(1))
+          .orderBy(col("partition_sequence"))
+    }
+  }
+
   /** ESCAN (`escan.rs`): stream scan by version range, ascending,
     * `count` events max, has_more flag. Default count 100
     * (`escan.rs:138`); start/end inclusive.
@@ -736,6 +762,75 @@ final class EventStore private (
       spark.createDataFrame(
         spark.sparkContext.parallelize(kept.toIndexedSeq, 1), rows.schema),
       hasMore)
+  }
+
+  // ------------------------------------------------------------ read cache
+
+  /** Point-lookup result cache — the command-serving role of the
+    * reference's segment block cache, with the same observable counter
+    * surface (`info.rs:30-113`). Committed events are immutable, so
+    * entries never need invalidation; the cache is byte-bounded LRU.
+    */
+  private val egetCacheMaxBytes = 64L * 1024 * 1024
+  private val egetCache = new java.util.LinkedHashMap[String, Row](64, 0.75f, true)
+  private var egetCacheBytes = 0L
+  private val cacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val cacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private val cacheEvictions = new java.util.concurrent.atomic.AtomicLong
+
+  private def rowBytes(r: Row): Long = {
+    def len(a: Any): Long = a match {
+      case b: Array[Byte] => b.length.toLong
+      case s: String      => s.length.toLong
+      case _              => 8L
+    }
+    64L + r.toSeq.map(len).sum
+  }
+
+  /** EGET through the read cache (hit = no scan at all). */
+  def getCached(eventId: UUID): Option[Row] = {
+    val key = eventId.toString
+    egetCache.synchronized(Option(egetCache.get(key))) match {
+      case some @ Some(_) =>
+        cacheHits.incrementAndGet()
+        some
+      case None =>
+        cacheMisses.incrementAndGet()
+        val row = get(eventId).collect().headOption
+        row.foreach { r =>
+          egetCache.synchronized {
+            egetCacheBytes += rowBytes(r)
+            egetCache.put(key, r)
+            val it = egetCache.entrySet().iterator()
+            while (egetCacheBytes > egetCacheMaxBytes && it.hasNext) {
+              val e = it.next(); it.remove()
+              egetCacheBytes -= rowBytes(e.getValue)
+              cacheEvictions.incrementAndGet()
+            }
+          }
+        }
+        row
+    }
+  }
+
+  /** INFO CACHE counters with the reference's exact key set and
+    * hit_ratio rounding (`info.rs:30-113`). block_size_bytes reports
+    * the parquet row-group target — our IO unit, the role BLOCK_SIZE
+    * plays there.
+    */
+  def cacheInfo: Map[String, Any] = {
+    val h = cacheHits.get(); val m = cacheMisses.get()
+    val ratio =
+      if (h + m > 0) math.round(h.toDouble / (h + m) * 1000.0) / 1000.0 else 0.0
+    egetCache.synchronized(Map(
+      "hits" -> h,
+      "misses" -> m,
+      "hit_ratio" -> ratio,
+      "entries" -> egetCache.size().toLong,
+      "memory_bytes" -> egetCacheBytes,
+      "max_bytes" -> egetCacheMaxBytes,
+      "block_size_bytes" -> 134217728L,
+      "evictions" -> cacheEvictions.get()))
   }
 
   /** ESVER: current max stream version within the stream's partition

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,11 +38,79 @@ object Multimodal {
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms")))
 
+  // ------------------------------------------------- real header decode
+
+  /** PNG: 8-byte signature, then the IHDR chunk fixed at the front —
+    * width is the 4-byte big-endian int at offset 16, height at 20
+    * (PNG spec §5.2/§11.2.2). Pure codegen'd column expressions
+    * (hex/substring/conv), no UDF: header decode runs at scan speed.
+    */
+  val PngMagicHex: String = "89504E470D0A1A0A"
+
+  def isPng(bin: Column): Column =
+    length(bin) >= 24 && hex(substring(bin, 1, 8)) === lit(PngMagicHex)
+
+  def pngWidth(bin: Column): Column =
+    conv(hex(substring(bin, 17, 4)), 16, 10).cast("long")
+
+  def pngHeight(bin: Column): Column =
+    conv(hex(substring(bin, 21, 4)), 16, 10).cast("long")
+
+  /** JPEG: walk the marker segments for a start-of-frame (SOF0-15,
+    * minus the non-frame C4/C8/CC) and read height/width from its
+    * header (JPEG/JFIF B.2.2). Markers are positional, so this is a
+    * scan loop — a (deterministic, null-safe) UDF is the honest tool.
+    */
+  def jpegDimensions(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 8 >= b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private val jpegDimsUdf = udf((b: Array[Byte]) => jpegDimensions(b))
+
+  /** Real header decode: PNG through native expressions, JPEG through
+    * the marker-walk UDF, anything else null dimensions. One narrow
+    * projection, no shuffle. (Full pixel decode — channels, intensity
+    * — still needs a codec library; see decodeStub below.)
+    */
+  def decodeDims(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val jpeg = jpegDimsUdf(b)
+    df.withColumn("img_format",
+        when(isPng(b), lit("png"))
+          .when(jpeg.isNotNull, lit("jpeg"))
+          .otherwise(lit(null).cast(StringType)))
+      .withColumn("img_width",
+        when(isPng(b), pngWidth(b)).otherwise(jpeg.getField("_1").cast("long")))
+      .withColumn("img_height",
+        when(isPng(b), pngHeight(b)).otherwise(jpeg.getField("_2").cast("long")))
+  }
+
   /** STUB decode: deterministic pseudo-features from the raw bytes.
-    * Real implementation decodes the image and emits (width, height,
-    * channels, mean intensity). The stub keeps the exact same
-    * signature, null behavior, and batch shape, so the pipeline around
-    * it is fully testable.
+    * Real implementation decodes the PIXELS and emits (width, height,
+    * channels, mean intensity) — header dimensions are real above
+    * (`decodeDims`); only the pixel statistics remain faked, because no
+    * codec library exists in this container. The stub keeps the exact
+    * same signature, null behavior, and batch shape, so the pipeline
+    * around it is fully testable.
     */
   val decodeStub: Array[Byte] => (Int, Int, Int, Double) = bytes => {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)

@@ -134,6 +134,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rm > 0)
   }
 
+  test("image header decode: PNG native path and JPEG marker walk") {
+    import spark.implicits._
+    def be2(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be4(v: Int) =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be4(13) ++ "IHDR".getBytes ++ be4(640) ++ be4(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val jpeg = Array(0xff, 0xd8).map(_.toByte) ++
+      Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte) ++ // APP0
+      Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte) ++       // SOF0
+      be2(480) ++ be2(640) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+      Array(0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.jpegDimensions(jpeg).contains((640, 480)))
+    assert(Multimodal.jpegDimensions(png).isEmpty)
+    val out = Multimodal.decodeDims(
+        Seq((1L, png), (2L, jpeg), (3L, "junk".getBytes)).toDF("id", "payload"),
+        "payload")
+      .orderBy("id").select("img_format", "img_width", "img_height").collect()
+    assert(out(0).toSeq == Seq("png", 640L, 480L))
+    assert(out(1).toSeq == Seq("jpeg", 640L, 480L))
+    assert(out(2).toSeq == Seq(null, null, null))
+  }
+
   test("multimodal: decode stub + frame sampling preserve shape contracts") {
     import spark.implicits._
     val df = Seq(("a", "hello world payload"), ("b", ""), ("c", "xyz"))
