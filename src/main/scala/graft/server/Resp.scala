@@ -1,0 +1,107 @@
+package graft.server
+
+import java.io.{DataInputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** RESP3 wire codec — the subset the reference speaks
+  * (`crates/sierradb-server/src/server.rs:142-231` uses the redis
+  * `resp3` crate; frames observed on its wire: simple string/error,
+  * blob string, number, double, boolean, null, array, map, push).
+  * Requests are arrays of blob strings; responses are any frame.
+  */
+object Resp {
+
+  sealed trait Frame
+  final case class SimpleStr(s: String) extends Frame
+  final case class SimpleErr(s: String) extends Frame
+  final case class Blob(bytes: Array[Byte]) extends Frame {
+    def utf8: String = new String(bytes, UTF_8)
+    // structural equality: Array[Byte] in a case class compares by
+    // reference otherwise
+    override def equals(o: Any): Boolean = o match {
+      case b: Blob => java.util.Arrays.equals(bytes, b.bytes)
+      case _       => false
+    }
+    override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+  }
+  final case class Num(v: Long) extends Frame
+  final case class Dbl(v: Double) extends Frame
+  final case class Bool(v: Boolean) extends Frame
+  case object NullF extends Frame
+  final case class ArrayF(items: Seq[Frame]) extends Frame
+  final case class MapF(entries: Seq[(Frame, Frame)]) extends Frame
+  final case class PushF(items: Seq[Frame]) extends Frame
+
+  def blob(s: String): Blob = Blob(s.getBytes(UTF_8))
+
+  // ------------------------------------------------------------- encode
+
+  def encode(f: Frame, out: OutputStream): Unit = {
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    f match {
+      case SimpleStr(s) => w(s"+$s\r\n")
+      case SimpleErr(s) => w(s"-$s\r\n")
+      case Blob(b)      => w(s"$$${b.length}\r\n"); out.write(b); w("\r\n")
+      case Num(v)       => w(s":$v\r\n")
+      case Dbl(v)       => w(s",$v\r\n")
+      case Bool(v)      => w(if (v) "#t\r\n" else "#f\r\n")
+      case NullF        => w("_\r\n")
+      case ArrayF(xs)   => w(s"*${xs.length}\r\n"); xs.foreach(encode(_, out))
+      case PushF(xs)    => w(s">${xs.length}\r\n"); xs.foreach(encode(_, out))
+      case MapF(es) =>
+        w(s"%${es.length}\r\n")
+        es.foreach { case (k, v) => encode(k, out); encode(v, out) }
+    }
+  }
+
+  // ------------------------------------------------------------- decode
+
+  /** Blocking frame read; throws EOFException at clean end-of-stream. */
+  def decode(in: InputStream): Frame = {
+    val din = in match {
+      case d: DataInputStream => d
+      case other              => new DataInputStream(other)
+    }
+    readFrame(din)
+  }
+
+  private def readFrame(in: DataInputStream): Frame = {
+    val t = in.read()
+    if (t < 0) throw new EOFException()
+    t.toChar match {
+      case '+' => SimpleStr(readLine(in))
+      case '-' => SimpleErr(readLine(in))
+      case ':' => Num(readLine(in).toLong)
+      case ',' => Dbl(readLine(in).toDouble)
+      case '#' => val b = readLine(in); Bool(b == "t")
+      case '_' => readLine(in); NullF
+      case '$' =>
+        val n = readLine(in).toInt
+        if (n < 0) NullF
+        else {
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          readLine(in) // trailing CRLF
+          Blob(buf)
+        }
+      case '*' => ArrayF(Seq.fill(readLine(in).toInt)(readFrame(in)))
+      case '>' => PushF(Seq.fill(readLine(in).toInt)(readFrame(in)))
+      case '%' =>
+        MapF(Seq.fill(readLine(in).toInt)((readFrame(in), readFrame(in))))
+      case other =>
+        throw new java.io.IOException(s"unsupported RESP type byte: '$other'")
+    }
+  }
+
+  private def readLine(in: DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new EOFException()
+      sb.append(c.toChar)
+      c = in.read()
+    }
+    require(in.read() == '\n', "malformed RESP line terminator")
+    sb.toString
+  }
+}

@@ -1,0 +1,140 @@
+package graft.server
+
+import java.net.Socket
+import java.nio.file.Files
+
+import graft.api.EventStore
+import graft.server.Resp._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end walk of all 13 wire commands over a real TCP socket,
+  * in the style of the reference's comprehensive client test
+  * (`crates/sierradb-client/examples/comprehensive_test.rs`).
+  */
+class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val es =
+    EventStore.open(spark, Files.createTempDirectory("graft-srv-").toString, 8)
+  private lazy val server = new RespServer(es).start()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    spark.stop()
+  }
+
+  /** tiny RESP3 client */
+  private final class Client {
+    private val sock = new Socket("127.0.0.1", server.localPort)
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    private val in = new java.io.BufferedInputStream(sock.getInputStream)
+    def call(args: String*): Frame = {
+      Resp.encode(ArrayF(args.map(blob)), out)
+      out.flush()
+      Resp.decode(in)
+    }
+    def read(): Frame = Resp.decode(in)
+    def close(): Unit = sock.close()
+  }
+
+  private def asMap(f: Frame): Map[String, Frame] = f match {
+    case MapF(es) => es.map { case (k, v) =>
+      (k match { case b: Blob => b.utf8; case SimpleStr(s) => s; case o => o.toString }) -> v
+    }.toMap
+    case other => fail(s"expected map frame, got $other")
+  }
+
+  test("all 13 commands round-trip over a real socket") {
+    val c = new Client
+
+    // HELLO / PING
+    assert(c.call("HELLO", "2") == SimpleErr("NOPROTO unsupported protocol version"))
+    val hello = asMap(c.call("HELLO", "3"))
+    assert(hello("proto") == blob("3"))
+    assert(c.call("PING") == SimpleStr("PONG"))
+
+    // EAPPEND
+    val a1 = asMap(c.call("EAPPEND", "wire-s", "Created", "PAYLOAD", "hello"))
+    assert(a1("stream_version") == Num(0))
+    val eventId = a1("event_id").asInstanceOf[Blob].utf8
+    asMap(c.call("EAPPEND", "wire-s", "Updated"))
+
+    // EMAPPEND (atomic multi-event)
+    val pk = graft.core.Ids.partitionKeyForStream("wire-m").toString
+    val m = asMap(c.call("EMAPPEND", pk, "wire-m", "A", "wire-m", "B"))
+    assert(m("events").asInstanceOf[ArrayF].items.size == 2)
+    val firstTxEvent = asMap(m("events").asInstanceOf[ArrayF].items.head)
+    val txEventId = firstTxEvent("event_id").asInstanceOf[Blob].utf8
+
+    // EGET + EGET TRANSACTION
+    val got = asMap(c.call("EGET", eventId))
+    assert(got("stream_id") == blob("wire-s"))
+    assert(got("event_name") == blob("Created"))
+    assert(got("payload") == blob("hello"))
+    assert(c.call("EGET", java.util.UUID.randomUUID().toString) == NullF)
+    val tx = c.call("EGET", txEventId, "TRANSACTION").asInstanceOf[ArrayF]
+    assert(tx.items.size == 2)
+    assert(asMap(tx.items.head)("event_name") == blob("A"))
+
+    // ESCAN (range grammar + has_more)
+    val scan = asMap(c.call("ESCAN", "wire-s", "-", "+", "COUNT", "1"))
+    assert(scan("has_more") == Bool(true))
+    assert(scan("events").asInstanceOf[ArrayF].items.size == 1)
+    assert(c.call("ESCAN", "wire-s", "+", "-").isInstanceOf[SimpleErr])
+
+    // EPSCAN by partition-key uuid
+    val pscan = asMap(c.call("EPSCAN", pk, "-", "+"))
+    assert(pscan("events").asInstanceOf[ArrayF].items.size >= 2)
+
+    // ESVER / EPSEQ
+    assert(c.call("ESVER", "wire-s") == Num(1))
+    assert(c.call("ESVER", "no-such-stream") == NullF)
+    assert(c.call("EPSEQ", pk).isInstanceOf[Num])
+
+    // INFO CACHE (reference key set) — the EGETs above moved counters
+    val info = asMap(c.call("INFO", "CACHE"))
+    assert(info.keySet == Set("hits", "misses", "hit_ratio", "entries",
+      "memory_bytes", "max_bytes", "block_size_bytes", "evictions"))
+    assert(info("misses").asInstanceOf[Num].v >= 1)
+
+    // EACK
+    assert(c.call("EACK", "some-sub", "42") == SimpleStr("OK"))
+
+    // unknown command → error, never a hang
+    assert(c.call("NOSUCH").isInstanceOf[SimpleErr])
+    c.close()
+  }
+
+  test("ESUB pushes live events as RESP3 push frames") {
+    val c = new Client
+    (1 to 3).foreach(i => asMap(c.call("EAPPEND", "push-s", s"H$i")))
+    val subId = c.call("ESUB", "push-s", "FROM", "0") match {
+      case SimpleStr(s) => s
+      case other        => fail(s"expected subscription id, got $other")
+    }
+    // history catch-up arrives as push frames [message, subId, cursor, event]
+    val pushes = (1 to 3).map(_ => c.read())
+    pushes.zipWithIndex.foreach { case (p, i) =>
+      val PushF(Seq(SimpleStr("message"), SimpleStr(id), Num(cursor), ev)) = p
+      assert(id == subId)
+      assert(cursor == i.toLong)
+      assert(asMap(ev)("event_name") == blob(s"H${i + 1}"))
+    }
+    // live tail: a new append flows through the same socket
+    val c2 = new Client
+    asMap(c2.call("EAPPEND", "push-s", "Live"))
+    c2.close()
+    val PushF(Seq(_, _, Num(liveCursor), liveEv)) = c.read()
+    assert(liveCursor == 3L)
+    assert(asMap(liveEv)("event_name") == blob("Live"))
+    c.close()
+  }
+}
