@@ -70,14 +70,18 @@ object Bench {
     }
 
     // 3. subscription catch-up: deliver one stream's full history
-    //    through the streaming source
+    //    through the streaming source. WINDOW is a per-client pacing
+    //    control (default 1000 = at most 1000 unacked in flight); bulk
+    //    catch-up throughput is measured with a bulk-sized window, the
+    //    setting a backfill consumer would use.
     results("esub_catchup") = time {
       try {
         val es = StoreProvider.storeFor(spark, sfDir)
         import graft.streaming.Subscriptions._
         val n = new java.util.concurrent.atomic.AtomicLong()
         val q = deliver(
-          subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0)),
+          subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0),
+            window = 50000),
           java.nio.file.Files.createTempDirectory("bench-ck-").toString,
           byStream = true)(rows => n.addAndGet(rows.size))
         q.processAllAvailable()

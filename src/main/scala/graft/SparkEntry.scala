@@ -564,21 +564,28 @@ object SparkEntry {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared CTE chain ending in `fp(doc_id, simhash)` — 16-bit simhash
-    * fingerprints, mirroring Dedup.simhash exactly.
+  /** Shared CTE chain ending in `fp(doc_id, simhash)` — `bits`-wide
+    * simhash fingerprints, mirroring Dedup.simhash exactly: unigram
+    * tokens, or word 3-shingles when `shingled` (the discriminative
+    * feature space simhashPairs uses).
     */
-  private def simhashCte: String = {
-    val bits = 16
+  private def simhashCte(bits: Int, shingled: Boolean = false): String = {
     val hexHigh = "('8','9','a','b','c','d','e','f')"
     val sums = (1 to bits).map(i =>
       s"sum(CASE WHEN substr(th, $i, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$i")
       .mkString(",\n    ")
     val concatBits = (1 to bits).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
-    s"""toks AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-       |  FROM documents),
-       |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
+    val hashed =
+      if (shingled)
+        s"""$shinglesCte,
+           |hashed AS (SELECT id AS doc_id, md5(sh) AS th FROM sh)""".stripMargin
+      else
+        """toks AS (
+          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks)""".stripMargin
+    s"""$hashed,
        |sums AS (
        |  SELECT doc_id,
        |    $sums
@@ -587,17 +594,18 @@ object SparkEntry {
   }
 
   private def simhashOracle: String =
-    s"""WITH $simhashCte
+    s"""WITH ${simhashCte(16)}
        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
 
-  /** All-pairs hamming over the fingerprints — the banded Spark path is
-    * exact for distance <= bands-1, so the oracle can brute-force.
+  /** All-pairs hamming over the 32-bit shingled fingerprints — the
+    * banded Spark path is exact for distance <= bands-1, so the oracle
+    * can brute-force.
     */
   private def simhashPairsOracle: String = {
-    val ham = (1 to 16).map(i =>
+    val ham = (1 to 32).map(i =>
       s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $simhashCte
+    s"""WITH ${simhashCte(32, shingled = true)}
        |SELECT x.doc_id AS a, y.doc_id AS b, CAST($ham AS BIGINT) AS hamming
        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
        |WHERE $ham <= 3

@@ -353,10 +353,12 @@ final class EventStore private (
       .groupBy($"stream_id", $"partition_key", $"partition_id")
       .agg(max($"stream_version").as("version"), max($"partition_sequence").as("ps"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newWm = rollup.groupBy($"partition_id").agg(max($"ps").as("wm"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wmStats = rollup.groupBy($"partition_id")
+      .agg(max($"ps").as("wm"), count(lit(1)).as("nheads"))
+      .collect()
+    val newWm = wmStats.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = newWm.map { case (k, nw) => nw - wmMap.getOrElse(k, -1L) }.sum
-    val headCount = rollup.count()
+    val headCount = wmStats.map(_.getLong(2)).sum
     val withTag = (st: ManifestState) => st.copy(
       streamBatchIds = batchTag.fold(st.streamBatchIds) { case (ck, id) =>
         st.streamBatchIds.updated(ck, id)

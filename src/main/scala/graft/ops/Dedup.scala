@@ -143,17 +143,29 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** SimHash fingerprint (16-bit here; width configurable by `bits`,
-    * max 32 with md5-hex weighting). Per token, bit i's weight is +1 if
-    * the i-th hex digit of the token hash is ≥ 8 else -1; the
-    * fingerprint bit is 1 if the summed weight over distinct tokens is
-    * positive. One aggregation, `bits` sum() columns.
+  /** SimHash fingerprint (16-bit default; width configurable by
+    * `bits`, max 32 with md5-hex weighting). Per feature, bit i's
+    * weight is +1 if the i-th hex digit of the feature hash is ≥ 8
+    * else -1; the fingerprint bit is 1 if the summed weight over
+    * distinct features is positive. One aggregation, `bits` sum()
+    * columns.
+    *
+    * `shingleK` picks the feature space: 0/1 = unigram tokens (cheap,
+    * measures vocabulary overlap — documents from one template all
+    * look alike); k >= 2 = word k-shingles (phrase-level, the
+    * discriminative choice for near-dup detection — random pairs land
+    * at hamming ≈ bits/2 instead of clustering near 0).
     */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val tokens = df
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .distinct()
-      .withColumn("th", md5(col("tok").cast("binary")))
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16,
+      shingleK: Int = 0): DataFrame = {
+    require(bits <= 32, "md5-hex weighting supports at most 32 bits")
+    val features =
+      if (shingleK <= 1)
+        df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+          .distinct()
+      else wordShingles(df, textCol, idCol, shingleK)
+        .select(col("id"), col("sh").as("tok"))
+    val tokens = features.withColumn("th", md5(col("tok").cast("binary")))
     val bitSums = (1 to bits).map(i =>
       sum(when(substring(col("th"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"s$i"))
@@ -177,27 +189,40 @@ object Dedup {
     * `maxDistance <= bands - 1` this is EXACT (same result as the
     * all-pairs scan), while the join only expands same-band buckets.
     * Verification is `hammingDistance` on the candidate pairs.
+    *
+    * The exactness guarantee couples bucket granularity to fingerprint
+    * width: each band key is `bits/bands` bits, so bucket space per
+    * band is 2^(bits/bands). 16-bit fingerprints give 4-bit bands = 16
+    * buckets — quadratic at any real corpus. Default is therefore
+    * 32-bit SHINGLED fingerprints (8-bit bands; unigram fingerprints
+    * on a shared-vocabulary corpus cluster within hamming ~6 of each
+    * other, so bands stop pruning — shingles spread random pairs to
+    * hamming ≈ bits/2 and banding cuts candidates to ~1% of pairs).
+    * Production at 100 TB widens further (64-128 bit fingerprints,
+    * the standard simhash regime). Candidates travel as (a, b) id
+    * pairs only; fingerprints are re-joined for the verify.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 16, bands: Int = 4, maxDistance: Int = 3): DataFrame = {
+      bits: Int = 32, bands: Int = 4, maxDistance: Int = 3,
+      shingleK: Int = 3): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
     val width = bits / bands
-    val fp = simhash(df, textCol, idCol, bits)
+    val fp = simhash(df, textCol, idCol, bits, shingleK)
     val banded = (0 until bands).map { b =>
       fp.select(col("id"), lit(b).as("band"),
-        substring(col("simhash"), b * width + 1, width).as("bkey"),
-        col("simhash"))
+        substring(col("simhash"), b * width + 1, width).as("bkey"))
     }.reduce(_ unionAll _)
-    val l = banded.select(col("band"), col("bkey"),
-      col("id").as("a"), col("simhash").as("sa"))
-    val r = banded.select(col("band"), col("bkey"),
-      col("id").as("b"), col("simhash").as("sb"))
-    l.join(r, Seq("band", "bkey"))
+    val cand = banded.select(col("band"), col("bkey"), col("id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("b")),
+        Seq("band", "bkey"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .select(col("a"), col("b"))
       .distinct()
+    cand
+      .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
+      .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
       .withColumn("hamming", hammingDistance(col("sa"), col("sb")).cast("long"))
       .where(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming"))

@@ -46,20 +46,30 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1. Distinct
-    * `table` seeds give independent hash tables.
+    * `table` seeds give independent hash tables. The weights depend
+    * only on (table, plane, dim) — CONSTANTS — so they are computed
+    * once on the driver and baked into the plan as literal arrays; an
+    * external SQL oracle recomputes the identical md5 derivation.
     */
-  private def planeWeight(plane: Int, dim: Column, table: Int = 0): Column = {
-    val seed = if (table == 0) s"$plane:" else s"t$table:$plane:"
-    when(substring(md5(concat(lit(seed), dim.cast("string")).cast("binary")), 1, 1)
-      .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)
+  private def planeWeights(planes: Int, table: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      val seed = if (table == 0) s"$p:" else s"t$table:$p:"
+      (1 to dims).map { i =>
+        val d = md.digest((seed + i).getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+      }
+    }
   }
 
-  /** `planes`-bit signature of a vector: bit p = sign(Σ_i w(p,i)·v_i). */
-  def lshBucket(vecCol: Column, planes: Int, table: Int = 0): Column = {
-    val projections = (0 until planes).map { p =>
+  /** `planes`-bit signature of a vector: bit p = sign(Σ_i w(p,i)·v_i).
+    * One fused zip_with/aggregate per plane against a literal weight
+    * vector — zero hashing at runtime, stays in codegen.
+    */
+  def lshBucket(vecCol: Column, planes: Int, table: Int = 0, dims: Int = 64): Column = {
+    val projections = planeWeights(planes, table, dims).map { w =>
       val proj = aggregate(
-        zip_with(vecCol, sequence(lit(1), size(vecCol)),
-          (v, i) => v.cast("double") * planeWeight(p, i, table)),
+        zip_with(vecCol, typedLit(w), (v, wt) => v.cast("double") * wt),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }

@@ -85,6 +85,12 @@ final class GraftEventSource(
   // highest sequence already offered to (or restored by) the engine
   private var cursor: Map[Int, Long] = Map.empty
 
+  // resolved base relation cached per manifest version: the directory
+  // listing + schema resolution happen once per COMMIT, not once per
+  // micro-batch (a throttled catch-up runs many batches over the same
+  // file set)
+  private var relCache: Option[(Long, DataFrame)] = None
+
   override def schema: StructType = EventSchema.schema
 
   private def mergeMax(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
@@ -122,10 +128,19 @@ final class GraftEventSource(
     // (partition_id) last; project back to the declared schema order —
     // the engine maps the streaming relation's attributes to this
     // plan's output POSITIONALLY
-    val df = ColumnBridge.streamingFileRelation(
-        spark, s"$root/events", EventSchema.schema,
-        Map("basePath" -> s"$root/events"))
-      .select(EventSchema.columnNames.map(col): _*)
+    val df = synchronized {
+      val v = Manifest.load(root).map(_.version).getOrElse(-1L)
+      relCache match {
+        case Some((cv, cached)) if cv == v => cached
+        case _ =>
+          val fresh = ColumnBridge.streamingFileRelation(
+              spark, s"$root/events", EventSchema.schema,
+              Map("basePath" -> s"$root/events"))
+            .select(EventSchema.columnNames.map(col): _*)
+          relCache = Some((v, fresh))
+          fresh
+      }
+    }
     if (endV.isEmpty) return df.where(lit(false))
     // (start, end] per partition: exact per-pid CASE bounds, plus simple
     // global bounds parquet pushes into row-group stats pruning

@@ -62,7 +62,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("simhashPairs: banded join equals all-pairs hamming scan") {
     // exact-equivalence claim: for maxDistance <= bands-1, banding
     // loses nothing (pigeonhole) — verify against a brute-force scan
-    val fps = Dedup.simhash(docs, "text", "doc_id")
+    val fps = Dedup.simhash(docs, "text", "doc_id", bits = 32, shingleK = 3)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash"))
     val brute = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
@@ -81,7 +81,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // global buckets, making the bucket self-join all-pairs/64
     def corpus(n: Int): DataFrame = spark.range(n).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(1), lit(16)),
+      transform(sequence(lit(1), lit(64)),
         i => (pmod(hash(col("id") * lit(31) + i), lit(1000)).cast("double") / 500.0 - 1.0)
           .cast("float")).as("embedding"))
     def distinctBuckets(n: Int): Long = corpus(n)
