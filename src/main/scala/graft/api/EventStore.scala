@@ -930,8 +930,31 @@ object EventStore {
       spark, root, st.numPartitions.max(1), st, strictVersioning, maxInlineHeads)
     es.recoverOrphans()
     es.recoverOrphanHeads()
+    register(es)
     es
   }
+
+  // ---- store registry (optimizer rules resolve relations to stores) ----
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, EventStore]()
+
+  private def normalizePath(p: String): String =
+    java.nio.file.Paths.get(p).normalize().toString
+
+  private def register(es: EventStore): Unit =
+    registry.put(normalizePath(s"${es.root}/events"), es)
+
+  /** The open store whose events directory backs this file relation,
+    * if any — how [[graft.plans.HeadLookupRewrite]] proves a scan is a
+    * graft event log (path identity, not column-name guessing).
+    */
+  def registeredFor(
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[EventStore] =
+    fs.location.rootPaths.iterator
+      .map(p => normalizePath(p.toUri.getPath))
+      .flatMap(p => Option(registry.get(p)))
+      .nextOption()
 
   /** heads map key: 36-char uuid prefix + ':' + stream id (fixed-width
     * prefix, safe for any stream id content).

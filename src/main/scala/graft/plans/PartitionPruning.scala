@@ -81,6 +81,7 @@ case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => InjectEventIdPartitionPruning())
+    e.injectOptimizerRule(_ => HeadLookupRewrite())
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction(graft.functions.UuidPartitionHashDescriptor.descriptor)
     e.injectFunction(graft.functions.UuidTimestampMsDescriptor.descriptor)

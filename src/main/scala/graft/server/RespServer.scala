@@ -53,11 +53,22 @@ final class RespServer(es: EventStore, port: Int = 0) {
       } catch { case _: Exception => if (!running) return }
     }
 
+  /** Per-subscription ack-window state (`subscription.rs:441-461`):
+    * `cursor` counts delivered events; delivery BLOCKS while the
+    * unacked gap exceeds the window, and EACK advances `lastAck`.
+    */
+  private final class SubState(val window: Long) {
+    var cursor: Long = 0L
+    var lastAck: Long = -1L
+    @volatile var closed = false
+  }
+
   private def serve(sock: Socket): Unit = {
     val in = new java.io.BufferedInputStream(sock.getInputStream)
     val out = new java.io.BufferedOutputStream(sock.getOutputStream)
     val writeLock = new Object
     val subs = new java.util.ArrayList[StreamingQuery]()
+    val subStates = new java.util.concurrent.ConcurrentHashMap[String, SubState]()
 
     def send(f: Frame): Unit = writeLock.synchronized {
       Resp.encode(f, out)
@@ -76,7 +87,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
               case SimpleStr(s) => s
               case other        => other.toString
             }
-            handle(args, send, subs)
+            handle(args, send, subs, subStates)
           case _ =>
             send(SimpleErr("ERR expected array command"))
         }
@@ -84,6 +95,9 @@ final class RespServer(es: EventStore, port: Int = 0) {
     } catch {
       case _: Exception => () // connection torn down
     } finally {
+      subStates.forEach { (_, st) =>
+        st.synchronized { st.closed = true; st.notifyAll() }
+      }
       subs.forEach(q => try q.stop() catch { case _: Exception => () })
       connections.remove(sock)
       try sock.close() catch { case _: Exception => () }
@@ -93,39 +107,74 @@ final class RespServer(es: EventStore, port: Int = 0) {
   private def handle(
       args: Seq[String],
       send: Frame => Unit,
-      subs: java.util.ArrayList[StreamingQuery]): Unit = args.head match {
-    // subscriptions: reply with the subscription id (simple string,
-    // `esub.rs:234`), then stream push frames as batches commit
-    case "ESUB" | "EPSUB" =>
-      cmd.execute(args) match {
-        case Left(err) => send(SimpleErr(err))
-        case Right(df: org.apache.spark.sql.DataFrame) =>
-          val subId = UUID.randomUUID().toString
-          val byStream = args.head == "ESUB"
-          send(SimpleStr(subId))
-          val ck = java.nio.file.Files
-            .createTempDirectory(s"graft-sub-$subId").toString
-          val q = graft.streaming.Subscriptions.deliver(df, ck, byStream) { rows =>
-            rows.foreach { r =>
-              val cursor =
-                if (byStream) r.getAs[Long]("stream_version")
-                else r.getAs[Long]("partition_sequence")
-              send(PushF(Seq(
-                SimpleStr("message"),
-                SimpleStr(subId),
-                Num(cursor),
-                toFrame(cmd.encodeEvent(r)))))
+      subs: java.util.ArrayList[StreamingQuery],
+      subStates: java.util.concurrent.ConcurrentHashMap[String, SubState]): Unit =
+    args.head match {
+      // subscriptions: reply with the subscription id (simple string,
+      // `esub.rs:234`), then stream push frames as batches commit —
+      // each delivery waits for ack-window room first
+      case "ESUB" | "EPSUB" =>
+        cmd.execute(args) match {
+          case Left(err) => send(SimpleErr(err))
+          case Right(df: org.apache.spark.sql.DataFrame) =>
+            val subId = UUID.randomUUID().toString
+            val byStream = args.head == "ESUB"
+            val window = args.sliding(2).collectFirst {
+              case Seq("WINDOW", w) if w.toLongOption.exists(_ > 0) => w.toLong
+            }.getOrElse(1000L) // `esub.rs:219`
+            val st = new SubState(window)
+            subStates.put(subId, st)
+            send(SimpleStr(subId))
+            val ck = java.nio.file.Files
+              .createTempDirectory(s"graft-sub-$subId").toString
+            val q = graft.streaming.Subscriptions.deliver(df, ck, byStream) { rows =>
+              rows.foreach { r =>
+                // `send_record`: wait until gap <= window (no ack yet →
+                // gap counts from zero), then push and advance cursor
+                val c = st.synchronized {
+                  def gap = if (st.lastAck < 0) st.cursor + 1 else st.cursor - st.lastAck
+                  while (gap > st.window && !st.closed) st.wait(100)
+                  if (st.closed) throw new InterruptedException("subscription closed")
+                  val c0 = st.cursor; st.cursor += 1; c0
+                }
+                send(PushF(Seq(
+                  SimpleStr("message"),
+                  SimpleStr(subId),
+                  Num(c),
+                  toFrame(cmd.encodeEvent(r)))))
+              }
             }
-          }
-          subs.add(q)
-        case Right(other) => send(toFrame(other))
-      }
-    case _ =>
-      cmd.execute(args) match {
-        case Left(err) => send(SimpleErr(err))
-        case Right(v)  => send(toFrame(v))
-      }
-  }
+            subs.add(q)
+          case Right(other) => send(toFrame(other))
+        }
+      // EACK subscription_id cursor: advance the ack window and wake
+      // any delivery blocked on it
+      case "EACK" =>
+        args match {
+          case Seq("EACK", subId, cursorStr) =>
+            (Option(subStates.get(subId)), cursorStr.toLongOption) match {
+              case (Some(st), Some(cur)) =>
+                st.synchronized {
+                  st.lastAck = math.max(st.lastAck, cur)
+                  st.notifyAll()
+                }
+                send(SimpleStr("OK"))
+              case _ =>
+                // unknown subscription / non-numeric cursor: keep the
+                // facade's lenient OK/ERR behavior
+                cmd.execute(args) match {
+                  case Left(e)  => send(SimpleErr(e))
+                  case Right(v) => send(toFrame(v))
+                }
+            }
+          case _ => send(SimpleErr("ERR EACK requires subscription_id cursor"))
+        }
+      case _ =>
+        cmd.execute(args) match {
+          case Left(err) => send(SimpleErr(err))
+          case Right(v)  => send(toFrame(v))
+        }
+    }
 
   /** Command-result value → RESP3 frame (the encode_event field maps
     * become RESP maps with blob-string keys, like `request.rs:798-812`).

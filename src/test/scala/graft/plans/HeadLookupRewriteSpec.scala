@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The max(stream_version) → manifest head-lookup rewrite: fires only
+  * on provably-clamp-shaped filters over a registered event log, and
+  * always returns exactly what the scan would.
+  */
+class HeadLookupRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val es = {
+    val store = graft.api.EventStore.open(spark,
+      java.nio.file.Files.createTempDirectory("graft-hlr-").toString, 8)
+    (1 to 5).foreach(_ => store.append(graft.core.EventInput("hl-a", "E")))
+    (1 to 2).foreach(_ => store.append(graft.core.EventInput("hl-b", "E")))
+    store
+  }
+
+  private def maxVer(df: org.apache.spark.sql.DataFrame) =
+    df.agg(max(col("stream_version")).as("head"))
+
+  private def usesScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+
+  test("clamp-only filter answers from the manifest, no scan") {
+    val q = maxVer(es.events().where(col("stream_id") === "hl-a"))
+    assert(!usesScan(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().head.getLong(0) == 4L)
+    assert(q.collect().head.getLong(0) == es.sver("hl-a").get)
+  }
+
+  test("absent stream rewrites to the NULL the scan would produce") {
+    val q = maxVer(es.events().where(col("stream_id") === "no-such"))
+    assert(!usesScan(q))
+    assert(q.collect().head.isNullAt(0))
+  }
+
+  test("explicit consistent partition_key still rewrites") {
+    val pk = graft.core.Ids.partitionKeyForStream("hl-b")
+    val q = maxVer(es.events()
+      .where(col("stream_id") === "hl-b" && col("partition_key") === pk.toString))
+    assert(!usesScan(q))
+    assert(q.collect().head.getLong(0) == 1L)
+  }
+
+  test("extra user predicates disable the rewrite (and scan agrees)") {
+    val q = maxVer(es.events()
+      .where(col("stream_id") === "hl-a" && col("event_name") === "E"))
+    assert(usesScan(q))
+    assert(q.collect().head.getLong(0) == 4L)
+  }
+
+  test("a user-narrowed sequence bound disables the rewrite") {
+    val q = maxVer(es.events()
+      .where(col("stream_id") === "hl-a" && col("partition_sequence") <= 1))
+    assert(usesScan(q))
+    // the narrowed scan sees fewer events — the head would be WRONG here
+    assert(q.collect().head.getLong(0) < es.sver("hl-a").get)
+  }
+
+  test("unregistered parquet with the same columns is untouched") {
+    // copy the files elsewhere: same schema, no registered store
+    val other = java.nio.file.Files.createTempDirectory("graft-hlr-copy-").toString
+    es.events().write.parquet(s"$other/events-copy")
+    val q = maxVer(spark.read.parquet(s"$other/events-copy")
+      .where(col("stream_id") === "hl-a"))
+    assert(usesScan(q))
+    assert(q.collect().head.getLong(0) == 4L)
+  }
+}

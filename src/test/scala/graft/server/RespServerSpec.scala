@@ -42,6 +42,13 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       Resp.decode(in)
     }
     def read(): Frame = Resp.decode(in)
+    /** read with a deadline; None = the server sent nothing */
+    def readWithin(ms: Int): Option[Frame] = {
+      sock.setSoTimeout(ms)
+      try Some(Resp.decode(in))
+      catch { case _: java.net.SocketTimeoutException => None }
+      finally sock.setSoTimeout(0)
+    }
     def close(): Unit = sock.close()
   }
 
@@ -135,6 +142,33 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val PushF(Seq(_, _, Num(liveCursor), liveEv)) = c.read()
     assert(liveCursor == 3L)
     assert(asMap(liveEv)("event_name") == blob("Live"))
+    c.close()
+  }
+
+  test("EACK window: delivery blocks at WINDOW unacked, resumes on ack") {
+    val c = new Client
+    (1 to 5).foreach(i => asMap(c.call("EAPPEND", "ack-s", s"E$i")))
+    val subId = c.call("ESUB", "ack-s", "FROM", "0", "WINDOW", "2") match {
+      case SimpleStr(s) => s
+      case other        => fail(s"expected subscription id, got $other")
+    }
+    // exactly WINDOW events arrive unacked, then the server blocks
+    def cursorOf(f: Frame): Long = f match {
+      case PushF(Seq(_, _, Num(cur), _)) => cur
+      case other                         => fail(s"expected push, got $other")
+    }
+    assert(cursorOf(c.read()) == 0L)
+    assert(cursorOf(c.read()) == 1L)
+    assert(c.readWithin(1500).isEmpty, "third event must wait for an ack")
+    // EACK frees the window: two more flow, then it blocks again. The
+    // +OK reply and the freed pushes may interleave — gather them.
+    val afterAck1 = Seq(c.call("EACK", subId, "1"), c.read(), c.read())
+    assert(afterAck1.contains(SimpleStr("OK")))
+    assert(afterAck1.collect { case p: PushF => cursorOf(p) }.sorted == Seq(2L, 3L))
+    assert(c.readWithin(1500).isEmpty)
+    val afterAck2 = Seq(c.call("EACK", subId, "3"), c.read())
+    assert(afterAck2.contains(SimpleStr("OK")))
+    assert(afterAck2.collect { case p: PushF => cursorOf(p) } == Seq(4L))
     c.close()
   }
 }
