@@ -386,7 +386,7 @@ final class EventStore private (
         else resolveLayers(Seq(inlineHeadsDf() -> 0L, batchDf -> 1L))
       writeHeadsParquet(deltaDf, headsDeltaDir(v))
       rollup.unpersist()
-      headCache.synchronized(headCache.clear())
+      invalidateHeadCache()
       commitState(withTag(state.copy(
         version = v,
         watermarks = wmMap ++ newWm,
@@ -433,21 +433,17 @@ final class EventStore private (
     * parquet deltas under `<root>/_heads/`, folded into a base table.
     * Newer layer wins per (partition_key, stream_id).
     */
-  private val headsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("stream_id",
-      org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("partition_key",
-      org.apache.spark.sql.types.StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("partition_id",
-      org.apache.spark.sql.types.IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("version",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+  private val headsSchema = EventStore.headsParquetSchema
 
   private def headsBaseDir(v: Long) = s"$root/_heads/base-v$v"
   private def headsDeltaDir(v: Long) = s"$root/_heads/delta-v$v"
 
   /** point-lookup cache over the parquet layers (positive + negative);
-    * cleared whenever the layer structure changes (spill/fold)
+    * invalidated whenever the layer structure changes (spill/fold).
+    * Invalidation is a GENERATION bump, not just clear(): a lookup that
+    * started against the old layers must not insert its result after
+    * the structure changed, or the stale entry would survive until the
+    * next spill (and append validation would read it).
     */
   private val headCache =
     new java.util.LinkedHashMap[String, Option[StreamHead]](64, 0.75f, true) {
@@ -455,6 +451,12 @@ final class EventStore private (
           e: java.util.Map.Entry[String, Option[StreamHead]]): Boolean =
         size() > 8192
     }
+  private val headCacheGen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def invalidateHeadCache(): Unit = headCache.synchronized {
+    headCacheGen.incrementAndGet()
+    headCache.clear()
+  }
 
   private def readHeads(dir: String): DataFrame =
     spark.read.schema(headsSchema).parquet(dir)
@@ -502,7 +504,8 @@ final class EventStore private (
       case None =>
         if (snap.headsBase == 0 && snap.headsDeltas.isEmpty) None
         else {
-          val cached = headCache.synchronized(Option(headCache.get(key)))
+          val (cached, gen0) = headCache.synchronized(
+            (Option(headCache.get(key)), headCacheGen.get()))
           cached.getOrElse {
             // one pushed-filter scan over the layers, newest wins —
             // range-sorted files + bloom filters prune to ~one row group
@@ -516,7 +519,10 @@ final class EventStore private (
               .headOption
               .map(r => StreamHead(r.getAs[Long]("version"), pk,
                 r.getAs[Int]("partition_id")))
-            headCache.synchronized(headCache.put(key, hit))
+            headCache.synchronized {
+              // drop the result if a spill/fold happened mid-lookup
+              if (headCacheGen.get() == gen0) headCache.put(key, hit)
+            }
             hit
           }
         }
@@ -541,7 +547,7 @@ final class EventStore private (
           (EventStore.headKeyStream(k), h.partitionKey, h.partitionId, h.version)
         }.toDF("stream_id", "partition_key", "partition_id", "version"),
         headsDeltaDir(v))
-      headCache.synchronized(headCache.clear())
+      invalidateHeadCache()
       commitState(state.copy(
         version = v,
         watermarks = state.watermarks ++ newWm,
@@ -556,22 +562,34 @@ final class EventStore private (
   private def maybeFoldHeads(): Unit =
     if (state.headsDeltas.sizeIs > MaxHeadDeltas) foldHeads()
 
-  /** Fold base + deltas + inline into a fresh base table (the LSM
-    * compaction). Old layer directories become unreferenced and are
-    * removed on next open.
+  /** Fold base + deltas + inline into one layer (the LSM compaction).
+    * If the merged head set fits the inline budget it folds back INTO
+    * the manifest — a small store keeps O(1) map lookups instead of
+    * being permanently demoted to parquet reads. Old layer directories
+    * become unreferenced and are removed on next open.
     */
   private[api] def foldHeads(): Unit = lock.synchronized {
+    if (parquetHeadLayers.isEmpty) return // inline-only: nothing to fold
     val layers = parquetHeadLayers ++
       (if (state.streamHeads.nonEmpty) Seq(inlineHeadsDf() -> Long.MaxValue) else Nil)
-    if (layers.isEmpty) return
-    val v = state.version + 1
-    writeHeadsParquet(resolveLayers(layers), headsBaseDir(v))
-    headCache.synchronized(headCache.clear())
-    commitState(state.copy(
-      version = v,
-      streamHeads = Map.empty,
-      headsBase = v,
-      headsDeltas = Nil))
+    val resolved = resolveLayers(layers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = state.version + 1
+      if (resolved.count() <= maxInlineHeads) {
+        val inline = resolved.collect().map(r =>
+          EventStore.headKey(r.getString(1), r.getString(0)) ->
+            StreamHead(r.getLong(3), r.getString(1), r.getInt(2))).toMap
+        invalidateHeadCache()
+        commitState(state.copy(
+          version = v, streamHeads = inline, headsBase = 0L, headsDeltas = Nil))
+      } else {
+        writeHeadsParquet(resolved, headsBaseDir(v))
+        invalidateHeadCache()
+        commitState(state.copy(
+          version = v, streamHeads = Map.empty, headsBase = v, headsDeltas = Nil))
+      }
+    } finally resolved.unpersist()
   }
 
   /** Range-sorted, bloom-filtered layout: a (stream_id, partition_key)
@@ -801,13 +819,18 @@ final class EventStore private (
         val row = get(eventId).collect().headOption
         row.foreach { r =>
           egetCache.synchronized {
-            egetCacheBytes += rowBytes(r)
-            egetCache.put(key, r)
-            val it = egetCache.entrySet().iterator()
-            while (egetCacheBytes > egetCacheMaxBytes && it.hasNext) {
-              val e = it.next(); it.remove()
-              egetCacheBytes -= rowBytes(e.getValue)
-              cacheEvictions.incrementAndGet()
+            // re-check under the lock: a concurrent miss on the same id
+            // may have filled it — counting its bytes twice would
+            // permanently inflate the budget
+            if (!egetCache.containsKey(key)) {
+              egetCacheBytes += rowBytes(r)
+              egetCache.put(key, r)
+              val it = egetCache.entrySet().iterator()
+              while (egetCacheBytes > egetCacheMaxBytes && it.hasNext) {
+                val e = it.next(); it.remove()
+                egetCacheBytes -= rowBytes(e.getValue)
+                cacheEvictions.incrementAndGet()
+              }
             }
           }
         }
@@ -936,25 +959,85 @@ object EventStore {
 
   // ---- store registry (optimizer rules resolve relations to stores) ----
 
+  /** What a rule may know about a store: its root and geometry. Plain
+    * strings/ints — registering never retains the EventStore instance
+    * (a closed or superseded handle's in-memory state must not answer
+    * queries; the committed truth is always re-read from disk).
+    */
+  final case class RegisteredStore(root: String, numPartitions: Int)
+
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, EventStore]()
+    new java.util.concurrent.ConcurrentHashMap[String, RegisteredStore]()
 
   private def normalizePath(p: String): String =
     java.nio.file.Paths.get(p).normalize().toString
 
   private def register(es: EventStore): Unit =
-    registry.put(normalizePath(s"${es.root}/events"), es)
+    registry.put(normalizePath(s"${es.root}/events"),
+      RegisteredStore(es.root, es.numPartitions))
 
-  /** The open store whose events directory backs this file relation,
-    * if any — how [[graft.plans.HeadLookupRewrite]] proves a scan is a
+  /** The registered store whose events directory backs this file
+    * relation, if any — how the optimizer rules prove a scan is a
     * graft event log (path identity, not column-name guessing).
     */
   def registeredFor(
-      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation): Option[EventStore] =
+      fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation)
+      : Option[RegisteredStore] =
     fs.location.rootPaths.iterator
       .map(p => normalizePath(p.toUri.getPath))
       .flatMap(p => Option(registry.get(p)))
       .nextOption()
+
+  /** Head lookup from ONE on-disk manifest snapshot (layer files are
+    * immutable, so snapshot + layers is a consistent point-in-time
+    * view regardless of which live handle — if any — wrote it). Used
+    * by [[graft.plans.HeadLookupRewrite]]; returns (head version,
+    * watermark of the stream's partition, partition id).
+    */
+  def headFromDisk(
+      spark: SparkSession,
+      reg: RegisteredStore,
+      streamId: String,
+      partitionKey: UUID): Option[(Option[Long], Long, Int)] =
+    Manifest.load(reg.root).map { snap =>
+      val np = if (snap.numPartitions > 0) snap.numPartitions else reg.numPartitions
+      val pid = Ids.partitionIdFor(Ids.partitionHash(partitionKey), np)
+      val key = headKey(partitionKey.toString, streamId)
+      val inline = snap.streamHeads.get(key).map(_.version)
+      val head = inline.orElse {
+        if (snap.headsBase == 0 && snap.headsDeltas.isEmpty) None
+        else {
+          import org.apache.spark.sql.functions.{col, lit}
+          val layers =
+            (if (snap.headsBase > 0)
+              Seq(s"${reg.root}/_heads/base-v${snap.headsBase}" -> 0L)
+            else Nil) ++
+              snap.headsDeltas.map(v => s"${reg.root}/_heads/delta-v$v" -> v)
+          layers.map { case (dir, pri) =>
+            spark.read.schema(headsParquetSchema).parquet(dir)
+              .withColumn("pri", lit(pri))
+          }.reduce(_ unionByName _)
+            .where(col("stream_id") === streamId &&
+              col("partition_key") === partitionKey.toString)
+            .orderBy(col("pri").desc)
+            .limit(1)
+            .collect()
+            .headOption
+            .map(_.getAs[Long]("version"))
+        }
+      }
+      (head, snap.watermark(pid), pid)
+    }
+
+  private[api] val headsParquetSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("stream_id",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("partition_key",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("partition_id",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** heads map key: 36-char uuid prefix + ':' + stream id (fixed-width
     * prefix, safe for any stream id content).

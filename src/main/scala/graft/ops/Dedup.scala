@@ -209,7 +209,11 @@ object Dedup {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
     val width = bits / bands
+    // the fingerprint aggregation (shingle explode + hash + `bits`
+    // sums) is the dominant cost and feeds the band join twice plus
+    // both verify joins — materialize it once
     val fp = simhash(df, textCol, idCol, bits, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = (0 until bands).map { b =>
       fp.select(col("id"), lit(b).as("band"),
         substring(col("simhash"), b * width + 1, width).as("bkey"))

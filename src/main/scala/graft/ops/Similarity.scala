@@ -130,7 +130,10 @@ object Similarity {
     // to the driver is the IVF contract, not a scale hazard
     val cents: Seq[(Any, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol), col(vecCol)).collect().toSeq
-      .map(r => (r.get(0), r.getSeq[Float](1).map(_.toDouble)))
+      .map(r => (r.get(0),
+        // element type is whatever the embedding column holds
+        // (float or double) — don't assume
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
     // nearest centroid per corpus vector: shuffle-free projection
     val assigned = corpus.withColumn("cid",
       element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
@@ -166,8 +169,11 @@ object Similarity {
       tables: Int = 3, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val candidates = (0 until tables).map { t =>
+      // each table's bucketing feeds the size filter and both join
+      // sides — materialize the signatures once per table
       val bucketed = corpus.select(
-        col(idCol).as("id"), lshBucket(col(vecCol), planes, t).as("bucket"))
+          col(idCol).as("id"), lshBucket(col(vecCol), planes, t).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val smallBuckets = bucketed.groupBy(col("bucket"))
         .agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= maxBucket)

@@ -54,8 +54,8 @@ case class HeadLookupRewrite() extends Rule[LogicalPlan] {
     case agg @ Aggregate(Nil, aggExprs, ClampedScan(cond, fs), _)
         if isMaxStreamVersionOnly(aggExprs, agg.child) =>
       EventStore.registeredFor(fs) match {
-        case None     => agg
-        case Some(es) => rewrite(agg, cond, es).getOrElse(agg)
+        case None      => agg
+        case Some(reg) => rewrite(agg, cond, reg).getOrElse(agg)
       }
   }
 
@@ -72,7 +72,7 @@ case class HeadLookupRewrite() extends Rule[LogicalPlan] {
   private def rewrite(
       agg: Aggregate,
       cond: Expression,
-      es: EventStore): Option[LogicalPlan] = {
+      reg: EventStore.RegisteredStore): Option[LogicalPlan] = {
     var streamId: Option[String] = None
     var partitionKey: Option[String] = None
     var partitionId: Option[Int] = None
@@ -102,14 +102,23 @@ case class HeadLookupRewrite() extends Rule[LogicalPlan] {
     val pk =
       try partitionKey.map(UUID.fromString).getOrElse(Ids.partitionKeyForStream(sid))
       catch { case _: IllegalArgumentException => return None }
-    val pid = Ids.partitionIdFor(Ids.partitionHash(pk), es.numPartitions)
+
+    // ONE on-disk manifest snapshot supplies both the watermark the
+    // bounds are checked against and the head value — a handle's
+    // in-memory state could be stale, and reading watermark and head
+    // from different snapshots could return a head the clamped scan
+    // cannot see
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (head, wm, pid) =
+      EventStore.headFromDisk(spark, reg, sid, pk).getOrElse(return None)
+
     // an inconsistent explicit partition_id means the filter matches
     // nothing the head describes — leave the plan alone
     if (partitionId.exists(_ != pid)) return None
 
     // every sequence bound, evaluated at this partition, must admit the
-    // whole committed prefix
-    val wm = es.manifest.watermark(pid)
+    // whole committed prefix OF THIS SNAPSHOT; a query clamped at an
+    // older watermark fails the check and keeps its scan
     val pidAttrSubstituted = (e: Expression) => e.transform {
       case a: AttributeReference if a.name == "partition_id" =>
         Literal(pid, a.dataType)
@@ -125,7 +134,6 @@ case class HeadLookupRewrite() extends Rule[LogicalPlan] {
     }
     if (!boundsOk) return None
 
-    val head = es.sver(sid, Some(pk)) // O(1) inline / one pruned lookup
     val row = InternalRow(head.map(Long.box).orNull)
     Some(LocalRelation(agg.output.map {
       case a: AttributeReference => a

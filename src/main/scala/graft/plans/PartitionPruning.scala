@@ -19,35 +19,51 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the same "route by the hash inside the id, no global index" trick
   * as `read.rs:756-767`).
   *
-  * numPartitions comes from `spark.graft.numPartitions`. The rule is
-  * INERT unless that conf is explicitly set: defaulting it could
-  * disagree with the numPartitions the store was opened with and the
-  * injected conjunct would silently filter out the matching row. It
-  * also only fires on relations carrying the full event-log column
-  * set, not any table that happens to have event_id+partition_id.
+  * numPartitions resolves from the store REGISTRY when the scanned
+  * relation is a registered event log (path identity — the store's
+  * true geometry, no guessing), else from an explicitly-set
+  * `spark.graft.numPartitions` for raw-directory use. With neither,
+  * the rule is inert: a defaulted value could disagree with the
+  * numPartitions the store was opened with and the injected conjunct
+  * would silently filter out the matching row.
   */
 case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
 
-  private def numPartitions: Option[Int] =
+  private def confNumPartitions: Option[Int] =
     Option(conf.getConfString("spark.graft.numPartitions", null))
       .flatMap(_.toIntOption).filter(_ > 0)
+
+  private def numPartitionsFor(child: LogicalPlan): Option[Int] = {
+    val registered = child match {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _, _, _, _) =>
+        graft.api.EventStore.registeredFor(fs).map(_.numPartitions)
+      case _ => None
+    }
+    registered.orElse(confNumPartitions)
+  }
 
   private val eventLogCols =
     Seq("event_id", "partition_id", "partition_sequence", "stream_id", "stream_version")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child)
-        if numPartitions.isDefined &&
-          eventLogCols.forall(c => child.output.exists(_.name == c)) &&
+        if eventLogCols.forall(c => child.output.exists(_.name == c)) &&
           !mentionsPartitionId(cond) =>
-      // ONLY top-level conjuncts imply the equality for every surviving
-      // row — an event_id equality under OR/NOT must not pin the scan
-      val pids = conjuncts(cond).flatMap(eventIdLiteral).flatMap(partitionIdOf).distinct
-      pids match {
-        case Seq(pid) =>
-          val pidAttr = child.output.find(_.name == "partition_id").get
-          Filter(And(cond, EqualTo(pidAttr, Literal(pid, IntegerType))), child)
-        case _ => f
+      numPartitionsFor(child) match {
+        case None => f
+        case Some(np) =>
+          // ONLY top-level conjuncts imply the equality for every
+          // surviving row — an event_id equality under OR/NOT must not
+          // pin the scan
+          val pids = conjuncts(cond).flatMap(eventIdLiteral)
+            .flatMap(partitionIdOf(_, np)).distinct
+          pids match {
+            case Seq(pid) =>
+              val pidAttr = child.output.find(_.name == "partition_id").get
+              Filter(And(cond, EqualTo(pidAttr, Literal(pid, IntegerType))), child)
+            case _ => f
+          }
       }
   }
 
@@ -67,10 +83,10 @@ case class InjectEventIdPartitionPruning() extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def partitionIdOf(v: UTF8String): Option[Int] =
+  private def partitionIdOf(v: UTF8String, np: Int): Option[Int] =
     try {
       val u = java.util.UUID.fromString(v.toString)
-      numPartitions.map(np => Ids.partitionIdFor(Ids.partitionHash(u), np))
+      Some(Ids.partitionIdFor(Ids.partitionHash(u), np))
     } catch { case _: IllegalArgumentException => None }
 }
 

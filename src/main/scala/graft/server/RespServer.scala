@@ -161,10 +161,12 @@ final class RespServer(es: EventStore, port: Int = 0) {
                 send(SimpleStr("OK"))
               case _ =>
                 // unknown subscription / non-numeric cursor: keep the
-                // facade's lenient OK/ERR behavior
+                // facade's lenient OK/ERR behavior (OK is a simple
+                // string by protocol position)
                 cmd.execute(args) match {
-                  case Left(e)  => send(SimpleErr(e))
-                  case Right(v) => send(toFrame(v))
+                  case Left(e)          => send(SimpleErr(e))
+                  case Right(s: String) => send(SimpleStr(s))
+                  case Right(v)         => send(toFrame(v))
                 }
             }
           case _ => send(SimpleErr("ERR EACK requires subscription_id cursor"))
@@ -172,7 +174,11 @@ final class RespServer(es: EventStore, port: Int = 0) {
       case _ =>
         cmd.execute(args) match {
           case Left(err) => send(SimpleErr(err))
-          case Right(v)  => send(toFrame(v))
+          // PING's PONG (and the facade's bare-OK acks) are simple
+          // strings by protocol position, not by VALUE — data fields
+          // that happen to contain "OK"/"PONG" must stay blobs
+          case Right(s: String) => send(SimpleStr(s))
+          case Right(v)         => send(toFrame(v))
         }
     }
 
@@ -182,8 +188,6 @@ final class RespServer(es: EventStore, port: Int = 0) {
   private def toFrame(v: Any): Frame = v match {
     case null | None      => NullF
     case Some(x)          => toFrame(x)
-    case "OK"             => SimpleStr("OK")
-    case "PONG"           => SimpleStr("PONG")
     case s: String        => blob(s)
     case b: Boolean       => Bool(b)
     case i: Int           => Num(i)

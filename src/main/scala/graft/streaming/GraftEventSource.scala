@@ -97,6 +97,10 @@ final class GraftEventSource(
     (a.keySet ++ b.keySet).iterator
       .map(k => k -> math.max(a.getOrElse(k, -1L), b.getOrElse(k, -1L))).toMap
 
+  // rotates the budget-allocation start partition so a hot low
+  // partition cannot starve higher ones across triggers
+  private var allocRotation: Int = 0
+
   override def getOffset: Option[V1Offset] = synchronized {
     val wm = Manifest.load(root).map(_.watermarks.filter(_._2 >= 0)).getOrElse(Map.empty)
     if (wm.isEmpty) return None
@@ -104,7 +108,14 @@ final class GraftEventSource(
       case None => mergeMax(cursor, wm)
       case Some(budget) =>
         var rem = budget
-        val adv = wm.toSeq.sortBy(_._1).map { case (pid, w) =>
+        // fair allocation: start at a different partition each trigger
+        // (a partition ingesting >= budget/trigger would otherwise
+        // consume the whole budget forever in ascending-pid order)
+        val pids = wm.keys.toSeq.sorted
+        allocRotation = if (pids.isEmpty) 0 else (allocRotation + 1) % pids.length
+        val rotated = pids.drop(allocRotation) ++ pids.take(allocRotation)
+        val adv = rotated.map { pid =>
+          val w = wm(pid)
           val lo = cursor.getOrElse(pid, -1L)
           val take = math.max(0L, math.min(w - lo, rem))
           rem -= take
