@@ -511,6 +511,33 @@ object SparkEntry {
             .otherwise(0L)).as("n_routed_ok"))
     }),
 
+    // ESUB surface end-to-end: an ACTUAL subscription (sequence-offset
+    // source, matcher, checkpointed delivery) runs to completion over
+    // two streams' history; the rows the subscriber RECEIVED are the
+    // query result, oracle-checked against a recomputation of exactly
+    // what should have been delivered. Fresh checkpoint per run ⇒
+    // deterministic full catch-up.
+    "es_sub_deliver" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import graft.streaming.Subscriptions._
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+      val q = deliver(
+        subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0),
+          window = 50000),
+        java.nio.file.Files.createTempDirectory("verify-sub-").toString,
+        byStream = true) { rows =>
+        rows.foreach(r => got.add((
+          r.getAs[String]("stream_id"),
+          r.getAs[Long]("stream_version"),
+          r.getAs[String]("event_name"))))
+      }
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.toDF("stream_id", "stream_version", "event_name")
+        .orderBy(col("stream_id"), col("stream_version"))
+    }),
+
     // EPSEQ surface: per-partition watermarks vs an oracle recount
     // through the same stream→partition routing table.
     "es_pseq_watermarks" -> ((s, d) => {
@@ -879,6 +906,14 @@ object SparkEntry {
     "es_routing_check" ->
       """SELECT count(*) AS n_total, count(*) AS n_routed_ok
         |FROM events""".stripMargin,
+
+    "es_sub_deliver" ->
+      """SELECT 'user-' || user_id AS stream_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |    AS stream_version,
+        |  event_type AS event_name
+        |FROM events WHERE user_id IN (42, 7)
+        |ORDER BY stream_id, stream_version""".stripMargin,
 
     "es_pseq_watermarks" ->
       s"""SELECT pid AS partition_id, count(*) - 1 AS watermark
