@@ -69,6 +69,13 @@ final class Commands(es: EventStore) {
     if (r.isEmpty) Left("ERR EMAPPEND requires at least one event") else Right(r)
   }
 
+  /** The WINDOW a subscription command requests (default 1000,
+    * `esub.rs:219`) — the ONE parser for the grammar; the RESP server
+    * uses this for its ack-window state instead of re-scanning args.
+    */
+  def subscriptionWindow(args: Seq[String]): Int =
+    parseSubTail(args.toList).map(_._3).getOrElse(1000)
+
   /** ESUB/EPSUB tail: (id [PARTITION_KEY u])* [FROM LATEST|v|MAP k=v...]
     * [WINDOW n] — MAP consumes k=v tokens until WINDOW or end. Entries
     * keep duplicates: the same stream may be listed under several

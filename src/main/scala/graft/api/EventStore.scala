@@ -305,11 +305,17 @@ final class EventStore private (
     val headsView = headsDf().select(
       $"stream_id", $"partition_key", $"version".as("head_base"))
     val headDf =
-      if (parquetHeadLayers.isEmpty) broadcast(headsView) else headsView
+      if (!hasParquetHeadLayers(state)) broadcast(headsView) else headsView
 
     val wp = Window.partitionBy($"partition_id").orderBy(col(orderCol))
     val ws = Window.partitionBy($"stream_id").orderBy(col(orderCol))
-    val txId = UUID.randomUUID().toString
+    // bulk ingest is semantically MANY single-event transactions, so
+    // each row gets its own transaction id with the single-event flag
+    // SET (read_transaction's short-circuit depends on the flag being
+    // deliberate, not an accident of random variant bits)
+    val newTxId = udf(() =>
+      Ids.withSingleEventFlag(UUID.randomUUID(), flag = true).toString)
+      .asNondeterministic()
 
     val assigned = base
       .join(wmDf, Seq("partition_id"), "left")
@@ -321,7 +327,7 @@ final class EventStore private (
       .withColumn("event_id", newId(
         $"p_hash", $"timestamp_ms",
         (rand() * 4096).cast("int"), (rand() * 7.0368744177664e13).cast("long")))
-      .withColumn("transaction_id", lit(txId))
+      .withColumn("transaction_id", newTxId())
       .withColumn("timestamp_ns", $"timestamp_ms" * lit(1000000L))
       .select(EventSchema.columnNames.map(col): _*)
 
@@ -383,15 +389,15 @@ final class EventStore private (
         .select($"stream_id", $"partition_key", $"partition_id", $"version")
       val deltaDf =
         if (state.streamHeads.isEmpty) batchDf
-        else resolveLayers(Seq(inlineHeadsDf() -> 0L, batchDf -> 1L))
+        else resolveLayers(Seq(inlineHeadsDfOf(state) -> 0L, batchDf -> 1L))
       writeHeadsParquet(deltaDf, headsDeltaDir(v))
       rollup.unpersist()
-      invalidateHeadCache()
       commitState(withTag(state.copy(
         version = v,
         watermarks = wmMap ++ newWm,
         streamHeads = Map.empty,
         headsDeltas = state.headsDeltas :+ v)))
+      invalidateHeadCache() // after the commit (see commitAppend)
       maybeFoldHeads()
     }
     n
@@ -461,19 +467,25 @@ final class EventStore private (
   private def readHeads(dir: String): DataFrame =
     spark.read.schema(headsSchema).parquet(dir)
 
-  private def inlineHeadsDf(): DataFrame =
-    state.streamHeads.toSeq.map { case (k, h) =>
+  private def inlineHeadsDfOf(snap: ManifestState): DataFrame =
+    snap.streamHeads.toSeq.map { case (k, h) =>
       (EventStore.headKeyStream(k), h.partitionKey, h.partitionId, h.version)
     }.toDF("stream_id", "partition_key", "partition_id", "version")
 
-  /** parquet layers oldest-first as (df, priority); inline excluded */
-  private def parquetHeadLayers: Seq[(DataFrame, Long)] = {
-    val snap = state
+  /** parquet layers oldest-first as (df, priority); inline excluded.
+    * Always derive from ONE captured snapshot: re-reading live state
+    * mid-operation races a concurrent fold (layers can vanish between
+    * an emptiness check and the union).
+    */
+  private def parquetHeadLayers(snap: ManifestState): Seq[(DataFrame, Long)] = {
     val base =
       if (snap.headsBase > 0) Seq(readHeads(headsBaseDir(snap.headsBase)) -> 0L)
       else Nil
     base ++ snap.headsDeltas.map(v => readHeads(headsDeltaDir(v)) -> v)
   }
+
+  private def hasParquetHeadLayers(snap: ManifestState): Boolean =
+    snap.headsBase > 0 || snap.headsDeltas.nonEmpty
 
   /** latest-wins merge of head layers (higher priority wins per key) */
   private def resolveLayers(layers: Seq[(DataFrame, Long)]): DataFrame =
@@ -489,9 +501,11 @@ final class EventStore private (
     * (columns: stream_id, partition_key, partition_id, version).
     */
   def headsDf(): DataFrame = {
-    val layers = parquetHeadLayers ++
-      (if (state.streamHeads.nonEmpty || parquetHeadLayers.isEmpty)
-        Seq(inlineHeadsDf() -> Long.MaxValue)
+    val snap = state
+    val parquet = parquetHeadLayers(snap)
+    val layers = parquet ++
+      (if (snap.streamHeads.nonEmpty || parquet.isEmpty)
+        Seq(inlineHeadsDfOf(snap) -> Long.MaxValue)
       else Nil)
     resolveLayers(layers)
   }
@@ -502,14 +516,14 @@ final class EventStore private (
     snap.streamHeads.get(key) match {
       case some @ Some(_) => some
       case None =>
-        if (snap.headsBase == 0 && snap.headsDeltas.isEmpty) None
+        if (!hasParquetHeadLayers(snap)) None
         else {
           val (cached, gen0) = headCache.synchronized(
             (Option(headCache.get(key)), headCacheGen.get()))
           cached.getOrElse {
             // one pushed-filter scan over the layers, newest wins —
             // range-sorted files + bloom filters prune to ~one row group
-            val hit = parquetHeadLayers
+            val hit = parquetHeadLayers(snap)
               .map { case (df, pri) => df.withColumn("pri", lit(pri)) }
               .reduce(_ unionByName _)
               .where($"stream_id" === sid && $"partition_key" === pk)
@@ -547,12 +561,15 @@ final class EventStore private (
           (EventStore.headKeyStream(k), h.partitionKey, h.partitionId, h.version)
         }.toDF("stream_id", "partition_key", "partition_id", "version"),
         headsDeltaDir(v))
-      invalidateHeadCache()
       commitState(state.copy(
         version = v,
         watermarks = state.watermarks ++ newWm,
         streamHeads = Map.empty,
         headsDeltas = state.headsDeltas :+ v))
+      // invalidate AFTER the commit: a lookup racing the window between
+      // bump and commit would otherwise cache an old-layer result under
+      // the new generation
+      invalidateHeadCache()
       maybeFoldHeads()
     }
   }
@@ -569,9 +586,11 @@ final class EventStore private (
     * become unreferenced and are removed on next open.
     */
   private[api] def foldHeads(): Unit = lock.synchronized {
-    if (parquetHeadLayers.isEmpty) return // inline-only: nothing to fold
-    val layers = parquetHeadLayers ++
-      (if (state.streamHeads.nonEmpty) Seq(inlineHeadsDf() -> Long.MaxValue) else Nil)
+    if (!hasParquetHeadLayers(state)) return // inline-only: nothing to fold
+    val layers = parquetHeadLayers(state) ++
+      (if (state.streamHeads.nonEmpty)
+        Seq(inlineHeadsDfOf(state) -> Long.MaxValue)
+      else Nil)
     val resolved = resolveLayers(layers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -580,14 +599,14 @@ final class EventStore private (
         val inline = resolved.collect().map(r =>
           EventStore.headKey(r.getString(1), r.getString(0)) ->
             StreamHead(r.getLong(3), r.getString(1), r.getInt(2))).toMap
-        invalidateHeadCache()
         commitState(state.copy(
           version = v, streamHeads = inline, headsBase = 0L, headsDeltas = Nil))
+        invalidateHeadCache() // after the commit (see commitAppend)
       } else {
         writeHeadsParquet(resolved, headsBaseDir(v))
-        invalidateHeadCache()
         commitState(state.copy(
           version = v, streamHeads = Map.empty, headsBase = v, headsDeltas = Nil))
+        invalidateHeadCache() // after the commit (see commitAppend)
       }
     } finally resolved.unpersist()
   }
@@ -801,7 +820,7 @@ final class EventStore private (
   private def rowBytes(r: Row): Long = {
     def len(a: Any): Long = a match {
       case b: Array[Byte] => b.length.toLong
-      case s: String      => s.length.toLong
+      case s: String      => 40L + s.length.toLong * 2 // on-heap chars
       case _              => 8L
     }
     64L + r.toSeq.map(len).sum
@@ -885,7 +904,7 @@ final class EventStore private (
     * `headsDf()` at scale.
     */
   def streamHeadEntries: Seq[(String, String, Long)] =
-    if (parquetHeadLayers.isEmpty)
+    if (!hasParquetHeadLayers(state))
       state.streamHeads.toSeq.map { case (k, h) =>
         (EventStore.headKeyStream(k), h.partitionKey, h.version)
       }
@@ -894,7 +913,7 @@ final class EventStore private (
 
   /** Number of live (partition_key, stream) head entries. */
   def streamCount: Long =
-    if (parquetHeadLayers.isEmpty) state.streamHeads.size.toLong
+    if (!hasParquetHeadLayers(state)) state.streamHeads.size.toLong
     else headsDf().count()
 
   /** HELLO / INFO surface (`hello.rs:20-57`). */
@@ -988,26 +1007,26 @@ object EventStore {
       .flatMap(p => Option(registry.get(p)))
       .nextOption()
 
-  /** Head lookup from ONE on-disk manifest snapshot (layer files are
+  /** Disk-snapshot view for [[graft.plans.HeadLookupRewrite]]: the
+    * loaded manifest plus every head entry of one stream id ACROSS ALL
+    * partition keys (a bare `stream_id = x` filter matches the stream
+    * under every key, so the rewrite must consider each entry — and
+    * check the clamp at each entry's partition). Layer files are
     * immutable, so snapshot + layers is a consistent point-in-time
-    * view regardless of which live handle — if any — wrote it). Used
-    * by [[graft.plans.HeadLookupRewrite]]; returns (head version,
-    * watermark of the stream's partition, partition id).
+    * view regardless of which live handle — if any — wrote it.
     */
-  def headFromDisk(
+  def headsFromDisk(
       spark: SparkSession,
       reg: RegisteredStore,
-      streamId: String,
-      partitionKey: UUID): Option[(Option[Long], Long, Int)] =
+      streamId: String): Option[(ManifestState, Seq[StreamHead])] =
     Manifest.load(reg.root).map { snap =>
-      val np = if (snap.numPartitions > 0) snap.numPartitions else reg.numPartitions
-      val pid = Ids.partitionIdFor(Ids.partitionHash(partitionKey), np)
-      val key = headKey(partitionKey.toString, streamId)
-      val inline = snap.streamHeads.get(key).map(_.version)
-      val head = inline.orElse {
-        if (snap.headsBase == 0 && snap.headsDeltas.isEmpty) None
+      val inline = snap.streamHeads.collect {
+        case (k, h) if isCompositeHeadKey(k) && headKeyStream(k) == streamId => h
+      }.toSeq
+      val layered =
+        if (snap.headsBase == 0 && snap.headsDeltas.isEmpty) Nil
         else {
-          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.functions.{col, lit, max_by, struct}
           val layers =
             (if (snap.headsBase > 0)
               Seq(s"${reg.root}/_heads/base-v${snap.headsBase}" -> 0L)
@@ -1017,16 +1036,17 @@ object EventStore {
             spark.read.schema(headsParquetSchema).parquet(dir)
               .withColumn("pri", lit(pri))
           }.reduce(_ unionByName _)
-            .where(col("stream_id") === streamId &&
-              col("partition_key") === partitionKey.toString)
-            .orderBy(col("pri").desc)
-            .limit(1)
+            .where(col("stream_id") === streamId)
+            .groupBy(col("partition_key"))
+            .agg(max_by(struct(col("version"), col("partition_id")), col("pri")).as("h"))
             .collect()
-            .headOption
-            .map(_.getAs[Long]("version"))
+            .map(r => StreamHead(
+              r.getStruct(1).getLong(0), r.getString(0), r.getStruct(1).getInt(1)))
+            .toSeq
         }
-      }
-      (head, snap.watermark(pid), pid)
+      // the inline overlay is the newest layer: it wins per key
+      val inlineKeys = inline.map(_.partitionKey).toSet
+      (snap, inline ++ layered.filterNot(h => inlineKeys.contains(h.partitionKey)))
     }
 
   private[api] val headsParquetSchema = org.apache.spark.sql.types.StructType(Seq(

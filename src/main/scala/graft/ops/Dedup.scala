@@ -211,9 +211,11 @@ object Dedup {
     val width = bits / bands
     // the fingerprint aggregation (shingle explode + hash + `bits`
     // sums) is the dominant cost and feeds the band join twice plus
-    // both verify joins — materialize it once
-    val fp = simhash(df, textCol, idCol, bits, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both verify joins — materialize it once. localCheckpoint (not
+    // Dataset.persist): its blocks are reference-tracked and reclaimed
+    // when the result is garbage-collected, so repeated calls in a
+    // long-lived session don't pin cache entries forever.
+    val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
     val banded = (0 until bands).map { b =>
       fp.select(col("id"), lit(b).as("band"),
         substring(col("simhash"), b * width + 1, width).as("bkey"))

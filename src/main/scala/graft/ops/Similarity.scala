@@ -171,9 +171,10 @@ object Similarity {
     val candidates = (0 until tables).map { t =>
       // each table's bucketing feeds the size filter and both join
       // sides — materialize the signatures once per table
+      // (localCheckpoint: blocks are GC-reclaimed, unlike persist)
       val bucketed = corpus.select(
           col(idCol).as("id"), lshBucket(col(vecCol), planes, t).as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val smallBuckets = bucketed.groupBy(col("bucket"))
         .agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= maxBucket)

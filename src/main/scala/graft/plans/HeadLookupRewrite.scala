@@ -1,9 +1,6 @@
 package graft.plans
 
-import java.util.UUID
-
 import graft.api.EventStore
-import graft.core.Ids
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, AttributeReference, EqualTo, Expression, LessThanOrEqual, Literal}
@@ -99,41 +96,50 @@ case class HeadLookupRewrite() extends Rule[LogicalPlan] {
     }
 
     val sid = streamId.getOrElse(return None)
-    val pk =
-      try partitionKey.map(UUID.fromString).getOrElse(Ids.partitionKeyForStream(sid))
-      catch { case _: IllegalArgumentException => return None }
 
-    // ONE on-disk manifest snapshot supplies both the watermark the
-    // bounds are checked against and the head value — a handle's
+    // ONE on-disk manifest snapshot supplies both the watermarks the
+    // bounds are checked against and the head values — a handle's
     // in-memory state could be stale, and reading watermark and head
     // from different snapshots could return a head the clamped scan
-    // cannot see
+    // cannot see. A bare stream_id filter matches the stream under
+    // EVERY partition key, so all of the stream's head entries
+    // participate; an explicit partition_key narrows to one.
     val spark = org.apache.spark.sql.SparkSession.active
-    val (head, wm, pid) =
-      EventStore.headFromDisk(spark, reg, sid, pk).getOrElse(return None)
+    val (snap, allHeads) =
+      EventStore.headsFromDisk(spark, reg, sid).getOrElse(return None)
 
-    // an inconsistent explicit partition_id means the filter matches
-    // nothing the head describes — leave the plan alone
-    if (partitionId.exists(_ != pid)) return None
-
-    // every sequence bound, evaluated at this partition, must admit the
-    // whole committed prefix OF THIS SNAPSHOT; a query clamped at an
-    // older watermark fails the check and keeps its scan
-    val pidAttrSubstituted = (e: Expression) => e.transform {
-      case a: AttributeReference if a.name == "partition_id" =>
-        Literal(pid, a.dataType)
+    val heads = partitionKey match {
+      case Some(pk) => allHeads.filter(_.partitionKey == pk)
+      case None     => allHeads
     }
-    val boundsOk = seqBounds.result().forall { case LessThanOrEqual(_, bound) =>
-      val substituted = pidAttrSubstituted(bound)
-      if (substituted.references.nonEmpty) false
-      else substituted.eval(InternalRow.empty) match {
-        case l: Long => l >= wm
-        case i: Int  => i.toLong >= wm
-        case _       => false
+    val relevant = partitionId match {
+      case Some(p) => heads.filter(_.partitionId == p)
+      case None    => heads
+    }
+
+    // every sequence bound, evaluated at each relevant partition, must
+    // admit that partition's whole committed prefix OF THIS SNAPSHOT;
+    // a query clamped at an older watermark fails the check and keeps
+    // its scan
+    def boundAdmits(pid: Int): Boolean = {
+      val wm = snap.watermark(pid)
+      seqBounds.result().forall { case LessThanOrEqual(_, bound) =>
+        val substituted = bound.transform {
+          case a: AttributeReference if a.name == "partition_id" =>
+            Literal(pid, a.dataType)
+        }
+        if (substituted.references.nonEmpty) false
+        else substituted.eval(InternalRow.empty) match {
+          case l: Long => l >= wm
+          case i: Int  => i.toLong >= wm
+          case _       => false
+        }
       }
     }
-    if (!boundsOk) return None
+    if (!relevant.forall(h => boundAdmits(h.partitionId))) return None
 
+    val head: Option[Long] =
+      if (relevant.isEmpty) None else Some(relevant.map(_.version).max)
     val row = InternalRow(head.map(Long.box).orNull)
     Some(LocalRelation(agg.output.map {
       case a: AttributeReference => a

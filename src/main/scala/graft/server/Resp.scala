@@ -94,14 +94,16 @@ object Resp {
   }
 
   private def readLine(in: DataInputStream): String = {
-    val sb = new StringBuilder
+    // collect raw bytes and decode ONCE as UTF-8 — per-byte toChar
+    // would mojibake any multi-byte content in simple strings/errors
+    val buf = new java.io.ByteArrayOutputStream(32)
     var c = in.read()
     while (c != '\r') {
       if (c < 0) throw new EOFException()
-      sb.append(c.toChar)
+      buf.write(c)
       c = in.read()
     }
     require(in.read() == '\n', "malformed RESP line terminator")
-    sb.toString
+    new String(buf.toByteArray, UTF_8)
   }
 }

@@ -67,7 +67,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
     val in = new java.io.BufferedInputStream(sock.getInputStream)
     val out = new java.io.BufferedOutputStream(sock.getOutputStream)
     val writeLock = new Object
-    val subs = new java.util.ArrayList[StreamingQuery]()
+    val subs = new java.util.ArrayList[(StreamingQuery, java.nio.file.Path)]()
     val subStates = new java.util.concurrent.ConcurrentHashMap[String, SubState]()
 
     def send(f: Frame): Unit = writeLock.synchronized {
@@ -98,16 +98,26 @@ final class RespServer(es: EventStore, port: Int = 0) {
       subStates.forEach { (_, st) =>
         st.synchronized { st.closed = true; st.notifyAll() }
       }
-      subs.forEach(q => try q.stop() catch { case _: Exception => () })
+      subs.forEach { case (q, ck) =>
+        try q.stop() catch { case _: Exception => () }
+        // a subscription's checkpoint dies with its connection — the
+        // dirs would otherwise accumulate one per ESUB forever
+        try deleteRecursively(ck.toFile) catch { case _: Exception => () }
+      }
       connections.remove(sock)
       try sock.close() catch { case _: Exception => () }
     }
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   private def handle(
       args: Seq[String],
       send: Frame => Unit,
-      subs: java.util.ArrayList[StreamingQuery],
+      subs: java.util.ArrayList[(StreamingQuery, java.nio.file.Path)],
       subStates: java.util.concurrent.ConcurrentHashMap[String, SubState]): Unit =
     args.head match {
       // subscriptions: reply with the subscription id (simple string,
@@ -119,15 +129,14 @@ final class RespServer(es: EventStore, port: Int = 0) {
           case Right(df: org.apache.spark.sql.DataFrame) =>
             val subId = UUID.randomUUID().toString
             val byStream = args.head == "ESUB"
-            val window = args.sliding(2).collectFirst {
-              case Seq("WINDOW", w) if w.toLongOption.exists(_ > 0) => w.toLong
-            }.getOrElse(1000L) // `esub.rs:219`
+            // same parser as the command itself — WINDOW is positional
+            // grammar, not any token that happens to spell "WINDOW"
+            val window = cmd.subscriptionWindow(args.tail).toLong
             val st = new SubState(window)
             subStates.put(subId, st)
             send(SimpleStr(subId))
-            val ck = java.nio.file.Files
-              .createTempDirectory(s"graft-sub-$subId").toString
-            val q = graft.streaming.Subscriptions.deliver(df, ck, byStream) { rows =>
+            val ck = java.nio.file.Files.createTempDirectory(s"graft-sub-$subId")
+            val q = graft.streaming.Subscriptions.deliver(df, ck.toString, byStream) { rows =>
               rows.foreach { r =>
                 // `send_record`: wait until gap <= window (no ack yet →
                 // gap counts from zero), then push and advance cursor
@@ -144,7 +153,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
                   toFrame(cmd.encodeEvent(r)))))
               }
             }
-            subs.add(q)
+            subs.add((q, ck))
           case Right(other) => send(toFrame(other))
         }
       // EACK subscription_id cursor: advance the ack window and wake

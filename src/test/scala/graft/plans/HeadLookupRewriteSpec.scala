@@ -58,6 +58,26 @@ class HeadLookupRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().head.getLong(0) == 1L)
   }
 
+  test("bare stream_id aggregates across ALL partition keys, like the scan") {
+    // route the same stream under a second, non-default key with a
+    // HIGHER version than the default key's copy — a rewrite that only
+    // consulted the default key would return the wrong max
+    val customPk = java.util.UUID.randomUUID()
+    (1 to 9).foreach(_ =>
+      es.append(graft.core.EventInput("hl-multi", "E"), Some(customPk)))
+    es.append(graft.core.EventInput("hl-multi", "E")) // default key, v0
+    val q = maxVer(es.events().where(col("stream_id") === "hl-multi"))
+    assert(q.collect().head.getLong(0) == 8L)
+    // and with the explicit key, only that key's head answers
+    val qk = maxVer(es.events().where(col("stream_id") === "hl-multi" &&
+      col("partition_key") === customPk.toString))
+    assert(!usesScan(qk))
+    assert(qk.collect().head.getLong(0) == 8L)
+    val qd = maxVer(es.events().where(col("stream_id") === "hl-multi" &&
+      col("partition_key") === graft.core.Ids.partitionKeyForStream("hl-multi").toString))
+    assert(qd.collect().head.getLong(0) == 0L)
+  }
+
   test("extra user predicates disable the rewrite (and scan agrees)") {
     val q = maxVer(es.events()
       .where(col("stream_id") === "hl-a" && col("event_name") === "E"))
