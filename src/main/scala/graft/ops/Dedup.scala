@@ -158,14 +158,21 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16,
       shingleK: Int = 0): DataFrame = {
-    require(bits <= 32, "md5-hex weighting supports at most 32 bits")
+    // one md5 yields 32 hex digits = 32 weight positions; the
+    // production regime (64-128 bit fingerprints) chains seeded md5s —
+    // digit i of bit b comes from md5("⌊b/32⌋:" + feature)
+    require(bits <= 64, "weighting supports at most 64 bits (2 chained md5s)")
     val features =
       if (shingleK <= 1)
         df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
           .distinct()
       else wordShingles(df, textCol, idCol, shingleK)
         .select(col("id"), col("sh").as("tok"))
-    val tokens = features.withColumn("th", md5(col("tok").cast("binary")))
+    val hash =
+      if (bits <= 32) md5(col("tok").cast("binary"))
+      else concat(md5(col("tok").cast("binary")),
+        md5(concat(lit("1:"), col("tok")).cast("binary")))
+    val tokens = features.withColumn("th", hash)
     val bitSums = (1 to bits).map(i =>
       sum(when(substring(col("th"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
         .otherwise(-1)).as(s"s$i"))

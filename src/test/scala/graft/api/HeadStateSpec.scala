@@ -87,6 +87,45 @@ class HeadStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxVers.forall(r => r.getAs[Long]("v") == 3L && r.getAs[Long]("n") == 4L))
   }
 
+  test("concurrent readers race spills and folds without stale or crashed lookups") {
+    val dir = Files.createTempDirectory("graft-heads-race-").toString
+    val es = EventStore.open(spark, dir, 4, maxInlineHeads = 2)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    // readers hammer lookups (cache + layer paths) while the writer
+    // spills every ~2 appends and folds past 8 deltas
+    val readers = (0 until 3).map { _ =>
+      val t = new Thread(() => {
+        val rnd = new scala.util.Random(7)
+        while (!stop.get()) {
+          val i = rnd.nextInt(30)
+          try {
+            es.sver(s"race-$i").foreach { v =>
+              if (v != 0L) failures.add(s"race-$i head $v != 0")
+            }
+          } catch {
+            case e: Exception => failures.add(s"lookup threw: $e")
+          }
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    (0 until 30).foreach { i =>
+      assert(es.append(in(s"race-$i")).isRight)
+      if (i % 10 == 9) es.compact()
+    }
+    stop.set(true)
+    readers.foreach(_.join(5000))
+    assert(failures.isEmpty, failures.toString)
+
+    // post-race: every head resolves correctly; optimistic concurrency
+    // still reads the true heads through whatever layers exist
+    (0 until 30).foreach(i => assert(es.sver(s"race-$i") == Some(0L)))
+    assert(es.append(in("race-0", ExpectedVersion.Exact(5))).isLeft)
+    assert(es.append(in("race-0", ExpectedVersion.Exact(0))).isRight)
+  }
+
   test("deltas fold into a base past the threshold and after compact()") {
     val dir = Files.createTempDirectory("graft-heads-").toString
     val es = EventStore.open(spark, dir, 4, maxInlineHeads = 1)

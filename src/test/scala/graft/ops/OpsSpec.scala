@@ -93,6 +93,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(large > small, s"bucket count must grow with corpus: $large <= $small")
   }
 
+  test("64-bit simhash: wider fingerprints, same near-dup structure") {
+    val fp64 = Dedup.simhash(docs, "text", "doc_id", bits = 64, shingleK = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    assert(fp64.values.forall(_.length == 64))
+    // first 32 bits must equal the 32-bit fingerprint (same hash chain)
+    val fp32 = Dedup.simhash(docs, "text", "doc_id", bits = 32, shingleK = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    fp32.foreach { case (id, f) => assert(fp64(id).startsWith(f)) }
+  }
+
   test("salted dedup equals unsalted dedup exactly") {
     val plain = Dedup.exact(docs, "text", "doc_id")
       .orderBy("fp").collect().map(_.toSeq).toSeq
