@@ -455,6 +455,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split by md5 bucket — stable across
+    // runs/engines/layouts, zero shuffle (pure projection).
+    "curation_hash_split" -> ((s, d) =>
+      graft.ops.Curation.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 9000, "val" -> 9500, "test" -> 10000))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: corpus docs sharing any word 8-gram
+    // with the benchmark set (doc_id < 10 here) — the n-gram-overlap
+    // contamination test; shuffle on shingles, never document pairs.
+    "curation_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Curation.contaminated(
+          docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+          "text", "doc_id", n = 8)
+        .select(col("id").as("doc_id"), col("n_hits"), col("first_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Symmetric int8 embedding quantization: per-vector scale + code
+    // sum + reconstruction-error profile (floor-based rounding so both
+    // engines agree bit-for-bit).
+    "curation_quantize_int8" -> ((s, d) =>
+      graft.ops.Curation.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          expr("aggregate(codes, 0L, (acc, v) -> acc + v)").as("code_sum"),
+          col("max_abs_err"))
+        .orderBy(col("vec_id"))),
+
     // --- engine-backed queries: the EAPPEND/ingest write path and the
     // --- command read surface running through the real EventStore
     // --- (partitioned parquet log + manifest watermark), oracle-checked
@@ -856,7 +887,62 @@ object SparkEntry {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB lacks conv(): 4-hex-digit value via digit positions. */
+  private def sqlHexBucket(expr: String): String = {
+    def digit(i: Int) = s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)"
+    s"(4096 * ${digit(1)} + 256 * ${digit(2)} + 16 * ${digit(3)} + ${digit(4)})"
+  }
+
+  private def hashSplitOracle: String = {
+    val bucket = s"(${sqlHexBucket("md5('split:' || doc_id)")} % 10000)"
+    s"""SELECT doc_id, CAST($bucket AS BIGINT) AS bucket,
+       |  CASE WHEN $bucket < 9000 THEN 'train'
+       |       WHEN $bucket < 9500 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** word 8-shingles CTE (same static-series construction as the
+    * 3-shingle `shinglesCte`, mirroring Dedup.wordShingles).
+    */
+  private def shingles8Cte(src: String, alias: String): String = {
+    val terms = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""${alias}_t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |$alias AS (
+       |  SELECT DISTINCT doc_id AS id, $terms AS sh
+       |  FROM ${alias}_t, generate_series(1, 65536) s$alias(i)
+       |  WHERE i <= len(t) - 7)""".stripMargin
+  }
+
+  private def decontaminateOracle: String =
+    s"""WITH corpus_docs AS (SELECT * FROM documents WHERE doc_id >= 10),
+       |bench_docs AS (SELECT * FROM documents WHERE doc_id < 10),
+       |${shingles8Cte("corpus_docs", "csh")},
+       |${shingles8Cte("bench_docs", "bsh")},
+       |bench_set AS (SELECT DISTINCT sh FROM bsh)
+       |SELECT c.id AS doc_id, count(*) AS n_hits, min(c.sh) AS first_hit
+       |FROM csh c JOIN bench_set b ON c.sh = b.sh
+       |GROUP BY c.id ORDER BY doc_id""".stripMargin
+
+  private def quantizeOracle: String =
+    s"""WITH flat AS (
+       |  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, 64) t(i)),
+       |m AS (SELECT vec_id, max(abs(v)) AS abs_max FROM flat GROUP BY vec_id),
+       |q AS (
+       |  SELECT f.vec_id, v, abs_max / 127.0 AS scale,
+       |    greatest(-127.0, least(127.0, floor(v / (abs_max / 127.0) + 0.5))) AS code
+       |  FROM flat f JOIN m USING (vec_id))
+       |SELECT vec_id, round(any_value(scale), 9) AS scale,
+       |  CAST(sum(code) AS BIGINT) AS code_sum,
+       |  round(max(abs(v - code * scale)), 9) AS max_abs_err
+       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "curation_hash_split" -> hashSplitOracle,
+    "curation_decontaminate" -> decontaminateOracle,
+    "curation_quantize_int8" -> quantizeOracle,
+
     "dedup_exact_salted" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS dups
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

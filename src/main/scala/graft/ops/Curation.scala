@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mix curation operators: deterministic splits, benchmark
+  * decontamination, and embedding quantization — the steps between
+  * "deduplicated corpus" and "training shards" in an LLM data
+  * pipeline.
+  *
+  * Everything is pure DataFrame transformation with engine-portable
+  * arithmetic (md5 thresholds, floor-based rounding) so an external
+  * SQL oracle reproduces results exactly.
+  */
+object Curation {
+
+  /** Deterministic hash split: a document's bucket in [0, 10000) is the
+    * first 4 hex digits of md5(seed:id) — stable across runs, engines,
+    * and cluster layouts (no RNG, no ordering dependence), the standard
+    * way to carve train/val/test so re-runs and incremental ingests
+    * keep every document on its original side. Zero shuffle: one
+    * projection.
+    */
+  def hashBucket(idCol: Column, seed: String = "split"): Column =
+    pmod(
+      conv(substring(md5(concat(lit(s"$seed:"), idCol.cast("string")).cast("binary")), 1, 4),
+        16, 10).cast("long"),
+      lit(10000L))
+
+  /** Split assignment from per-mille thresholds, e.g.
+    * `Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)` (basis
+    * points of 10000, ascending, last must be 10000).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      thresholds: Seq[(String, Int)], seed: String = "split"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.last._2 == 10000,
+      "thresholds are ascending basis points ending at 10000")
+    val bucket = hashBucket(col(idCol), seed)
+    val assign = thresholds.init.foldRight(
+      lit(thresholds.last._1): Column) { case ((name, hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing ANY word
+    * n-gram with a benchmark/eval set (the standard n-gram-overlap
+    * contamination test). The join key is the n-gram itself — shuffle
+    * is on shingle hashes, never document pairs; benchmark shingle sets
+    * are usually small enough that the join broadcasts.
+    *
+    * Returns (id, n_hits, first_hit) per CONTAMINATED document only.
+    */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val corpusShingles = Dedup.wordShingles(corpus, textCol, idCol, n)
+    val benchShingles = Dedup.wordShingles(benchmark, textCol, idCol, n)
+      .select(col("sh")).distinct()
+    corpusShingles.join(benchShingles, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x| / 127, codes = floor(x/scale + 0.5) clamped to
+    * [-127, 127]. floor(x + 0.5) — not round() — because engines
+    * disagree on round-half semantics and this must be bit-portable.
+    * One projection; emits the quantization-error profile a pipeline
+    * monitors (max abs reconstruction error per vector).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val absMax = aggregate(col(vecCol),
+      lit(0.0), (acc, v) => greatest(acc, abs(v.cast("double"))))
+    val withScale = df.withColumn("abs_max", absMax)
+      .withColumn("scale", col("abs_max") / lit(127.0))
+    val codes = transform(col(vecCol), v =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(v.cast("double") / col("scale") + lit(0.5)))).cast("int"))
+    withScale
+      .withColumn("codes", when(col("abs_max") > 0, codes)
+        .otherwise(transform(col(vecCol), _ => lit(0))))
+      .withColumn("max_abs_err",
+        when(col("abs_max") > 0,
+          round(aggregate(
+            zip_with(col(vecCol), col("codes"),
+              (v, q) => abs(v.cast("double") - q.cast("double") * col("scale"))),
+            lit(0.0), (acc, e) => greatest(acc, e)), 9))
+          .otherwise(lit(0.0)))
+  }
+}

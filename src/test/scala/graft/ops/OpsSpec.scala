@@ -93,6 +93,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(large > small, s"bucket count must grow with corpus: $large <= $small")
   }
 
+  test("curation: stable hash split, planted contamination flagged, int8 roundtrip bounded") {
+    import spark.implicits._
+    val th = Seq("train" -> 9000, "val" -> 9500, "test" -> 10000)
+    def splits() = Curation.hashSplit(docs, "doc_id", th)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits()
+    assert(s1 == splits(), "split must be deterministic")
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+
+    // plant contamination: the benchmark IS one corpus doc's text
+    val donor = docs.where(length(col("text")) > 200).limit(1).collect()(0)
+    val bench = Seq((999999L, donor.getAs[String]("text"))).toDF("doc_id", "text")
+    val flagged = Curation.contaminated(docs, bench, "text", "doc_id", n = 8)
+      .collect().map(_.getAs[Long]("id"))
+    assert(flagged.contains(donor.getAs[Long]("doc_id")))
+
+    // int8 quantization: codes bounded, reconstruction error <= scale/2
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Curation.quantizeInt8(e, "vec_id", "embedding")
+      .select(col("scale"), col("max_abs_err"),
+        expr("aggregate(codes, 127, (acc, v) -> greatest(acc, abs(v)))").as("max_code"))
+      .collect()
+    q.foreach { r =>
+      assert(r.getAs[Int]("max_code") <= 127)
+      assert(r.getAs[Double]("max_abs_err") <= r.getAs[Double]("scale") / 2 + 1e-9)
+    }
+  }
+
   test("64-bit simhash: wider fingerprints, same near-dup structure") {
     val fp64 = Dedup.simhash(docs, "text", "doc_id", bits = 64, shingleK = 3)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
