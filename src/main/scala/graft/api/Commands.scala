@@ -25,7 +25,8 @@ final class Commands(es: EventStore) {
     */
   def execute(args: Seq[String]): Either[String, Any] = args.toList match {
     case "EAPPEND" :: sid :: name :: rest => eappend(sid, name, rest: _*)
-    case "EMAPPEND" :: pk :: rest => parseEmappendEvents(rest).flatMap(emappend(pk, _))
+    case "EMAPPEND" :: pk :: rest =>
+      parseEmappendEvents(rest).flatMap(emappendInputs(pk, _))
     case "EGET" :: id :: Nil => eget(id)
     case "EGET" :: id :: "TRANSACTION" :: Nil => egetTransaction(id)
     case "ESCAN" :: sid :: start :: end :: rest => escan(sid, start, end, rest: _*)
@@ -51,17 +52,48 @@ final class Commands(es: EventStore) {
     case Nil => Left("ERR empty command")
   }
 
-  /** EMAPPEND tail: (stream_id event_name [EXPECTED_VERSION v])+ */
+  /** EMAPPEND tail (`emappend.rs:28`): per event
+    * `stream_id event_name [EVENT_ID u] [EXPECTED_VERSION v]
+    * [TIMESTAMP ms] [PAYLOAD b] [METADATA b]` — each option at most
+    * once per event; a non-keyword token starts the next event.
+    */
+  private val EmappendOptionKeywords =
+    Set("EVENT_ID", "EXPECTED_VERSION", "TIMESTAMP", "PAYLOAD", "METADATA")
+
   private def parseEmappendEvents(
-      args: List[String]): Either[String, Seq[(String, String, Option[String])]] = {
-    val out = Vector.newBuilder[(String, String, Option[String])]
+      args: List[String]): Either[String, Seq[EventInput]] = {
+    val out = Vector.newBuilder[EventInput]
     var rest = args
     while (rest.nonEmpty) {
       rest match {
-        case sid :: name :: "EXPECTED_VERSION" :: v :: tail =>
-          out += ((sid, name, Some(v))); rest = tail
         case sid :: name :: tail =>
-          out += ((sid, name, None)); rest = tail
+          var opts = Map.empty[String, String]
+          var t = tail
+          while (t.nonEmpty && EmappendOptionKeywords.contains(t.head)) {
+            t match {
+              case k :: v :: more =>
+                if (opts.contains(k)) return Left(s"ERR duplicate argument $k")
+                opts += (k -> v); t = more
+              case k :: Nil => return Left(s"ERR missing value for $k")
+            }
+          }
+          val input = for {
+            ev <- opts.get("EXPECTED_VERSION")
+              .map(ExpectedVersion.parse(_).left.map("ERR " + _))
+              .getOrElse(Right(ExpectedVersion.Any))
+            eid <- parseUuidOpt(opts.get("EVENT_ID"))
+            ts <- opts.get("TIMESTAMP")
+              .map(v => v.toLongOption.toRight(s"ERR invalid timestamp: $v").map(Some(_)))
+              .getOrElse(Right(None))
+          } yield EventInput(sid, name,
+            opts.get("PAYLOAD").map(_.getBytes).getOrElse(Array.emptyByteArray),
+            opts.get("METADATA").map(_.getBytes).getOrElse(Array.emptyByteArray),
+            ev, eid, ts)
+          input match {
+            case Left(e)  => return Left(e)
+            case Right(i) => out += i
+          }
+          rest = t
         case _ => return Left("ERR EMAPPEND requires stream_id event_name pairs")
       }
     }
@@ -193,19 +225,25 @@ final class Commands(es: EventStore) {
       "stream_version" -> r.streamVersion,
       "timestamp" -> r.timestampMs)
 
-  /** EMAPPEND partition_key (stream_id event_name [EXPECTED_VERSION v])+ */
+  /** EMAPPEND convenience: (stream_id, event_name, expected_version). */
   def emappend(partitionKey: String,
       events: Seq[(String, String, Option[String])]): Either[String, Map[String, Any]] =
+    events.foldLeft(
+      Right(Vector.empty[EventInput]): Either[String, Vector[EventInput]]) {
+      case (acc, (sid, name, evOpt)) => acc.flatMap { v =>
+        evOpt.map(ExpectedVersion.parse(_).left.map("ERR " + _))
+          .getOrElse(Right(ExpectedVersion.Any))
+          .map(ev => v :+ EventInput(sid, name, expectedVersion = ev))
+      }
+    }.flatMap(emappendInputs(partitionKey, _))
+
+  /** EMAPPEND partition_key (stream_id event_name [EVENT_ID u]
+    * [EXPECTED_VERSION v] [TIMESTAMP ms] [PAYLOAD b] [METADATA b])+
+    */
+  def emappendInputs(partitionKey: String,
+      inputs: Seq[EventInput]): Either[String, Map[String, Any]] =
     for {
       pk <- parseUuid(partitionKey)
-      inputs <- events.foldLeft(
-        Right(Vector.empty[EventInput]): Either[String, Vector[EventInput]]) {
-        case (acc, (sid, name, evOpt)) => acc.flatMap { v =>
-          evOpt.map(ExpectedVersion.parse(_).left.map("ERR " + _))
-            .getOrElse(Right(ExpectedVersion.Any))
-            .map(ev => v :+ EventInput(sid, name, expectedVersion = ev))
-        }
-      }
       r <- es.mappend(pk, inputs)
     } yield Map(
       "partition_key" -> r.partitionKey,

@@ -155,6 +155,29 @@ class CommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(single))
   }
 
+  test("EMAPPEND per-event options: payload/metadata/timestamp/event_id round-trip") {
+    val pk = graft.core.Ids.partitionKeyForStream("opt-s")
+    val eid = graft.core.Ids.newEventId(graft.core.Ids.partitionHash(pk))
+    val r = cmd.execute(Seq("EMAPPEND", pk.toString,
+      "opt-s", "A", "PAYLOAD", "p-one", "METADATA", "m-one",
+      "TIMESTAMP", "1700000000000", "EVENT_ID", eid.toString,
+      "EXPECTED_VERSION", "empty",
+      "opt-s", "B", "PAYLOAD", "p-two"))
+    assert(r.isRight, r)
+    val ids = r.toOption.get.asInstanceOf[Map[String, Any]]("events")
+      .asInstanceOf[Seq[Map[String, Any]]].map(_("event_id").toString)
+    assert(ids.head == eid.toString)
+    val got = cmd.eget(ids.head).toOption.get.get
+    assert(new String(got("payload").asInstanceOf[Array[Byte]]) == "p-one")
+    assert(new String(got("metadata").asInstanceOf[Array[Byte]]) == "m-one")
+    assert(got("timestamp") == 1700000000000L)
+    val got2 = cmd.eget(ids(1)).toOption.get.get
+    assert(new String(got2("payload").asInstanceOf[Array[Byte]]) == "p-two")
+    // duplicate option per event rejected
+    assert(cmd.execute(Seq("EMAPPEND", pk.toString,
+      "opt-s", "C", "PAYLOAD", "x", "PAYLOAD", "y")).isLeft)
+  }
+
   test("string-level execute dispatches every command") {
     val r = cmd.execute(Seq("EAPPEND", "exec-s", "Created", "PAYLOAD", "{}"))
     assert(r.isRight)
