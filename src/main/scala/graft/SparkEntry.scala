@@ -670,14 +670,22 @@ object SparkEntry {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** Shared CTE: distinct word 3-shingles (static series bound — this
-    * DuckDB version lacks lateral generate_series).
+  /** Shared CTE: distinct word k-shingles ending in `alias(id, sh)`
+    * (static series bound — this DuckDB version lacks lateral
+    * generate_series). ONE construction mirrors Dedup.wordShingles for
+    * every shingle width the oracles use.
     */
-  private val shinglesCte: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id AS id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-      |  FROM toks, generate_series(1, 65536) s(i) WHERE i <= len(t) - 2)""".stripMargin
+  private def shinglesCteFor(k: Int, src: String = "documents",
+      alias: String = "sh"): String = {
+    val terms = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""${alias}_t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |$alias AS (
+       |  SELECT DISTINCT doc_id AS id, $terms AS sh
+       |  FROM ${alias}_t, generate_series(1, 65536) s$alias(i)
+       |  WHERE i <= len(t) - ${k - 1})""".stripMargin
+  }
+
+  private def shinglesCte: String = shinglesCteFor(3)
 
   private def minhashLshOracle: String = {
     val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
@@ -902,23 +910,11 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** word 8-shingles CTE (same static-series construction as the
-    * 3-shingle `shinglesCte`, mirroring Dedup.wordShingles).
-    */
-  private def shingles8Cte(src: String, alias: String): String = {
-    val terms = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-    s"""${alias}_t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
-       |$alias AS (
-       |  SELECT DISTINCT doc_id AS id, $terms AS sh
-       |  FROM ${alias}_t, generate_series(1, 65536) s$alias(i)
-       |  WHERE i <= len(t) - 7)""".stripMargin
-  }
-
   private def decontaminateOracle: String =
     s"""WITH corpus_docs AS (SELECT * FROM documents WHERE doc_id >= 10),
        |bench_docs AS (SELECT * FROM documents WHERE doc_id < 10),
-       |${shingles8Cte("corpus_docs", "csh")},
-       |${shingles8Cte("bench_docs", "bsh")},
+       |${shinglesCteFor(8, "corpus_docs", "csh")},
+       |${shinglesCteFor(8, "bench_docs", "bsh")},
        |bench_set AS (SELECT DISTINCT sh FROM bsh)
        |SELECT c.id AS doc_id, count(*) AS n_hits, min(c.sh) AS first_hit
        |FROM csh c JOIN bench_set b ON c.sh = b.sh
@@ -931,11 +927,14 @@ object SparkEntry {
        |m AS (SELECT vec_id, max(abs(v)) AS abs_max FROM flat GROUP BY vec_id),
        |q AS (
        |  SELECT f.vec_id, v, abs_max / 127.0 AS scale,
-       |    greatest(-127.0, least(127.0, floor(v / (abs_max / 127.0) + 0.5))) AS code
+       |    CASE WHEN abs_max > 0
+       |      THEN greatest(-127.0, least(127.0, floor(v / (abs_max / 127.0) + 0.5)))
+       |      ELSE 0.0 END AS code
        |  FROM flat f JOIN m USING (vec_id))
        |SELECT vec_id, round(any_value(scale), 9) AS scale,
        |  CAST(sum(code) AS BIGINT) AS code_sum,
-       |  round(max(abs(v - code * scale)), 9) AS max_abs_err
+       |  CASE WHEN any_value(scale) > 0
+       |    THEN round(max(abs(v - code * scale)), 9) ELSE 0.0 END AS max_abs_err
        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(

@@ -86,8 +86,10 @@ final class Commands(es: EventStore) {
               .map(v => v.toLongOption.toRight(s"ERR invalid timestamp: $v").map(Some(_)))
               .getOrElse(Right(None))
           } yield EventInput(sid, name,
-            opts.get("PAYLOAD").map(_.getBytes).getOrElse(Array.emptyByteArray),
-            opts.get("METADATA").map(_.getBytes).getOrElse(Array.emptyByteArray),
+            opts.get("PAYLOAD").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .getOrElse(Array.emptyByteArray),
+            opts.get("METADATA").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .getOrElse(Array.emptyByteArray),
             ev, eid, ts)
           input match {
             case Left(e)  => return Left(e)
@@ -213,8 +215,10 @@ final class Commands(es: EventStore) {
         .getOrElse(Right(None))
       r <- es.append(
         EventInput(streamId, eventName,
-          o.get("PAYLOAD").map(_.getBytes).getOrElse(Array.emptyByteArray),
-          o.get("METADATA").map(_.getBytes).getOrElse(Array.emptyByteArray),
+          o.get("PAYLOAD").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .getOrElse(Array.emptyByteArray),
+          o.get("METADATA").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .getOrElse(Array.emptyByteArray),
           ev, eid, ts),
         pk)
     } yield Map(

@@ -33,7 +33,8 @@ object Curation {
     */
   def hashSplit(df: DataFrame, idCol: String,
       thresholds: Seq[(String, Int)], seed: String = "split"): DataFrame = {
-    require(thresholds.nonEmpty && thresholds.last._2 == 10000,
+    require(thresholds.nonEmpty && thresholds.last._2 == 10000 &&
+      thresholds.map(_._2) == thresholds.map(_._2).sorted,
       "thresholds are ascending basis points ending at 10000")
     val bucket = hashBucket(col(idCol), seed)
     val assign = thresholds.init.foldRight(

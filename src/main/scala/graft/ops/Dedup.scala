@@ -144,7 +144,8 @@ object Dedup {
   }
 
   /** SimHash fingerprint (16-bit default; width configurable by
-    * `bits`, max 32 with md5-hex weighting). Per feature, bit i's
+    * `bits`, max 64: bits 1-32 weight from md5(feature), bits 33-64
+    * from md5("1:" + feature)). Per feature, bit i's
     * weight is +1 if the i-th hex digit of the feature hash is ≥ 8
     * else -1; the fingerprint bit is 1 if the summed weight over
     * distinct features is positive. One aggregation, `bits` sum()
@@ -158,9 +159,9 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16,
       shingleK: Int = 0): DataFrame = {
-    // one md5 yields 32 hex digits = 32 weight positions; the
-    // production regime (64-128 bit fingerprints) chains seeded md5s —
-    // digit i of bit b comes from md5("⌊b/32⌋:" + feature)
+    // one md5 yields 32 hex digits = 32 weight positions; wider
+    // fingerprints append a seeded second hash (see scaladoc) so the
+    // first 32 bits stay identical to the 32-bit fingerprint
     require(bits <= 64, "weighting supports at most 64 bits (2 chained md5s)")
     val features =
       if (shingleK <= 1)

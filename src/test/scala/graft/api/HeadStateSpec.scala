@@ -95,9 +95,9 @@ class HeadStateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // readers hammer lookups (cache + layer paths) while the writer
     // spills every ~2 appends and folds past 8 deltas
-    val readers = (0 until 3).map { _ =>
+    val readers = (0 until 3).map { idx =>
       val t = new Thread(() => {
-        val rnd = new scala.util.Random(7)
+        val rnd = new scala.util.Random(7 + idx)
         while (!stop.get()) {
           val i = rnd.nextInt(30)
           try {
