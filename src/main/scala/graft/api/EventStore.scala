@@ -312,10 +312,11 @@ final class EventStore private (
     // bulk ingest is semantically MANY single-event transactions, so
     // each row gets its own transaction id with the single-event flag
     // SET (read_transaction's short-circuit depends on the flag being
-    // deliberate, not an accident of random variant bits)
-    val newTxId = udf(() =>
-      Ids.withSingleEventFlag(UUID.randomUUID(), flag = true).toString)
-      .asNondeterministic()
+    // deliberate, not an accident of random variant bits). Built from
+    // rand() inputs, NOT UUID.randomUUID(): SecureRandom serializes on
+    // a lock across all 32 tasks at millions of rows per batch.
+    val newTxId = udf((r1: Long, r2: Long) =>
+      Ids.withSingleEventFlag(new UUID(r1, r2), flag = true).toString)
 
     val assigned = base
       .join(wmDf, Seq("partition_id"), "left")
@@ -327,7 +328,8 @@ final class EventStore private (
       .withColumn("event_id", newId(
         $"p_hash", $"timestamp_ms",
         (rand() * 4096).cast("int"), (rand() * 7.0368744177664e13).cast("long")))
-      .withColumn("transaction_id", newTxId())
+      .withColumn("transaction_id", newTxId(
+        (rand() * Long.MaxValue).cast("long"), (rand() * Long.MaxValue).cast("long")))
       .withColumn("timestamp_ns", $"timestamp_ms" * lit(1000000L))
       .select(EventSchema.columnNames.map(col): _*)
 
