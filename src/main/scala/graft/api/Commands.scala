@@ -16,17 +16,44 @@ import org.apache.spark.sql.Row
   * field maps `encode_event` emits (`request.rs:798-812`), with ms
   * timestamps.
   */
+object Commands {
+  /** One wire argument. Grammar tokens (command names, keywords, ids,
+    * numbers) read through the UTF-8 `text` view; PAYLOAD/METADATA
+    * values read the raw `bytes` — the reference stores both as opaque
+    * `Vec<u8>` (`eappend.rs:55`), so arbitrary binary must survive the
+    * append→read round trip without a lossy String decode in between.
+    */
+  final class Arg(val bytes: Array[Byte]) {
+    lazy val text: String = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+  object Arg {
+    def text(s: String): Arg =
+      new Arg(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
 final class Commands(es: EventStore) {
+  import Commands.Arg
 
   /** String-level dispatch (`Command::try_from`, `request.rs:100-135`):
     * a raw argument array as a RESP client would send it. EACK is
     * accepted and is a no-op acknowledgment — with checkpointed
     * delivery the sink commit IS the ack (`Subscriptions.deliver`).
     */
-  def execute(args: Seq[String]): Either[String, Any] = args.toList match {
-    case "EAPPEND" :: sid :: name :: rest => eappend(sid, name, rest: _*)
-    case "EMAPPEND" :: pk :: rest =>
-      parseEmappendEvents(rest).flatMap(emappendInputs(pk, _))
+  def execute(args: Seq[String]): Either[String, Any] =
+    executeArgs(args.map(Arg.text))
+
+  /** Byte-level dispatch for the RESP server: same grammar, but blob
+    * arguments keep their raw bytes end-to-end so binary payloads are
+    * never corrupted through a UTF-8 replacement-character decode.
+    */
+  def executeRaw(args: Seq[Array[Byte]]): Either[String, Any] =
+    executeArgs(args.map(new Arg(_)))
+
+  private def executeArgs(args: Seq[Arg]): Either[String, Any] = args.map(_.text).toList match {
+    case "EAPPEND" :: sid :: name :: _ => eappendArgs(sid, name, args.drop(3))
+    case "EMAPPEND" :: pk :: _ =>
+      parseEmappendEvents(args.drop(2).toList).flatMap(emappendInputs(pk, _))
     case "EGET" :: id :: Nil => eget(id)
     case "EGET" :: id :: "TRANSACTION" :: Nil => egetTransaction(id)
     case "ESCAN" :: sid :: start :: end :: rest => escan(sid, start, end, rest: _*)
@@ -61,35 +88,33 @@ final class Commands(es: EventStore) {
     Set("EVENT_ID", "EXPECTED_VERSION", "TIMESTAMP", "PAYLOAD", "METADATA")
 
   private def parseEmappendEvents(
-      args: List[String]): Either[String, Seq[EventInput]] = {
+      args: List[Arg]): Either[String, Seq[EventInput]] = {
     val out = Vector.newBuilder[EventInput]
     var rest = args
     while (rest.nonEmpty) {
       rest match {
         case sid :: name :: tail =>
-          var opts = Map.empty[String, String]
+          var opts = Map.empty[String, Arg]
           var t = tail
-          while (t.nonEmpty && EmappendOptionKeywords.contains(t.head)) {
+          while (t.nonEmpty && EmappendOptionKeywords.contains(t.head.text)) {
             t match {
               case k :: v :: more =>
-                if (opts.contains(k)) return Left(s"ERR duplicate argument $k")
-                opts += (k -> v); t = more
-              case k :: Nil => return Left(s"ERR missing value for $k")
+                if (opts.contains(k.text)) return Left(s"ERR duplicate argument ${k.text}")
+                opts += (k.text -> v); t = more
+              case k :: Nil => return Left(s"ERR missing value for ${k.text}")
             }
           }
           val input = for {
             ev <- opts.get("EXPECTED_VERSION")
-              .map(ExpectedVersion.parse(_).left.map("ERR " + _))
+              .map(a => ExpectedVersion.parse(a.text).left.map("ERR " + _))
               .getOrElse(Right(ExpectedVersion.Any))
-            eid <- parseUuidOpt(opts.get("EVENT_ID"))
+            eid <- parseUuidOpt(opts.get("EVENT_ID").map(_.text))
             ts <- opts.get("TIMESTAMP")
-              .map(v => v.toLongOption.toRight(s"ERR invalid timestamp: $v").map(Some(_)))
+              .map(a => a.text.toLongOption.toRight(s"ERR invalid timestamp: ${a.text}").map(Some(_)))
               .getOrElse(Right(None))
-          } yield EventInput(sid, name,
-            opts.get("PAYLOAD").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              .getOrElse(Array.emptyByteArray),
-            opts.get("METADATA").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              .getOrElse(Array.emptyByteArray),
+          } yield EventInput(sid.text, name.text,
+            opts.get("PAYLOAD").map(_.bytes).getOrElse(Array.emptyByteArray),
+            opts.get("METADATA").map(_.bytes).getOrElse(Array.emptyByteArray),
             ev, eid, ts)
           input match {
             case Left(e)  => return Left(e)
@@ -186,11 +211,11 @@ final class Commands(es: EventStore) {
       }
     } yield (s, e)
 
-  private def parseOpts(args: Seq[String]): Either[String, Map[String, String]] = {
-    val m = collection.mutable.Map.empty[String, String]
+  private def parseOpts(args: Seq[Arg]): Either[String, Map[String, Arg]] = {
+    val m = collection.mutable.Map.empty[String, Arg]
     var i = 0
     while (i < args.length) {
-      val k = args(i).toUpperCase
+      val k = args(i).text.toUpperCase
       if (i + 1 >= args.length) return Left(s"ERR missing value for $k")
       if (m.contains(k)) return Left(s"ERR duplicate argument $k")
       m(k) = args(i + 1)
@@ -203,22 +228,24 @@ final class Commands(es: EventStore) {
     * [EXPECTED_VERSION v] [TIMESTAMP ms] [PAYLOAD b] [METADATA b]
     */
   def eappend(streamId: String, eventName: String, opts: String*): Either[String, Map[String, Any]] =
+    eappendArgs(streamId, eventName, opts.map(Arg.text))
+
+  private def eappendArgs(streamId: String, eventName: String,
+      opts: Seq[Arg]): Either[String, Map[String, Any]] =
     for {
       o <- parseOpts(opts)
       ev <- o.get("EXPECTED_VERSION")
-        .map(ExpectedVersion.parse(_).left.map("ERR " + _))
+        .map(a => ExpectedVersion.parse(a.text).left.map("ERR " + _))
         .getOrElse(Right(ExpectedVersion.Any))
-      eid <- parseUuidOpt(o.get("EVENT_ID"))
-      pk <- parseUuidOpt(o.get("PARTITION_KEY"))
+      eid <- parseUuidOpt(o.get("EVENT_ID").map(_.text))
+      pk <- parseUuidOpt(o.get("PARTITION_KEY").map(_.text))
       ts <- o.get("TIMESTAMP")
-        .map(t => t.toLongOption.toRight(s"ERR invalid timestamp: $t").map(Some(_)))
+        .map(a => a.text.toLongOption.toRight(s"ERR invalid timestamp: ${a.text}").map(Some(_)))
         .getOrElse(Right(None))
       r <- es.append(
         EventInput(streamId, eventName,
-          o.get("PAYLOAD").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .getOrElse(Array.emptyByteArray),
-          o.get("METADATA").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .getOrElse(Array.emptyByteArray),
+          o.get("PAYLOAD").map(_.bytes).getOrElse(Array.emptyByteArray),
+          o.get("METADATA").map(_.bytes).getOrElse(Array.emptyByteArray),
           ev, eid, ts),
         pk)
     } yield Map(
@@ -278,9 +305,9 @@ final class Commands(es: EventStore) {
   def escan(streamId: String, start: String, end: String,
       opts: String*): Either[String, Map[String, Any]] =
     for {
-      o <- parseOpts(opts)
+      o <- parseOpts(opts.map(Arg.text))
       r <- parseRange(start, end)
-      pk <- parseUuidOpt(o.get("PARTITION_KEY"))
+      pk <- parseUuidOpt(o.get("PARTITION_KEY").map(_.text))
       count <- parseCount(o)
     } yield {
       val res = es.scan(streamId, r._1, r._2, count, pk)
@@ -292,7 +319,7 @@ final class Commands(es: EventStore) {
   def epscan(partition: String, start: String, end: String,
       opts: String*): Either[String, Map[String, Any]] =
     for {
-      o <- parseOpts(opts)
+      o <- parseOpts(opts.map(Arg.text))
       r <- parseRange(start, end)
       pid <- parsePartition(partition)
       count <- parseCount(o)
@@ -306,8 +333,8 @@ final class Commands(es: EventStore) {
   def esver(streamId: String, opts: String*): Either[String, Option[Long]] =
     for {
       _ <- StreamId.validate(streamId).left.map("ERR " + _)
-      o <- parseOpts(opts)
-      pk <- parseUuidOpt(o.get("PARTITION_KEY"))
+      o <- parseOpts(opts.map(Arg.text))
+      pk <- parseUuidOpt(o.get("PARTITION_KEY").map(_.text))
     } yield es.sver(streamId, pk)
 
   /** EPSEQ partition → sequence or None. */
@@ -360,9 +387,9 @@ final class Commands(es: EventStore) {
 
   // ---------------------------------------------------------------- helpers
 
-  private def parseCount(o: Map[String, String]): Either[String, Int] =
+  private def parseCount(o: Map[String, Arg]): Either[String, Int] =
     o.get("COUNT")
-      .map(c => c.toIntOption.filter(_ > 0).toRight(s"ERR invalid count: $c"))
+      .map(a => a.text.toIntOption.filter(_ > 0).toRight(s"ERR invalid count: ${a.text}"))
       .getOrElse(Right(100)) // default 100 (`escan.rs:138`)
 
   private def parseUuid(s: String): Either[String, UUID] =

@@ -82,12 +82,16 @@ final class RespServer(es: EventStore, port: Int = 0) {
           catch { case _: java.io.EOFException => return }
         frame match {
           case ArrayF(items) if items.nonEmpty =>
-            val args = items.map {
-              case b: Blob      => b.utf8
-              case SimpleStr(s) => s
-              case other        => other.toString
+            // keep the raw blob bytes: PAYLOAD/METADATA are opaque
+            // binary in the reference (`eappend.rs:55`) and a lossy
+            // utf8 decode here would corrupt them before Commands
+            // ever sees them
+            val raw = items.map {
+              case b: Blob      => b.bytes
+              case SimpleStr(s) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              case other        => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             }
-            handle(args, send, subs, subStates)
+            handle(raw, send, subs, subStates)
           case _ =>
             send(SimpleErr("ERR expected array command"))
         }
@@ -115,16 +119,19 @@ final class RespServer(es: EventStore, port: Int = 0) {
   }
 
   private def handle(
-      args: Seq[String],
+      raw: Seq[Array[Byte]],
       send: Frame => Unit,
       subs: java.util.ArrayList[(StreamingQuery, java.nio.file.Path)],
-      subStates: java.util.concurrent.ConcurrentHashMap[String, SubState]): Unit =
+      subStates: java.util.concurrent.ConcurrentHashMap[String, SubState]): Unit = {
+    // UTF-8 view for dispatch and the subscription/ack grammar (none of
+    // which carry binary); the data path goes through executeRaw
+    val args = raw.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
     args.head match {
       // subscriptions: reply with the subscription id (simple string,
       // `esub.rs:234`), then stream push frames as batches commit —
       // each delivery waits for ack-window room first
       case "ESUB" | "EPSUB" =>
-        cmd.execute(args) match {
+        cmd.executeRaw(raw) match {
           case Left(err) => send(SimpleErr(err))
           case Right(df: org.apache.spark.sql.DataFrame) =>
             val subId = UUID.randomUUID().toString
@@ -181,7 +188,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
           case _ => send(SimpleErr("ERR EACK requires subscription_id cursor"))
         }
       case _ =>
-        cmd.execute(args) match {
+        cmd.executeRaw(raw) match {
           case Left(err) => send(SimpleErr(err))
           // PING's PONG (and the facade's bare-OK acks) are simple
           // strings by protocol position, not by VALUE — data fields
@@ -190,6 +197,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
           case Right(v)         => send(toFrame(v))
         }
     }
+  }
 
   /** Command-result value → RESP3 frame (the encode_event field maps
     * become RESP maps with blob-string keys, like `request.rs:798-812`).

@@ -53,6 +53,16 @@ final case class ManifestState(
 object Manifest {
   private val Dir = "_manifest"
 
+  /** Manifest versions retained after each commit. Readers resolve the
+    * NEWEST `v*.json` exactly once per snapshot and then hold the parsed
+    * state in memory — older files are never re-read — so retention only
+    * has to keep the newest version unambiguous across the list/rename
+    * race. Without GC every append adds a file forever and `load` (called
+    * per read snapshot and per streaming trigger) lists O(commits)
+    * entries; with it the directory stays O(Retain) at any command rate.
+    */
+  val Retain = 16
+
   def dirFor(root: String): Path = Paths.get(root, Dir)
 
   def empty(numPartitions: Int): ManifestState =
@@ -84,6 +94,32 @@ object Manifest {
     Files.write(tmp, render(state).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"v${state.version}.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gc(dir, state.version)
+  }
+
+  /** Best-effort retention after a successful commit: drop `v*.json`
+    * versions ≤ `newest - Retain` (and any stale temp files from crashed
+    * commits in that range). Deletion failures are ignored — the next
+    * commit retries, and a lingering old version is harmless because
+    * readers always take the max.
+    */
+  private def gc(dir: Path, newest: Long): Unit = {
+    val cutoff = newest - Retain
+    if (cutoff < 0) return
+    val listing = Files.list(dir)
+    try listing.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      val ver =
+        if (n.matches("v\\d+\\.json"))
+          Some(n.stripPrefix("v").stripSuffix(".json").toLong)
+        else if (n.matches("\\.v\\d+\\.json\\.tmp"))
+          Some(n.stripPrefix(".v").stripSuffix(".json.tmp").toLong)
+        else None
+      ver.filter(_ <= cutoff).foreach { _ =>
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+      }
+    } finally listing.close()
   }
 
   // --- minimal JSON codec (no external deps available offline) ---

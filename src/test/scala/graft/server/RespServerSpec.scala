@@ -41,6 +41,11 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.flush()
       Resp.decode(in)
     }
+    def callRaw(args: Array[Byte]*): Frame = {
+      Resp.encode(ArrayF(args.map(Blob(_))), out)
+      out.flush()
+      Resp.decode(in)
+    }
     def read(): Frame = Resp.decode(in)
     /** read with a deadline; None = the server sent nothing */
     def readWithin(ms: Int): Option[Frame] = {
@@ -117,6 +122,32 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // unknown command → error, never a hang
     assert(c.call("NOSUCH").isInstanceOf[SimpleErr])
+    c.close()
+  }
+
+  test("non-UTF-8 binary payload/metadata survive the wire byte-for-byte") {
+    val c = new Client
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // invalid UTF-8: lone continuation, overlong start, 0x00/0xFF — a
+    // String round trip would U+FFFD-mangle these (`eappend.rs:55`
+    // stores Vec<u8>, so the reference returns them unchanged)
+    val payload = Array[Byte](0x00, 0xff.toByte, 0x80.toByte, 0xc3.toByte, 0x28, 0xfe.toByte)
+    val metadata = Array[Byte](0xf0.toByte, 0x28, 0x8c.toByte, 0x28, 0x00, 0x9f.toByte)
+
+    val a = asMap(c.callRaw(b("EAPPEND"), b("bin-s"), b("Created"),
+      b("PAYLOAD"), payload, b("METADATA"), metadata))
+    val id = a("event_id").asInstanceOf[Blob].utf8
+    val got = asMap(c.call("EGET", id))
+    assert(got("payload") == Blob(payload))
+    assert(got("metadata") == Blob(metadata))
+
+    // same through the atomic multi-event path
+    val pk = graft.core.Ids.partitionKeyForStream("bin-m").toString
+    val m = asMap(c.callRaw(b("EMAPPEND"), b(pk),
+      b("bin-m"), b("A"), b("PAYLOAD"), payload))
+    val mid = asMap(m("events").asInstanceOf[ArrayF].items.head)("event_id")
+      .asInstanceOf[Blob].utf8
+    assert(asMap(c.call("EGET", mid))("payload") == Blob(payload))
     c.close()
   }
 

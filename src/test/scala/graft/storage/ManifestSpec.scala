@@ -51,4 +51,34 @@ class ManifestSpec extends AnyFunSuite with graft.PropHelpers {
     Manifest.commit(dir, ManifestState(10, 4, Map(0 -> 99L), Map.empty))
     assert(Manifest.load(dir).get.watermarks(0) == 99L)
   }
+
+  test("retention: 10k commits leave at most Retain+1 manifest files") {
+    val dir = Files.createTempDirectory("graft-mf-gc-").toString
+    (1 to 10000).foreach { v =>
+      Manifest.commit(dir, ManifestState(v.toLong, 4, Map(0 -> v.toLong), Map.empty))
+    }
+    val files = Files.list(Manifest.dirFor(dir))
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.map(_.getFileName.toString).toVector
+      } finally files.close()
+    assert(names.count(_.matches("v\\d+\\.json")) <= Manifest.Retain + 1, names.sorted.mkString(","))
+    assert(names.forall(!_.endsWith(".tmp")))
+    // newest survives and is the one load resolves
+    assert(Manifest.load(dir).get.version == 10000L)
+    assert(Manifest.load(dir).get.watermarks(0) == 10000L)
+  }
+
+  test("retention also sweeps stale temp files from crashed commits") {
+    val dir = Files.createTempDirectory("graft-mf-tmp-").toString
+    Manifest.commit(dir, ManifestState(1, 4, Map(0 -> 1L), Map.empty))
+    // simulate a crash that left a temp file behind at an old version
+    Files.write(Manifest.dirFor(dir).resolve(".v2.json.tmp"), Array[Byte](123))
+    (3 to 40).foreach { v =>
+      Manifest.commit(dir, ManifestState(v.toLong, 4, Map(0 -> v.toLong), Map.empty))
+    }
+    assert(!Files.exists(Manifest.dirFor(dir).resolve(".v2.json.tmp")))
+    assert(Manifest.load(dir).get.version == 40L)
+  }
 }
