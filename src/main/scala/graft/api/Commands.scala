@@ -50,10 +50,20 @@ final class Commands(es: EventStore) {
   def executeRaw(args: Seq[Array[Byte]]): Either[String, Any] =
     executeArgs(args.map(new Arg(_)))
 
-  private def executeArgs(args: Seq[Arg]): Either[String, Any] = args.map(_.text).toList match {
-    case "EAPPEND" :: sid :: name :: _ => eappendArgs(sid, name, args.drop(3))
-    case "EMAPPEND" :: pk :: _ =>
-      parseEmappendEvents(args.drop(2).toList).flatMap(emappendInputs(pk, _))
+  private def executeArgs(args: Seq[Arg]): Either[String, Any] = args.headOption.map(_.text) match {
+    // Blob-carrying commands dispatch on the leading grammar tokens only:
+    // their option parsers read keyword args through `.text` and
+    // PAYLOAD/METADATA values through `.bytes`, so a multi-MB binary blob
+    // is never UTF-8-decoded just to route the command. Everything else
+    // is pure text grammar and decodes wholesale below.
+    case Some("EAPPEND") if args.length >= 3 =>
+      eappendArgs(args(1).text, args(2).text, args.drop(3))
+    case Some("EMAPPEND") if args.length >= 2 =>
+      parseEmappendEvents(args.drop(2).toList).flatMap(emappendInputs(args(1).text, _))
+    case _ => executeText(args.map(_.text).toList)
+  }
+
+  private def executeText(args: List[String]): Either[String, Any] = args match {
     case "EGET" :: id :: Nil => eget(id)
     case "EGET" :: id :: "TRANSACTION" :: Nil => egetTransaction(id)
     case "ESCAN" :: sid :: start :: end :: rest => escan(sid, start, end, rest: _*)

@@ -173,11 +173,23 @@ object Dedup {
       if (bits <= 32) md5(col("tok").cast("binary"))
       else concat(md5(col("tok").cast("binary")),
         md5(concat(lit("1:"), col("tok")).cast("binary")))
+    // Decode the hex ONCE per feature into 8-digit chunks (conv → long),
+    // so each bit weight is an integer shift/mask on a decoded chunk
+    // instead of a per-bit substring+isin string comparison: bit i's
+    // weight is +1 iff the MSB of hex digit i is set (digit ≥ 8), i.e.
+    // ((chunk >> ((7 - pos) * 4 + 3)) & 1) * 2 - 1, and the `bits` sums
+    // stay one map-side-combinable aggregation.
+    val numChunks = (bits + 7) / 8
     val tokens = features.withColumn("th", hash)
-    val bitSums = (1 to bits).map(i =>
-      sum(when(substring(col("th"), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"s$i"))
-    tokens.groupBy(col("id"))
+    val chunked = tokens.select(col("id") +:
+      (0 until numChunks).map(c =>
+        conv(substring(col("th"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
+    val bitSums = (1 to bits).map { i =>
+      val chunk = (i - 1) / 8
+      val shift = (7 - (i - 1) % 8) * 4 + 3
+      sum(shiftright(col(s"c$chunk"), shift).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    chunked.groupBy(col("id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
         concat((1 to bits).map(i =>

@@ -123,22 +123,24 @@ final class RespServer(es: EventStore, port: Int = 0) {
       send: Frame => Unit,
       subs: java.util.ArrayList[(StreamingQuery, java.nio.file.Path)],
       subStates: java.util.concurrent.ConcurrentHashMap[String, SubState]): Unit = {
-    // UTF-8 view for dispatch and the subscription/ack grammar (none of
-    // which carry binary); the data path goes through executeRaw
-    val args = raw.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
-    args.head match {
+    // UTF-8 view ONLY where the grammar needs it: the command word for
+    // dispatch here, and the full array for the subscription/ack grammar
+    // below (pure text by construction). EAPPEND/EMAPPEND blobs flow raw
+    // into executeRaw without ever being String-decoded on this path.
+    def argsText = raw.map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+    new String(raw.head, java.nio.charset.StandardCharsets.UTF_8) match {
       // subscriptions: reply with the subscription id (simple string,
       // `esub.rs:234`), then stream push frames as batches commit —
       // each delivery waits for ack-window room first
-      case "ESUB" | "EPSUB" =>
+      case subCmd @ ("ESUB" | "EPSUB") =>
         cmd.executeRaw(raw) match {
           case Left(err) => send(SimpleErr(err))
           case Right(df: org.apache.spark.sql.DataFrame) =>
             val subId = UUID.randomUUID().toString
-            val byStream = args.head == "ESUB"
+            val byStream = subCmd == "ESUB"
             // same parser as the command itself — WINDOW is positional
             // grammar, not any token that happens to spell "WINDOW"
-            val window = cmd.subscriptionWindow(args.tail).toLong
+            val window = cmd.subscriptionWindow(argsText.tail).toLong
             val st = new SubState(window)
             subStates.put(subId, st)
             send(SimpleStr(subId))
@@ -166,7 +168,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
       // EACK subscription_id cursor: advance the ack window and wake
       // any delivery blocked on it
       case "EACK" =>
-        args match {
+        argsText match {
           case Seq("EACK", subId, cursorStr) =>
             (Option(subStates.get(subId)), cursorStr.toLongOption) match {
               case (Some(st), Some(cur)) =>
@@ -179,7 +181,7 @@ final class RespServer(es: EventStore, port: Int = 0) {
                 // unknown subscription / non-numeric cursor: keep the
                 // facade's lenient OK/ERR behavior (OK is a simple
                 // string by protocol position)
-                cmd.execute(args) match {
+                cmd.execute(argsText) match {
                   case Left(e)          => send(SimpleErr(e))
                   case Right(s: String) => send(SimpleStr(s))
                   case Right(v)         => send(toFrame(v))

@@ -68,7 +68,17 @@ object Manifest {
   def empty(numPartitions: Int): ManifestState =
     ManifestState(0L, numPartitions, Map.empty, Map.empty)
 
-  /** Load the newest committed manifest version, if any. */
+  /** Load the newest committed manifest version, if any.
+    *
+    * Concurrent-GC safe: between listing the directory and reading the
+    * chosen file, another committer's `gc` may delete it (a reader that
+    * stalls for > Retain commits). Falling back to the next-newest listed
+    * version is still a consistent snapshot — it was the newest at some
+    * point after this call began — and if every listed candidate vanished
+    * the directory has advanced by > Retain versions, so re-listing
+    * observes a strictly newer one and terminates.
+    */
+  @annotation.tailrec
   def load(root: String): Option[ManifestState] = {
     val dir = dirFor(root)
     if (!Files.isDirectory(dir)) return None
@@ -80,9 +90,18 @@ object Manifest {
       finally listing.close()
     if (files.isEmpty) None
     else {
-      val newest = files.maxBy(p =>
-        p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
-      Some(parse(Files.readString(newest)))
+      val newestFirst = files.sortBy(p =>
+        -p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+      val read = newestFirst.iterator
+        .map { p =>
+          try Some(parse(Files.readString(p)))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }
+        .collectFirst { case Some(m) => m }
+      read match {
+        case some @ Some(_) => some
+        case None           => load(root) // all candidates GC'd under us: re-list
+      }
     }
   }
 
@@ -103,24 +122,31 @@ object Manifest {
     * commit retries, and a lingering old version is harmless because
     * readers always take the max.
     */
-  private def gc(dir: Path, newest: Long): Unit = {
-    val cutoff = newest - Retain
-    if (cutoff < 0) return
-    val listing = Files.list(dir)
-    try listing.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      val ver =
-        if (n.matches("v\\d+\\.json"))
-          Some(n.stripPrefix("v").stripSuffix(".json").toLong)
-        else if (n.matches("\\.v\\d+\\.json\\.tmp"))
-          Some(n.stripPrefix(".v").stripSuffix(".json.tmp").toLong)
-        else None
-      ver.filter(_ <= cutoff).foreach { _ =>
-        try Files.deleteIfExists(p)
-        catch { case _: java.io.IOException => () }
-      }
-    } finally listing.close()
-  }
+  private def gc(dir: Path, newest: Long): Unit =
+    // Truly best-effort: the manifest rename has already succeeded when gc
+    // runs, so NOTHING thrown here may escape and report a durably
+    // committed append as failed. Concurrent gc can make the directory
+    // iteration itself throw (DirectoryIteratorException /
+    // UncheckedIOException on entries vanishing mid-walk), not just the
+    // deletes — swallow all non-fatal failures; the next commit retries.
+    try {
+      val cutoff = newest - Retain
+      if (cutoff < 0) return
+      val listing = Files.list(dir)
+      try listing.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        val ver =
+          if (n.matches("v\\d+\\.json"))
+            Some(n.stripPrefix("v").stripSuffix(".json").toLong)
+          else if (n.matches("\\.v\\d+\\.json\\.tmp"))
+            Some(n.stripPrefix(".v").stripSuffix(".json.tmp").toLong)
+          else None
+        ver.filter(_ <= cutoff).foreach { _ =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        }
+      } finally listing.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   // --- minimal JSON codec (no external deps available offline) ---
 
