@@ -79,13 +79,22 @@ object Bench {
         val es = StoreProvider.storeFor(spark, sfDir)
         import graft.streaming.Subscriptions._
         val n = new java.util.concurrent.atomic.AtomicLong()
+        val ck = java.nio.file.Files.createTempDirectory("bench-ck-")
         val q = deliver(
           subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0),
             window = 50000),
-          java.nio.file.Files.createTempDirectory("bench-ck-").toString,
+          ck.toString,
           byStream = true)(rows => n.addAndGet(rows.size))
-        q.processAllAvailable()
-        q.stop()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          // the checkpoint is this run's subscription identity — keeping
+          // it would leak one temp dir per bench invocation
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(ck.toFile)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] esub_catchup failed: ${e.getMessage}")
       }

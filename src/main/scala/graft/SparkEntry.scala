@@ -443,8 +443,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal plumbing: binary payload + metadata envelope + the
-    // (stubbed) decode stage — envelope fields are oracle-checked.
+    // REAL pixel decode, end-to-end: synthesize a valid 24-bit BMP per
+    // document with column expressions alone (hex strings → unhex), run
+    // it through javax.imageio via Multimodal.decodeImages, and check
+    // width/height/channels/mean-intensity against the oracle's
+    // arithmetic ground truth. Encode (expressions), decode (ImageIO),
+    // and oracle (SQL arithmetic) are three independent code paths.
+    "multimodal_pixels" -> ((s, d) => {
+      // little-endian hex of a 4-byte value
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val w = (pmod(col("doc_id"), lit(21)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 5, lit(17)) + 1).cast("int")
+      val bB = pmod(col("doc_id"), lit(256)).cast("int")
+      val bG = pmod(col("doc_id") * 3, lit(256)).cast("int")
+      val bR = pmod(col("doc_id") * 7, lit(256)).cast("int")
+      val rowSize = ((w * 3 + 3) / lit(4)).cast("int") * 4
+      val pixHex = concat(lpad(hex(bB), 2, "0"), lpad(hex(bG), 2, "0"),
+        lpad(hex(bR), 2, "0"))
+      val rowHex = concat(call_function("repeat", pixHex, w),
+        call_function("repeat", lit("00"), rowSize - w * 3))
+      val bmp = unhex(concat(
+        lit("424D"), le32(lit(54) + rowSize * h), lit("00000000"), le32(lit(54)),
+        le32(lit(40)), le32(w), le32(h), lit("0100"), lit("1800"),
+        le32(lit(0)), le32(rowSize * h), le32(lit(2835)), le32(lit(2835)),
+        le32(lit(0)), le32(lit(0)),
+        call_function("repeat", rowHex, h)))
+      graft.ops.Multimodal.decodeImages(
+          Tables.documents(s, d).withColumn("payload", bmp), "payload")
+        .select(col("doc_id"), col("img_width"), col("img_height"),
+          col("img_channels"), round(col("img_score"), 6).as("mean_intensity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal plumbing: binary payload + metadata envelope — the
+    // envelope fields are oracle-checked.
     "multimodal_meta" -> ((s, d) => {
       val withBin = Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
@@ -551,22 +587,37 @@ object SparkEntry {
     "es_sub_deliver" -> ((s, d) => {
       val es = StoreProvider.storeFor(s, d)
       import graft.streaming.Subscriptions._
-      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
-      val q = deliver(
-        subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0),
-          window = 50000),
-        java.nio.file.Files.createTempDirectory("verify-sub-").toString,
-        byStream = true) { rows =>
-        rows.foreach(r => got.add((
-          r.getAs[String]("stream_id"),
-          r.getAs[Long]("stream_version"),
-          r.getAs[String]("event_name"))))
-      }
-      try q.processAllAvailable() finally q.stop()
       import s.implicits._
-      import scala.jdk.CollectionConverters._
-      got.asScala.toSeq.toDF("stream_id", "stream_version", "event_name")
+      runSubscription(es, Matcher(streams = Seq("user-42", "user-7")),
+        byStream = true) { r =>
+        (r.getAs[String]("stream_id"),
+          r.getAs[Long]("stream_version"),
+          r.getAs[String]("event_name"))
+      }.toDF("stream_id", "stream_version", "event_name")
         .orderBy(col("stream_id"), col("stream_version"))
+    }),
+
+    // EPSUB surface end-to-end (§2.1 #10, `epsub.rs`; matcher shapes
+    // `subscription.rs:79-199`): real partition subscriptions — `*`
+    // (all partitions) and a single partition id — catch up through
+    // the full history; the received rows are oracle-checked against
+    // the routing-table recount of exactly what each matcher should
+    // deliver, in partition-sequence order.
+    "es_psub_deliver" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import graft.streaming.Subscriptions._
+      import s.implicits._
+      def run(tag: String, m: Matcher) =
+        runSubscription(es, m, byStream = false) { r =>
+          (tag,
+            r.getAs[Int]("partition_id"),
+            r.getAs[Long]("partition_sequence"),
+            r.getAs[String]("event_name"))
+        }
+      run("*", Matcher(allPartitions = true))
+        .++(run("one", Matcher(partitions = Seq(PsubPartition))))
+        .toDF("sub", "partition_id", "partition_sequence", "event_name")
+        .orderBy(col("sub"), col("partition_id"), col("partition_sequence"))
     }),
 
     // EPSEQ surface: per-partition watermarks vs an oracle recount
@@ -580,6 +631,38 @@ object SparkEntry {
         .orderBy(col("partition_id"))
     })
   )
+
+  /** The single-partition EPSUB target: user-42's home partition, so it
+    * is non-empty at every scale factor (user 42 always exists). The
+    * oracle derives the same id through `userPidValues`.
+    */
+  private val PsubPartition =
+    graft.core.Ids.partitionIdForStream("user-42", StoreProvider.NumPartitions)
+
+  /** Run a subscription to completion over the store's current history
+    * (fresh checkpoint ⇒ deterministic full catch-up) and collect every
+    * delivered row through `extract`. The temp checkpoint dir is always
+    * removed — Verify/Bench would otherwise leak one per run.
+    */
+  private def runSubscription[T](es: graft.api.EventStore,
+      matcher: graft.streaming.Subscriptions.Matcher,
+      byStream: Boolean)(extract: org.apache.spark.sql.Row => T): Seq[T] = {
+    import graft.streaming.Subscriptions._
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+    val ck = java.nio.file.Files.createTempDirectory("verify-sub-")
+    val q = deliver(subscribe(es, matcher, From.Value(0), window = 50000),
+      ck.toString, byStream) { rows => rows.foreach(r => got.add(extract(r))) }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(ck.toFile)
+    }
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same names, same column aliases, same ordering.
@@ -1006,6 +1089,23 @@ object SparkEntry {
          |  ON user_id = m.uid
          |GROUP BY pid ORDER BY partition_id""".stripMargin,
 
+    "es_psub_deliver" ->
+      s"""WITH routed AS (
+         |  SELECT pid,
+         |    row_number() OVER (PARTITION BY pid ORDER BY event_id) - 1
+         |      AS pseq,
+         |    event_type
+         |  FROM events JOIN (VALUES $userPidValues) m(uid, pid)
+         |    ON user_id = m.uid)
+         |SELECT sub, partition_id, partition_sequence, event_name FROM (
+         |  SELECT '*' AS sub, pid AS partition_id, pseq AS partition_sequence,
+         |    event_type AS event_name
+         |  FROM routed
+         |  UNION ALL
+         |  SELECT 'one', pid, pseq, event_type
+         |  FROM routed WHERE pid = $PsubPartition)
+         |ORDER BY sub, partition_id, partition_sequence""".stripMargin,
+
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
@@ -1017,6 +1117,20 @@ object SparkEntry {
       """SELECT doc_id, 'png' AS img_format,
         |  doc_id % 1024 + 1 AS img_width,
         |  (doc_id * 7) % 768 + 1 AS img_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ground truth for the BMP pixel decode: dims from the same doc_id
+    // arithmetic the encoder uses; mean intensity = (B+G+R)/3 exactly
+    // (every pixel carries the same three channel bytes, and the Spark
+    // side accumulates an integer sum before one division, so both
+    // quotients are the correctly-rounded double of the same real)
+    "multimodal_pixels" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 21 + 1 AS INT) AS img_width,
+        |  CAST((doc_id * 5) % 17 + 1 AS INT) AS img_height,
+        |  3 AS img_channels,
+        |  round((doc_id % 256 + (doc_id * 3) % 256 + (doc_id * 7) % 256) / 3.0, 6)
+        |    AS mean_intensity
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->

@@ -7,12 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video payloads travel as
   * opaque `binary` columns with a typed metadata struct alongside.
   *
-  * The Spark-side plumbing (schema, batching, partition sizing, the
-  * decode UDF seam) is real; the actual codec call is STUBBED with a
-  * deterministic fake because no image/audio libraries exist in this
-  * container — swap `decodeStub` for a real decoder (e.g. a JNI/
-  * javacpp binding or `mapInPandas`+Pillow on PySpark) without touching
-  * anything else.
+  * Image decode is REAL end-to-end: header dimensions through native
+  * column expressions / a marker-walk UDF (`decodeDims`), pixel
+  * statistics through `javax.imageio` (`decodePixels` — PNG/JPEG/BMP/
+  * GIF, JDK-builtin, no external codec needed). Audio/video frame
+  * extraction (`sampleFrames`) keeps the explode shape real with
+  * stride-sampled byte chunks standing in for codec frames.
   *
   * Scale notes: binary payloads dominate row size, so operators here
   * repartition by byte budget, not row count
@@ -89,7 +89,8 @@ object Multimodal {
   /** Real header decode: PNG through native expressions, JPEG through
     * the marker-walk UDF, anything else null dimensions. One narrow
     * projection, no shuffle. (Full pixel decode — channels, intensity
-    * — still needs a codec library; see decodeStub below.)
+    * — is `decodePixels` below; this header path stays expression-only
+    * so dimension profiling never pays a per-row decoder.)
     */
   def decodeDims(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
@@ -104,29 +105,50 @@ object Multimodal {
         when(isPng(b), pngHeight(b)).otherwise(jpeg.getField("_2").cast("long")))
   }
 
-  /** STUB decode: deterministic pseudo-features from the raw bytes.
-    * Real implementation decodes the PIXELS and emits (width, height,
-    * channels, mean intensity) — header dimensions are real above
-    * (`decodeDims`); only the pixel statistics remain faked, because no
-    * codec library exists in this container. The stub keeps the exact
-    * same signature, null behavior, and batch shape, so the pipeline
-    * around it is fully testable.
+  /** REAL pixel decode via `javax.imageio` (ships with the JDK — PNG,
+    * JPEG, BMP, GIF, WBMP): emits (width, height, channels,
+    * mean intensity over every band of every pixel). Non-decodable or
+    * empty payloads return the (0, 0, 0, 0.0) null-object shape rather
+    * than crashing a 100 TB job on one corrupt blob. The pixel sum
+    * accumulates in a Long and divides once, so the mean is
+    * order-independent and bit-stable across partitionings.
     */
-  val decodeStub: Array[Byte] => (Int, Int, Int, Double) = bytes => {
+  val decodePixels: Array[Byte] => (Int, Int, Int, Double) = bytes => {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
     else {
-      val len = bytes.length
-      // ??? real codec goes here — fake dimensions from the envelope
-      val w = 1 + (math.abs(bytes(0).toInt) % 64)
-      val h = 1 + (len % 64)
-      (w, h, 3, len.toDouble / (w * h))
+      // no ImageIO disk-backed stream cache: executors would otherwise
+      // write a temp file per decoded blob
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) (0, 0, 0, 0.0)
+      else {
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        val c = raster.getNumBands
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < c) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, c, sum.toDouble / (w.toLong * h * c))
+      }
     }
   }
 
-  private val decodeUdf = udf((bytes: Array[Byte]) => decodeStub(bytes))
+  private val decodeUdf = udf((bytes: Array[Byte]) => decodePixels(bytes))
 
   /** Decode stage: one narrow transformation, no shuffle. Output adds
-    * `decoded` struct (_1..._4 = width, height, channels, score).
+    * `decoded` struct (_1..._4 = width, height, channels, mean
+    * intensity).
     */
   def decodeImages(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("decoded", decodeUdf(col(binCol)))
@@ -135,6 +157,31 @@ object Multimodal {
       .withColumn("img_channels", col("decoded._3"))
       .withColumn("img_score", col("decoded._4"))
       .drop("decoded")
+
+  /** Synthesize a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up,
+    * 4-byte row padding) filled with one BGR value — a fully valid image
+    * whose pixel statistics are known arithmetically, used by tests to
+    * pin `decodePixels` against ground truth without any codec library.
+    */
+  def syntheticBmp24(w: Int, h: Int, bgr: (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val fileSize = 54 + rowSize * h
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach { _ =>
+        out.put(bgr._1.toByte).put(bgr._2.toByte).put(bgr._3.toByte)
+      }
+      (w * 3 until rowSize).foreach(_ => out.put(0.toByte))
+    }
+    out.array()
+  }
 
   /** Frame sampling for video-like payloads: split the byte stream
     * into `n` stride-sampled chunks (stub for real frame extraction;

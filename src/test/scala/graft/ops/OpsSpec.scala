@@ -199,29 +199,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).toSeq == Seq(null, null, null))
   }
 
-  test("multimodal: decode stub + frame sampling preserve shape contracts") {
+  test("multimodal: real pixel decode + frame sampling preserve shape contracts") {
     import spark.implicits._
-    val df = Seq(("a", "hello world payload"), ("b", ""), ("c", "xyz"))
-      .toDF("id", "s")
+    // pixel-level ground truth: a 5x3 BMP filled with BGR (10, 20, 33)
+    // has mean intensity (10+20+33)/3 = 21 exactly; 7x2 with (0,0,255)
+    // has mean 85. Garbage and empty payloads take the null-object
+    // shape instead of crashing.
+    val bmpA = Multimodal.syntheticBmp24(5, 3, (10, 20, 33))
+    val bmpB = Multimodal.syntheticBmp24(7, 2, (0, 0, 255))
+    val df = Seq(
+      ("a", bmpA), ("b", Array.emptyByteArray),
+      ("c", "not an image".getBytes("UTF-8")), ("d", bmpB))
+      .toDF("id", "payload")
+
+    val meta = Multimodal.withMediaMeta(df, "payload", "image/bmp")
+    val m = meta.select("media_meta.*").collect()
+    assert(m.forall(_.getAs[String]("mime") == "image/bmp"))
+    assert(m.map(_.getAs[Long]("byte_len")).min == 0L)
+
+    val d = Multimodal.decodeImages(df, "payload").collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(d("a").getAs[Int]("img_width") == 5 &&
+      d("a").getAs[Int]("img_height") == 3 &&
+      d("a").getAs[Int]("img_channels") == 3 &&
+      d("a").getAs[Double]("img_score") == 21.0)
+    assert(d("d").getAs[Int]("img_width") == 7 &&
+      d("d").getAs[Double]("img_score") == 85.0)
+    // empty / undecodable payloads decode to the null-object shape
+    assert(d("b").getAs[Int]("img_width") == 0)
+    assert(d("c").getAs[Int]("img_width") == 0 &&
+      d("c").getAs[Double]("img_score") == 0.0)
+
+    val df2 = Seq(("a", "hello world payload")).toDF("id", "s")
       .withColumn("payload", col("s").cast("binary"))
 
-    val meta = Multimodal.withMediaMeta(df, "payload", "image/png")
-    val m = meta.select("media_meta.*").collect()
-    assert(m.forall(_.getAs[String]("mime") == "image/png"))
-    assert(m.map(_.getAs[Long]("byte_len")).sorted.toSeq == Seq(0L, 3L, 19L))
-
-    val decoded = Multimodal.decodeImages(df, "payload")
-    val d = decoded.collect()
-    assert(d.length == 3)
-    // empty payload decodes to the null-object shape, not a crash
-    val empty = d.find(_.getAs[String]("id") == "b").get
-    assert(empty.getAs[Int]("img_width") == 0)
-    // non-empty payloads get deterministic fake dimensions
-    val full = d.find(_.getAs[String]("id") == "a").get
-    assert(full.getAs[Int]("img_width") > 0 && full.getAs[Int]("img_channels") == 3)
-
-    val frames = Multimodal.sampleFrames(
-      df.where(col("id") === "a"), "payload", 4)
+    val frames = Multimodal.sampleFrames(df2, "payload", 4)
     val f = frames.select("frame_idx", "frame_bytes").collect()
     assert(f.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
     assert(f.forall(_.getAs[Array[Byte]]("frame_bytes").length == 19 / 4))
