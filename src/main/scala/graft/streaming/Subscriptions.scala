@@ -72,17 +72,31 @@ object Subscriptions {
       from: From = From.Value(0),
       window: Int = 1000): DataFrame = {
     val spark = es.spark
+    // the matcher's partition set, handed to the source so BOTH the
+    // offset vector and the planned file set prune to subscribed
+    // partitions (directory pruning by construction, not by optimizer)
+    val matchedPids: Option[Seq[Int]] =
+      if (matcher.allPartitions) None
+      else if (matcher.streamNames.nonEmpty) {
+        val entries = matcher.streams.map(s => Ids.partitionKeyForStream(s)) ++
+          matcher.streamKeys.map(_._2)
+        Some(entries.map(pk =>
+          Ids.partitionIdFor(Ids.partitionHash(pk), es.numPartitions)).distinct)
+      } else if (matcher.partitions.nonEmpty) Some(matcher.partitions.distinct)
+      else None
     // WINDOW backpressure: a micro-batch stays "unacked" until its
     // checkpoint commit; the sequence-offset source bounds every batch
     // to `window` events exactly. The source also clamps delivery to
     // manifest-committed watermarks, so a crash between a data-file
     // write and its manifest commit can never phantom-deliver rows
     // that recoverOrphans() later deletes.
-    val src = spark.readStream
-      .format(classOf[GraftEventSourceProvider].getName)
-      .option("root", es.root)
-      .option("maxEventsPerTrigger", window.toString)
-      .load()
+    val src = {
+      val rs = spark.readStream
+        .format(classOf[GraftEventSourceProvider].getName)
+        .option("root", es.root)
+        .option("maxEventsPerTrigger", window.toString)
+      matchedPids.fold(rs)(ps => rs.option("pids", ps.mkString(","))).load()
+    }
 
     val matched = {
       val streamFilter =

@@ -23,24 +23,4 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
-  /** A file-backed relation marked `isStreaming = true` — what a v1
-    * streaming `Source.getBatch` must return (the engine asserts the
-    * returned plan is streaming; `DataSource`/`LogicalRelation` are
-    * private[sql], hence this bridge). Mirrors FileStreamSource's own
-    * getBatch construction.
-    */
-  def streamingFileRelation(
-      spark: org.apache.spark.sql.SparkSession,
-      path: String,
-      schema: org.apache.spark.sql.types.StructType,
-      options: Map[String, String]): org.apache.spark.sql.DataFrame = {
-    val ds = org.apache.spark.sql.execution.datasources.DataSource(
-      spark,
-      className = "parquet",
-      paths = Seq(path),
-      userSpecifiedSchema = Some(schema),
-      options = options)
-    ofRows(spark, org.apache.spark.sql.execution.datasources.LogicalRelation(
-      ds.resolveRelation(checkFilesExist = false), isStreaming = true))
-  }
 }
