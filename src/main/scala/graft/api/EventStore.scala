@@ -459,11 +459,21 @@ final class EventStore private (
           e: java.util.Map.Entry[String, Option[StreamHead]]): Boolean =
         size() > 8192
     }
+  // per-STREAM layered heads (all partition keys of one stream id) —
+  // the optimizer's head-lookup rewrite hits this instead of running a
+  // Spark aggregate inside the rule; same generation discipline
+  private val streamHeadsCache =
+    new java.util.LinkedHashMap[String, Seq[StreamHead]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[StreamHead]]): Boolean =
+        size() > 4096
+    }
   private val headCacheGen = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def invalidateHeadCache(): Unit = headCache.synchronized {
     headCacheGen.incrementAndGet()
     headCache.clear()
+    streamHeadsCache.clear()
   }
 
   private def readHeads(dir: String): DataFrame =
@@ -543,6 +553,47 @@ final class EventStore private (
           }
         }
     }
+  }
+
+  /** Every head entry of one stream id across all partition keys, from
+    * the given snapshot: inline overlay (newest, wins per key) merged
+    * with the parquet layers. The layered part is cached per stream id
+    * under the same generation discipline as [[lookupHead]] — layers
+    * only change on spill/fold, which bumps the generation — so a hot
+    * caller (the ESVER head-lookup rewrite) runs the layer aggregate at
+    * most once per (stream, layer-generation).
+    */
+  private[api] def lookupStreamHeads(
+      snap: ManifestState, sid: String): Seq[StreamHead] = {
+    val inline = snap.streamHeads.collect {
+      case (k, h) if EventStore.isCompositeHeadKey(k) &&
+        EventStore.headKeyStream(k) == sid => h
+    }.toSeq
+    val layered =
+      if (!hasParquetHeadLayers(snap)) Nil
+      else {
+        val (cached, gen0) = headCache.synchronized(
+          (Option(streamHeadsCache.get(sid)), headCacheGen.get()))
+        cached.getOrElse {
+          val hit = parquetHeadLayers(snap)
+            .map { case (df, pri) => df.withColumn("pri", lit(pri)) }
+            .reduce(_ unionByName _)
+            .where($"stream_id" === sid)
+            .groupBy($"partition_key")
+            .agg(max_by(struct($"version", $"partition_id"), $"pri").as("h"))
+            .collect()
+            .map(r => StreamHead(
+              r.getStruct(1).getLong(0), r.getString(0), r.getStruct(1).getInt(1)))
+            .toSeq
+          headCache.synchronized {
+            // drop the result if a spill/fold happened mid-lookup
+            if (headCacheGen.get() == gen0) streamHeadsCache.put(sid, hit)
+          }
+          hit
+        }
+      }
+    val inlineKeys = inline.map(_.partitionKey).toSet
+    inline ++ layered.filterNot(h => inlineKeys.contains(h.partitionKey))
   }
 
   /** Commit an append's watermark/head updates; spill the inline
@@ -987,15 +1038,22 @@ object EventStore {
     */
   final case class RegisteredStore(root: String, numPartitions: Int)
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, RegisteredStore]()
+  /** Registry value: the plain-strings descriptor plus a WEAK reference
+    * to the live handle. The weak ref never keeps a handle alive, and a
+    * handle's in-memory state is only ever trusted after a version
+    * probe against disk (`headsForRewrite`) — a stale or superseded
+    * handle fails the probe and the committed truth is re-read.
+    */
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, (RegisteredStore, java.lang.ref.WeakReference[EventStore])]()
 
   private def normalizePath(p: String): String =
     java.nio.file.Paths.get(p).normalize().toString
 
   private def register(es: EventStore): Unit =
     registry.put(normalizePath(s"${es.root}/events"),
-      RegisteredStore(es.root, es.numPartitions))
+      (RegisteredStore(es.root, es.numPartitions),
+        new java.lang.ref.WeakReference(es)))
 
   /** The registered store whose events directory backs this file
     * relation, if any — how the optimizer rules prove a scan is a
@@ -1006,8 +1064,37 @@ object EventStore {
       : Option[RegisteredStore] =
     fs.location.rootPaths.iterator
       .map(p => normalizePath(p.toUri.getPath))
-      .flatMap(p => Option(registry.get(p)))
+      .flatMap(p => Option(registry.get(p)).map(_._1))
       .nextOption()
+
+  /** Snapshot + per-stream heads for [[graft.plans.HeadLookupRewrite]],
+    * cheapest sound path first:
+    *
+    *   1. if the registered LIVE handle's in-memory manifest version
+    *      matches the newest on-disk version (a directory-listing
+    *      probe — no file read, no JSON parse, no Spark job), answer
+    *      from that handle's snapshot and its generation-cached
+    *      per-stream head lookup. On the hot path (repeated head
+    *      queries between commits) this is pure memory.
+    *   2. otherwise (no live handle, or a concurrent writer advanced
+    *      the manifest) fall back to the full disk snapshot read.
+    */
+  def headsForRewrite(
+      spark: SparkSession,
+      reg: RegisteredStore,
+      streamId: String): Option[(ManifestState, Seq[StreamHead])] = {
+    val live = Option(registry.get(normalizePath(s"${reg.root}/events")))
+      .flatMap(e => Option(e._2.get()))
+    live match {
+      case Some(h) =>
+        val snap = h.manifest
+        if (snap.version > 0 &&
+            Manifest.newestVersion(reg.root).contains(snap.version))
+          Some((snap, h.lookupStreamHeads(snap, streamId)))
+        else headsFromDisk(spark, reg, streamId)
+      case None => headsFromDisk(spark, reg, streamId)
+    }
+  }
 
   /** Disk-snapshot view for [[graft.plans.HeadLookupRewrite]]: the
     * loaded manifest plus every head entry of one stream id ACROSS ALL

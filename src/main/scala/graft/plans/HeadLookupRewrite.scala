@@ -97,16 +97,19 @@ case class HeadLookupRewrite() extends Rule[LogicalPlan] {
 
     val sid = streamId.getOrElse(return None)
 
-    // ONE on-disk manifest snapshot supplies both the watermarks the
-    // bounds are checked against and the head values — a handle's
-    // in-memory state could be stale, and reading watermark and head
+    // ONE manifest snapshot supplies both the watermarks the bounds are
+    // checked against and the head values — reading watermark and head
     // from different snapshots could return a head the clamped scan
     // cannot see. A bare stream_id filter matches the stream under
     // EVERY partition key, so all of the stream's head entries
     // participate; an explicit partition_key narrows to one.
+    // headsForRewrite keeps the optimizer I/O-free on the hot path: a
+    // live handle whose version matches disk (listing probe) answers
+    // from memory + the generation-cached per-stream head lookup; only
+    // a stale/absent handle pays the full disk read.
     val spark = org.apache.spark.sql.SparkSession.active
     val (snap, allHeads) =
-      EventStore.headsFromDisk(spark, reg, sid).getOrElse(return None)
+      EventStore.headsForRewrite(spark, reg, sid).getOrElse(return None)
 
     val heads = partitionKey match {
       case Some(pk) => allHeads.filter(_.partitionKey == pk)

@@ -63,7 +63,31 @@ object Manifest {
     */
   val Retain = 16
 
+  /** Diagnostic counter of full snapshot reads (list + read + parse).
+    * Tests assert hot paths (e.g. the optimizer's head-lookup rewrite)
+    * perform none.
+    */
+  val loads = new java.util.concurrent.atomic.AtomicLong(0)
+
   def dirFor(root: String): Path = Paths.get(root, Dir)
+
+  /** Newest committed version NUMBER by directory listing alone — no
+    * file read, no JSON parse. The cheap staleness probe that lets a
+    * reader trust an in-memory snapshot of the same version.
+    */
+  def newestVersion(root: String): Option[Long] = {
+    val dir = dirFor(root)
+    if (!Files.isDirectory(dir)) return None
+    val listing = Files.list(dir)
+    try {
+      val versions = listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d+\\.json"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong)
+        .toSeq
+      if (versions.isEmpty) None else Some(versions.max)
+    } finally listing.close()
+  }
 
   def empty(numPartitions: Int): ManifestState =
     ManifestState(0L, numPartitions, Map.empty, Map.empty)
@@ -80,6 +104,7 @@ object Manifest {
     */
   @annotation.tailrec
   def load(root: String): Option[ManifestState] = {
+    loads.incrementAndGet()
     val dir = dirFor(root)
     if (!Files.isDirectory(dir)) return None
     val listing = Files.list(dir)

@@ -93,6 +93,42 @@ class HeadLookupRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().head.getLong(0) < es.sver("hl-a").get)
   }
 
+  test("hot path: repeated rewrites run no manifest load and no Spark job") {
+    // layered store: a tiny inline budget forces heads into parquet
+    // deltas, the expensive path the rule used to aggregate inline
+    val store = graft.api.EventStore.open(spark,
+      java.nio.file.Files.createTempDirectory("graft-hlr-hot-").toString, 8,
+      maxInlineHeads = 4)
+    (1 to 12).foreach(i => store.append(graft.core.EventInput(s"hp-$i", "E")))
+
+    def q() = maxVer(store.events().where(col("stream_id") === "hp-3"))
+    // warm pass: may read layers / run the layer aggregate once
+    assert(!usesScan(q()))
+    assert(q().collect().head.getLong(0) == 0L)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val loads0 = graft.storage.Manifest.loads.get()
+    try {
+      val df = q()
+      // forces analysis + optimization, i.e. the rule itself, without
+      // executing anything — any I/O now is the rule's own
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collectLeaves().forall(
+        !_.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]))
+      assert(df.collect().head.getLong(0) == 0L)
+      assert(graft.storage.Manifest.loads.get() == loads0,
+        "hot-path rewrite must not Manifest.load")
+      Thread.sleep(500) // listener bus is async; let any job event land
+      assert(jobs.get() == 0, "hot-path rewrite must not run Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("unregistered parquet with the same columns is untouched") {
     // copy the files elsewhere: same schema, no registered store
     val other = java.nio.file.Files.createTempDirectory("graft-hlr-copy-").toString
