@@ -56,18 +56,41 @@ object Resp {
 
   // ------------------------------------------------------------- decode
 
-  /** Blocking frame read; throws EOFException at clean end-of-stream. */
+  /** Hard protocol limits — a malicious LENGTH HEADER must fail fast,
+    * before any allocation or element loop sized by it (the reference
+    * fuzzes its command parser for exactly this class of input,
+    * `fuzz/fuzz_targets/commands.rs`). Blob cap mirrors redis's
+    * proto-max-bulk-len default.
+    */
+  val MaxBlobLen: Long = 512L * 1024 * 1024
+  val MaxContainerLen: Long = 1 << 20
+  val MaxDepth: Int = 32
+  val MaxLineLen: Int = 64 * 1024
+
+  private def protoErr(msg: String): Nothing =
+    throw new java.io.IOException(s"RESP protocol violation: $msg")
+
+  /** Blocking frame read; throws EOFException at clean end-of-stream,
+    * IOException (or a parse exception) on malformed/hostile input —
+    * never an unbounded allocation, unbounded loop, or stack overflow.
+    */
   def decode(in: InputStream): Frame = {
     val din = in match {
       case d: DataInputStream => d
       case other              => new DataInputStream(other)
     }
-    readFrame(din)
+    readFrame(din, 0)
   }
 
-  private def readFrame(in: DataInputStream): Frame = {
+  private def readFrame(in: DataInputStream, depth: Int): Frame = {
+    if (depth > MaxDepth) protoErr(s"nesting deeper than $MaxDepth")
     val t = in.read()
     if (t < 0) throw new EOFException()
+    def count(): Int = {
+      val n = readLine(in).toLong
+      if (n > MaxContainerLen) protoErr(s"container length $n")
+      math.max(0L, n).toInt
+    }
     t.toChar match {
       case '+' => SimpleStr(readLine(in))
       case '-' => SimpleErr(readLine(in))
@@ -76,20 +99,21 @@ object Resp {
       case '#' => val b = readLine(in); Bool(b == "t")
       case '_' => readLine(in); NullF
       case '$' =>
-        val n = readLine(in).toInt
+        val n = readLine(in).toLong
         if (n < 0) NullF
+        else if (n > MaxBlobLen) protoErr(s"blob length $n")
         else {
-          val buf = new Array[Byte](n)
+          val buf = new Array[Byte](n.toInt)
           in.readFully(buf)
           readLine(in) // trailing CRLF
           Blob(buf)
         }
-      case '*' => ArrayF(Seq.fill(readLine(in).toInt)(readFrame(in)))
-      case '>' => PushF(Seq.fill(readLine(in).toInt)(readFrame(in)))
+      case '*' => ArrayF(Seq.fill(count())(readFrame(in, depth + 1)))
+      case '>' => PushF(Seq.fill(count())(readFrame(in, depth + 1)))
       case '%' =>
-        MapF(Seq.fill(readLine(in).toInt)((readFrame(in), readFrame(in))))
+        MapF(Seq.fill(count())((readFrame(in, depth + 1), readFrame(in, depth + 1))))
       case other =>
-        throw new java.io.IOException(s"unsupported RESP type byte: '$other'")
+        protoErr(s"unsupported type byte: '$other'")
     }
   }
 
@@ -100,6 +124,7 @@ object Resp {
     var c = in.read()
     while (c != '\r') {
       if (c < 0) throw new EOFException()
+      if (buf.size() >= MaxLineLen) protoErr(s"line longer than $MaxLineLen")
       buf.write(c)
       c = in.read()
     }
