@@ -69,6 +69,24 @@ object Bench {
         }
     }
 
+    // 2b. diagnostic (not a timing): 64-bit simhash banding
+    //     selectivity — candidate pairs surviving the 8×8-bit band
+    //     equi-join vs all doc pairs. This ratio is what decides
+    //     whether the scheme survives a 100× corpus (quadratic all
+    //     pairs vs ~linear banded candidates).
+    val simhash64Ratio: Double =
+      try {
+        val docs = Tables.documents(spark, sfDir)
+        val fp = graft.ops.Dedup.simhash(docs, "text", "doc_id",
+          bits = 64, shingleK = 3).localCheckpoint()
+        val n = fp.count().toDouble
+        val cand = graft.ops.Dedup.simhashBandCandidates(fp, 64, 8).count().toDouble
+        if (n < 2) 0.0 else cand / (n * (n - 1) / 2)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] simhash64 diagnostic failed: ${e.getMessage}")
+        -1.0
+      }
+
     // 3. subscription catch-up: deliver one stream's full history
     //    through the streaming source. WINDOW is a per-client pacing
     //    control (default 1000 = at most 1000 unacked in flight); bulk
@@ -103,7 +121,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

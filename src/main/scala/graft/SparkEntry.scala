@@ -366,6 +366,14 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
+    // 64-bit shingled fingerprints — the standard production width at
+    // 100 TB: 8 bands of 8-bit keys (256 buckets/band), exact to
+    // hamming 7.
+    "dedup_simhash_pairs_64" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+          bits = 64, bands = 8, maxDistance = 7)
+        .orderBy(col("a"), col("b"))),
+
     // Language identification via marker-token scoring.
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -717,15 +725,20 @@ object SparkEntry {
       .mkString(",\n    ")
     val concatBits = (1 to bits).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    // bits > 32 chains a seeded second md5, mirroring Dedup.simhash's
+    // widened hash (first 32 digits identical to the 32-bit derivation)
+    def th(feat: String) =
+      if (bits <= 32) s"md5($feat)"
+      else s"md5($feat) || md5('1:' || $feat)"
     val hashed =
       if (shingled)
         s"""$shinglesCte,
-           |hashed AS (SELECT id AS doc_id, md5(sh) AS th FROM sh)""".stripMargin
+           |hashed AS (SELECT id AS doc_id, ${th("sh")} AS th FROM sh)""".stripMargin
       else
-        """toks AS (
-          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-          |  FROM documents),
-          |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks)""".stripMargin
+        s"""toks AS (
+           |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |hashed AS (SELECT doc_id, ${th("tok")} AS th FROM toks)""".stripMargin
     s"""$hashed,
        |sums AS (
        |  SELECT doc_id,
@@ -742,14 +755,21 @@ object SparkEntry {
     * banded Spark path is exact for distance <= bands-1, so the oracle
     * can brute-force.
     */
-  private def simhashPairsOracle: String = {
-    val ham = (1 to 32).map(i =>
+  private def simhashPairsOracle: String = simhashPairsOracleAt(32, 3)
+
+  /** 64-bit variant — the 100 TB production regime (8 bands of 8-bit
+    * keys, exact to hamming 7 by pigeonhole).
+    */
+  private def simhashPairs64Oracle: String = simhashPairsOracleAt(64, 7)
+
+  private def simhashPairsOracleAt(bits: Int, maxDistance: Int): String = {
+    val ham = (1 to bits).map(i =>
       s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH ${simhashCte(32, shingled = true)}
+    s"""WITH ${simhashCte(bits, shingled = true)}
        |SELECT x.doc_id AS a, y.doc_id AS b, CAST($ham AS BIGINT) AS hamming
        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
-       |WHERE $ham <= 3
+       |WHERE $ham <= $maxDistance
        |ORDER BY a, b""".stripMargin
   }
 
@@ -1110,6 +1130,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_simhash_pairs_64" -> simhashPairs64Oracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 

@@ -196,6 +196,27 @@ object Dedup {
           when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
+  /** Band-bucket candidate pairs over precomputed fingerprints
+    * `fp(id, simhash)`: equi-join on (band index, band slice). Exposed
+    * separately so the bench can report banding selectivity (candidate
+    * pairs vs all pairs) — the number that decides whether the scheme
+    * survives a 100× corpus.
+    */
+  def simhashBandCandidates(fp: DataFrame, bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val width = bits / bands
+    val banded = (0 until bands).map { b =>
+      fp.select(col("id"), lit(b).as("band"),
+        substring(col("simhash"), b * width + 1, width).as("bkey"))
+    }.reduce(_ unionAll _)
+    banded.select(col("band"), col("bkey"), col("id").as("a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("b")),
+        Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
   /** Hamming distance between two equal-width simhash bit strings. */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(
@@ -225,10 +246,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 32, bands: Int = 4, maxDistance: Int = 3,
       shingleK: Int = 3): DataFrame = {
-    require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    val width = bits / bands
     // the fingerprint aggregation (shingle explode + hash + `bits`
     // sums) is the dominant cost and feeds the band join twice plus
     // both verify joins — materialize it once. localCheckpoint (not
@@ -236,16 +255,7 @@ object Dedup {
     // when the result is garbage-collected, so repeated calls in a
     // long-lived session don't pin cache entries forever.
     val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
-    val banded = (0 until bands).map { b =>
-      fp.select(col("id"), lit(b).as("band"),
-        substring(col("simhash"), b * width + 1, width).as("bkey"))
-    }.reduce(_ unionAll _)
-    val cand = banded.select(col("band"), col("bkey"), col("id").as("a"))
-      .join(banded.select(col("band"), col("bkey"), col("id").as("b")),
-        Seq("band", "bkey"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    val cand = simhashBandCandidates(fp, bits, bands)
     cand
       .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
       .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
