@@ -51,7 +51,7 @@ object Similarity {
     * once on the driver and baked into the plan as literal arrays; an
     * external SQL oracle recomputes the identical md5 derivation.
     */
-  private def planeWeights(planes: Int, table: Int, dims: Int): Seq[Seq[Double]] = {
+  private[ops] def planeWeights(planes: Int, table: Int, dims: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until planes).map { p =>
       val seed = if (table == 0) s"$p:" else s"t$table:$p:"
