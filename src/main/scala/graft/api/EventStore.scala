@@ -757,15 +757,16 @@ final class EventStore private (
   private def wmClamp(snap: ManifestState): Column = {
     // Two conjuncts: (a) a simple global bound that parquet can push
     // into row-group stats pruning on every scan shape, and (b) the
-    // exact per-partition CASE (folded to a constant whenever the scan
-    // is pruned to one partition, e.g. EGET/ESCAN).
+    // exact per-partition clamp — a CASE chain while small (folded to
+    // a constant whenever the scan is pruned to one partition, e.g.
+    // EGET/ESCAN), one map literal at high partition counts so the
+    // plan stays O(1) nodes (`functions.keyedLookup`).
     val wms = snap.watermarks
     if (wms.isEmpty) lit(false)
     else {
       val globalMax = wms.values.max
-      val wmExpr = wms.foldLeft(when(lit(false), lit(-1L))) {
-        case (acc, (pid, wm)) => acc.when(col("partition_id") === pid, lit(wm))
-      }.otherwise(lit(-1L))
+      val wmExpr =
+        graft.functions.functions.keyedLookup(wms, col("partition_id"), -1L)
       col("partition_sequence") <= globalMax && col("partition_sequence") <= wmExpr
     }
   }

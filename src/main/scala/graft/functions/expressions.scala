@@ -87,6 +87,33 @@ object functions {
   def uuid_partition_id(c: Column, numPartitions: Int): Column =
     uuid_partition_hash(c) % numPartitions
 
+  /** How many entries a per-key lookup may compile to a CASE chain
+    * before switching to a single map literal. A chain is preferable
+    * while small — Catalyst constant-folds it to one literal whenever
+    * the key is pinned (e.g. an EGET scan pruned to one partition) —
+    * but it grows the plan by two nodes per entry, which at the
+    * reference's partition-count scale (50k+ partitions,
+    * `docs/partitions.md`) turns every watermark clamp into a
+    * 100k-node expression the optimizer re-walks per rule.
+    */
+  val KeyedLookupWhenMax = 64
+
+  /** `key -> value` lookup against a driver-side table, with a default
+    * for absent keys. Past [[KeyedLookupWhenMax]] entries the table
+    * ships as ONE map literal and the lookup is a single `element_at`
+    * — O(1) plan nodes regardless of the table size.
+    */
+  def keyedLookup[K: scala.reflect.runtime.universe.TypeTag](
+      table: Map[K, Long], key: Column, default: Long): Column = {
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit, typedLit, when}
+    if (table.isEmpty) lit(default)
+    else if (table.size <= KeyedLookupWhenMax)
+      table.foldLeft(when(lit(false), lit(default))) {
+        case (acc, (k, v)) => acc.when(key === lit(k), lit(v))
+      }.otherwise(lit(default))
+    else coalesce(element_at(typedLit(table), key), lit(default))
+  }
+
   /** Register `uuid_partition_hash` / `uuid_timestamp_ms` for
     * `spark.sql(...)` use.
     */

@@ -163,12 +163,12 @@ object Subscriptions {
     }
   }
 
+  // CASE chain while small, one map literal at high key counts —
+  // a FROM MAP over the reference's 50k-partition topology must not
+  // become a 100k-node filter expression (`functions.keyedLookup`).
   private def headLookup(m: Map[String, Long], key: org.apache.spark.sql.Column,
       default: Long): org.apache.spark.sql.Column =
-    if (m.isEmpty) lit(default)
-    else m.foldLeft(when(lit(false), lit(default))) {
-      case (acc, (k, v)) => acc.when(key === k, lit(v))
-    }.otherwise(lit(default))
+    graft.functions.functions.keyedLookup(m, key, default)
 
   /** Ordered delivery into a callback, one micro-batch at a time —
     * within a batch, events arrive ordered by (key, cursor) like the
