@@ -530,6 +530,37 @@ object SparkEntry {
           col("max_abs_err"))
         .orderBy(col("vec_id"))),
 
+    // Near-dup pairs → dedup CLUSTERS: connected components over the
+    // verified MinHash-LSH pair graph (alternating large-star /
+    // small-star, O(log² n) shuffle rounds); cluster id = min doc id =
+    // the canonical keeper.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = graft.ops.Dedup.minhashLsh(
+        Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
+      graft.ops.Dedup.connectedComponents(
+          pairs.select(col("a"), col("b")))
+        .withColumn("keeper", col("id") === col("cluster"))
+        .select(col("id").as("doc_id"), col("cluster"), col("keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling by language: per-stratum keep
+    // rates in basis points over an md5 bucket — the corpus-mixing
+    // downsample; pure projection + filter, zero shuffle.
+    "curation_sample_stratified" -> ((s, d) =>
+      graft.ops.Curation.stratifiedSample(Tables.documents(s, d),
+          "lang", "doc_id", StratRatesBp, StratDefaultBp)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Greedy next-fit sequence packing into fixed token budgets across
+    // hash lanes — the training-sequence assembly step; streaming
+    // mapPartitions with O(1) state, parallel across lanes.
+    "curation_pack_sequences" -> ((s, d) =>
+      graft.ops.Curation.packSequences(Tables.documents(s, d),
+          "text", "doc_id", budget = PackBudget, numLanes = PackLanes)
+        .orderBy(col("doc_id"))),
+
     // --- engine-backed queries: the EAPPEND/ingest write path and the
     // --- command read surface running through the real EventStore
     // --- (partitioned parquet log + manifest watermark), oracle-checked
@@ -820,6 +851,89 @@ object SparkEntry {
 
   /** Posting-list cap shared by the Spark query and its oracle. */
   private val NgramMaxDf = 64
+
+  /** Stratified-sample keep rates (basis points of 10000) by language;
+    * es exercises the default path. Integer basis points — not double
+    * rates — so the keep threshold is bit-identical across engines.
+    */
+  private val StratRatesBp = Map("en" -> 2500, "zh" -> 5000, "de" -> 10000, "fr" -> 7500)
+  private val StratDefaultBp = 1000
+
+  /** Sequence-packing token budget and lane count (docs are ~56 tokens
+    * median, so ~4 docs/pack; 8 lanes ≈ 62 docs/lane at sf0.01).
+    */
+  private val PackBudget = 256L
+  private val PackLanes = 8
+
+  /** Pairs→clusters oracle: the minhash-LSH pair chain (threshold 0.5)
+    * feeding a recursive-CTE label propagation — min reachable id per
+    * node IS the component id, computed by a completely different
+    * algorithm than the Spark side's alternating-star contraction.
+    */
+  private def dedupClustersOracle: String = {
+    val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
+    s"""WITH RECURSIVE $shinglesCte,
+       |sig AS (SELECT id, $sigs FROM sh GROUP BY id),
+       |bands AS (
+       |  SELECT id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
+       |  SELECT id, 1, h2 || h3 FROM sig UNION ALL
+       |  SELECT id, 2, h4 || h5 FROM sig UNION ALL
+       |  SELECT id, 3, h6 || h7 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS ni
+       |  FROM cand c
+       |  JOIN sh sa ON sa.id = c.a
+       |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+       |  GROUP BY c.a, c.b),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |edges AS (
+       |  SELECT i.a AS u, i.b AS v FROM inter i
+       |  JOIN sizes na ON na.id = i.a
+       |  JOIN sizes nb ON nb.id = i.b
+       |  WHERE round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) >= 0.5),
+       |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+       |walk(node, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
+       |  UNION
+       |  SELECT b.u, w.lbl FROM bidir b JOIN walk w ON w.node = b.v)
+       |SELECT node AS doc_id, min(lbl) AS cluster, (node = min(lbl)) AS keeper
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
+  private def stratSampleOracle: String = {
+    val bucket = s"(${sqlHexBucket("md5('sample:' || doc_id)")} % 10000)"
+    val arms = StratRatesBp.toSeq.sortBy(_._1)
+      .map { case (k, bp) => s"WHEN lang = '$k' THEN $bp" }.mkString(" ")
+    s"""SELECT doc_id, lang, CAST($bucket AS BIGINT) AS bucket
+       |FROM documents
+       |WHERE $bucket < CASE $arms ELSE $StratDefaultBp END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private def packSequencesOracle: String = {
+    val lane = s"((${sqlHexBucket("md5('pack:' || doc_id)")} % 10000) % $PackLanes)"
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, CAST($lane AS INTEGER) AS lane,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |ord AS (
+       |  SELECT doc_id, lane, tokens,
+       |    row_number() OVER (PARTITION BY lane ORDER BY doc_id) AS rn
+       |  FROM toks),
+       |packed(lane, rn, doc_id, tokens, pack, used) AS (
+       |  SELECT lane, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.lane, o.rn, o.doc_id, o.tokens,
+       |    CASE WHEN p.used + o.tokens > $PackBudget THEN p.pack + 1 ELSE p.pack END,
+       |    CASE WHEN p.used + o.tokens > $PackBudget THEN o.tokens ELSE p.used + o.tokens END
+       |  FROM ord o JOIN packed p ON o.lane = p.lane AND o.rn = p.rn + 1)
+       |SELECT doc_id, lane, tokens, pack FROM packed ORDER BY doc_id""".stripMargin
+  }
 
   private def ngramJaccardOracle: String =
     s"""WITH $shinglesCte,
@@ -1127,6 +1241,9 @@ object SparkEntry {
          |ORDER BY sub, partition_id, partition_sequence""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_clusters" -> dedupClustersOracle,
+    "curation_sample_stratified" -> stratSampleOracle,
+    "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,

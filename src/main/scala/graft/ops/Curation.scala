@@ -44,6 +44,79 @@ object Curation {
     df.withColumn("bucket", bucket).withColumn("split", assign)
   }
 
+  /** Deterministic stratified sampling — the mixing step that downsamples
+    * over-represented strata (language, source, quality band) to target
+    * proportions. A document is kept iff its hash bucket (same
+    * md5-derived [0, 10000) bucket as [[hashBucket]], independent seed)
+    * falls under its stratum's rate in BASIS POINTS of 10000 — integer
+    * thresholds, not double rates, so the keep decision is bit-portable
+    * across engines (0.1 * 10000 is not 1000 in binary floating point).
+    *
+    * Zero shuffle: one projection + filter, the same plan shape at 100 TB
+    * as at 500 rows. Deterministic by id, so re-runs and incremental
+    * ingests keep/drop the same documents, and the sample composes with
+    * [[hashSplit]] (different seeds → independent buckets).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      seed: String = "sample"): DataFrame = {
+    require((ratesBp.values ++ Seq(defaultBp)).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val rate = ratesBp.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(defaultBp))) {
+        case (acc, (k, bp)) => acc.when(col(stratumCol) === k, lit(bp))
+      }.otherwise(lit(defaultBp))
+    df.withColumn("bucket", hashBucket(col(idCol), seed))
+      .where(col("bucket") < rate)
+  }
+
+  /** Greedy next-fit sequence packing: assign documents to fixed
+    * token-budget packs — the step that turns a filtered corpus into
+    * dense training sequences. Documents route to `numLanes`
+    * independent packing lanes by id hash; each lane packs in
+    * ascending `doc_id` order, opening a new pack when the current one
+    * cannot fit the next document (a document longer than the budget
+    * gets a pack of its own).
+    *
+    * Scale: packing is sequential WITHIN a lane but embarrassingly
+    * parallel ACROSS lanes — at 100 TB you raise `numLanes` (each lane
+    * is one streaming pass). The implementation is repartition-by-lane
+    * + sort-within-partitions + a streaming `mapPartitions` whose state
+    * is three scalars (lane, pack, used) — O(1) memory per task, a
+    * lane is NEVER materialized in memory.
+    *
+    * Output: (doc_id, lane, tokens, pack) — pack ids are per-lane,
+    * dense from 0.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      budget: Long, numLanes: Int = 8, seed: String = "pack"): DataFrame = {
+    require(budget > 0 && numLanes > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        pmod(hashBucket(col(idCol), seed), lit(numLanes.toLong)).cast("int").as("lane"),
+        size(split(col(textCol), " ")).cast("long").as("tokens"))
+      .repartition(numLanes, col("lane"))
+      .sortWithinPartitions(col("lane"), col("doc_id"))
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        // a hash partition may interleave several lanes' runs — the
+        // sort above makes each lane one contiguous run; reset on the
+        // lane boundary
+        var lane = Int.MinValue
+        var pack = -1L
+        var used = 0L
+        it.map { case (id, ln, n) =>
+          if (ln != lane) { lane = ln; pack = -1L; used = 0L }
+          if (pack < 0L || used + n > budget) { pack += 1L; used = 0L }
+          used += n
+          (id, ln, n, pack)
+        }
+      }
+      .toDF("doc_id", "lane", "tokens", "pack")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ANY word
     * n-gram with a benchmark/eval set (the standard n-gram-overlap
     * contamination test). The join key is the n-gram itself — shuffle

@@ -196,6 +196,84 @@ object Dedup {
           when(col(s"s$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("simhash"))
   }
 
+  /** Connected components over an undirected edge list `(u, v)` — the
+    * step that turns near-dup PAIRS into dedup CLUSTERS: output is one
+    * row per node `(id, cluster)` where `cluster` is the component's
+    * minimum id, i.e. the canonical document the cluster deduplicates
+    * to.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * standard shuffle-based CC that converges in O(log² n) rounds on
+    * ANY graph shape (min-label propagation would need O(diameter)
+    * rounds, unbounded on chain-shaped dup clusters). Each round is
+    * two aggregations + two joins keyed on node id; data never
+    * collects to the driver — the driver runs only the fixpoint test,
+    * a (count, hash-sum) aggregate per round. `localCheckpoint` cuts
+    * the iterative lineage so round N's plan does not replay rounds
+    * 0..N-1.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Seq(uc, vc) = edges.columns.take(2).toSeq
+    var cur = edges.select(col(uc).as("u"), col(vc).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // order-independent edge-set checksum; decimal(38,0) so the sum
+    // cannot overflow under ANSI arithmetic at any edge count
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(BigDecimal(0)))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var fp = fingerprint(cur)
+    var it = 0
+    var converged = cur.isEmpty
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      cur = next
+      it += 1
+    }
+    // at the fixpoint every edge is (node, component-min); component
+    // roots only appear on the right — add their identity rows
+    cur.select(col("u").as("id"), col("v").as("cluster"))
+      .union(cur.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+  }
+
+  /** Large-star: connect every neighbor LARGER than `u` to
+    * `m = min(Γ(u) ∪ {u})`. Operates on both orientations.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = bidir.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    bidir.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient each edge large→small, then connect all of
+    * `u`'s smaller neighbors (and `u` itself) to their minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Band-bucket candidate pairs over precomputed fingerprints
     * `fp(id, simhash)`: equi-join on (band index, band slice). Exposed
     * separately so the bench can report banding selectivity (candidate

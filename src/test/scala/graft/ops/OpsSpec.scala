@@ -239,6 +239,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.forall(_.getAs[Array[Byte]]("frame_bytes").length == 19 / 4))
   }
 
+  test("connected components: chains, stars, isolated pairs, empty") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 6-node chain is the worst case for label propagation — the
+    // alternating-star contraction must still collapse it to root 1
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))) ==
+      (1L to 6L).map(_ -> 1L).toMap)
+    // two components + duplicate/reversed edges
+    val two = cc(Seq((10L, 20L), (20L, 10L), (20L, 30L), (7L, 8L), (8L, 7L)))
+    assert(two == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 7L -> 7L, 8L -> 7L))
+    // star already rooted at min: fixpoint immediately
+    assert(cc(Seq((1L, 5L), (1L, 9L), (1L, 7L))) ==
+      Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 7L -> 1L))
+    assert(cc(Nil).isEmpty)
+  }
+
+  test("connected components match brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // brute force: repeated relabel-to-min until fixpoint
+    var lbl = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b) =>
+        val m = math.min(lbl(a), lbl(b))
+        if (lbl(a) != m) { lbl += a -> m; changed = true }
+        if (lbl(b) != m) { lbl += b -> m; changed = true }
+      }
+    }
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lbl)
+  }
+
+  test("stratified sample: deterministic, per-stratum rates honored") {
+    val rates = Map("en" -> 0, "de" -> 10000)
+    val s1 = Curation.stratifiedSample(docs, "lang", "doc_id", rates, 5000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.stratifiedSample(docs, "lang", "doc_id", rates, 5000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed must keep the same documents")
+    val byLang = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(!s1.exists(byLang(_) == "en"), "0 bp stratum must drop everything")
+    val de = byLang.count(_._2 == "de")
+    assert(s1.count(byLang(_) == "de") == de, "10000 bp stratum keeps all")
+    // default-rate strata keep a plausible fraction (hash buckets are
+    // uniform; 50% ± wide slack on a small corpus)
+    val rest = byLang.count(kv => kv._2 != "en" && kv._2 != "de")
+    val kept = s1.count(id => byLang(id) != "en" && byLang(id) != "de")
+    assert(kept > rest / 4 && kept < rest * 3 / 4, s"$kept of $rest")
+  }
+
+  test("sequence packing: next-fit invariants per lane") {
+    val out = Curation.packSequences(docs, "text", "doc_id",
+        budget = 128L, numLanes = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    out.groupBy(_._2).foreach { case (_, laneRows) =>
+      val ordered = laneRows.sortBy(_._1)
+      // recompute next-fit serially and demand identical assignment
+      var pack = -1L; var used = 0L
+      ordered.foreach { case (id, _, n, gotPack) =>
+        if (pack < 0 || used + n > 128L) { pack += 1; used = 0L }
+        used += n
+        assert(gotPack == pack, s"doc $id")
+      }
+      // packs are dense from 0 and (except possibly the last of each
+      // run) could not have absorbed their successor's first doc
+      assert(ordered.map(_._4).distinct.sorted.zipWithIndex.forall {
+        case (p, i) => p == i.toLong
+      })
+    }
+  }
+
   test("language id prefers the language whose markers dominate") {
     import spark.implicits._
     val df = Seq(
