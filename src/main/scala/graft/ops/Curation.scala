@@ -97,7 +97,10 @@ object Curation {
         col(idCol).cast("long").as("doc_id"),
         pmod(hashBucket(col(idCol), seed), lit(numLanes.toLong)).cast("int").as("lane"),
         size(split(col(textCol), " ")).cast("long").as("tokens"))
-      .repartition(numLanes, col("lane"))
+      // range-partition so the `numLanes` small integer lane ids land in
+      // distinct partitions — hash partitioning can collide several lanes
+      // into one task and leave others empty, losing lane parallelism
+      .repartitionByRange(numLanes, col("lane"))
       .sortWithinPartitions(col("lane"), col("doc_id"))
       .as[(Long, Int, Long)]
       .mapPartitions { it =>

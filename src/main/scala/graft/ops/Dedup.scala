@@ -238,6 +238,11 @@ object Dedup {
       cur = next
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxIter " +
+          "iterations; the clustering would be wrong (components split). " +
+          "Raise maxIter for this graph.")
     // at the fixpoint every edge is (node, component-min); component
     // roots only appear on the right — add their identity rows
     cur.select(col("u").as("id"), col("v").as("cluster"))
@@ -303,13 +308,20 @@ object Dedup {
     * fingerprint width in bits; a trailing chunk shorter than 32 is
     * fine (`conv` accepts any length).
     */
-  def hammingDistance(a: Column, b: Column, width: Int = 64): Column =
-    (0 until width by 32).map { off =>
+  def hammingDistance(a: Column, b: Column, width: Int = 64): Column = {
+    val dist = (0 until width by 32).map { off =>
       // fingerprints narrower than `width` leave trailing chunks empty;
       // conv('') is null, so default those chunks to distance 0
       coalesce(bit_count(conv(substring(a, off + 1, 32), 2, 10).cast("long")
         .bitwiseXOR(conv(substring(b, off + 1, 32), 2, 10).cast("long"))), lit(0))
     }.reduce(_ + _)
+    // a fingerprint wider than `width` would have its tail silently
+    // dropped (undercounting distance) — fail loudly instead
+    when(greatest(length(a), length(b)) > lit(width),
+      raise_error(concat(lit(s"hammingDistance: fingerprint wider than width=$width bits: "),
+        greatest(length(a), length(b)).cast("string"))))
+      .otherwise(dist)
+  }
 
   /** SimHash near-duplicate pairs at scale: band the `bits`-wide
     * fingerprint into `bands` equal slices, equi-join on (band, slice)

@@ -257,6 +257,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(Nil).isEmpty)
   }
 
+  test("guards: over-wide hamming fingerprint and exhausted cc iteration cap fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 65 bits against width=64 must raise, not silently drop the tail
+    val wide = Seq(("1" * 65, "0" * 65)).toDF("fa", "fb")
+      .withColumn("d", Dedup.hammingDistance(col("fa"), col("fb"), width = 64))
+    val ex = intercept[Exception](wide.collect())
+    assert(ex.getMessage.contains("wider than width"),
+      s"unexpected failure: ${ex.getMessage}")
+    // equal-width still fine through the same guard
+    val ok = Seq(("1" * 64, "0" * 64)).toDF("fa", "fb")
+      .withColumn("d", Dedup.hammingDistance(col("fa"), col("fb"), width = 64))
+      .collect()
+    assert(ok.head.getAs[Int]("d") == 64)
+    // a zero-iteration budget on a non-trivial graph cannot converge
+    val cc = intercept[IllegalStateException](
+      Dedup.connectedComponents(Seq((1L, 2L)).toDF("a", "b"), maxIter = 0))
+    assert(cc.getMessage.contains("fixpoint"))
+  }
+
   test("connected components match brute force on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(421)
