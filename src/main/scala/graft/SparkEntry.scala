@@ -321,12 +321,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val dot = expr(
-        "aggregate(zip_with(qe, embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)")
-      val qn = expr(
-        "sqrt(aggregate(transform(qe, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))")
-      val en = expr(
-        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))")
+      // codegen'd dot/norm (graft.functions.vec) — value-identical to
+      // the aggregate(zip_with(...)) HOF formulation the oracle mirrors
+      val dot = graft.ops.Similarity.dot(col("qe"), col("embedding"))
+      val qn = graft.ops.Similarity.norm(col("qe"))
+      val en = graft.ops.Similarity.norm(col("embedding"))
       val scored = e.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("qid"))
         .withColumn("cosine", round(dot / (qn * en), 6))

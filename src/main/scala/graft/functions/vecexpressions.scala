@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers callable from generated code. All of these are
+  * value-identical replacements for higher-order-function expression
+  * trees (`aggregate(zip_with(...))`) that Spark evaluates interpreted,
+  * element by element, outside whole-stage codegen: same element
+  * order, same double-precision sequence, same null/length semantics —
+  * so swapping them in cannot move a single oracle hash.
+  */
+object VecOps {
+
+  /** Σ a_i · b_i in doubles, sequential from index 0 — exactly
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)`.
+    * zip_with pads the shorter array with nulls and `null * x` poisons
+    * the fold, so a length mismatch or any null element yields null
+    * (boxed); callers map the boxed null to the expression's null flag.
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Σ a_i · w_i against a driver-side constant weight vector —
+    * exactly `aggregate(zip_with(a, typedLit(w), ...), 0.0, +)`.
+    */
+  def dotLit(a: ArrayData, w: Array[Double], aFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (w.length != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * w(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Driver-side mirror of [[dot]](a, a): Σ v_i² folded left-to-right —
+    * used to constant-fold the norm of a literal vector into the plan.
+    */
+  def normOf(v: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Rabin-Karp polynomial rolling hash over the first
+    * `min(numChars, pows.length)` characters:
+    * `(Σ codepoint(c_i) · pows(i-1)) % mod`, exact 64-bit arithmetic.
+    * Character i is the i-th code point (what `substr(text, i, 1)`
+    * addresses) and its value is what Spark's `ascii` returns for that
+    * one-char string — the full code point, verified against the HOF
+    * formulation in VecExprSpec.
+    */
+  def rollingHash(s: UTF8String, pows: Array[Long], mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0 // code-point index
+    var off = 0 // char (UTF-16 unit) offset
+    val end = str.length
+    while (off < end && i < pows.length) {
+      val cp = str.codePointAt(off)
+      acc += cp.toLong * pows(i)
+      off += Character.charCount(cp)
+      i += 1
+    }
+    acc % mod
+  }
+}
+
+/** Codegen'd dot product of two array<float|double> columns. */
+case class ArrayDotCols(left: Expression, right: Expression) extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double r = graft.functions.VecOps.dot(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDotCols =
+    copy(l, r)
+}
+
+/** Codegen'd dot product of an array column against constant weights
+  * (LSH hyperplanes, IVF centroids). Foldable when the child is, so
+  * Catalyst constant-folds centroid-vs-centroid arithmetic away.
+  */
+case class ArrayDotLit(child: Expression, weights: Array[Double]) extends UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(a: Any): Any =
+    VecOps.dotLit(a.asInstanceOf[ArrayData], weights, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |java.lang.Double r = graft.functions.VecOps.dotLit($a, $w, $isFloat);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  // weights participate in equality/semanticHash via the case-class
+  // field, but Array equality is reference-based — compare contents so
+  // two lexically-identical plans dedupe correctly
+  override def equals(o: Any): Boolean = o match {
+    case ArrayDotLit(c, w) => c == child && java.util.Arrays.equals(w, weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+  override protected def withNewChildInternal(c: Expression): ArrayDotLit =
+    copy(child = c)
+}
+
+/** Codegen'd Rabin-Karp rolling hash (TextAnalysis constants). */
+case class RollingHashExpr(child: Expression, pows: Array[Long], mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.rollingHash(v.asInstanceOf[UTF8String], pows, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("pows", pows, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.rollingHash($c, $p, ${mod}L)")
+  }
+  override def equals(o: Any): Boolean = o match {
+    case RollingHashExpr(c, p, m) =>
+      c == child && m == mod && java.util.Arrays.equals(p, pows)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.lang.Long.hashCode(mod)) +
+      java.util.Arrays.hashCode(pows)
+  override protected def withNewChildInternal(c: Expression): RollingHashExpr =
+    copy(child = c)
+}
+
+/** Column API for the vector expressions. */
+object vec {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDotCols(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotLit(a: Column, w: Seq[Double]): Column =
+    ColumnBridge.column(ArrayDotLit(ColumnBridge.expression(a), w.toArray))
+
+  def rollingHash(text: Column, pows: Seq[Long], mod: Long): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(text), pows.toArray, mod))
+}

@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double precision. Codegen'd native
+    * expression (graft.functions.ArrayDotCols) — value-identical to the
+    * `aggregate(zip_with(...))` higher-order formulation (same element
+    * order and double sequence, VecExprSpec pins it) but it stays inside
+    * whole-stage codegen instead of interpreted per-element eval.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.vec.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -68,9 +71,7 @@ object Similarity {
     */
   def lshBucket(vecCol: Column, planes: Int, table: Int = 0, dims: Int = 64): Column = {
     val projections = planeWeights(planes, table, dims).map { w =>
-      val proj = aggregate(
-        zip_with(vecCol, typedLit(w), (v, wt) => v.cast("double") * wt),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.vec.dotLit(vecCol, w)
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }
     concat(projections: _*)
@@ -106,9 +107,12 @@ object Similarity {
     */
   private def centroidRanking(vec: Column, cents: Seq[(Any, Seq[Double])]): Column =
     array_sort(array(cents.map { case (cid, ce) =>
-      struct(
-        (lit(1.0) - round(cosine(vec, typedLit(ce)), 6)).as("d"),
-        lit(cid).as("cid"))
+      // dot against the centroid literal is codegen'd; the centroid's
+      // own norm is a driver-side constant (same left-to-right fold as
+      // the runtime norm, so the double is bit-identical)
+      val c = graft.functions.vec.dotLit(vec, ce) /
+        (norm(vec) * lit(graft.functions.VecOps.normOf(ce)))
+      struct((lit(1.0) - round(c, 6)).as("d"), lit(cid).as("cid"))
     }: _*))
 
   /** IVF-style ANN: assign every vector to its nearest of `nlist`

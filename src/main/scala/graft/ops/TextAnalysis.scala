@@ -114,12 +114,10 @@ object TextAnalysis {
     Iterator.iterate(HashBase)(p => p * HashBase % HashMod)
       .take(MaxHashLen).toSeq
 
-  def rollingHash(text: Column): Column = {
-    val pows = typedLit(powTable)
-    aggregate(
-      sequence(lit(1), least(length(text), lit(MaxHashLen))),
-      lit(0L),
-      (acc, i) => acc + ascii(text.substr(i, lit(1))) * element_at(pows, i)
-    ) % HashMod
-  }
+  def rollingHash(text: Column): Column =
+    // codegen'd single pass over the code points — value-identical to
+    // the aggregate(sequence(...)) + ascii(substr(i,1)) formulation
+    // (spark's ascii returns the full code point; VecExprSpec pins the
+    // equivalence including multibyte text)
+    graft.functions.vec.rollingHash(text, powTable, HashMod)
 }

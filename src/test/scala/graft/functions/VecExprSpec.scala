@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The codegen'd vector/hash expressions must be value-identical to
+  * the higher-order-function formulations they replace — every oracle
+  * hash in CORRECTNESS depends on bit-stable equivalence.
+  */
+class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("spark ascii semantics probe: multibyte first char") {
+    import spark.implicits._
+    val r = Seq(("a"), ("€"), ("的"), ("z")).toDF("c")
+      .select(col("c"), ascii(col("c")).as("a"))
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    // document what spark's ascii returns for multibyte — the rolling
+    // hash helper must reproduce it exactly
+    info(s"ascii map: $r")
+    assert(r("a") == 97 && r("z") == 122 && r("€") == 8364 && r("的") == 30340)
+  }
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("ArrayDotCols ≡ aggregate(zip_with): values, nulls, length mismatch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      (Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    } :+ ((Seq.fill(63)(1.0f), Seq.fill(64)(1.0f))) // length mismatch → null
+    val df = rows.toDF("a", "b")
+      .withColumn("hof", hofDot(col("a"), col("b")))
+      .withColumn("native", vec.dot(col("a"), col("b")))
+    df.collect().foreach { r =>
+      val h = Option(r.get(2)); val n = Option(r.get(3))
+      assert(h == n, s"hof=$h native=$n")
+      // bit-identical, not just approximately equal
+      h.zip(n).foreach { case (x: Double, y: Double) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y))
+      }
+    }
+    // null element poisons the fold on both paths
+    val withNull = Seq((Seq[java.lang.Float](1.0f, null, 3.0f),
+      Seq[java.lang.Float](1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .withColumn("hof", hofDot(col("a"), col("b")))
+      .withColumn("native", vec.dot(col("a"), col("b")))
+      .head()
+    assert(withNull.isNullAt(2) && withNull.isNullAt(3))
+  }
+
+  test("ArrayDotLit ≡ zip_with against typedLit weights; double arrays too") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val w = Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val dfF = (0 until 100).map(_ => Tuple1(Seq.fill(64)(rnd.nextFloat()))).toDF("v")
+    val dfD = (0 until 100).map(_ => Tuple1(Seq.fill(64)(rnd.nextDouble()))).toDF("v")
+    for (df <- Seq(dfF, dfD)) {
+      val out = df
+        .withColumn("hof", aggregate(
+          zip_with(col("v"), typedLit(w), (x, wt) => x.cast("double") * wt),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("native", vec.dotLit(col("v"), w))
+        .collect()
+      out.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+      }
+    }
+    // length mismatch → null (zip_with pads with null)
+    val mm = Seq(Tuple1(Seq.fill(10)(1.0))).toDF("v")
+      .withColumn("native", vec.dotLit(col("v"), w)).head()
+    assert(mm.isNullAt(1))
+  }
+
+  test("RollingHashExpr ≡ HOF formulation incl. multibyte and >maxLen text") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis.{powTable, HashMod, MaxHashLen}
+    val pows = typedLit(powTable)
+    def hof(text: Column): Column = aggregate(
+      sequence(lit(1), least(length(text), lit(MaxHashLen))),
+      lit(0L),
+      (acc, i) => acc + ascii(text.substr(i, lit(1))) * element_at(pows, i)
+    ) % HashMod
+    val rnd = new scala.util.Random(99)
+    val texts = Seq(
+      "a", "hello world", "The quick brown fox.",
+      "der und die das ist €42 的是了在我",
+      rnd.alphanumeric.take(2000).mkString, // beyond MaxHashLen
+      (0 until 500).map(_ => "的是了").mkString(" "))
+    val out = texts.toDF("t")
+      .withColumn("hof", hof(col("t")))
+      .withColumn("native", vec.rollingHash(col("t"), powTable, HashMod))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"text=${r.getString(0).take(40)}")
+    }
+  }
+
+  test("native expressions stay inside WholeStageCodegen") {
+    val df = spark.range(10)
+      .withColumn("v", array((0 until 8).map(_ => col("id").cast("float")): _*))
+      .withColumn("t", concat(lit("doc "), col("id")))
+      .withColumn("d", vec.dotLit(col("v"), Seq.fill(8)(1.0)))
+      .withColumn("h", vec.rollingHash(col("t"),
+        graft.ops.TextAnalysis.powTable, graft.ops.TextAnalysis.HashMod))
+      .where(col("d") > -1 && col("h") >= 0)
+    // `*(n)` is how a WholeStageCodegen span renders in the simple plan
+    // string; the native expressions must sit INSIDE one, not fall back
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("arraydotlit"), plan)
+    df.collect() // and the generated code actually compiles + runs
+  }
+}
