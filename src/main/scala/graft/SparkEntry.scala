@@ -560,6 +560,48 @@ object SparkEntry {
           "text", "doc_id", budget = PackBudget, numLanes = PackLanes)
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition signals: characters covered by the top
+    // word 2-gram + duplicate word-3-gram occurrence fraction — the
+    // boilerplate/spam filter; one (doc, gram) shuffle, no pairs.
+    "text_repetition" -> ((s, d) =>
+      graft.ops.Repetition.repetitionFeatures(Tables.documents(s, d),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // PII scrubbing: detect + redact emails/phones/IPv4. The corpus is
+    // deterministically salted with synthetic PII derived from doc_id
+    // (salting expression mirrored in the oracle) so every pattern is
+    // exercised with nonzero counts; detection and redaction are pure
+    // scan-speed projections.
+    "pii_redact" -> ((s, d) => {
+      val t = col("text")
+      val salted = when(col("doc_id") % 4 === 0,
+          concat(t, lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(t, lit(" call 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 4 === 2,
+          concat(t, lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), expr("(doc_id % 65536) div 256").cast("string")))
+        .otherwise(t)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.Pii.emailCount(salted).as("n_emails"),
+          graft.ops.Pii.phoneCount(salted).as("n_phones"),
+          graft.ops.Pii.ipv4Count(salted).as("n_ips"),
+          md5(graft.ops.Pii.redact(salted).cast("binary")).as("red_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 keyword retrieval: top-20 docs for a 3-term query. One corpus
+    // scan (tf as codegen'd columns, no explode), single-row global
+    // stats re-entering via broadcast, top-k via per-partition heaps.
+    "rank_bm25" -> ((s, d) =>
+      graft.ops.Ranking.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+          Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+        .orderBy(col("rk"))),
+
     // --- engine-backed queries: the EAPPEND/ingest write path and the
     // --- command read surface running through the real EventStore
     // --- (partitioned parquet log + manifest watermark), oracle-checked
@@ -863,6 +905,12 @@ object SparkEntry {
     */
   private val PackBudget = 256L
   private val PackLanes = 8
+
+  /** BM25 query terms, shared by the Spark query and its oracle. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
 
   /** Pairs→clusters oracle: the minhash-LSH pair chain (threshold 0.5)
     * feeding a recursive-CTE label propagation — min reachable id per

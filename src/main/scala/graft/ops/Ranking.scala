@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking: BM25 (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework") over whole-token term
+  * frequencies — the standard keyword-retrieval score a curation
+  * pipeline uses to pull topical subsets out of a web corpus.
+  *
+  * Shape at scale: term frequencies are computed per document as a
+  * fixed set of codegen'd column expressions (one per query term — the
+  * query is small by definition), so the corpus is read once with NO
+  * explode and NO (doc, term) shuffle. Global statistics (N, Σdl, per-
+  * term document frequencies) reduce to a single row that re-enters
+  * the plan via a broadcast cross join. The only ordering is the final
+  * top-k, which Spark executes as TakeOrderedAndProject (per-partition
+  * heaps, no global sort).
+  *
+  * Determinism: tf, N, df, Σdl are exact integers; the score arithmetic
+  * is a fixed left-to-right double expression, identical on any engine;
+  * ranks tie-break on the id.
+  */
+object Ranking {
+
+  /** BM25 top-k: returns (id, score, rk) for the `topK` highest-scoring
+    * documents against `terms`.
+    *
+    * idf = ln(1 + (N - df + 0.5) / (df + 0.5))   [the "+1" variant that
+    * keeps scores positive for df > N/2]
+    * score = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·dl/avgdl))
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val t = col(textCol)
+    val tfCols = terms.indices.map(i =>
+      TextAnalysis.tokenOccurrences(t, terms(i)).as(s"tf$i"))
+    val base = df.select(col(idCol) +: TextAnalysis.tokenCount(t).as("dl") +: tfCols: _*)
+
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / n
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfi = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - dfi + 0.5) / (dfi + 0.5))
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+    // rank the k survivors (k rows — the window's single partition is
+    // the already-reduced top-k, not the corpus)
+    scored.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+  }
+}

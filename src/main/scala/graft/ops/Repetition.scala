@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality signals for pretraining corpora, after the
+  * public Gopher filtering rules (Rae et al. 2021, "Scaling Language
+  * Models: ...", §A1.1): documents dominated by a few repeated n-grams
+  * are boilerplate/spam and get filtered before training.
+  *
+  * Two signals per document:
+  *   - `top_bigram_frac` — fraction of the document's characters
+  *     covered by occurrences of its single most frequent word 2-gram.
+  *   - `dup_trigram_frac` — fraction of word 3-gram occurrences that
+  *     are duplicates (i.e. their gram appears more than once).
+  *
+  * Shape at scale: explode to (doc, gram) → count (map-side combine on
+  * the compound key, one shuffle) → per-doc top-1 via window / ratio
+  * agg. No all-pairs anywhere; linear in corpus size, parallel over
+  * (doc, gram) buckets. The per-doc window partitions by doc id, so no
+  * single-partition global sort exists in the plan.
+  */
+object Repetition {
+
+  /** Word n-grams of a single-space-separated text column as an array:
+    * gram i = tokens[i..i+n-1] joined by one space, i = 0..count-n.
+    * Empty array when the text has fewer than n tokens (guarded — an
+    * unguarded descending `sequence` would throw, not truncate).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document repetition features over `textCol`:
+    * (id, top_bigram, top_bigram_count, top_bigram_frac,
+    * dup_trigram_frac). Ties on the top bigram count break on the
+    * lexicographically smallest gram so the result is deterministic on
+    * any engine.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val bigrams = df
+      .select(id, length(col(textCol)).as("n_chars"),
+        explode(wordNgrams(col(textCol), 2)).as("g"))
+      .groupBy(id, col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val top = bigrams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(id).orderBy(col("c").desc, col("g"))))
+      .where(col("rn") === 1)
+      .select(id, col("n_chars"),
+        col("g").as("top_bigram"), col("c").as("top_bigram_count"))
+    val trigrams = df
+      .select(id, explode(wordNgrams(col(textCol), 3)).as("g"))
+      .groupBy(id, col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(id)
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+        sum(col("c")).cast("double")).as("dup_frac"))
+    top.join(trigrams, idCol)
+      .select(id, col("top_bigram"), col("top_bigram_count"),
+        round(col("top_bigram_count").cast("double") *
+          length(col("top_bigram")).cast("double") /
+          col("n_chars").cast("double"), 6).as("top_bigram_frac"),
+        round(col("dup_frac"), 6).as("dup_trigram_frac"))
+  }
+}
