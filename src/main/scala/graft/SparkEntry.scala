@@ -392,7 +392,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      graft.ops.Similarity.ivfTopK(e, q, 5, nlist = 10, nprobe = 2)
+      graft.ops.Similarity.ivfTopK(e, q, 5, nlist = IvfLists, nprobe = IvfProbes,
+          trainIters = IvfIters)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -1116,25 +1117,63 @@ object SparkEntry {
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b))), 6)"
 
-  private def ivfOracle: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-       |  FROM embeddings WHERE vec_id < 10),
-       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+  /** IVF quantizer-training constants shared by the Spark query and
+    * its oracle: Lloyd's iterations, coarse-list count, probe width,
+    * and the ordered-prefix training-sample cap.
+    */
+  private val IvfLists = 10
+  private val IvfProbes = 2
+  private val IvfIters = 3
+  private val IvfSample = 10000
+
+  /** Mirror of Similarity.kmeansCentroids + ivfTopK: the k-means
+    * training loop UNROLLED — iteration r assigns every sample vector
+    * to its nearest c(r-1) centroid by 6-dp-rounded cosine (ties to the
+    * smallest cid) and re-centers each cluster on the 6-dp-rounded
+    * per-dimension mean (empty clusters keep the old centroid), then
+    * the final centroids drive the same assignment/probe/top-k chain as
+    * before. The double-sided roundings are what let two engines train
+    * the identical quantizer.
+    */
+  private def ivfOracle: String = {
+    val iterCtes = (1 to IvfIters).map { r =>
+      val prev = s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT s.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${cosSql("s.ve", "c.ce")} DESC, c.cid) AS rn
+         |    FROM samp s, $prev c) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT a.cid, f.i, round(avg(f.v), 6) AS mv
+         |  FROM a$r a JOIN flat f ON f.vec_id = a.vec_id
+         |  GROUP BY a.cid, f.i),
+         |c$r AS (
+         |  SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(mv ORDER BY i) AS ce FROM m$r GROUP BY cid) n
+         |    ON n.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    val cf = s"c$IvfIters"
+    s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $IvfSample),
+       |flat AS (SELECT vec_id, i, ve[i] AS v
+       |  FROM samp, generate_series(1, 64) t(i)),
+       |c0 AS (SELECT vec_id AS cid, ve AS ce FROM samp ORDER BY vec_id LIMIT $IvfLists),
+       |$iterCtes,
        |assigned AS (
        |  SELECT vec_id, cid FROM (
-       |    SELECT corp.vec_id, cents.cid,
+       |    SELECT corp.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY corp.vec_id
-       |        ORDER BY ${cosSql("ve", "ce")} DESC, cents.cid) AS rn
-       |    FROM corp, cents) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |        ORDER BY ${cosSql("ve", "ce")} DESC, c.cid) AS rn
+       |    FROM corp, $cf c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, ve AS qe FROM corp WHERE vec_id IN (0, 1, 2)),
        |probes AS (
        |  SELECT qid, cid, qe FROM (
-       |    SELECT q.qid, cents.cid, q.qe,
+       |    SELECT q.qid, c.cid, q.qe,
        |      row_number() OVER (PARTITION BY q.qid
-       |        ORDER BY ${cosSql("qe", "ce")} DESC, cents.cid) AS rn
-       |    FROM q, cents) WHERE rn <= 2),
+       |        ORDER BY ${cosSql("qe", "c.ce")} DESC, c.cid) AS rn
+       |    FROM q, $cf c) WHERE rn <= $IvfProbes),
        |scored AS (
        |  SELECT p.qid, a.vec_id, ${cosSql("p.qe", "corp.ve")} AS cosine
        |  FROM probes p
@@ -1146,6 +1185,7 @@ object SparkEntry {
        |  FROM scored)
        |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
        |ORDER BY qid, rk""".stripMargin
+  }
 
   private def rollingHashOracle: String = {
     val powRows = graft.ops.TextAnalysis.powTable.zipWithIndex
@@ -1201,7 +1241,119 @@ object SparkEntry {
        |    THEN round(max(abs(v - code * scale)), 9) ELSE 0.0 END AS max_abs_err
        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Mirror of Repetition.repetitionFeatures: non-distinct word 2-/3-
+    * grams via the same 1-based token indexing the shingle CTEs use,
+    * top-1 bigram by (count desc, gram asc), duplicate-trigram ratio,
+    * and a LEFT JOIN onto the full document base so sub-3-token docs
+    * keep their zero defaults.
+    */
+  private def repetitionOracle: String =
+    s"""WITH rt AS (
+       |  SELECT doc_id, length(text) AS nch, string_split(text, ' ') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, nch, t[i] || ' ' || t[i+1] AS g
+       |  FROM rt, generate_series(1, 65536) sb(i)
+       |  WHERE i <= len(t) - 1),
+       |bgc AS (SELECT doc_id, nch, g, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT doc_id, nch, g AS top_bigram, c AS top_bigram_count FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY c DESC, g) AS rn FROM bgc) WHERE rn = 1),
+       |tg AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |  FROM rt, generate_series(1, 65536) st(i)
+       |  WHERE i <= len(t) - 2),
+       |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+       |tgf AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+       |      CAST(sum(c) AS DOUBLE) AS dup_frac
+       |  FROM tgc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(top_bigram, '') AS top_bigram,
+       |  CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       |  coalesce(round(CAST(top_bigram_count AS DOUBLE) *
+       |    CAST(length(top_bigram) AS DOUBLE) / CAST(nch AS DOUBLE), 6), 0.0)
+       |    AS top_bigram_frac,
+       |  coalesce(round(dup_frac, 6), 0.0) AS dup_trigram_frac
+       |FROM documents d
+       |LEFT JOIN top ON top.doc_id = d.doc_id
+       |LEFT JOIN tgf ON tgf.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirror of the pii_redact query: identical doc_id salting CASE,
+    * independent raw-text match counts (see Pii.scala's count-semantics
+    * note), and the same email→phone→IPv4 redaction chain. The regexes
+    * interpolate verbatim from Pii — RE2/Java-compatible by design.
+    */
+  private def piiOracle: String = {
+    val em = graft.ops.Pii.EmailRe
+    val ph = graft.ops.Pii.PhoneRe
+    val ip = graft.ops.Pii.Ipv4Re
+    def cnt(re: String) = s"CAST(len(regexp_extract_all(salted, '$re')) AS BIGINT)"
+    s"""WITH salted_docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |        THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |      WHEN doc_id % 4 = 1
+       |        THEN text || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      WHEN doc_id % 4 = 2
+       |        THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |          || '.' || CAST((doc_id % 65536) // 256 AS VARCHAR)
+       |      ELSE text END AS salted
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${cnt(em)} AS n_emails,
+       |  ${cnt(ph)} AS n_phones,
+       |  ${cnt(ip)} AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(salted,
+       |    '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
+       |    AS red_fp
+       |FROM salted_docs ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of Ranking.bm25TopK: per-term tf via the doubled-space
+    * trick (sqlTokenCount), single-row stats CTE, and the identical
+    * left-to-right double score expression — idf, k1/b constants, and
+    * 6-dp rounding BEFORE the top-k ordering, exactly as the Spark
+    * side computes them.
+    */
+  private def bm25Oracle: String = {
+    val terms = Bm25Terms
+    val tfs = terms.indices.map(i => s"${sqlTokenCount(terms(i))} AS tf$i")
+      .mkString(",\n    ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      val tf = s"CAST(tf$i AS DOUBLE)"
+      val dfi = s"CAST(df$i AS DOUBLE)"
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - $dfi + 0.5) / ($dfi + 0.5))"
+      s"$idf * $tf * ${Bm25K1 + 1} / ($tf + $Bm25K1 * ((1.0 - $Bm25B) + " +
+        s"($Bm25B * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    }.mkString("(", " + ", ")")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS dl,
+       |    regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |    $tfs
+       |  FROM raw),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM tf),
+       |scored AS (
+       |  SELECT doc_id, round($score, 6) AS score FROM tf, stats),
+       |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK)
+       |SELECT doc_id, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM top ORDER BY rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_repetition" -> repetitionOracle,
+    "pii_redact" -> piiOracle,
+    "rank_bm25" -> bm25Oracle,
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,

@@ -19,6 +19,11 @@ object Pii {
   val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  // The *Count detectors are independent raw-text match counts, NOT the
+  // number of replacements redact() performs: an IPv4 embedded in an
+  // email domain (user@10.0.0.1) counts in both n_emails and n_ips but
+  // is redacted once, as [EMAIL] (email-first precedence below).
+
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe)).cast("long")
   def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe)).cast("long")
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re)).cast("long")

@@ -37,7 +37,11 @@ object Ranking {
     val t = col(textCol)
     val tfCols = terms.indices.map(i =>
       TextAnalysis.tokenOccurrences(t, terms(i)).as(s"tf$i"))
+    // the corpus TEXT is scanned once: the narrow (id, dl, tf*) projection
+    // is materialized here and reused by both the stats aggregation and
+    // the scoring pass (localCheckpoint: blocks GC-reclaimed, no lineage)
     val base = df.select(col(idCol) +: TextAnalysis.tokenCount(t).as("dl") +: tfCols: _*)
+      .localCheckpoint()
 
     val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i =>

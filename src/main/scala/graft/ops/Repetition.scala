@@ -23,16 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
-  /** Word n-grams of a single-space-separated text column as an array:
-    * gram i = tokens[i..i+n-1] joined by one space, i = 0..count-n.
+  /** Word n-grams from a MATERIALIZED token-array column as an array:
+    * gram i = toks[i..i+n-1] joined by one space, i = 0..count-n.
     * Empty array when the text has fewer than n tokens (guarded — an
     * unguarded descending `sequence` would throw, not truncate).
+    *
+    * `toks` must be a plain column reference (e.g. a projected
+    * `split(text, " ")`), NOT an inline expression: Spark performs no
+    * common-subexpression elimination inside higher-order-function
+    * lambdas, so an inline split would re-tokenize the whole document
+    * once per gram — O(tokens²) per document, invisible on 100-token
+    * test docs and fatal on web-length ones. Same pattern as
+    * `Dedup.wordShingles`.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = split(text, " ")
-    val grams = transform(sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
-    when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+  def ngramsOfTokens(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** Per-document repetition features over `textCol`:
@@ -40,12 +47,20 @@ object Repetition {
     * dup_trigram_frac). Ties on the top bigram count break on the
     * lexicographically smallest gram so the result is deterministic on
     * any engine.
+    *
+    * Every input document appears in the output: documents too short to
+    * have bigrams (or trigrams) keep defaults top_bigram = "",
+    * top_bigram_count = 0, fractions = 0.0 — a downstream quality
+    * filter must see short documents, not lose them to an inner join.
     */
   def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val id = col(idCol)
-    val bigrams = df
-      .select(id, length(col(textCol)).as("n_chars"),
-        explode(wordNgrams(col(textCol), 2)).as("g"))
+    // tokenize ONCE per document into a real column; the n-gram
+    // lambdas below only index into it
+    val base = df.select(id, length(col(textCol)).as("n_chars"),
+      split(col(textCol), " ").as("toks"))
+    val bigrams = base
+      .select(id, col("n_chars"), explode(ngramsOfTokens(col("toks"), 2)).as("g"))
       .groupBy(id, col("n_chars"), col("g"))
       .agg(count(lit(1)).as("c"))
     val top = bigrams
@@ -54,18 +69,22 @@ object Repetition {
       .where(col("rn") === 1)
       .select(id, col("n_chars"),
         col("g").as("top_bigram"), col("c").as("top_bigram_count"))
-    val trigrams = df
-      .select(id, explode(wordNgrams(col(textCol), 3)).as("g"))
+    val trigrams = base
+      .select(id, explode(ngramsOfTokens(col("toks"), 3)).as("g"))
       .groupBy(id, col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(id)
       .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
         sum(col("c")).cast("double")).as("dup_frac"))
-    top.join(trigrams, idCol)
-      .select(id, col("top_bigram"), col("top_bigram_count"),
-        round(col("top_bigram_count").cast("double") *
+    df.select(id)
+      .join(top, Seq(idCol), "left")
+      .join(trigrams, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        coalesce(round(col("top_bigram_count").cast("double") *
           length(col("top_bigram")).cast("double") /
-          col("n_chars").cast("double"), 6).as("top_bigram_frac"),
-        round(col("dup_frac"), 6).as("dup_trigram_frac"))
+          col("n_chars").cast("double"), 6), lit(0.0)).as("top_bigram_frac"),
+        coalesce(round(col("dup_frac"), 6), lit(0.0)).as("dup_trigram_frac"))
   }
 }

@@ -115,11 +115,74 @@ object Similarity {
       struct((lit(1.0) - round(c, 6)).as("d"), lit(cid).as("cid"))
     }: _*))
 
+  /** Decimal rounding identical to Spark SQL's `round(x, 6)` on
+    * doubles (shortest-decimal-repr BigDecimal, HALF_UP) — the driver-
+    * side k-means below must reproduce the engine's rounded cosines
+    * bit-for-bit or training diverges from its SQL oracle mirror.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def cos6(a: Seq[Double], b: Seq[Double]): Double =
+    round6(dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b))))
+
+  /** Lloyd's-trained coarse quantizer: `iters` k-means rounds over the
+    * first `maxSample` corpus vectors (by id — an ordered prefix keeps
+    * the training set, and therefore the whole quantizer, exactly
+    * reproducible by an external SQL oracle; a production build would
+    * hash-sample instead, same shape). Each round assigns every sample
+    * vector to its nearest centroid by 6-dp-rounded cosine (ties to the
+    * smallest centroid id) and re-centers each cluster on the per-
+    * dimension mean, rounded to 6 dp — the roundings pin every engine
+    * to the same decimals, so assignment boundaries cannot drift
+    * between this training loop and the oracle's unrolled iterations.
+    * Empty clusters keep their previous centroid.
+    *
+    * The quantizer is a trained CONSTANT (like any model): the sample
+    * is bounded (`maxSample`), the loop is driver-side, and the result
+    * is baked into the plan as literals.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int,
+      maxSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Any, Seq[Double])] = {
+    val sample: Seq[(Any, Seq[Double])] = corpus.orderBy(col(idCol)).limit(maxSample)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.get(0),
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+    val init = sample.take(nlist)
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val assigned = sample.map { case (_, v) =>
+        // argmax of rounded cosine, tie → first (= smallest cid, since
+        // centroids keep the ordered-prefix id order)
+        val ci = cents.indices.maxBy(i => (cos6(v, cents(i)._2), -i))
+        (ci, v)
+      }.groupBy(_._1)
+      cents.zipWithIndex.map { case ((cid, old), i) =>
+        assigned.get(i) match {
+          case Some(members) =>
+            val vs = members.map(_._2)
+            val dims = vs.head.indices
+            (cid, dims.map(d => round6(vs.map(_(d)).sum / vs.size)): Seq[Double])
+          case None => (cid, old)
+        }
+      }
+    }
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nlist`
-    * fixed coarse centroids (here: the first `nlist` corpus vectors,
-    * deterministic — production would k-means them; the assignment/
-    * probe shape is identical), then score queries only against the
-    * `nprobe` closest inverted lists.
+    * coarse centroids, then score queries only against the `nprobe`
+    * closest inverted lists. With `trainIters` = 0 the centroids are
+    * the first `nlist` corpus vectors (deterministic seed); with
+    * `trainIters` > 0 they are k-means-refined from that seed via
+    * `kmeansCentroids` — the real quantizer a curation pipeline needs,
+    * or recall collapses on clustered embeddings.
     *
     * Scale shape: the coarse centroids are a driver-side constant (like
     * any trained quantizer), so nearest-centroid assignment is a pure
@@ -128,16 +191,19 @@ object Similarity {
     * at 100 TB the inverted lists are the only shuffle key.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 10, nprobe: Int = 2,
+      nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // nlist is small by construction: collecting the coarse quantizer
     // to the driver is the IVF contract, not a scale hazard
-    val cents: Seq[(Any, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol), col(vecCol)).collect().toSeq
-      .map(r => (r.get(0),
-        // element type is whatever the embedding column holds
-        // (float or double) — don't assume
-        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+    val cents: Seq[(Any, Seq[Double])] =
+      if (trainIters > 0) kmeansCentroids(corpus, nlist, trainIters,
+        idCol = idCol, vecCol = vecCol)
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol), col(vecCol)).collect().toSeq
+        .map(r => (r.get(0),
+          // element type is whatever the embedding column holds
+          // (float or double) — don't assume
+          r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
     // nearest centroid per corpus vector: shuffle-free projection
     val assigned = corpus.withColumn("cid",
       element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
