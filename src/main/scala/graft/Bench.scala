@@ -55,6 +55,43 @@ object Bench {
     // 1c. compaction: segment-rollover analogue
     results("compact") = time { store.compact() }
 
+    // 1d. LSM head layers at depth: the 100 TB story claims head state
+    //     stays out of driver memory at any stream count, so prove the
+    //     layered regime. Two stores get the identical 512-stream
+    //     workload; one keeps heads inline, one spills every commit to
+    //     a parquet delta (maxInlineHeads = 64 << 128-stream batches).
+    //     sver_inline / sver_layered time the full head enumeration
+    //     (the ESVER / HeadLookupRewrite scale path, min of 2 passes);
+    //     sver_layered_point times 32 COLD point lookups through the
+    //     pushed-filter layer scan + cache.
+    {
+      def tempStore(maxInline: Int) = graft.api.EventStore.open(spark,
+        java.nio.file.Files.createTempDirectory("bench-heads-").toString,
+        numPartitions = 8, maxInlineHeads = maxInline)
+      def loadStreams(es: graft.api.EventStore): Unit =
+        (0 until 4).foreach { b =>
+          es.appendMany((0 until 128).map(i =>
+            graft.core.EventInput(s"bench-heads-$b-$i", "HeadEvt")))
+        }
+      def enumerate(es: graft.api.EventStore): Double = time {
+        es.headsDf().write.mode("overwrite").format("noop").save()
+      }
+      try {
+        val inlineStore = tempStore(1000000)
+        loadStreams(inlineStore)
+        val layeredStore = tempStore(64)
+        loadStreams(layeredStore)
+        results("sver_inline") = math.min(enumerate(inlineStore), enumerate(inlineStore))
+        results("sver_layered") = math.min(enumerate(layeredStore), enumerate(layeredStore))
+        results("sver_layered_point") = time {
+          (0 until 32).foreach(i => layeredStore.sver(s"bench-heads-0-$i"))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] layered-heads leg failed: ${e.getMessage}")
+        results("sver_layered") = -1.0
+      }
+    }
+
     // 2. every operator query, fully materialized. Each query runs
     //    TWICE and records the min: a single pass is at the mercy of
     //    whatever else the machine is doing (BENCH_r05 recorded a 3.6×
@@ -88,6 +125,28 @@ object Bench {
         if (n < 2) 0.0 else cand / (n * (n - 1) / 2)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] simhash64 diagnostic failed: ${e.getMessage}")
+        -1.0
+      }
+
+    // 2c. diagnostic (not a timing): trained-IVF recall@5 against the
+    //     brute-force exact neighbors — the go/no-go number for the
+    //     quantizer (a bad centroid fit shows up here long before it
+    //     shows up in a 100× corpus).
+    val ivfRecall: Double =
+      try {
+        import org.apache.spark.sql.functions.col
+        val e = Tables.embeddings(spark, sfDir)
+        val q = e.where(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val brute = graft.ops.Similarity.bruteForceTopK(e, q, 5)
+          .select("qid", "vec_id")
+        val ivf = graft.ops.Similarity
+          .ivfTopK(e, q, 5, nlist = 10, nprobe = 2, trainIters = 3)
+          .select("qid", "vec_id")
+        val tot = brute.count().toDouble
+        if (tot == 0) 0.0 else brute.intersect(ivf).count() / tot
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivf recall diagnostic failed: ${e.getMessage}")
         -1.0
       }
 
@@ -129,7 +188,8 @@ object Bench {
     // load_avg, suspect the machine before the code
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio,"load_avg":$loadAvg}"""
+    val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio,""" +
+      s""""ivf_recall_at_5":$ivfRecall,"load_avg":$loadAvg}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}""")
     spark.stop()
   }

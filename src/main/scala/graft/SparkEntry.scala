@@ -499,6 +499,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio header decode, end-to-end: synthesize a canonical
+    // 8-bit PCM mono WAV per document with column expressions alone
+    // (RIFF/fmt/data header + samples from doc_id arithmetic), then
+    // decode it back through Multimodal.decodeWav's byte-extraction
+    // expressions — format fields, sample/duration arithmetic, and the
+    // exact mean-amplitude envelope. Encode (hex concat), decode
+    // (little-endian byte reads), and oracle (SQL arithmetic) are three
+    // independent code paths.
+    "multimodal_audio" -> ((s, d) => {
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val sr = (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("long")
+      val n = (pmod(col("doc_id"), lit(50)) + 10).cast("long")
+      val sampleHex = concat_ws("",
+        transform(sequence(lit(0L), n - 1),
+          i => lpad(hex(pmod(col("doc_id") * 13 + i * 7, lit(256))), 2, "0")))
+      val wav = unhex(concat(
+        lit(graft.ops.Multimodal.WavMagicRiffHex), le32((lit(36L) + n).cast("int")),
+        lit(graft.ops.Multimodal.WavMagicWaveFmtHex), le32(lit(16)),
+        lit("0100"), lit("0100"), // PCM, mono
+        le32(sr.cast("int")), le32(sr.cast("int")), // sample rate, byte rate
+        lit("0100"), lit("0800"), // block align 1, 8 bits/sample
+        hex(lit("data".getBytes("US-ASCII"))), le32(n.cast("int")),
+        sampleHex))
+      graft.ops.Multimodal.decodeWav(
+          Tables.documents(s, d).withColumn("payload", wav), "payload")
+        .select(col("doc_id"), col("wav_sample_rate"), col("wav_bits"),
+          col("wav_n_samples"), col("wav_duration_ms"), col("wav_mean_amp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/val/test split by md5 bucket — stable across
     // runs/engines/layouts, zero shuffle (pure projection).
     "curation_hash_split" -> ((s, d) =>
@@ -1474,6 +1508,33 @@ object SparkEntry {
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ground truth for the WAV decode: every header field and the
+    // sample bytes come from the same doc_id arithmetic the encoder
+    // uses; mean amplitude is an exact integer sum divided once, so
+    // both engines produce the correctly-rounded double of the same
+    // rational (8-bit mono → n_samples = data bytes, duration floors
+    // via integer division on both sides)
+    "multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 8) * 1000 AS sr,
+        |    doc_id % 50 + 10 AS n
+        |  FROM documents),
+        |amp AS (
+        |  SELECT p.doc_id,
+        |    sum((p.doc_id * 13 + i * 7) % 256) AS amp_sum
+        |  FROM p, generate_series(0, 65536) t(i)
+        |  WHERE i < p.n
+        |  GROUP BY p.doc_id)
+        |SELECT p.doc_id,
+        |  CAST(sr AS BIGINT) AS wav_sample_rate,
+        |  CAST(8 AS BIGINT) AS wav_bits,
+        |  CAST(n AS BIGINT) AS wav_n_samples,
+        |  CAST(n * 1000 // sr AS BIGINT) AS wav_duration_ms,
+        |  round(CAST(amp_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS wav_mean_amp
+        |FROM p JOIN amp ON amp.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "eget_point" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props

@@ -183,6 +183,102 @@ object Multimodal {
     out.array()
   }
 
+  // ------------------------------------------------- real audio decode
+
+  /** Little-endian unsigned integer read: bytes `off..off+n-1`
+    * (1-based) reversed into big-endian hex, then conv'd. Pure
+    * codegen'd expressions — the audio analogue of the PNG path.
+    */
+  private def leUint(bin: Column, off: Int, n: Int): Column =
+    conv(concat((0 until n).reverse.map(i => hex(substring(bin, off + i, 1))): _*),
+      16, 10).cast("long")
+
+  /** Canonical 44-byte RIFF/WAV header layout (RIFF spec / WAVE file
+    * format: "RIFF" size "WAVE" + 16-byte PCM "fmt " chunk + "data"):
+    * channels at offset 22 (LE16), sample rate at 24 (LE32), bits per
+    * sample at 34 (LE16), data byte length at 40 (LE32), samples from
+    * 44. Offsets below are 1-based (Spark substring convention).
+    */
+  val WavMagicRiffHex = "52494646" // "RIFF"
+  val WavMagicWaveFmtHex = "57415645666D7420" // "WAVEfmt "
+
+  def isWav(bin: Column): Column =
+    length(bin) >= 44 && hex(substring(bin, 1, 4)) === lit(WavMagicRiffHex) &&
+      hex(substring(bin, 9, 8)) === lit(WavMagicWaveFmtHex)
+
+  def wavChannels(bin: Column): Column = leUint(bin, 23, 2)
+  def wavSampleRate(bin: Column): Column = leUint(bin, 25, 4)
+  def wavBitsPerSample(bin: Column): Column = leUint(bin, 35, 2)
+  def wavDataLen(bin: Column): Column = leUint(bin, 41, 4)
+
+  // integer `div`, not `/`: Spark's Divide on longs returns DOUBLE, and
+  // floor(double quotient) can mis-round near integers — `div` keeps
+  // the arithmetic exact on any engine (`//` in the oracle)
+  def wavNumSamples(bin: Column): Column =
+    call_function("div", wavDataLen(bin) * 8L,
+      wavChannels(bin) * wavBitsPerSample(bin))
+
+  def wavDurationMs(bin: Column): Column =
+    call_function("div", wavNumSamples(bin) * 1000L, wavSampleRate(bin))
+
+  /** Mean unsigned-8-bit amplitude over the data chunk: exact integer
+    * byte sum folded per row, divided once — order-independent, so the
+    * double is the correctly-rounded quotient on any engine. The fold
+    * is a higher-order aggregate over the materialized payload
+    * ATTRIBUTE (per-element work is one O(1) byte slice, never a
+    * re-synthesis of the payload); a 100 TB audio pipeline would
+    * promote this to a native expression like `vec.rollingHash`.
+    */
+  def wavMeanAmplitude8(bin: Column): Column = {
+    val n = wavDataLen(bin)
+    val byteSum = aggregate(
+      sequence(lit(1L), n),
+      lit(0L),
+      (acc, i) => acc + conv(hex(substring(bin, (lit(44L) + i).cast("int"), lit(1))),
+        16, 10).cast("long"))
+    when(n > 0, round(byteSum.cast("double") / n.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Real audio header decode over a WAV binary column: format fields,
+    * sample/duration arithmetic, and the 8-bit mean-amplitude envelope.
+    * One narrow projection, no shuffle, expression-only (scan speed).
+    */
+  def decodeWav(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val ok = isWav(b)
+    def f(c: Column) = when(ok, c)
+    df.withColumn("wav_channels", f(wavChannels(b)))
+      .withColumn("wav_sample_rate", f(wavSampleRate(b)))
+      .withColumn("wav_bits", f(wavBitsPerSample(b)))
+      .withColumn("wav_n_samples", f(wavNumSamples(b)))
+      .withColumn("wav_duration_ms", f(wavDurationMs(b)))
+      .withColumn("wav_mean_amp", f(wavMeanAmplitude8(b)))
+  }
+
+  /** Synthesize a canonical 8-bit PCM mono WAV via ByteBuffer — the
+    * independent encoder tests pin `decodeWav`'s expression path
+    * against (mirrors `syntheticBmp24`'s role for images).
+    */
+  def syntheticWav8(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty)
+    val n = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate = rate * channels * bits/8
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(n)
+    samples.foreach(s => out.put((s & 0xff).toByte))
+    out.array()
+  }
+
   /** Frame sampling for video-like payloads: split the byte stream
     * into `n` stride-sampled chunks (stub for real frame extraction;
     * the explode shape — one row per frame — is the real contract).

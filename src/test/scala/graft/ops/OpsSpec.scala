@@ -340,6 +340,74 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("WAV decode reads back an independently-encoded header exactly") {
+    import spark.implicits._
+    // ByteBuffer encoder (little-endian writes) vs expression decoder
+    // (hex/conv byte reads) — two independent code paths
+    val samples = Array(0, 255, 128, 7, 42, 99, 200, 1)
+    val wav = Multimodal.syntheticWav8(11025, samples)
+    val truncated = wav.take(20) // not a decodable WAV
+    val df = Seq((1L, wav), (2L, truncated)).toDF("id", "payload")
+    val got = Multimodal.decodeWav(df, "payload").orderBy("id").collect()
+    val ok = got(0)
+    assert(ok.getAs[Long]("wav_channels") == 1L)
+    assert(ok.getAs[Long]("wav_sample_rate") == 11025L)
+    assert(ok.getAs[Long]("wav_bits") == 8L)
+    assert(ok.getAs[Long]("wav_n_samples") == samples.length.toLong)
+    assert(ok.getAs[Long]("wav_duration_ms") ==
+      samples.length.toLong * 1000 / 11025)
+    val expMean = BigDecimal(samples.map(_.toLong).sum.toDouble / samples.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ok.getAs[Double]("wav_mean_amp") == expMean)
+    // non-WAV payloads decode to null fields, not garbage or a crash
+    assert(got(1).isNullAt(got(1).fieldIndex("wav_sample_rate")))
+  }
+
+  test("k-means-trained IVF centroids move to the true cluster centers") {
+    import spark.implicits._
+    // three tight, well-separated direction clusters, interleaved so the
+    // ordered-prefix seed lands one seed per cluster; training must pull
+    // each centroid off its single seed point onto the cluster MEAN
+    val axes = Seq(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0))
+    def jitter(base: Seq[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (v, d) => v + 0.01 * ((i + d) % 5) }
+    val vecs = (0 until 24).map(i => (i.toLong, jitter(axes(i % 3), i)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, nlist = 3, iters = 5)
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    axes.foreach { ax =>
+      // each axis direction is captured by some trained centroid...
+      assert(cents.exists { case (_, ce) => cos(ax, ce) > 0.999 },
+        s"no centroid captured axis $ax: $cents")
+    }
+    // ...and every centroid MOVED off its seed vector (training ran)
+    val seeds = vecs.take(3).map(_._2).toSet
+    cents.foreach { case (cid, ce) =>
+      assert(!seeds.contains(ce), s"centroid $cid never left its seed")
+    }
+    // and training is idempotent-deterministic (same data → same model)
+    assert(cents == Similarity.kmeansCentroids(corpus, nlist = 3, iters = 5))
+  }
+
+  test("trained IVF matches brute-force top-1 on the embeddings corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id").isin(3, 4))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(e, q, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, q, 5, nlist = 8, nprobe = 4, trainIters = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    exact.foreach { case (qid, top1) =>
+      assert(ivf(qid).contains(top1),
+        s"trained IVF should find brute-force top-1 $top1 for query $qid")
+    }
+  }
+
   test("language id prefers the language whose markers dominate") {
     import spark.implicits._
     val df = Seq(

@@ -41,6 +41,13 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.flush()
       Resp.decode(in)
     }
+    /** write without reading — for commands whose reply interleaves
+      * with push frames already in flight on this connection
+      */
+    def send(args: String*): Unit = {
+      Resp.encode(ArrayF(args.map(blob)), out)
+      out.flush()
+    }
     def callRaw(args: Array[Byte]*): Frame = {
       Resp.encode(ArrayF(args.map(Blob(_))), out)
       out.flush()
@@ -173,6 +180,70 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val PushF(Seq(_, _, Num(liveCursor), liveEv)) = c.read()
     assert(liveCursor == 3L)
     assert(asMap(liveEv)("event_name") == blob("Live"))
+    c.close()
+  }
+
+  test("live tail under concurrent appends: ordered, gapless, window-paced") {
+    // mirrors the reference's live-tail subscription cases
+    // (`tests/subscriptions.rs`, comprehensive_test.rs live section):
+    // one connection EAPPENDs WHILE another consumes the same stream's
+    // ESUB across the history→live seam, with a real EACK window
+    // pacing delivery the whole way. Every wait is a bounded socket
+    // read — no sleeps beyond the writer's pacing.
+    val c = new Client
+    (1 to 20).foreach(i => asMap(c.call("EAPPEND", "tail-s", s"H$i")))
+    val subId = c.call("ESUB", "tail-s", "FROM", "0", "WINDOW", "4") match {
+      case SimpleStr(s) => s
+      case other        => fail(s"expected subscription id, got $other")
+    }
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        val w = new Client
+        (1 to 20).foreach { i =>
+          asMap(w.call("EAPPEND", "tail-s", s"L$i"))
+          Thread.sleep(5) // spread appends across several micro-batches
+        }
+        w.close()
+      } catch { case t: Throwable => writerErr = Some(t) }
+    }, "live-tail-writer")
+    writer.start()
+
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    var acked = -1L
+    var next = 0L
+    var okPending = 0
+    while (names.size < 40) {
+      c.readWithin(20000) match {
+        case Some(SimpleStr("OK")) => okPending -= 1 // an EACK reply
+        case Some(PushF(Seq(SimpleStr("message"), SimpleStr(id), Num(cur), ev))) =>
+          assert(id == subId)
+          assert(cur == next, s"cursor must be gapless: got $cur, want $next")
+          next += 1
+          names += (asMap(ev)("event_name") match {
+            case b: Blob => b.utf8
+            case o       => o.toString
+          })
+          // ack every other event: the unacked gap stays under the
+          // window, so delivery is continuously paced, never stalled
+          if (cur - acked >= 2) {
+            c.send("EACK", subId, cur.toString)
+            acked = cur
+            okPending += 1
+          }
+        case other => fail(s"unexpected frame mid-tail: $other")
+      }
+    }
+    while (okPending > 0) {
+      assert(c.readWithin(5000).contains(SimpleStr("OK")))
+      okPending -= 1
+    }
+    writer.join(30000)
+    assert(writerErr.isEmpty, s"writer failed: $writerErr")
+    // the full history then the full live tail, in stream-version order,
+    // no loss and no duplication across the seam
+    assert(names.toSeq ==
+      (1 to 20).map(i => s"H$i") ++ (1 to 20).map(i => s"L$i"))
     c.close()
   }
 
