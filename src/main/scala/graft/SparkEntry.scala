@@ -533,6 +533,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL PCM frame extraction: the synthesized WAVs exploded into
+    // 8-sample frames with exact per-frame mean amplitudes — PCM is
+    // uncompressed, so the frame values are true codec output, and the
+    // oracle recomputes every frame mean from the same doc_id
+    // arithmetic. One row per frame, no shuffle.
+    "multimodal_audio_frames" -> ((s, d) => {
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val sr = (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("long")
+      val n = (pmod(col("doc_id"), lit(50)) + 10).cast("long")
+      val sampleHex = concat_ws("",
+        transform(sequence(lit(0L), n - 1),
+          i => lpad(hex(pmod(col("doc_id") * 13 + i * 7, lit(256))), 2, "0")))
+      val wav = unhex(concat(
+        lit(graft.ops.Multimodal.WavMagicRiffHex), le32((lit(36L) + n).cast("int")),
+        lit(graft.ops.Multimodal.WavMagicWaveFmtHex), le32(lit(16)),
+        lit("0100"), lit("0100"),
+        le32(sr.cast("int")), le32(sr.cast("int")),
+        lit("0100"), lit("0800"),
+        hex(lit("data".getBytes("US-ASCII"))), le32(n.cast("int")),
+        sampleHex))
+      graft.ops.Multimodal.wavFrames8(
+          Tables.documents(s, d).withColumn("payload", wav), "payload",
+          frameSamples = 8)
+        .select(col("doc_id"), col("frame_idx"), col("frame_mean_amp"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Deterministic train/val/test split by md5 bucket — stable across
     // runs/engines/layouts, zero shuffle (pure projection).
     "curation_hash_split" -> ((s, d) =>
@@ -1535,6 +1566,24 @@ object SparkEntry {
         |  round(CAST(amp_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS wav_mean_amp
         |FROM p JOIN amp ON amp.doc_id = p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // per-frame ground truth: frame f of doc covers samples
+    // [8f, 8f+8), sample i = (doc_id*13 + i*7) % 256 — the same
+    // arithmetic the encoder uses, recomputed independently
+    "multimodal_audio_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, f FROM p, generate_series(0, 8191) t(f)
+        |  WHERE f < n // 8),
+        |s AS (
+        |  SELECT fr.doc_id, fr.f,
+        |    sum((fr.doc_id * 13 + (fr.f * 8 + j) * 7) % 256) AS amp_sum
+        |  FROM fr, generate_series(0, 7) g(j)
+        |  GROUP BY fr.doc_id, fr.f)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  round(CAST(amp_sum AS DOUBLE) / 8, 6) AS frame_mean_amp
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     "eget_point" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props

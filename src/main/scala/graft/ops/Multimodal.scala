@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * Image decode is REAL end-to-end: header dimensions through native
   * column expressions / a marker-walk UDF (`decodeDims`), pixel
   * statistics through `javax.imageio` (`decodePixels` — PNG/JPEG/BMP/
-  * GIF, JDK-builtin, no external codec needed). Audio/video frame
-  * extraction (`sampleFrames`) keeps the explode shape real with
-  * stride-sampled byte chunks standing in for codec frames.
+  * GIF, JDK-builtin, no external codec needed). Audio decode is REAL
+  * too: RIFF/WAV header fields, the amplitude envelope, and true PCM
+  * frame extraction (`decodeWav`/`wavFrames8`) are pure byte-read
+  * expressions. Only VIDEO frame extraction (`sampleFrames`) remains a
+  * stride-sampling stub — no video codec ships in this environment.
   *
   * Scale notes: binary payloads dominate row size, so operators here
   * repartition by byte budget, not row count
@@ -279,9 +281,35 @@ object Multimodal {
     out.array()
   }
 
+  /** REAL audio frame extraction: explode an 8-bit PCM WAV into fixed
+    * `frameSamples`-sample frames (hop = frame length, trailing partial
+    * frame dropped — standard framing) with each frame's exact mean
+    * amplitude. PCM is uncompressed, so this is a true decode: the
+    * frame values ARE the codec output, not a stand-in. One row per
+    * frame, no shuffle; per-frame work is O(frameSamples) byte slices
+    * on the payload attribute.
+    */
+  def wavFrames8(df: DataFrame, binCol: String, frameSamples: Int): DataFrame = {
+    require(frameSamples > 0)
+    val b = col(binCol)
+    val nFrames = call_function("div", wavNumSamples(b), lit(frameSamples.toLong))
+    df.withColumn("frame_idx", explode(
+        when(isWav(b) && nFrames > 0, sequence(lit(0L), nFrames - 1))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("frame_mean_amp", {
+        val start = lit(44L) + col("frame_idx") * frameSamples
+        val s = aggregate(sequence(lit(1L), lit(frameSamples.toLong)), lit(0L),
+          (acc, i) => acc + conv(hex(substring(b, (start + i).cast("int"), lit(1))),
+            16, 10).cast("long"))
+        round(s.cast("double") / frameSamples, 6)
+      })
+  }
+
   /** Frame sampling for video-like payloads: split the byte stream
-    * into `n` stride-sampled chunks (stub for real frame extraction;
-    * the explode shape — one row per frame — is the real contract).
+    * into `n` stride-sampled chunks (stub for real frame extraction —
+    * audio frames are REAL via [[wavFrames8]]; video stays a stub since
+    * no codec ships in this environment — the explode shape, one row
+    * per frame, is the real contract).
     */
   def sampleFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))

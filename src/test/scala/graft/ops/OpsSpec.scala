@@ -363,6 +363,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1).isNullAt(got(1).fieldIndex("wav_sample_rate")))
   }
 
+  test("WAV frame extraction: true PCM frame means, partial tail dropped") {
+    import spark.implicits._
+    val samples = (0 until 20).map(i => (i * 11 + 3) % 256).toArray
+    val wav = Multimodal.syntheticWav8(8000, samples)
+    val got = Multimodal.wavFrames8(Seq((1L, wav)).toDF("id", "payload"),
+        "payload", frameSamples = 8)
+      .orderBy("frame_idx").collect()
+    assert(got.length == 2, "20 samples = 2 full 8-sample frames, tail dropped")
+    got.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getAs[Long]("frame_idx") == f.toLong)
+      val exp = BigDecimal(samples.slice(f * 8, f * 8 + 8).map(_.toLong).sum.toDouble / 8)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("frame_mean_amp") == exp, s"frame $f")
+    }
+    // a non-WAV payload explodes to zero frames, not garbage
+    val none = Multimodal.wavFrames8(
+      Seq((1L, wav.take(10))).toDF("id", "payload"), "payload", 8)
+    assert(none.count() == 0)
+  }
+
   test("k-means-trained IVF centroids move to the true cluster centers") {
     import spark.implicits._
     // three tight, well-separated direction clusters, interleaved so the

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantic unit tests for the text-pipeline trio the oracle gate
+  * checks only end-to-end: PII detection/redaction precedence, BM25
+  * ranking, and repetition features (including the short-document
+  * defaults an inner join used to silently drop).
+  */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("PII: email-first precedence, independent raw-text counts") {
+    import spark.implicits._
+    val rows = Seq(
+      // IPv4 inside an email domain: counted by BOTH detectors, but
+      // redacted ONCE as [EMAIL] (precedence documented in Pii.scala)
+      (1L, "mail user@10.0.0.1.com now"),
+      (2L, "call 555-123-4567 or 555-987-6543"),
+      (3L, "hosts 10.0.0.1 and 192.168.1.255"),
+      (4L, "clean text, no pii at all"),
+      // phone digits glued to a word: \b is ASCII, so no match
+      (5L, "id555-123-4567x is not a phone"))
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+        Pii.emailCount(col("text")).as("e"),
+        Pii.phoneCount(col("text")).as("p"),
+        Pii.ipv4Count(col("text")).as("i"),
+        Pii.redact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1) == ((1L, 0L, 1L, "mail [EMAIL] now")))
+    assert(got(2) == ((0L, 2L, 0L, "call [PHONE] or [PHONE]")))
+    assert(got(3) == ((0L, 0L, 2L, "hosts [IP] and [IP]")))
+    assert(got(4) == ((0L, 0L, 0L, "clean text, no pii at all")))
+    assert(got(5)._2 == 0L)
+  }
+
+  test("BM25: rarity and saturation behave, ranking is deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark spark spark spark spark spark spark"),
+      (1L, "spark runs on the cluster"),
+      (2L, "needle in the corpus"),
+      (3L, "nothing relevant here at all"),
+      (4L, "plain filler text"),
+      (5L, "more filler text")).toDF("doc_id", "text")
+    val top = Ranking.bm25TopK(docs, "text", "doc_id", Seq("spark", "needle"),
+        topK = 4).collect()
+    val byId = top.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // rare term ("needle", df=1) outscores the common term's single
+    // occurrence, and tf saturation keeps the spam doc from scoring
+    // 8x doc 1
+    assert(byId(2)._1 > byId(1)._1, s"idf should favor the rare term: $byId")
+    assert(byId(0)._1 < byId(1)._1 * 3, s"tf must saturate: $byId")
+    // zero-match docs never enter the top-k above matching ones
+    val ranked = top.sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(ranked.take(3).toSet == Set(0L, 1L, 2L))
+    // deterministic: same input, same full result
+    val again = Ranking.bm25TopK(docs, "text", "doc_id", Seq("spark", "needle"),
+        topK = 4).collect()
+    assert(top.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("repetition: boilerplate scores high, short docs keep defaults") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "buy now buy now buy now buy now"),
+      (1L, "a varied document with no repeated phrasing inside"),
+      (2L, "tiny doc"), // one bigram, zero trigrams
+      (3L, "word"))     // no bigrams at all
+      .toDF("doc_id", "text")
+    val got = Repetition.repetitionFeatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // every input doc survives — no inner-join drops
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    val spam = got(0)
+    assert(spam._1 == "buy now" && spam._2 == 4L)
+    assert(spam._3 > 0.9, s"spam doc should be bigram-covered: $spam")
+    assert(spam._4 == 1.0, s"all spam trigrams are duplicates: $spam")
+    assert(got(1)._4 == 0.0, "varied doc has no duplicate trigrams")
+    assert(got(2) == (("tiny doc", 1L, got(2)._3, 0.0)))
+    assert(got(3) == (("", 0L, 0.0, 0.0)))
+  }
+}
