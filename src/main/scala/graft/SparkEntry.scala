@@ -187,6 +187,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // Sliding event-time windows: 1-hour windows every 30 minutes —
+    // each event lands in exactly two windows (explode of the two
+    // candidate starts, then the same map-side-combinable agg as
+    // tumbling; 2x row amplification is the inherent cost of overlap,
+    // never a shuffle of whole windows).
+    "events_sliding" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("slot", expr("ts div 1800000000000"))
+        .withColumn("k", explode(array(lit(0L), lit(1L))))
+        .withColumn("window_start_ms", (col("slot") - col("k")) * 1800000L)
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("window_start_ms"), col("event_type"))),
+
+    // Sketch aggregations with an honest gate: the oracle pins the
+    // EXACT side and a sketch-within-tolerance flag (TRUE) — a drifting
+    // HLL or quantile summary flips the flag and hash-mismatches. At
+    // scale only the fixed-size mergeable sketches run.
+    "sketch_distinct" -> ((s, d) =>
+      graft.ops.Sketches.distinctGate(ev(s, d), "event_type", "user_id")
+        .orderBy(col("event_type"))),
+
+    "sketch_median" -> ((s, d) =>
+      graft.ops.Sketches.medianGate(ev(s, d), "event_type", "value")
+        .orderBy(col("event_type"))),
+
     // Stateful-shaped: gap-based sessionization (30 min) per user.
     "events_sessionize" -> ((s, d) => {
       // µs granularity on both sides: DuckDB's parquet reader truncates
@@ -1679,6 +1705,24 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "events_sliding" ->
+      """SELECT (epoch_ns(ts) // 1800000000000 - k) * 1800000 AS window_start_ms,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (0), (1)) kk(k)
+        |GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_median" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  TRUE AS p50_approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
