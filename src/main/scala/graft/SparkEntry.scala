@@ -201,6 +201,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // Classic pivot: one row per user, one count column per event type
+    // (explicit value list so the schema is static — a dynamic pivot
+    // would need a driver-side distinct pass). Map-side-combinable
+    // conditional aggregation, one shuffle on user_id.
+    "pivot_agg" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .select(col("user_id") +: types.map(t => col(t).as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // Forward as-of with tolerance: every click enriched with the NEXT
+    // purchase of the same user within one hour (µs granularity, like
+    // asof_join). Same union+window shape as the backward variant — one
+    // shuffle + one sort per key, no row multiplication, tolerance as a
+    // pure post-projection.
+    "asof_join_forward" -> ((s, d) => {
+      val e = ev(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+      graft.ops.AsOfJoin.asofJoinForward(clicks, purchases, "user_id",
+          "ts_us", "p_ts", "p_id", Seq("p_id"), tolerance = Some(3600000000L))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("asof_p_id").as("asof_purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Sketch aggregations with an honest gate: the oracle pins the
     // EXACT side and a sketch-within-tolerance flag (TRUE) — a drifting
     // HLL or quantile summary flips the flag and hash-mismatches. At
@@ -1717,6 +1749,37 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // forward as-of, independently recomputed: brute candidate join
+    // (bounded by the tolerance) + rank — a completely different
+    // algorithm than the Spark side's single window pass
+    "asof_join_forward" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, event_id AS p_id, ts_us AS p_ts
+        |  FROM e WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, p_id, p_ts FROM (
+        |  SELECT p0.*, row_number() OVER (
+        |    PARTITION BY user_id, p_ts ORDER BY p_id ASC) AS rn
+        |  FROM p0) WHERE rn = 1),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, c.ts_us, p.p_id,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.p_ts ASC, p.p_id ASC) AS rn
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |    AND p.p_ts >= c.ts_us AND p.p_ts - c.ts_us <= 3600000000)
+        |SELECT user_id, event_id, ts_us, p_id AS asof_purchase_id
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "sketch_median" ->
       """SELECT event_type,

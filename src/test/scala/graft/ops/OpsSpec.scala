@@ -428,6 +428,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("forward as-of: next event, inclusive, bounded, tie to smallest id") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 15L, 120L), (1L, 20L, 200L),
+      (2L, 30L, 100L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 7L, 100L), (1L, 9L, 100L), (1L, 8L, 150L),
+      (2L, 5L, 5000L)).toDF("k", "rid", "rt")
+    val out = AsOfJoin.asofJoinForward(left, right, "k", "t", "rt", "rid",
+        Seq("rid"), tolerance = Some(1000L))
+      .select("lid", "asof_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(10L) == 7L, "equal time is inclusive; (k,time) tie keeps smallest rid")
+    assert(out(15L) == 8L, "next right row forward in time")
+    assert(out(20L) == -1L, "no right row at or after the left time")
+    assert(out(30L) == -1L, "next right row lies beyond the tolerance")
+  }
+
   test("language id prefers the language whose markers dominate") {
     import spark.implicits._
     val df = Seq(
