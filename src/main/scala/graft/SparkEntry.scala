@@ -233,6 +233,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Range join via bucketization: events matched to the overlapping
+    // fixed-arithmetic intervals containing their event_id — an
+    // equi-join on bucket id + residual predicate, NEVER the
+    // BroadcastNestedLoop/cartesian plan Spark picks for raw
+    // inequality joins. The oracle brute-forces the theta join.
+    "range_join" -> ((s, d) => {
+      val iv = s.range(0, 100).select(
+        col("id").as("iid"),
+        (col("id") * 150).as("lo"),
+        (col("id") * 150 + 225).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(
+          ev(s, d).select(col("event_id")), iv,
+          "event_id", "lo", "hi", bucketWidth = 150L)
+        .select(col("event_id"), col("iid"))
+        .orderBy(col("event_id"), col("iid"))
+    }),
+
     // Sketch aggregations with an honest gate: the oracle pins the
     // EXACT side and a sketch-within-tolerance flag (TRUE) — a drifting
     // HLL or quantile summary flips the flag and hash-mismatches. At
@@ -1749,6 +1766,14 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "range_join" ->
+      """WITH iv AS (
+        |  SELECT i AS iid, i * 150 AS lo, i * 150 + 225 AS hi
+        |  FROM generate_series(0, 99) t(i))
+        |SELECT e.event_id, CAST(iv.iid AS BIGINT) AS iid
+        |FROM events e JOIN iv ON e.event_id >= iv.lo AND e.event_id < iv.hi
+        |ORDER BY event_id, iid""".stripMargin,
 
     "pivot_agg" ->
       """SELECT user_id,

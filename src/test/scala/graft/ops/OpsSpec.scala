@@ -444,6 +444,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(30L) == -1L, "next right row lies beyond the tolerance")
   }
 
+  test("range join by bucketization equals the brute-force theta join") {
+    import spark.implicits._
+    // edge cases: empty interval (hi <= lo), inclusive lo / exclusive
+    // hi boundaries, an interval spanning many buckets
+    val ivRows = Seq((0L, 10L, 25L), (1L, 24L, 24L), (2L, 0L, 3L),
+      (3L, 30L, 180L), (4L, 150L, 150L))
+    val pts = (0L until 200L by 7L).map(Tuple1(_)).toDF("p")
+    val iv = ivRows.toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", bucketWidth = 16L)
+      .select("p", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      p <- 0L until 200L by 7L
+      (iid, lo, hi) <- ivRows
+      if p >= lo && p < hi
+    } yield (p, iid)).toSet
+    assert(brute.nonEmpty)
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
   test("language id prefers the language whose markers dominate") {
     import spark.implicits._
     val df = Seq(
