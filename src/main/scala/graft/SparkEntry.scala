@@ -250,6 +250,16 @@ object SparkEntry {
         .orderBy(col("event_id"), col("iid"))
     }),
 
+    // Product quantization: per-subspace trained codebooks (rounded
+    // Lloyd's, same discipline as the IVF quantizer) encode every
+    // vector as m small codes — the embedding-compression scale path.
+    // Encoding is a zero-shuffle projection against literal codebooks;
+    // the oracle retrains the identical codebooks in SQL.
+    "embedding_pq" -> ((s, d) =>
+      graft.ops.Similarity.pqCodes(Tables.embeddings(s, d),
+          m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("vec_id"))),
+
     // Sketch aggregations with an honest gate: the oracle pins the
     // EXACT side and a sketch-within-tolerance flag (TRUE) — a drifting
     // HLL or quantile summary flips the flag and hash-mismatches. At
@@ -1490,10 +1500,79 @@ object SparkEntry {
        |FROM top ORDER BY rk""".stripMargin
   }
 
+  /** PQ constants shared by the Spark query and its oracle. */
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqSample = 10000
+  private val PqDims = 64
+
+  /** Mirror of Similarity.pqTrain + pqCodes: per subspace, the k-means
+    * iterations UNROLLED in SQL with the identical rounded L2²
+    * expansion (`x·x - 2·x·c + c·c`, all sequential list dots) and
+    * rounded per-dim means, then the final per-subspace code
+    * assignment and the rounded total reconstruction distance.
+    */
+  private def pqOracle: String = {
+    val sub = PqDims / PqM
+    def dExpr(xs: String, ce: String) =
+      s"round(list_dot_product($xs, $xs) - 2 * list_dot_product($xs, $ce) + " +
+        s"list_dot_product($ce, $ce), 6)"
+    val perSubspace = (0 until PqM).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      val iterCtes = (1 to PqIters).map { r =>
+        val prev = s"c${s}_${r - 1}"
+        s"""a${s}_$r AS (
+           |  SELECT vec_id, cid, d FROM (
+           |    SELECT vec_id, cid, d,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM (SELECT v.vec_id, c.cid, ${dExpr("v.xs", "c.ce")} AS d
+           |          FROM sv$s v, $prev c)) WHERE rn = 1),
+           |m${s}_$r AS (
+           |  SELECT a.cid, f.j, round(avg(f.v), 6) AS mv
+           |  FROM a${s}_$r a JOIN flat$s f ON f.vec_id = a.vec_id
+           |  GROUP BY a.cid, f.j),
+           |c${s}_$r AS (
+           |  SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+           |  FROM c${s}_${r - 1} p LEFT JOIN (
+           |    SELECT cid, list(mv ORDER BY j) AS ce FROM m${s}_$r GROUP BY cid) n
+           |    ON n.cid = p.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""sv$s AS (SELECT vec_id, ve[$lo:$hi] AS xs FROM samp),
+         |flat$s AS (SELECT vec_id, j, xs[j] AS v
+         |  FROM sv$s, generate_series(1, $sub) t$s(j)),
+         |c${s}_0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xs AS ce
+         |  FROM sv$s ORDER BY vec_id LIMIT $PqK),
+         |$iterCtes,
+         |code$s AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid,
+         |            ${dExpr(s"v.ve[$lo:$hi]", "c.ce")} AS d
+         |          FROM corp v, c${s}_$PqIters c)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PqM).map(s =>
+      s"JOIN code$s q$s ON q$s.vec_id = q0.vec_id").mkString("\n")
+    val codeCols = (0 until PqM).map(s => s"q$s.cid AS code$s").mkString(", ")
+    val reconSum = (0 until PqM).map(s => s"q$s.d").mkString(" + ")
+    s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
+       |$perSubspace
+       |SELECT q0.vec_id, $codeCols,
+       |  round($reconSum, 6) AS recon_err
+       |FROM code0 q0
+       |$joins
+       |ORDER BY q0.vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,
+    "embedding_pq" -> pqOracle,
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,

@@ -176,6 +176,83 @@ object Similarity {
     }
   }
 
+  /** 6-dp-rounded squared L2 distance in the exact expansion form
+    * `x·x - 2·x·c + c·c` (all dots sequential folds) — the ONE formula
+    * the PQ trainer, the Spark encoding expressions, and the SQL
+    * oracle all share, so the three compute identical doubles.
+    */
+  private def l2r6(x: Seq[Double], c: Seq[Double]): Double =
+    round6(dotSeq(x, x) - 2 * dotSeq(x, c) + dotSeq(c, c))
+
+  /** Product-quantization codebooks: split the vector into `m`
+    * subspaces and train an independent `k`-centroid codebook per
+    * subspace with the same rounded Lloyd's discipline as
+    * [[kmeansCentroids]] (argmin of 6-dp-rounded L2², ties to the
+    * smallest centroid id; 6-dp-rounded per-dim means; empty clusters
+    * keep their centroid; ordered-prefix training sample). Returns
+    * m × k × (dims/m) centroid values — a trained constant.
+    *
+    * PQ is the vector-compression scale path: a 64-dim float vector
+    * (256 bytes) becomes m code bytes + shared codebooks, and
+    * approximate distances run off per-subspace lookup tables.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int,
+      maxSample: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(maxSample)
+      .select(col(vecCol)).collect().toSeq
+      .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() })
+    require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      val xs = sample.map(_.slice(s * sub, s * sub + sub))
+      (0 until iters).foldLeft(xs.take(k)) { (cents, _) =>
+        val assigned = xs
+          .map(x => (cents.indices.minBy(i => (l2r6(x, cents(i)), i)), x))
+          .groupBy(_._1)
+        cents.zipWithIndex.map { case (old, i) =>
+          assigned.get(i) match {
+            case Some(members) =>
+              val vs = members.map(_._2)
+              (0 until sub).map(d => round6(vs.map(_(d)).sum / vs.size)): Seq[Double]
+            case None => old
+          }
+        }
+      }
+    }
+  }
+
+  /** PQ encoding as a pure projection: per subspace, the id of the
+    * nearest trained centroid (6-dp-rounded L2², ties to the smallest
+    * id) plus the total rounded reconstruction distance. The codebooks
+    * are plan literals, so encoding is zero-shuffle and stays in
+    * whole-stage codegen — at 100 TB this is a scan-speed re-encode of
+    * the embedding store.
+    */
+  def pqCodes(corpus: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val sub = books.head.head.length
+    val v = col(vecCol)
+    val picks = (0 until m).map { s =>
+      val xs = slice(v, s * sub + 1, sub)
+      val sorted = array_sort(array(books(s).zipWithIndex.map { case (c, ci) =>
+        val d = round(graft.functions.vec.dot(xs, xs)
+          - lit(2.0) * graft.functions.vec.dotLit(xs, c)
+          + lit(dotSeq(c, c)), 6)
+        struct(d.as("d"), lit(ci.toLong).as("cid"))
+      }: _*))
+      element_at(sorted, 1).as(s"p$s")
+    }
+    corpus.select(col(idCol) +: picks: _*)
+      .select(col(idCol) +:
+        (0 until m).map(s => col(s"p$s.cid").as(s"code$s")) :+
+        round((0 until m).map(s => col(s"p$s.d")).reduce(_ + _), 6)
+          .as("recon_err"): _*)
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nlist`
     * coarse centroids, then score queries only against the `nprobe`
     * closest inverted lists. With `trainIters` = 0 the centroids are

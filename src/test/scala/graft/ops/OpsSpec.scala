@@ -444,6 +444,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(30L) == -1L, "next right row lies beyond the tolerance")
   }
 
+  test("PQ codes pick each subvector's nearest trained centroid") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 4
+    val books = Similarity.pqTrain(e, m = m, k = 8, iters = 2)
+    assert(books.length == m && books.forall(_.length == 8))
+    // training is deterministic
+    assert(books == Similarity.pqTrain(e, m = m, k = 8, iters = 2))
+    val vecs = e.orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val codes = Similarity.pqCodes(e, m = m, k = 8, iters = 2).collect()
+    assert(codes.length == vecs.size)
+    codes.take(50).foreach { r =>
+      val v = vecs(r.getLong(0))
+      val sub = v.length / m
+      (0 until m).foreach { s =>
+        val xs = v.slice(s * sub, s * sub + sub)
+        // independent check: naive sum-of-squares distances; the chosen
+        // centroid must be within rounding noise of the true minimum
+        def l2(c: Seq[Double]) = xs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        val chosen = l2(books(s)(r.getLong(1 + s).toInt))
+        val best = books(s).map(l2).min
+        assert(chosen <= best + 1e-6, s"vec ${r.getLong(0)} subspace $s")
+      }
+    }
+  }
+
   test("range join by bucketization equals the brute-force theta join") {
     import spark.implicits._
     // edge cases: empty interval (hi <= lo), inclusive lo / exclusive
