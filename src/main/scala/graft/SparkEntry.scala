@@ -260,6 +260,16 @@ object SparkEntry {
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("vec_id"))),
 
+    // PQ-ADC search: per-query distance TABLES against the trained
+    // codebooks (the asymmetric-distance trick), corpus scored by pure
+    // code lookup — the billion-vector search shape; exact paths stay
+    // the verification tier.
+    "ann_pq_adc" -> ((s, d) =>
+      graft.ops.Similarity.pqAdcTopK(Tables.embeddings(s, d),
+          queryIds = Seq(0L, 1L, 2L), kNN = 5,
+          m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("qid"), col("rk"))),
+
     // Sketch aggregations with an honest gate: the oracle pins the
     // EXACT side and a sketch-within-tolerance flag (TRUE) — a drifting
     // HLL or quantile summary flips the flag and hash-mismatches. At
@@ -1513,11 +1523,16 @@ object SparkEntry {
     * rounded per-dim means, then the final per-subspace code
     * assignment and the rounded total reconstruction distance.
     */
-  private def pqOracle: String = {
+  private def pqDistSql(xs: String, ce: String) =
+    s"round(list_dot_product($xs, $xs) - 2 * list_dot_product($xs, $ce) + " +
+      s"list_dot_product($ce, $ce), 6)"
+
+  /** Shared CTE chain: trained per-subspace codebooks `c{s}_{iters}`
+    * and per-corpus-vector code assignments `code{s}(vec_id, cid, d)`
+    * — the SQL retraining of Similarity.pqTrain (see pqOracle doc).
+    */
+  private def pqCodebookCtes: String = {
     val sub = PqDims / PqM
-    def dExpr(xs: String, ce: String) =
-      s"round(list_dot_product($xs, $xs) - 2 * list_dot_product($xs, $ce) + " +
-        s"list_dot_product($ce, $ce), 6)"
     val perSubspace = (0 until PqM).map { s =>
       val lo = s * sub + 1
       val hi = s * sub + sub
@@ -1527,7 +1542,7 @@ object SparkEntry {
            |  SELECT vec_id, cid, d FROM (
            |    SELECT vec_id, cid, d,
            |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-           |    FROM (SELECT v.vec_id, c.cid, ${dExpr("v.xs", "c.ce")} AS d
+           |    FROM (SELECT v.vec_id, c.cid, ${pqDistSql("v.xs", "c.ce")} AS d
            |          FROM sv$s v, $prev c)) WHERE rn = 1),
            |m${s}_$r AS (
            |  SELECT a.cid, f.j, round(avg(f.v), 6) AS mv
@@ -1551,16 +1566,20 @@ object SparkEntry {
          |    SELECT vec_id, cid, d,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
          |    FROM (SELECT v.vec_id, c.cid,
-         |            ${dExpr(s"v.ve[$lo:$hi]", "c.ce")} AS d
+         |            ${pqDistSql(s"v.ve[$lo:$hi]", "c.ce")} AS d
          |          FROM corp v, c${s}_$PqIters c)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
+       |$perSubspace""".stripMargin
+  }
+
+  private def pqOracle: String = {
     val joins = (1 until PqM).map(s =>
       s"JOIN code$s q$s ON q$s.vec_id = q0.vec_id").mkString("\n")
     val codeCols = (0 until PqM).map(s => s"q$s.cid AS code$s").mkString(", ")
     val reconSum = (0 until PqM).map(s => s"q$s.d").mkString(" + ")
-    s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
-       |$perSubspace
+    s"""WITH $pqCodebookCtes
        |SELECT q0.vec_id, $codeCols,
        |  round($reconSum, 6) AS recon_err
        |FROM code0 q0
@@ -1568,11 +1587,49 @@ object SparkEntry {
        |ORDER BY q0.vec_id""".stripMargin
   }
 
+  /** Mirror of Similarity.pqAdcTopK: per-query lookup cells against
+    * the retrained codebooks (same rounded L2² expansion), approximate
+    * distance = rounded sum of the m cells selected by each corpus
+    * vector's codes, then per-query top-k.
+    */
+  private def pqAdcOracle: String = {
+    val sub = PqDims / PqM
+    val cellCtes = (0 until PqM).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      s"""cell$s AS (
+         |  SELECT q.qid, c.cid, ${pqDistSql(s"q.ve[$lo:$hi]", "c.ce")} AS cell
+         |  FROM qv q, c${s}_$PqIters c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(s =>
+      s"JOIN code$s k$s ON k$s.vec_id = k0.vec_id").mkString("\n  ")
+    val cellJoins = (0 until PqM).map(s =>
+      s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid" +
+        (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
+    val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
+    s"""WITH $pqCodebookCtes,
+       |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
+       |$cellCtes,
+       |scored AS (
+       |  SELECT ce0.qid, k0.vec_id, round($cellSum, 6) AS adist
+       |  FROM code0 k0
+       |  $codeJoins
+       |  $cellJoins
+       |  WHERE k0.vec_id != ce0.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,
     "embedding_pq" -> pqOracle,
+    "ann_pq_adc" -> pqAdcOracle,
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,

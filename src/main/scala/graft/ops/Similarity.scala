@@ -253,6 +253,50 @@ object Similarity {
           .as("recon_err"): _*)
   }
 
+  /** PQ-ADC ANN: asymmetric distance computation over the PQ codes.
+    * For each query the m×k table of rounded subspace distances to the
+    * trained centroids is precomputed on the driver (tiny — it IS the
+    * ADC trick), and every corpus vector's approximate distance is a
+    * pure LOOKUP: `Σ_s table[s][code_s]` via `element_at` on literal
+    * arrays — no vector arithmetic touches the corpus at query time.
+    * Per-query top-k via window rank.
+    *
+    * Scale shape: the corpus side reads only the m code columns (the
+    * compressed store, 16-64× smaller than raw vectors), the scoring
+    * is codegen'd constant-array indexing, and the only ordering is
+    * the per-query top-k. This is how billion-vector search actually
+    * runs; recall is bounded by quantization error, so the exact
+    * brute/IVF paths remain the verification tier.
+    */
+  def pqAdcTopK(corpus: DataFrame, queryIds: Seq[Long], kNN: Int,
+      m: Int = 4, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val sub = books.head.head.length
+    val codes = pqCodes(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val qVecs: Seq[(Long, Seq[Double])] = corpus
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+      .sortBy(_._1)
+    val perQuery = qVecs.map { case (qid, qv) =>
+      val cells = (0 until m).map { s =>
+        books(s).map(c => l2r6(qv.slice(s * sub, s * sub + sub), c))
+      }
+      val dist = round((0 until m).map(s =>
+        element_at(array(cells(s).map(lit): _*),
+          col(s"code$s").cast("int") + 1)).reduce(_ + _), 6)
+      codes.where(col(idCol) =!= qid)
+        .select(lit(qid).as("qid"), col(idCol), dist.as("adist"))
+    }.reduce(_ unionByName _)
+    perQuery
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col(idCol))))
+      .where(col("rk") <= kNN)
+      .select(col("qid"), col(idCol), col("adist"), col("rk").cast("long").as("rk"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `nlist`
     * coarse centroids, then score queries only against the `nprobe`
     * closest inverted lists. With `trainIters` = 0 the centroids are
