@@ -659,6 +659,46 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL video container decode, end-to-end: synthesize a minimal
+    // uncompressed AVI per document (RIFF "AVI ", hdrl/avih header,
+    // movi LIST of solid-BGR 00db DIB frames) with column expressions
+    // alone, walk the chunk grammar back with Multimodal.aviFrames,
+    // and pin per-frame mean intensities against arithmetic ground
+    // truth. Widths are 4-byte-aligned so frames carry no row padding.
+    "multimodal_video_frames" -> ((s, d) => {
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def z32(n: Int): Column = lit("00000000" * n)
+      val w = ((pmod(col("doc_id"), lit(3)) + 1) * 4).cast("int")
+      val h = (pmod(col("doc_id") * 3, lit(5)) + 2).cast("int")
+      val nf = (pmod(col("doc_id"), lit(4)) + 2).cast("int")
+      val frameSize = w * 3 * h
+      def colorHex(f: Column, mulDoc: Int, mulF: Int): Column =
+        lpad(hex(pmod(col("doc_id") * mulDoc + f * mulF, lit(256))), 2, "0")
+      val framesHex = concat_ws("", transform(sequence(lit(0), nf - 1), f =>
+        concat(lit("30306462"), le32(frameSize), // "00db" + size
+          call_function("repeat",
+            concat(colorHex(f, 1, 11), colorHex(f, 3, 17), colorHex(f, 7, 23)),
+            w * h))))
+      val moviSize = lit(4) + nf * (frameSize + 8)
+      val avi = unhex(concat(
+        lit("52494646"), le32(lit(88) + moviSize), lit("41564920"), // RIFF .. AVI_
+        lit("4C495354"), le32(lit(68)), lit("6864726C"), // LIST 68 hdrl
+        lit("61766968"), le32(lit(56)), le32(lit(33333)), z32(3), // avih
+        le32(nf), lit("00000000"), le32(lit(1)), lit("00000000"),
+        le32(w), le32(h), z32(4),
+        lit("4C495354"), le32(moviSize), lit("6D6F7669"), // LIST .. movi
+        framesHex))
+      graft.ops.Multimodal.aviFrames(
+          Tables.documents(s, d).withColumn("payload", avi), "payload")
+        .select(col("doc_id"), col("frame_idx"), col("frame_w"),
+          col("frame_h"), col("frame_mean"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Deterministic train/val/test split by md5 bucket — stable across
     // runs/engines/layouts, zero shuffle (pure projection).
     "curation_hash_split" -> ((s, d) =>
@@ -1777,6 +1817,24 @@ object SparkEntry {
         |  round(CAST(amp_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS wav_mean_amp
         |FROM p JOIN amp ON amp.doc_id = p.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // video ground truth: frame f of doc is solid BGR from the same
+    // doc_id arithmetic the encoder uses; mean over the unpadded DIB
+    // bytes = (B+G+R)/3 exactly (one integer sum, one division)
+    "multimodal_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id % 3 + 1) * 4 AS INTEGER) AS w,
+        |    CAST((doc_id * 3) % 5 + 2 AS INTEGER) AS h,
+        |    doc_id % 4 + 2 AS nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, w AS frame_w,
+        |  h AS frame_h,
+        |  round(CAST((doc_id + f * 11) % 256 + (doc_id * 3 + f * 17) % 256 +
+        |    (doc_id * 7 + f * 23) % 256 AS DOUBLE) / 3, 6) AS frame_mean
+        |FROM p, generate_series(0, 7) t(f)
+        |WHERE f < nf
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // per-frame ground truth: frame f of doc covers samples
     // [8f, 8f+8), sample i = (doc_id*13 + i*7) % 256 — the same

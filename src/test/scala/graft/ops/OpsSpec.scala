@@ -444,6 +444,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(30L) == -1L, "next right row lies beyond the tolerance")
   }
 
+  test("AVI frame extraction: real RIFF chunk walk, exact frame means") {
+    import spark.implicits._
+    // ByteBuffer encoder vs expression/UDF decoder — independent paths
+    val avi = Multimodal.syntheticAvi(4, 3, Seq((10, 20, 30), (255, 0, 5)))
+    val got = Multimodal.aviFrames(Seq((1L, avi)).toDF("id", "payload"), "payload")
+      .orderBy("frame_idx").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Int]("frame_w") == 4)
+    assert(got(0).getAs[Int]("frame_h") == 3)
+    def mean(c: (Int, Int, Int)) =
+      BigDecimal((c._1 + c._2 + c._3) / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getAs[Double]("frame_mean") == mean((10, 20, 30)))
+    assert(got(1).getAs[Double]("frame_mean") == mean((255, 0, 5)))
+    // truncated container → zero frames, never garbage
+    assert(Multimodal.aviFrames(
+      Seq((1L, avi.take(10))).toDF("id", "payload"), "payload").count() == 0)
+  }
+
   test("PQ codes pick each subvector's nearest trained centroid") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = 4
