@@ -699,6 +699,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Z-order layout keys: Morton interleave of (user_id, value-bucket)
+    // — the multi-dimensional sort key that keeps BOTH columns' parquet
+    // min/max stats selective after a layout rewrite. Pure integer bit
+    // arithmetic, verified bit-for-bit against the oracle.
+    "layout_zorder" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"), col("user_id"),
+          // floor-then-cast: Spark's double→long cast truncates while
+          // DuckDB's rounds — floor makes both exact
+          expr("CAST(floor(value) AS BIGINT)").as("vb"))
+        .withColumn("zval",
+          graft.ops.Curation.zValue(col("user_id"), col("vb"), bits = 16))
+        .select(col("event_id"), col("zval"))
+        .orderBy(col("event_id"))),
+
     // Deterministic train/val/test split by md5 bucket — stable across
     // runs/engines/layouts, zero shuffle (pure projection).
     "curation_hash_split" -> ((s, d) =>
@@ -1664,7 +1679,21 @@ object SparkEntry {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** Mirror of Curation.zValue: the same 16-bit Morton interleave as
+    * explicit shift/mask arithmetic.
+    */
+  private def zorderOracle: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((ua >> $i) & 1) << ${2 * i})",
+      s"(((vb >> $i) & 1) << ${2 * i + 1})"))
+    s"""SELECT event_id, ${terms.mkString(" | ")} AS zval
+       |FROM (SELECT event_id, CAST(user_id AS BIGINT) AS ua,
+       |  CAST(floor(value) AS BIGINT) AS vb FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "layout_zorder" -> zorderOracle,
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,

@@ -27,6 +27,34 @@ object Curation {
         16, 10).cast("long"),
       lit(10000L))
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integral columns — rows close in BOTH dimensions get
+    * close keys, so range-partitioning + sorting parquet by the key
+    * keeps multi-column predicates prunable from row-group min/max
+    * stats (the standard multi-dimensional layout technique; one
+    * dimension alone would leave the other column's stats useless).
+    * Pure integer bit arithmetic, identical on any engine.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Rewrite `df` in Z-order on two columns: range-partition by the
+    * Morton key, sort within partitions. The write after this is what
+    * makes both `aCol` and `bCol` predicates prune at scan time.
+    */
+  def zOrderBy(df: DataFrame, aCol: String, bCol: String,
+      numPartitions: Int, bits: Int = 16): DataFrame = {
+    val z = zValue(col(aCol), col(bCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Split assignment from per-mille thresholds, e.g.
     * `Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)` (basis
     * points of 10000, ascending, last must be 10000).

@@ -444,6 +444,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(30L) == -1L, "next right row lies beyond the tolerance")
   }
 
+  test("z-order key interleaves bits; layout clusters both dimensions") {
+    import spark.implicits._
+    // 3 = 011b, 5 = 101b → even bits from a, odd from b:
+    // a:1,1,0 → positions 0,2 ; b:1,0,1 → positions 1,5 → 1|2|4|32 = 39
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(Curation.zValue(col("a"), col("b")).as("z")).head().getLong(0)
+    assert(z == 39L, s"zValue(3,5) = $z")
+    // a z-ordered layout keeps each range partition tight in BOTH
+    // dimensions: per-partition bounding boxes cover a small fraction
+    // of the full (a, b) domain, which is what makes min/max stats
+    // prune two-column predicates
+    val n = 1 << 12
+    val grid = (0 until n).map(i => ((i * 2654435761L) % 64, (i * 40503L) % 64))
+      .toDF("a", "b")
+    val parts = Curation.zOrderBy(grid, "a", "b", numPartitions = 16, bits = 6)
+      .select(spark_partition_id().as("p"), col("a"), col("b"))
+      .groupBy("p").agg(max("a") - min("a") as "aw", max("b") - min("b") as "bw")
+      .collect()
+    val meanArea = parts.map(r => (r.getLong(1) + 1.0) * (r.getLong(2) + 1.0)).sum / parts.length
+    assert(meanArea < 64.0 * 64.0 / 4,
+      s"z-ordered partitions should be locally tight, mean box area $meanArea")
+  }
+
   test("AVI frame extraction: real RIFF chunk walk, exact frame means") {
     import spark.implicits._
     // ByteBuffer encoder vs expression/UDF decoder — independent paths
