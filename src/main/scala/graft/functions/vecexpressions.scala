@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
@@ -62,6 +62,27 @@ object VecOps {
     var i = 0
     while (i < v.length) { acc += v(i) * v(i); i += 1 }
     math.sqrt(acc)
+  }
+
+  /** Σ unsigned byte values of `bytes[off .. off+len-1]` (0-based):
+    * 0 when `len <= 0`, NULL when the range leaves the payload —
+    * exactly the `aggregate(sequence(1, len), 0, (acc, i) -> acc +
+    * conv(hex(substring(bin, off+i, 1)), 16, 10))` fold the audio/video
+    * decoders started with (substring past the end yields empty,
+    * conv(hex('')) is null, and null poisons the fold — a truncated
+    * payload reads as null, not a partial sum), but one codegen'd pass
+    * instead of an interpreted per-byte expression tree. `off` must be
+    * non-negative (1-based substring addressing never goes below the
+    * payload start in the decoders).
+    */
+  def byteSumRange(bytes: Array[Byte], off: Long, len: Long): java.lang.Long = {
+    if (len <= 0) return java.lang.Long.valueOf(0L)
+    if (off < 0 || off + len > bytes.length) return null
+    var acc = 0L
+    var i = off
+    val end = off + len
+    while (i < end) { acc += (bytes(i.toInt) & 0xff); i += 1 }
+    java.lang.Long.valueOf(acc)
   }
 
   /** Rabin-Karp polynomial rolling hash over the first
@@ -165,6 +186,27 @@ case class RollingHashExpr(child: Expression, pows: Array[Long], mod: Long)
     copy(child = c)
 }
 
+/** Codegen'd unsigned-byte range sum over a binary column — the hot
+  * inner loop of the WAV/AVI envelope and frame decoders.
+  */
+case class ByteSumRangeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, o: Any, l: Any): Any =
+    VecOps.byteSumRange(b.asInstanceOf[Array[Byte]],
+      o.asInstanceOf[Long], l.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, o, l) => {
+      s"""
+         |java.lang.Long r = graft.functions.VecOps.byteSumRange($b, $o, $l);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ByteSumRangeExpr = copy(f, s, t)
+}
+
 /** Column API for the vector expressions. */
 object vec {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -177,4 +219,9 @@ object vec {
 
   def rollingHash(text: Column, pows: Seq[Long], mod: Long): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(text), pows.toArray, mod))
+
+  def byteSumRange(bin: Column, off: Column, len: Column): Column =
+    ColumnBridge.column(ByteSumRangeExpr(ColumnBridge.expression(bin),
+      ColumnBridge.expression(off.cast("long")),
+      ColumnBridge.expression(len.cast("long"))))
 }

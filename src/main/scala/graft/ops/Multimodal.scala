@@ -224,20 +224,16 @@ object Multimodal {
     call_function("div", wavNumSamples(bin) * 1000L, wavSampleRate(bin))
 
   /** Mean unsigned-8-bit amplitude over the data chunk: exact integer
-    * byte sum folded per row, divided once — order-independent, so the
-    * double is the correctly-rounded quotient on any engine. The fold
-    * is a higher-order aggregate over the materialized payload
-    * ATTRIBUTE (per-element work is one O(1) byte slice, never a
-    * re-synthesis of the payload); a 100 TB audio pipeline would
-    * promote this to a native expression like `vec.rollingHash`.
+    * byte sum divided once — order-independent, so the double is the
+    * correctly-rounded quotient on any engine. The sum is the native
+    * codegen'd `vec.byteSumRange` (value-identical to the
+    * `aggregate(sequence(...))` fold it replaced, VecExprSpec pins it)
+    * so envelope extraction stays inside whole-stage codegen at any
+    * corpus size.
     */
   def wavMeanAmplitude8(bin: Column): Column = {
     val n = wavDataLen(bin)
-    val byteSum = aggregate(
-      sequence(lit(1L), n),
-      lit(0L),
-      (acc, i) => acc + conv(hex(substring(bin, (lit(44L) + i).cast("int"), lit(1))),
-        16, 10).cast("long"))
+    val byteSum = graft.functions.vec.byteSumRange(bin, lit(44L), n)
     when(n > 0, round(byteSum.cast("double") / n.cast("double"), 6))
       .otherwise(lit(0.0))
   }
@@ -298,9 +294,7 @@ object Multimodal {
           .otherwise(array().cast("array<bigint>"))))
       .withColumn("frame_mean_amp", {
         val start = lit(44L) + col("frame_idx") * frameSamples
-        val s = aggregate(sequence(lit(1L), lit(frameSamples.toLong)), lit(0L),
-          (acc, i) => acc + conv(hex(substring(b, (start + i).cast("int"), lit(1))),
-            16, 10).cast("long"))
+        val s = graft.functions.vec.byteSumRange(b, start, lit(frameSamples.toLong))
         round(s.cast("double") / frameSamples, 6)
       })
   }
@@ -383,11 +377,7 @@ object Multimodal {
       .where(col("__f").isNotNull)
     val off = col("__f._1")
     val len = col("__f._2")
-    val byteSum = aggregate(
-      sequence(lit(1L), len.cast("long")),
-      lit(0L),
-      (acc, i) => acc + conv(hex(substring(b, (off.cast("long") + i).cast("int"), lit(1))),
-        16, 10).cast("long"))
+    val byteSum = graft.functions.vec.byteSumRange(b, off, len)
     withFrames
       .withColumn("frame_mean",
         when(len > 0, round(byteSum.cast("double") / len.cast("double"), 6))

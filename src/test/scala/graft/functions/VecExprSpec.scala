@@ -109,6 +109,37 @@ class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("byteSumRange equals the HOF byte fold, including out-of-range") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(64)(rnd.nextInt(256).toByte)
+    // (off, len) cases: full, interior, zero-len, tail-clipped, past-end
+    val cases = Seq((0L, 64L), (10L, 20L), (5L, 0L), (50L, 30L), (100L, 8L))
+    val df = cases.toDF("off", "len").withColumn("bin", lit(payload))
+    // sequence(1, 0) yields a DESCENDING array (the repo-wide gotcha),
+    // so the HOF formulation — like the decoders that used it — only
+    // ever ran with len > 0; mirror that guard here
+    val hof = when(col("len") > 0, aggregate(
+      sequence(lit(1L), col("len")),
+      lit(0L),
+      (acc, i) => acc + conv(hex(substring(col("bin"),
+        (col("off") + i).cast("int"), lit(1))), 16, 10).cast("long")))
+      .otherwise(lit(0L))
+    val out = df
+      .withColumn("h", hof)
+      .withColumn("n", graft.functions.vec.byteSumRange(col("bin"), col("off"), col("len")))
+      .collect()
+    out.foreach { r =>
+      val hi = r.fieldIndex("h")
+      val ni = r.fieldIndex("n")
+      assert(r.isNullAt(hi) == r.isNullAt(ni),
+        s"null mismatch off=${r.getLong(0)} len=${r.getLong(1)}")
+      if (!r.isNullAt(hi))
+        assert(r.getLong(hi) == r.getLong(ni),
+          s"off=${r.getLong(0)} len=${r.getLong(1)}")
+    }
+  }
+
   test("native expressions stay inside WholeStageCodegen") {
     val df = spark.range(10)
       .withColumn("v", array((0 until 8).map(_ => col("id").cast("float")): _*))
