@@ -1349,6 +1349,15 @@ object SparkEntry {
     * the final centroids drive the same assignment/probe/top-k chain as
     * before. The double-sided roundings are what let two engines train
     * the identical quantizer.
+    *
+    * Known residual risk: the re-centering mean (`avg(f.v)` here,
+    * sample-order summation in `kmeansCentroids`) has an unpinned
+    * float accumulation order, so the two sums can differ in the last
+    * ulp; round(…,6) absorbs that everywhere except when an unrounded
+    * mean lands exactly on a 6-dp rounding boundary. Accepted: cluster
+    * sizes are ≤ the bounded training sample, the dot products (the
+    * numerically long chains) ARE order-pinned, and a boundary hit
+    * would fail loudly as a hash mismatch rather than silently.
     */
   private def ivfOracle: String = {
     val iterCtes = (1 to IvfIters).map { r =>

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * GIF, JDK-builtin, no external codec needed). Audio decode is REAL
   * too: RIFF/WAV header fields, the amplitude envelope, and true PCM
   * frame extraction (`decodeWav`/`wavFrames8`) are pure byte-read
-  * expressions. Only VIDEO frame extraction (`sampleFrames`) remains a
-  * stride-sampling stub — no video codec ships in this environment.
+  * expressions. Video decode is REAL for uncompressed RIFF/AVI: the
+  * container walk (`aviFrameIndex`) locates every `00db`/`00dc` DIB
+  * frame and `aviFrames` emits exact per-frame statistics;
+  * `sampleFrames` remains only as the generic unknown-codec fallback.
   *
   * Scale notes: binary payloads dominate row size, so operators here
   * repartition by byte budget, not row count
@@ -203,10 +205,20 @@ object Multimodal {
     */
   val WavMagicRiffHex = "52494646" // "RIFF"
   val WavMagicWaveFmtHex = "57415645666D7420" // "WAVEfmt "
+  val WavMagicDataHex = "64617461" // "data"
 
+  /** The fixed-offset field reads below are only valid for the
+    * CANONICAL layout, so the guard pins it fully: a 16-byte PCM
+    * "fmt " chunk (size field == 16 at offset 17) immediately followed
+    * by the "data" chunk (fourcc at offset 37). Extensible-fmt or
+    * LIST/INFO-prefixed WAVs fail the guard and decode to null instead
+    * of silently reading garbage at the canonical offsets.
+    */
   def isWav(bin: Column): Column =
     length(bin) >= 44 && hex(substring(bin, 1, 4)) === lit(WavMagicRiffHex) &&
-      hex(substring(bin, 9, 8)) === lit(WavMagicWaveFmtHex)
+      hex(substring(bin, 9, 8)) === lit(WavMagicWaveFmtHex) &&
+      leUint(bin, 17, 4) === lit(16L) &&
+      hex(substring(bin, 37, 4)) === lit(WavMagicDataHex)
 
   def wavChannels(bin: Column): Column = leUint(bin, 23, 2)
   def wavSampleRate(bin: Column): Column = leUint(bin, 25, 4)
@@ -316,8 +328,13 @@ object Multimodal {
     def fourcc(i: Int): String =
       if (i + 4 > b.length) ""
       else new String(b.slice(i, i + 4), "US-ASCII")
+    // Out-of-bounds reads yield Int.MinValue, which every size check
+    // below treats as invalid (`size < 0` / `>= 40` guards) — a
+    // truncated or crafted payload must decode to None, never throw,
+    // because these run over untrusted corpus binaries.
     def le32(i: Int): Int =
-      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      if (i < 0 || i + 4 > b.length) Int.MinValue
+      else (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
         ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
     if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
     var w = 0
@@ -332,8 +349,13 @@ object Multimodal {
       if (id == "LIST" && size >= 4) {
         fourcc(i + 8) match {
           case "hdrl" =>
-            // first subchunk must be avih; dims at payload bytes 32/36
-            if (fourcc(i + 12) == "avih" && le32(i + 16) >= 40) {
+            // first subchunk must be avih; dims at payload bytes 32/36.
+            // The declared avih size is untrusted: the 40 bytes we read
+            // must lie inside BOTH the hdrl LIST (i+8+size) and the
+            // buffer before the dim reads are allowed.
+            val avihSize = le32(i + 16)
+            if (fourcc(i + 12) == "avih" && avihSize >= 40 &&
+                i + 20 + 40 <= math.min(i + 8 + size, b.length)) {
               w = le32(i + 20 + 32)
               h = le32(i + 20 + 36)
             }

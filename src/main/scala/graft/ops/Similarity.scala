@@ -130,8 +130,13 @@ object Similarity {
     s
   }
 
-  private def cos6(a: Seq[Double], b: Seq[Double]): Double =
-    round6(dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b))))
+  private def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+    // zero-norm vectors define cosine as 0.0 — the unguarded quotient
+    // is NaN and BigDecimal(NaN) throws, which would crash the whole
+    // training loop on one degenerate embedding
+    val denom = math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b))
+    if (denom == 0.0) 0.0 else round6(dotSeq(a, b) / denom)
+  }
 
   /** Lloyd's-trained coarse quantizer: `iters` k-means rounds over the
     * first `maxSample` corpus vectors (by id — an ordered prefix keeps

@@ -486,6 +486,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, avi.take(10))).toDF("id", "payload"), "payload").count() == 0)
   }
 
+  test("AVI declaring an avih payload beyond the buffer yields None, not a crash") {
+    // a crafted container whose chunk sizes parse but whose declared
+    // 40-byte avih payload does not exist — the dim reads at payload
+    // bytes 32/36 would index past the buffer without the bounds guard
+    val out = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(24)
+      .put("AVI ".getBytes("US-ASCII"))
+    out.put("LIST".getBytes("US-ASCII")).putInt(12)
+      .put("hdrl".getBytes("US-ASCII"))
+    out.put("avih".getBytes("US-ASCII")).putInt(40) // payload absent
+    assert(Multimodal.aviFrameIndex(out.array()).isEmpty)
+    // and every truncation of a well-formed container stays a None
+    val avi2 = Multimodal.syntheticAvi(4, 2, Seq((1, 2, 3)))
+    (0 until avi2.length).foreach { k =>
+      assert(Multimodal.aviFrameIndex(avi2.take(k)).isEmpty, s"take($k)")
+    }
+  }
+
+  test("non-canonical WAV layouts decode to null, not fixed-offset garbage") {
+    import spark.implicits._
+    // an 18-byte extensible fmt chunk shifts every later field by two
+    // bytes; the canonical-layout pin must reject it outright
+    val n = 4
+    val out = java.nio.ByteBuffer.allocate(46 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(38 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .putShort(0) // cbSize = 0 extension
+    out.put("data".getBytes("US-ASCII")).putInt(n)
+    (1 to n).foreach(s => out.put(s.toByte))
+    val canonical = Multimodal.syntheticWav8(8000, Array(1, 2, 3, 4))
+    val got = Multimodal.decodeWav(
+        Seq((1L, canonical), (2L, out.array())).toDF("id", "payload"), "payload")
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("wav_sample_rate") == 8000L)
+    assert(got(1).isNullAt(got(1).fieldIndex("wav_sample_rate")))
+    assert(got(1).isNullAt(got(1).fieldIndex("wav_mean_amp")))
+  }
+
   test("PQ codes pick each subvector's nearest trained centroid") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = 4
