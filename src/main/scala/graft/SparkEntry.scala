@@ -270,6 +270,17 @@ object SparkEntry {
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // Batch PQ-ADC: the whole query batch (one in every 7 corpus
+    // vectors — ~70 queries at sf0.01) scored in ONE codes scan via a
+    // literal lookup cube + posexplode, with two-phase bounded-heap
+    // top-k — plan size and scan count independent of the batch size,
+    // unlike the per-query variant's union-of-scans.
+    "ann_pq_adc_batch" -> ((s, d) =>
+      graft.ops.Similarity.pqAdcTopKBatch(Tables.embeddings(s, d),
+          queryPred = pmod(col("vec_id"), lit(7)) === 3, kNN = 5,
+          m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("qid"), col("rk"))),
+
     // Sketch aggregations with an honest gate: the oracle pins the
     // EXACT side and a sketch-within-tolerance flag (TRUE) — a drifting
     // HLL or quantile summary flips the flag and hash-mismatches. At
@@ -1656,7 +1667,15 @@ object SparkEntry {
     * distance = rounded sum of the m cells selected by each corpus
     * vector's codes, then per-query top-k.
     */
-  private def pqAdcOracle: String = {
+  private def pqAdcOracle: String = pqAdcOracleFor("vec_id IN (0, 1, 2)")
+
+  /** The batch variant differs ONLY in the query-set predicate — the
+    * scoring/top-k SQL is identical, which is the point: one oracle
+    * shape gates both the per-query and the single-scan batch plans.
+    */
+  private def pqAdcBatchOracle: String = pqAdcOracleFor("vec_id % 7 = 3")
+
+  private def pqAdcOracleFor(qidPred: String): String = {
     val sub = PqDims / PqM
     val cellCtes = (0 until PqM).map { s =>
       val lo = s * sub + 1
@@ -1672,7 +1691,7 @@ object SparkEntry {
         (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
     val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
     s"""WITH $pqCodebookCtes,
-       |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
+       |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE $qidPred),
        |$cellCtes,
        |scored AS (
        |  SELECT ce0.qid, k0.vec_id, round($cellSum, 6) AS adist
@@ -1708,6 +1727,7 @@ object SparkEntry {
     "rank_bm25" -> bm25Oracle,
     "embedding_pq" -> pqOracle,
     "ann_pq_adc" -> pqAdcOracle,
+    "ann_pq_adc_batch" -> pqAdcBatchOracle,
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,

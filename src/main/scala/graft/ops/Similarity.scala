@@ -237,8 +237,18 @@ object Similarity {
     * the embedding store.
     */
   def pqCodes(corpus: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCodesWith(corpus,
+      pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol),
+      idCol = idCol, vecCol = vecCol)
+
+  /** [[pqCodes]] against pre-trained codebooks — callers that already
+    * hold the books (ADC search trains them for its lookup tables)
+    * encode without re-running the driver-side training loop.
+    */
+  def pqCodesWith(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val m = books.length
     val sub = books.head.head.length
     val v = col(vecCol)
     val picks = (0 until m).map { s =>
@@ -278,7 +288,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val books = pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
     val sub = books.head.head.length
-    val codes = pqCodes(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val codes = pqCodesWith(corpus, books, idCol = idCol, vecCol = vecCol)
     val qVecs: Seq[(Long, Seq[Double])] = corpus
       .where(col(idCol).isin(queryIds: _*))
       .select(col(idCol), col(vecCol)).collect().toSeq
@@ -299,6 +309,64 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col(idCol))))
       .where(col("rk") <= kNN)
+      .select(col("qid"), col(idCol), col("adist"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Batch PQ-ADC: ONE corpus pass for the whole query batch — the
+    * shape a training-data pipeline actually runs ("kNN-join the query
+    * set against the corpus"), where [[pqAdcTopK]]'s one-scan-per-query
+    * union would be a scale-killer.
+    *
+    * The per-query ADC tables are stacked into a Q × (m·k) lookup cube
+    * carried as one plan literal (Q=10⁴ queries at m=4,k=8 is ~2.5 MB —
+    * broadcast-register territory, far under executor memory), each
+    * codes row `posexplode`s the query-id list — the Q logical
+    * (query, candidate) pairs any kNN-join must enumerate, produced by
+    * a generator, not by Q plan branches — and the approximate distance
+    * is m constant-array `element_at` lookups into the row's cube
+    * slice. Per-query top-k runs on [[graft.plans.TopKPerKey]]'s
+    * two-phase bounded heaps, so the only shuffle carries
+    * ≤ partitions · Q · kNN survivor rows, never the Q × N score
+    * matrix. Plan size, scan count, and shuffle volume are all
+    * independent of Q; queries beyond literal-cube size would swap the
+    * literal for a broadcast (qid, table) dimension with the corpus
+    * side unchanged.
+    *
+    * Queries are selected by `queryPred` over the corpus itself
+    * (bounded batch, collected once to build the cube).
+    */
+  def pqAdcTopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
+      m: Int = 4, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val sub = books.head.head.length
+    val codes = pqCodesWith(corpus, books, idCol = idCol, vecCol = vecCol)
+    val qVecs: Seq[(Long, Seq[Double])] = corpus
+      .where(queryPred)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+      .sortBy(_._1)
+    require(qVecs.nonEmpty, "empty query batch")
+    val cube = array(qVecs.map { case (_, qv) =>
+      array((0 until m).flatMap(s =>
+        books(s).map(c => lit(l2r6(qv.slice(s * sub, s * sub + sub), c)))): _*)
+    }: _*)
+    val qids = array(qVecs.map(q => lit(q._1)): _*)
+    val exploded = codes.select(
+      col(idCol) +: (0 until m).map(s => col(s"code$s")) :+
+        posexplode(qids).as(Seq("qpos", "qid")): _*)
+    val qtab = element_at(cube, col("qpos") + 1)
+    val dist = round((0 until m).map(s =>
+      element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
+      .reduce(_ + _), 6)
+    val scored = exploded
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), dist.as("adist"))
+    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
+        Seq(col("adist").asc, col(idCol).asc), kNN)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col(idCol))))
       .select(col("qid"), col(idCol), col("adist"), col("rk").cast("long").as("rk"))
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -36,7 +36,14 @@ final case class TopKPerKeyPlan(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, ordering, k, child) =>
-      TopKPerKeyExec(keys, ordering, k, planLater(child)) :: Nil
+      // two-phase, like any aggregate: a partial pass prunes each input
+      // partition to ≤ k rows per key BEFORE the exchange (exact —
+      // a row outside its partition's top-k cannot be in the global
+      // top-k), so the shuffle carries ≤ partitions·keys·k rows, never
+      // the full input
+      TopKPerKeyExec(keys, ordering, k,
+        TopKPerKeyExec(keys, ordering, k, planLater(child),
+          partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -45,16 +52,28 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   require(k >= 1, s"top-k requires k >= 1, got $k")
   require(keys.nonEmpty, "top-k requires at least one grouping key")
 
   override def output: Seq[Attribute] = child.output
 
-  /** one hash shuffle on the keys — all rows of a key meet in one task */
+  /** final pass: one hash shuffle on the keys — all surviving rows of a
+    * key meet in one task; partial pass: runs wherever the data already
+    * is
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
+
+  /** rows never move between partitions here, so downstream operators
+    * clustered on the same keys (a per-key window rank, a grouped agg)
+    * must not re-shuffle the survivors
+    */
+  override def outputPartitioning: Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys

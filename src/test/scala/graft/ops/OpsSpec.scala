@@ -555,6 +555,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batch PQ-ADC equals the per-query union, from one corpus scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = pmod(col("vec_id"), lit(50)) === 3
+    val ids = e.where(pred).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length >= 5, s"want a real batch, got ${ids.length}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val batch = Similarity.pqAdcTopKBatch(e, pred, kNN = 5, m = 4, k = 8,
+      iters = 2)
+    val union = Similarity.pqAdcTopK(e, ids, kNN = 5, m = 4, k = 8,
+      iters = 2)
+    assert(rows(batch) == rows(union))
+    // the whole point: ONE scan of the codes/corpus regardless of Q
+    // (the query-vector collect is a separate bounded job)
+    val scans = graft.PlanTestHelpers.physicalOps(batch).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, batch.queryExecution.executedPlan.toString)
+  }
+
   test("range join by bucketization equals the brute-force theta join") {
     import spark.implicits._
     // edge cases: empty interval (hi <= lo), inclusive lo / exclusive

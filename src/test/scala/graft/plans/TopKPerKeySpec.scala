@@ -40,7 +40,7 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(custom == viaWindow)
   }
 
-  test("physical plan is the custom exec fed by one hash exchange, no sort") {
+  test("physical plan is two-phase: partial heaps, one hash exchange, final heaps") {
     val orders = spark.read
       .parquet("/root/testdata/sf0.001/orders.parquet")
     val df = TopK.topKPerKey(
@@ -50,6 +50,20 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.toLowerCase.contains("sortexec"), plan)
     assert(df.count() > 0)
+    // partial pass BELOW the exchange, final above — the shuffle must
+    // carry only per-partition top-k survivors, never the full input
+    val ops = graft.PlanTestHelpers.physicalOps(df)
+    val execs = ops.collect { case t: TopKPerKeyExec => t.partial }
+    assert(execs.sorted == Seq(false, true), s"expected final+partial: $execs")
+    val exchangeAbovePartial = ops.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        graft.PlanTestHelpers.flattenPlan(e.child).exists {
+          case t: TopKPerKeyExec => t.partial
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(exchangeAbovePartial, df.queryExecution.executedPlan.toString)
   }
 
   test("k larger than any group returns everything") {
