@@ -503,6 +503,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // IVF with the hash-sampled quantizer: identical search path, but
+    // the k-means training sample is the md5-bucket 20% sample instead
+    // of the id prefix — unbiased on corpora where id correlates with
+    // content (ingest order), and just as oracle-reproducible.
+    "ann_ivf_hash" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.ops.Similarity.ivfTopK(e, q, 5, nlist = IvfLists, nprobe = IvfProbes,
+          trainIters = IvfIters, sampleMode = "hash")
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (banded multi-table LSH +
     // exact verify), the semantic-dedup counterpart of minhash:
     // 16-plane signatures (65k buckets/table), 3 tables for recall,
@@ -1370,7 +1383,19 @@ object SparkEntry {
     * numerically long chains) ARE order-pinned, and a boundary hit
     * would fail loudly as a hash mismatch rather than silently.
     */
-  private def ivfOracle: String = {
+  private def ivfOracle: String = ivfOracleFor("TRUE")
+
+  /** ann_ivf with the hash-bucket training sample: the ONLY difference
+    * is the samp predicate (same md5 arithmetic as Similarity's
+    * `sampleMode = "hash"`), proving the oracle discipline survives
+    * unbiased sampling — everything downstream of samp is shared.
+    */
+  private def ivfHashOracle: String = ivfOracleFor(
+    s"(${sqlHexBucket(
+        s"md5('${graft.ops.Similarity.HashSampleSeed}:' || vec_id)")} % 10000)" +
+      s" < ${graft.ops.Similarity.HashSampleBuckets}")
+
+  private def ivfOracleFor(sampPred: String): String = {
     val iterCtes = (1 to IvfIters).map { r =>
       val prev = s"c${r - 1}"
       s"""a$r AS (
@@ -1391,7 +1416,8 @@ object SparkEntry {
     }.mkString(",\n")
     val cf = s"c$IvfIters"
     s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $IvfSample),
+       |samp AS (SELECT vec_id, ve FROM corp WHERE $sampPred
+       |  ORDER BY vec_id LIMIT $IvfSample),
        |flat AS (SELECT vec_id, i, ve[i] AS v
        |  FROM samp, generate_series(1, 64) t(i)),
        |c0 AS (SELECT vec_id AS cid, ve AS ce FROM samp ORDER BY vec_id LIMIT $IvfLists),
@@ -1737,6 +1763,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "ann_ivf" -> ivfOracle,
+    "ann_ivf_hash" -> ivfHashOracle,
 
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
 

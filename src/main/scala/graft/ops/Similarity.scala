@@ -154,10 +154,39 @@ object Similarity {
     * is bounded (`maxSample`), the loop is driver-side, and the result
     * is baked into the plan as literals.
     */
+  /** Seed + bucket bound for `sampleMode = "hash"` training samples:
+    * rows whose md5 bucket (same [0,10000) arithmetic as
+    * `Curation.hashBucket`, independent seed) falls under the bound —
+    * a 20% uniform sample uncorrelated with ingest order, unlike the
+    * id-prefix mode. Public so the SQL oracle pins the same predicate.
+    */
+  val HashSampleSeed = "qtrain"
+  val HashSampleBuckets = 2000L
+
+  /** The bounded training sample, by mode: `"prefix"` takes the first
+    * `maxSample` ids (reproducible but biased wherever id correlates
+    * with content — ingest order usually does); `"hash"` takes the
+    * md5-bucket sample (unbiased, equally reproducible — the bucket is
+    * pure arithmetic on the id). Both orderBy id so the collected
+    * sample order, and therefore the whole trained constant, is
+    * engine-independent.
+    */
+  private def trainingSample(corpus: DataFrame, maxSample: Int,
+      sampleMode: String, idCol: String): DataFrame = sampleMode match {
+    case "prefix" => corpus.orderBy(col(idCol)).limit(maxSample)
+    case "hash" => corpus
+      .where(graft.ops.Curation.hashBucket(col(idCol), HashSampleSeed)
+        < lit(HashSampleBuckets))
+      .orderBy(col(idCol)).limit(maxSample)
+    case other =>
+      throw new IllegalArgumentException(s"unknown sampleMode: $other")
+  }
+
   def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int,
-      maxSample: Int = 10000,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Any, Seq[Double])] = {
-    val sample: Seq[(Any, Seq[Double])] = corpus.orderBy(col(idCol)).limit(maxSample)
+    val sample: Seq[(Any, Seq[Double])] =
+      trainingSample(corpus, maxSample, sampleMode, idCol)
       .select(col(idCol), col(vecCol)).collect().toSeq
       .map(r => (r.get(0),
         r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
@@ -202,9 +231,9 @@ object Similarity {
     * approximate distances run off per-subspace lookup tables.
     */
   def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int,
-      maxSample: Int = 10000,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
-    val sample = corpus.orderBy(col(idCol)).limit(maxSample)
+    val sample = trainingSample(corpus, maxSample, sampleMode, idCol)
       .select(col(vecCol)).collect().toSeq
       .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() })
     require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
@@ -386,12 +415,13 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
+      sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // nlist is small by construction: collecting the coarse quantizer
     // to the driver is the IVF contract, not a scale hazard
     val cents: Seq[(Any, Seq[Double])] =
       if (trainIters > 0) kmeansCentroids(corpus, nlist, trainIters,
-        idCol = idCol, vecCol = vecCol)
+        sampleMode = sampleMode, idCol = idCol, vecCol = vecCol)
       else corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol), col(vecCol)).collect().toSeq
         .map(r => (r.get(0),

@@ -555,6 +555,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hash-sampled quantizer training: deterministic, distinct from prefix mode") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the md5-bucket sample is pure id arithmetic: same corpus, same
+    // centroids, every run
+    val a = Similarity.kmeansCentroids(e, nlist = 3, iters = 2, sampleMode = "hash")
+    val b = Similarity.kmeansCentroids(e, nlist = 3, iters = 2, sampleMode = "hash")
+    assert(a == b)
+    // and it trains on a genuinely different sample than the id prefix
+    val p = Similarity.kmeansCentroids(e, nlist = 3, iters = 2)
+    assert(a.map(_._2) != p.map(_._2))
+    // the sample itself is ~HashSampleBuckets/10000 of the corpus
+    val frac = e.where(graft.ops.Curation.hashBucket(col("vec_id"),
+        Similarity.HashSampleSeed) < lit(Similarity.HashSampleBuckets))
+      .count().toDouble / e.count()
+    assert(frac > 0.1 && frac < 0.3, s"hash sample fraction $frac")
+  }
+
   test("batch PQ-ADC equals the per-query union, from one corpus scan") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pred = pmod(col("vec_id"), lit(50)) === 3
