@@ -115,18 +115,23 @@ object Bench {
     //     equi-join vs all doc pairs. This ratio is what decides
     //     whether the scheme survives a 100× corpus (quadratic all
     //     pairs vs ~linear banded candidates).
-    val simhash64Ratio: Double =
+    def simhashRatio(bits: Int, bands: Int): Double =
       try {
         val docs = Tables.documents(spark, sfDir)
         val fp = graft.ops.Dedup.simhash(docs, "text", "doc_id",
-          bits = 64, shingleK = 3).localCheckpoint()
+          bits = bits, shingleK = 3).localCheckpoint()
         val n = fp.count().toDouble
-        val cand = graft.ops.Dedup.simhashBandCandidates(fp, 64, 8).count().toDouble
+        val cand = graft.ops.Dedup.simhashBandCandidates(fp, bits, bands)
+          .count().toDouble
         if (n < 2) 0.0 else cand / (n * (n - 1) / 2)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] simhash64 diagnostic failed: ${e.getMessage}")
+        System.err.println(s"[bench] simhash$bits diagnostic failed: ${e.getMessage}")
         -1.0
       }
+    val simhash64Ratio = simhashRatio(64, 8)
+    // 128-bit production-top width next to it: wider bands (same 8-bit
+    // keys, 16 of them) should collide no more than the 64-bit scheme
+    val simhash128Ratio = simhashRatio(128, 16)
 
     // 2c. diagnostic (not a timing): trained-IVF recall@5 against the
     //     brute-force exact neighbors — the go/no-go number for the
@@ -189,6 +194,7 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio,""" +
+      s""""simhash128_candidate_ratio":$simhash128Ratio,""" +
       s""""ivf_recall_at_5":$ivfRecall,"load_avg":$loadAvg}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}""")
     spark.stop()

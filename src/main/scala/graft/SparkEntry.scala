@@ -479,6 +479,14 @@ object SparkEntry {
           bits = 64, bands = 8, maxDistance = 7)
         .orderBy(col("a"), col("b"))),
 
+    // 128-bit fingerprints (4 chained seeded hashes) — the top of the
+    // production range: 16 bands of 8-bit keys, exact to hamming 15.
+    // More bits = fewer random collisions per band at huge corpora.
+    "dedup_simhash_pairs_128" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+          bits = 128, bands = 16, maxDistance = 15)
+        .orderBy(col("a"), col("b"))),
+
     // Language identification via marker-token scoring.
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1035,13 +1043,16 @@ object SparkEntry {
     val sums = (1 to bits).map(i =>
       s"sum(CASE WHEN substr(th, $i, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$i")
       .mkString(",\n    ")
+    // variadic concat, not a `||` chain: DuckDB binds `||` left-nested
+    // and hits its recursion limit at 128 terms
     val concatBits = (1 to bits).map(i =>
-      s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
-    // bits > 32 chains a seeded second md5, mirroring Dedup.simhash's
-    // widened hash (first 32 digits identical to the 32-bit derivation)
+      s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    // bits > 32 chains seeded md5s ("1:", "2:", …), mirroring
+    // Dedup.simhash's widened hash (every narrower fingerprint is a
+    // prefix of the wider one)
     def th(feat: String) =
-      if (bits <= 32) s"md5($feat)"
-      else s"md5($feat) || md5('1:' || $feat)"
+      (s"md5($feat)" +: (1 until (bits + 31) / 32)
+        .map(j => s"md5('$j:' || $feat)")).mkString(" || ")
     val hashed =
       if (shingled)
         s"""$shinglesCte,
@@ -1074,10 +1085,14 @@ object SparkEntry {
     */
   private def simhashPairs64Oracle: String = simhashPairsOracleAt(64, 7)
 
+  /** 128-bit variant — 16 bands of 8-bit keys, exact to hamming 15. */
+  private def simhashPairs128Oracle: String = simhashPairsOracleAt(128, 15)
+
   private def simhashPairsOracleAt(bits: Int, maxDistance: Int): String = {
+    // list_sum over a list literal, not a `+` chain (binder depth)
     val ham = (1 to bits).map(i =>
       s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
-      .mkString(" + ")
+      .mkString("list_sum([", ", ", "])")
     s"""WITH ${simhashCte(bits, shingled = true)}
        |SELECT x.doc_id AS a, y.doc_id AS b, CAST($ham AS BIGINT) AS hamming
        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
@@ -1848,6 +1863,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_simhash_pairs_64" -> simhashPairs64Oracle,
+    "dedup_simhash_pairs_128" -> simhashPairs128Oracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 

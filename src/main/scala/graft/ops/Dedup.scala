@@ -160,19 +160,22 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16,
       shingleK: Int = 0): DataFrame = {
     // one md5 yields 32 hex digits = 32 weight positions; wider
-    // fingerprints append a seeded second hash (see scaladoc) so the
-    // first 32 bits stay identical to the 32-bit fingerprint
-    require(bits <= 64, "weighting supports at most 64 bits (2 chained md5s)")
+    // fingerprints chain seeded hashes ("1:", "2:", …) so every
+    // narrower fingerprint is a PREFIX of the wider one (the first 32
+    // bits are always the unseeded derivation)
+    require(bits <= 128, "weighting supports at most 128 bits (4 chained md5s)")
     val features =
       if (shingleK <= 1)
         df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
           .distinct()
       else wordShingles(df, textCol, idCol, shingleK)
         .select(col("id"), col("sh").as("tok"))
+    val nHashes = (bits + 31) / 32
     val hash =
-      if (bits <= 32) md5(col("tok").cast("binary"))
-      else concat(md5(col("tok").cast("binary")),
-        md5(concat(lit("1:"), col("tok")).cast("binary")))
+      if (nHashes == 1) md5(col("tok").cast("binary"))
+      else concat(md5(col("tok").cast("binary")) +:
+        (1 until nHashes).map(j =>
+          md5(concat(lit(s"$j:"), col("tok")).cast("binary"))): _*)
     // Decode the hex ONCE per feature into 8-digit chunks (conv → long),
     // so each bit weight is an integer shift/mask on a decoded chunk
     // instead of a per-bit substring+isin string comparison: bit i's

@@ -74,6 +74,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded.nonEmpty, "corpus should contain simhash near-dups")
   }
 
+  test("128-bit simhash: narrower widths are prefixes; banding stays exact") {
+    // chained seeded hashes make every narrower fingerprint a PREFIX
+    // of the wider one — widening never invalidates stored fingerprints
+    val f64 = Dedup.simhash(docs, "text", "doc_id", bits = 64, shingleK = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    val f128 = Dedup.simhash(docs, "text", "doc_id", bits = 128, shingleK = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    assert(f128.keySet == f64.keySet)
+    assert(f128.values.forall(_.length == 128))
+    f64.foreach { case (id, f) => assert(f128(id).startsWith(f), s"id $id") }
+    // pigeonhole exactness at the wide width: 16 bands, hamming <= 15
+    val brute = (for {
+      (a, fa) <- f128.toSeq; (b, fb) <- f128.toSeq if a < b
+      d = fa.zip(fb).count { case (x, y) => x != y } if d <= 15
+    } yield (a, b, d.toLong)).toSet
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id",
+        bits = 128, bands = 16, maxDistance = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
   test("near-dup LSH bucket count scales with the corpus (not constant)") {
     import spark.implicits._
     // deterministic synthetic vectors: bucket space must GROW with the
