@@ -158,12 +158,19 @@ object Curation {
     */
   def contaminated(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    val corpusShingles = Dedup.wordShingles(corpus, textCol, idCol, n)
+    // every corpus shingle OCCURRENCE, no pre-join distinct: the
+    // corpus side must not shuffle at all — the broadcast probe drops
+    // everything but benchmark hits, and the post-join aggregation
+    // (countDistinct for per-doc dedup) shuffles only those hits
+    val corpusShingles = Dedup.wordShinglesAll(corpus, textCol, idCol, n)
     val benchShingles = Dedup.wordShingles(benchmark, textCol, idCol, n)
       .select(col("sh")).distinct()
-    corpusShingles.join(benchShingles, "sh")
+    // benchmark sets are tiny by definition — broadcast them so the
+    // 100 TB corpus shingle stream is probed in place, never
+    // shuffle-sorted against the benchmark side
+    corpusShingles.join(broadcast(benchShingles), "sh")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
+      .agg(countDistinct(col("sh")).as("n_hits"), min(col("sh")).as("first_hit"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

@@ -33,7 +33,15 @@ object Dedup {
     * Output: (id, sh). Row count ≈ tokens × 1; the distinct is a
     * map-side-combinable aggregation on (id, sh).
     */
-  def wordShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    wordShinglesAll(df, textCol, idCol, k).distinct()
+
+  /** [[wordShingles]] WITHOUT the distinct — every shingle occurrence,
+    * no shuffle. For consumers that aggregate after a further join
+    * (decontamination), deduplicating the full corpus explode first
+    * would be a corpus-wide shuffle for nothing.
+    */
+  def wordShinglesAll(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val shingle = concat_ws(" ",
       (0 until k).map(j => element_at(col("t"), col("i") + j)): _*)
@@ -44,7 +52,6 @@ object Dedup {
         when(size(col("t")) >= k, sequence(lit(1), size(col("t")) - (k - 1)))
           .otherwise(array().cast("array<int>"))))
       .select(col("id"), shingle.as("sh"))
-      .distinct()
   }
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,

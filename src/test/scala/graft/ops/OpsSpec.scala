@@ -319,6 +319,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == lbl)
   }
 
+  test("decontamination probes the corpus with a broadcast benchmark side") {
+    val bench = docs.where(col("doc_id") < 10)
+    val corpus = docs.where(col("doc_id") >= 10)
+    val hits = Curation.contaminated(corpus, bench, "text", "doc_id")
+    hits.write.mode("overwrite").format("noop").save()
+    // the benchmark shingle set must arrive as a broadcast hash join —
+    // at 100 TB the corpus shingle stream cannot be shuffle-sorted
+    val ops = graft.PlanTestHelpers.physicalOps(hits)
+    val bhj = ops.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    val smj = ops.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    assert(bhj && !smj, hits.queryExecution.executedPlan.toString)
+  }
+
   test("stratified sample: deterministic, per-stratum rates honored") {
     val rates = Map("en" -> 0, "de" -> 10000)
     val s1 = Curation.stratifiedSample(docs, "lang", "doc_id", rates, 5000)
