@@ -392,7 +392,8 @@ final class EventStore private (
       val deltaDf =
         if (state.streamHeads.isEmpty) batchDf
         else resolveLayers(Seq(inlineHeadsDfOf(state) -> 0L, batchDf -> 1L))
-      writeHeadsParquet(deltaDf, headsDeltaDir(v))
+      writeHeadsParquet(deltaDf, headsDeltaDir(v),
+        approxRows = state.streamHeads.size + headCount)
       rollup.unpersist()
       commitState(withTag(state.copy(
         version = v,
@@ -453,6 +454,11 @@ final class EventStore private (
     * the structure changed, or the stale entry would survive until the
     * next spill (and append validation would read it).
     */
+  /** built once — newHadoopConf() copies the entire SQL conf and costs
+    * ~10 ms, which would dominate a jobless point lookup
+    */
+  private lazy val probeHadoopConf = spark.sessionState.newHadoopConf()
+
   private val headCache =
     new java.util.LinkedHashMap[String, Option[StreamHead]](64, 0.75f, true) {
       override def removeEldestEntry(
@@ -533,18 +539,22 @@ final class EventStore private (
           val (cached, gen0) = headCache.synchronized(
             (Option(headCache.get(key)), headCacheGen.get()))
           cached.getOrElse {
-            // one pushed-filter scan over the layers, newest wins —
-            // range-sorted files + bloom filters prune to ~one row group
-            val hit = parquetHeadLayers(snap)
-              .map { case (df, pri) => df.withColumn("pri", lit(pri)) }
-              .reduce(_ unionByName _)
-              .where($"stream_id" === sid && $"partition_key" === pk)
-              .orderBy($"pri".desc)
-              .limit(1)
-              .collect()
-              .headOption
-              .map(r => StreamHead(r.getAs[Long]("version"), pk,
-                r.getAs[Int]("partition_id")))
+            // JOBLESS serving path: probe layers newest-first with a
+            // driver-side footer-pruned parquet read (row-group stats +
+            // bloom filter, see HeadProbe) — a point lookup must not
+            // pay a Spark job launch (~90 ms) per probe. Newest-first
+            // + stop-at-first-hit equals the layered max-priority
+            // merge, because keys are unique within a layer.
+            val layersNewestFirst =
+              snap.headsDeltas.sorted.reverse.map(headsDeltaDir) ++
+                (if (snap.headsBase > 0) Seq(headsBaseDir(snap.headsBase))
+                 else Nil)
+            val hit = layersNewestFirst.iterator
+              .map(dir =>
+                graft.storage.HeadProbe.probe(dir, sid, pk, probeHadoopConf))
+              .collectFirst { case Some((pid, ver)) =>
+                StreamHead(ver, pk, pid)
+              }
             headCache.synchronized {
               // drop the result if a spill/fold happened mid-lookup
               if (headCacheGen.get() == gen0) headCache.put(key, hit)
@@ -613,7 +623,7 @@ final class EventStore private (
         inline.toSeq.map { case (k, h) =>
           (EventStore.headKeyStream(k), h.partitionKey, h.partitionId, h.version)
         }.toDF("stream_id", "partition_key", "partition_id", "version"),
-        headsDeltaDir(v))
+        headsDeltaDir(v), approxRows = inline.size)
       commitState(state.copy(
         version = v,
         watermarks = state.watermarks ++ newWm,
@@ -648,7 +658,8 @@ final class EventStore private (
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val v = state.version + 1
-      if (resolved.count() <= maxInlineHeads) {
+      val total = resolved.count()
+      if (total <= maxInlineHeads) {
         val inline = resolved.collect().map(r =>
           EventStore.headKey(r.getString(1), r.getString(0)) ->
             StreamHead(r.getLong(3), r.getString(1), r.getInt(2))).toMap
@@ -656,7 +667,7 @@ final class EventStore private (
           version = v, streamHeads = inline, headsBase = 0L, headsDeltas = Nil))
         invalidateHeadCache() // after the commit (see commitAppend)
       } else {
-        writeHeadsParquet(resolved, headsBaseDir(v))
+        writeHeadsParquet(resolved, headsBaseDir(v), approxRows = total)
         commitState(state.copy(
           version = v, streamHeads = Map.empty, headsBase = v, headsDeltas = Nil))
         invalidateHeadCache() // after the commit (see commitAppend)
@@ -666,15 +677,23 @@ final class EventStore private (
 
   /** Range-sorted, bloom-filtered layout: a (stream_id, partition_key)
     * point lookup prunes to one file / few row groups by min-max stats.
+    * File count scales with the layer's ROW count (~500k entries per
+    * file), not the session's shuffle parallelism — a 64-entry delta in
+    * 32 shard files would cost a point probe 32 footer reads for
+    * nothing, while a folded billion-head base still shards wide.
     */
-  private def writeHeadsParquet(df: DataFrame, dir: String): Unit =
+  private def writeHeadsParquet(df: DataFrame, dir: String,
+      approxRows: Long): Unit = {
+    val shards = math.max(1L, math.min(2048L,
+      (approxRows + 499999L) / 500000L)).toInt
     df.select($"stream_id", $"partition_key", $"partition_id", $"version")
-      .repartitionByRange($"stream_id", $"partition_key")
+      .repartitionByRange(shards, $"stream_id", $"partition_key")
       .sortWithinPartitions($"stream_id", $"partition_key")
       .write.mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#stream_id", "true")
       .parquet(dir)
+  }
 
   /** Delete head-layer directories no manifest references (crash
     * between a layer write and its manifest commit, or layers folded

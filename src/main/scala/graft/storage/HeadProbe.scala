@@ -1,0 +1,156 @@
+package graft.storage
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.statistics.BinaryStatistics
+import org.apache.parquet.column.values.bloomfilter.BloomFilter
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.api.Binary
+
+/** Driver-side point lookup into a head-layer parquet directory — NO
+  * Spark job. A serving path answering "what is this stream's head?"
+  * must not pay scheduler latency (~90 ms per cold lookup measured in
+  * the bench) for a probe the parquet footers can answer in
+  * single-digit ms; the reference's analogue is an in-memory index
+  * probe (`crates/sierradb/src/database.rs:298-357`).
+  *
+  * Layer files are range-partitioned + sorted on
+  * (stream_id, partition_key) with a stream_id bloom filter
+  * (`EventStore.writeHeadsParquet`), so the probe prunes in three
+  * steps, metadata-only until a row group survives:
+  *   1. row-group min/max stats on stream_id (sorted layout → the key
+  *      lands in at most one file's range, ~one row group);
+  *   2. the row group's bloom filter (rules out absent keys without
+  *      reading data pages);
+  *   3. a record scan of the one surviving row group, short-circuited
+  *      on match.
+  *
+  * Layer directories are IMMUTABLE (content-addressed `delta-v{n}` /
+  * `base-v{n}`; folds write new dirs, orphans are deleted, never
+  * rewritten), so footers, bloom filters, and directory listings are
+  * cached process-wide: a steady-state probe re-reads NO metadata —
+  * only the one surviving row group's pages. Caches are bounded by the
+  * live layer-file count (a few dozen per store).
+  *
+  * Keys are unique within a layer (a layer is a snapshot of a head
+  * map), so the first match IS the layer's entry. Layer precedence
+  * (newest delta wins over base) is the CALLER's job: probe layers
+  * newest-first and stop at the first hit.
+  */
+object HeadProbe {
+
+  private val dirListings =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Path]]()
+  private val footers =
+    new java.util.concurrent.ConcurrentHashMap[String, ParquetMetadata]()
+  // per (file, rowGroup): None = column has no bloom filter
+  private val blooms =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[BloomFilter]]()
+
+  /** (partition_id, version) for the (stream_id, partition_key) head
+    * entry in one layer directory, or None if absent.
+    */
+  def probe(dir: String, streamId: String, partitionKey: String,
+      conf: Configuration): Option[(Int, Long)] = {
+    val files = dirListings.computeIfAbsent(dir, { d =>
+      val dirPath = new Path(d)
+      val fs = dirPath.getFileSystem(conf)
+      if (!fs.exists(dirPath)) Nil
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+    })
+    val it = files.iterator
+    while (it.hasNext) {
+      val hit = probeFile(it.next(), streamId, partitionKey, conf)
+      if (hit.isDefined) return hit
+    }
+    None
+  }
+
+  private def footerOf(file: Path, conf: Configuration): ParquetMetadata =
+    footers.computeIfAbsent(file.toString, { _ =>
+      ParquetFileReader.readFooter(conf, file, ParquetMetadataConverter.NO_FILTER)
+    })
+
+  private def probeFile(file: Path, streamId: String, partitionKey: String,
+      conf: Configuration): Option[(Int, Long)] = {
+    val target = Binary.fromString(streamId)
+    val footer = footerOf(file, conf)
+    val schema = footer.getFileMetaData.getSchema
+    val sidCol = schema.getFieldIndex("stream_id")
+    val blocks = footer.getBlocks
+
+    // 1. metadata-only: row groups whose stream_id range contains the
+    //    target (sorted layout → normally one)
+    val inRange = (0 until blocks.size()).filter { b =>
+      blocks.get(b).getColumns.get(sidCol).getStatistics match {
+        case s: BinaryStatistics if s.hasNonNullValue =>
+          UnsignedBinary.compare(s.genericGetMin, target) <= 0 &&
+            UnsignedBinary.compare(s.genericGetMax, target) >= 0
+        case _ => true // no stats: cannot prune
+      }
+    }
+    if (inRange.isEmpty) return None
+
+    // 2.+3. one reader for the bloom checks (cached after first touch)
+    //    and the surviving row-group scans
+    var reader: ParquetFileReader = null
+    def theReader(): ParquetFileReader = {
+      if (reader == null)
+        reader = new ParquetFileReader(conf, file, footer)
+      reader
+    }
+    try {
+      val candidates = inRange.filter { b =>
+        blooms.computeIfAbsent((file.toString, b), { _ =>
+          Option(theReader().getBloomFilterDataReader(blocks.get(b))
+            .readBloomFilter(blocks.get(b).getColumns.get(sidCol)))
+        }) match {
+          case Some(bloom) => bloom.findHash(bloom.hash(target))
+          case None => true // no bloom filter: cannot prune
+        }
+      }
+      val columnIO = new ColumnIOFactory().getColumnIO(schema)
+      val ci = candidates.iterator
+      while (ci.hasNext) {
+        val b = ci.next()
+        val pages = theReader().readRowGroup(b)
+        val recordReader = columnIO.getRecordReader(
+          pages, new GroupRecordConverter(schema))
+        var i = 0L
+        val n = blocks.get(b).getRowCount
+        while (i < n) {
+          val g = recordReader.read()
+          if (g.getString("stream_id", 0) == streamId &&
+              g.getString("partition_key", 0) == partitionKey)
+            return Some((g.getInteger("partition_id", 0),
+              g.getLong("version", 0)))
+          i += 1
+        }
+      }
+      None
+    } finally if (reader != null) reader.close()
+  }
+
+  /** unsigned lexicographic byte compare — parquet's string order */
+  private object UnsignedBinary {
+    def compare(a: Binary, b: Binary): Int = {
+      val x = a.getBytesUnsafe
+      val y = b.getBytesUnsafe
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+}

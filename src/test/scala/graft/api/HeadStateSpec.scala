@@ -48,6 +48,42 @@ class HeadStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(es.streamCount == 10L)
   }
 
+  test("layered point lookups launch NO Spark job (driver-side footer probe)") {
+    val dir = Files.createTempDirectory("graft-heads-").toString
+    val es = EventStore.open(spark, dir, 4, maxInlineHeads = 4)
+    (0 until 32).foreach(i => assert(es.append(in(s"jp-$i")).isRight))
+    assert(es.manifest.headsDeltas.nonEmpty || es.manifest.headsBase > 0)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    (0 until 32).foreach(i => assert(es.sver(s"jp-$i") == Some(0L)))
+    assert(es.sver("jp-missing").isEmpty)
+    // the status tracker is listener-fed (async) — give it a moment to
+    // drain before asserting NOTHING was scheduled
+    Thread.sleep(1000)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, s"point lookups launched ${after - before} Spark job(s)")
+  }
+
+  test("HeadProbe prunes by row-group stats and finds exact entries") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-probe-").toString + "/layer"
+    val rows = (0 until 1000).map(i => (f"s-$i%04d", s"pk-$i", i % 7, i.toLong))
+    rows.toDF("stream_id", "partition_key", "partition_id", "version")
+      .repartitionByRange(4, col("stream_id"))
+      .sortWithinPartitions("stream_id")
+      .write.option("parquet.bloom.filter.enabled#stream_id", "true")
+      .parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(graft.storage.HeadProbe.probe(dir, "s-0042", "pk-42", conf)
+      == Some((42 % 7, 42L)))
+    assert(graft.storage.HeadProbe.probe(dir, "s-0999", "pk-999", conf)
+      == Some((999 % 7, 999L)))
+    // absent stream, and present stream with the WRONG partition key
+    assert(graft.storage.HeadProbe.probe(dir, "s-9999", "pk-x", conf).isEmpty)
+    assert(graft.storage.HeadProbe.probe(dir, "s-0042", "pk-43", conf).isEmpty)
+    // nonexistent layer dir is a miss, not a crash
+    assert(graft.storage.HeadProbe.probe(dir + "-nope", "s", "p", conf).isEmpty)
+  }
+
   test("state persists across reopen; orphan layers are cleaned") {
     val dir = Files.createTempDirectory("graft-heads-").toString
     val es = EventStore.open(spark, dir, 4, maxInlineHeads = 2)
