@@ -92,6 +92,131 @@ object Bench {
       }
     }
 
+    // 1e. sustained server load — the RESP server's hot path
+    //     (reference: `server.rs:142-231` + `subscription.rs:441-461`)
+    //     as a THROUGHPUT surface, not just a correctness test:
+    //     concurrent socket writers EMAPPEND 50-event group commits
+    //     (the reference's sync-group shape) for a fixed window while
+    //     ESUB subscribers tail the same streams through real EACK
+    //     windows. Diagnostics record appends/sec, deliveries/sec and
+    //     the post-write drain (delivery lag); the timed leg is the
+    //     whole exercise.
+    var serverAppendsPerSec = -1.0
+    var serverDeliveredPerSec = -1.0
+    var serverDrainSec = -1.0
+    results("server_sustained") = {
+      try {
+        time {
+          import graft.server.Resp
+          import graft.server.Resp._
+          val dir = java.nio.file.Files.createTempDirectory("bench-srv-").toString
+          val ses = graft.api.EventStore.open(spark, dir, 8)
+          val srv = new graft.server.RespServer(ses).start()
+          final class C {
+            val sock = new java.net.Socket("127.0.0.1", srv.localPort)
+            private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+            private[this] val in = new java.io.BufferedInputStream(sock.getInputStream)
+            def call(args: String*): Frame = {
+              Resp.encode(ArrayF(args.map(blob)), out); out.flush(); Resp.decode(in)
+            }
+            def send(args: String*): Unit = {
+              Resp.encode(ArrayF(args.map(blob)), out); out.flush()
+            }
+            def readFrame(): Frame = Resp.decode(in)
+            def close(): Unit = sock.close()
+          }
+          val nSubs = 2
+          val nWriters = 4
+          val batch = 50
+          val writeWindowNs = 3L * 1000 * 1000 * 1000
+          val appendedPerStream = Array.fill(nSubs)(
+            new java.util.concurrent.atomic.AtomicLong)
+          val deliveredPerSub = Array.fill(nSubs)(
+            new java.util.concurrent.atomic.AtomicLong)
+          // history before the subscriptions start: the tail crosses the
+          // history→live seam like a real consumer
+          val seeder = new C
+          (0 until nSubs).foreach { s =>
+            val pk = graft.core.Ids.partitionKeyForStream(s"srv-$s").toString
+            seeder.call(Seq("EMAPPEND", pk) ++
+              (0 until batch).flatMap(_ => Seq(s"srv-$s", "Seed")): _*)
+            appendedPerStream(s).addAndGet(batch)
+          }
+          seeder.close()
+          @volatile var stopSubs = false
+          @volatile var firstErr: Option[Throwable] = None
+          val subThreads = (0 until nSubs).map { s =>
+            val t = new Thread(() => {
+              try {
+                val c = new C
+                val subId = c.call("ESUB", s"srv-$s", "FROM", "0",
+                    "WINDOW", "64") match {
+                  case SimpleStr(x) => x
+                  case other => sys.error(s"ESUB failed: $other")
+                }
+                var acked = -1L
+                c.sock.setSoTimeout(250)
+                while (!stopSubs) {
+                  try {
+                    c.readFrame() match {
+                      case PushF(Seq(_, _, Num(cur), _)) =>
+                        deliveredPerSub(s).incrementAndGet()
+                        if (cur - acked >= 32) {
+                          c.send("EACK", subId, cur.toString); acked = cur
+                        }
+                      case _ => () // EACK OK replies
+                    }
+                  } catch { case _: java.net.SocketTimeoutException => () }
+                }
+                c.close()
+              } catch { case t: Throwable => firstErr = Some(t) }
+            }, s"bench-sub-$s")
+            t.start(); t
+          }
+          val t0 = System.nanoTime()
+          val writerThreads = (0 until nWriters).map { w =>
+            val t = new Thread(() => {
+              try {
+                val c = new C
+                val s = w % nSubs
+                val pk = graft.core.Ids.partitionKeyForStream(s"srv-$s").toString
+                while (System.nanoTime() - t0 < writeWindowNs) {
+                  c.call(Seq("EMAPPEND", pk) ++
+                    (0 until batch).flatMap(_ => Seq(s"srv-$s", "Load")): _*)
+                  appendedPerStream(s).addAndGet(batch)
+                }
+                c.close()
+              } catch { case t: Throwable => firstErr = Some(t) }
+            }, s"bench-writer-$w")
+            t.start(); t
+          }
+          writerThreads.foreach(_.join(60000))
+          val writeSecs = (System.nanoTime() - t0) / 1e9
+          val totalAppended = appendedPerStream.map(_.get()).sum
+          // drain: subscribers must deliver EVERY appended event
+          val drain0 = System.nanoTime()
+          val drainDeadline = drain0 + 30L * 1000 * 1000 * 1000
+          def fullyDelivered = (0 until nSubs).forall(s =>
+            deliveredPerSub(s).get() >= appendedPerStream(s).get())
+          while (!fullyDelivered && System.nanoTime() < drainDeadline)
+            Thread.sleep(50)
+          serverDrainSec = (System.nanoTime() - drain0) / 1e9
+          stopSubs = true
+          subThreads.foreach(_.join(5000))
+          val totalDelivered = deliveredPerSub.map(_.get()).sum
+          srv.stop()
+          firstErr.foreach(throw _)
+          if (!fullyDelivered) sys.error(
+            s"subscribers drained $totalDelivered of $totalAppended")
+          serverAppendsPerSec = totalAppended / writeSecs
+          serverDeliveredPerSec = totalDelivered / (writeSecs + serverDrainSec)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] server_sustained failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
     // 2. every operator query, fully materialized. Each query runs
     //    TWICE and records the min: a single pass is at the mercy of
     //    whatever else the machine is doing (BENCH_r05 recorded a 3.6×
@@ -195,7 +320,10 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio,""" +
       s""""simhash128_candidate_ratio":$simhash128Ratio,""" +
-      s""""ivf_recall_at_5":$ivfRecall,"load_avg":$loadAvg}"""
+      s""""ivf_recall_at_5":$ivfRecall,""" +
+      s""""server_appends_per_sec":$serverAppendsPerSec,""" +
+      s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
+      s""""server_drain_sec":$serverDrainSec,"load_avg":$loadAvg}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}""")
     spark.stop()
   }
