@@ -311,6 +311,55 @@ object Bench {
       }
     }
 
+    // 3. SCALE-PROOF leg: every query once more against a 10× re-keyed
+    //    replica of the bench corpus (ScaleGen; generated once, cached
+    //    in /tmp). The per-query ratio r(10×)/r(1×) is the evidence the
+    //    100 TB claims rest on: a linear operator lands near ≤10 (often
+    //    below — fixed overheads amortize), anything far above has a
+    //    super-linear shuffle or driver bottleneck and is named in
+    //    diagnostics rather than hidden. Budgeted: once the leg exceeds
+    //    SPARK_GRAFT_SCALE_BUDGET_SEC (default 1200), remaining queries
+    //    are SKIPPED AND LISTED — no silent truncation.
+    var scaleJson = "null"
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_LEG", "1") == "1") {
+      try {
+        val budgetSec =
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1200").toDouble
+        val genT0 = System.nanoTime()
+        val bigDir = graft.tools.ScaleGen.ensure10x(spark, sfDir)
+        val genSec = (System.nanoTime() - genT0) / 1e9
+        val t0 = System.nanoTime()
+        def spent = (System.nanoTime() - t0) / 1e9
+        val sq = mutable.LinkedHashMap.empty[String, Double]
+        val skipped = mutable.ArrayBuffer.empty[String]
+        sq("ingest") = time { StoreProvider.storeFor(spark, bigDir) }
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          if (spent > budgetSec) skipped += name
+          else sq(name) =
+            try time {
+              fn(spark, bigDir).write.mode("overwrite").format("noop").save()
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
+                -1.0
+            }
+        }
+        val ratios = sq.toSeq.collect {
+          case (n, v) if v >= 0 && results.getOrElse(n, -1.0) > 0.0 =>
+            n -> v / results(n)
+        }
+        def num(m: Seq[(String, Double)]) = m
+          .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+        scaleJson = f"""{"factor":${graft.tools.ScaleGen.Factor}%d,""" +
+          f""""gen_sec":$genSec%.1f,""" +
+          s""""queries":${num(sq.toSeq)},"ratios":${num(ratios)},""" +
+          s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale leg failed: ${e.getMessage}")
+        scaleJson = "\"failed: " + e.getMessage.replaceAll("[\"\\n]", " ") + "\""
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -323,7 +372,8 @@ object Bench {
       s""""ivf_recall_at_5":$ivfRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
-      s""""server_drain_sec":$serverDrainSec,"load_avg":$loadAvg}"""
+      s""""server_drain_sec":$serverDrainSec,""" +
+      s""""scale10x":$scaleJson,"load_avg":$loadAvg}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}""")
     spark.stop()
   }

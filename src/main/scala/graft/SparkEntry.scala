@@ -107,13 +107,16 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
-    // TPC-H Q3 shape: 3-way join + group + top-k (broadcast the dims).
+    // TPC-H Q3 shape: 3-way join + group + top-k. NO broadcast hints on
+    // orders/customer — they scale with SF (not broadcastable at
+    // 100 TB); AQE auto-broadcasts them while they fit and switches to
+    // shuffle joins when they don't.
     "q3_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d).where(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
       val l = Tables.lineitem(s, d).where(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .select(col("l_orderkey"),
@@ -123,7 +126,9 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: 6-way join (dims broadcast) + group by nation.
+    // TPC-H Q5 shape: 6-way join + group by nation. Broadcast hints
+    // ONLY on the fixed-size dims (nation, region); orders/customer/
+    // supplier scale with SF, so their join strategy is AQE's call.
     "q5_region" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -131,9 +136,9 @@ object SparkEntry {
       val sp = Tables.supplier(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d).where(col("r_name") === "ASIA")
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cst), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sp),
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cst, col("o_custkey") === col("c_custkey"))
+        .join(sp,
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -275,9 +280,13 @@ object SparkEntry {
     // literal lookup cube + posexplode, with two-phase bounded-heap
     // top-k — plan size and scan count independent of the batch size,
     // unlike the per-query variant's union-of-scans.
+    // The id bound keeps the query BATCH fixed as the corpus scales
+    // (kNN-join cost is O(Q·N): a fixed workload over a growing corpus
+    // scales linearly; a batch growing WITH the corpus is quadratic).
     "ann_pq_adc_batch" -> ((s, d) =>
       graft.ops.Similarity.pqAdcTopKBatch(Tables.embeddings(s, d),
-          queryPred = pmod(col("vec_id"), lit(7)) === 3, kNN = 5,
+          queryPred = pmod(col("vec_id"), lit(7)) === 3 &&
+            col("vec_id") < 2000, kNN = 5,
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
@@ -1714,7 +1723,8 @@ object SparkEntry {
     * scoring/top-k SQL is identical, which is the point: one oracle
     * shape gates both the per-query and the single-scan batch plans.
     */
-  private def pqAdcBatchOracle: String = pqAdcOracleFor("vec_id % 7 = 3")
+  private def pqAdcBatchOracle: String =
+    pqAdcOracleFor("vec_id % 7 = 3 AND vec_id < 2000")
 
   private def pqAdcOracleFor(qidPred: String): String = {
     val sub = PqDims / PqM

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale replica of a testdata directory, for the scale-proof
+  * bench leg: every SF-scaled table is unioned 10 times with re-keyed
+  * ids; the fixed-size dimensions (region, nation — constant at any
+  * TPC-H SF) are copied as-is.
+  *
+  * Re-keying adds `replica × 10^12` to every key column of a scaled
+  * table — the SAME offset for every key domain, so foreign keys stay
+  * consistent across tables (orders replica i references customer
+  * replica i). Non-key payloads (text, embeddings, prices) replicate
+  * verbatim: each document/vector gains 9 exact duplicates, which is a
+  * realistic dedup workload and keeps every per-row cost identical to
+  * the base corpus.
+  *
+  * The replica is generated ONCE into a content-addressed cache dir
+  * (keyed by source dir name) with a completion marker; a crashed
+  * generation is re-done from scratch.
+  */
+object ScaleGen {
+
+  val Factor = 10
+  val KeyOffset = 1000000000000L // > any base key in any domain
+
+  /** scaled tables → their key columns (offset per replica) */
+  val ScaledKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val FixedTables: Seq[String] = Seq("region", "nation")
+
+  /** Generate (or reuse) the 10× replica of `srcDir`; returns its path. */
+  def ensure10x(spark: SparkSession, srcDir: String): String = {
+    val dst = s"/tmp/graft-scale${Factor}x-${new java.io.File(srcDir).getName}"
+    val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
+    if (java.nio.file.Files.exists(marker)) return dst
+    val dstDir = new java.io.File(dst)
+    if (dstDir.exists()) delete(dstDir)
+    FixedTables.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.option("compression", "zstd").parquet(s"$dst/$t.parquet")
+    }
+    ScaledKeys.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$srcDir/$t.parquet")
+      replicate(base, keys)
+        .write.option("compression", "zstd").parquet(s"$dst/$t.parquet")
+    }
+    java.nio.file.Files.createFile(marker)
+    dst
+  }
+
+  def replicate(base: DataFrame, keys: Seq[String]): DataFrame =
+    (0 until Factor).map { i =>
+      keys.foldLeft(base)((df, k) =>
+        df.withColumn(k, (col(k) + lit(i.toLong * KeyOffset)).cast("long")))
+    }.reduce(_ unionByName _)
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete()
+  }
+}
