@@ -585,16 +585,21 @@ final class EventStore private (
         val (cached, gen0) = headCache.synchronized(
           (Option(streamHeadsCache.get(sid)), headCacheGen.get()))
         cached.getOrElse {
-          val hit = parquetHeadLayers(snap)
-            .map { case (df, pri) => df.withColumn("pri", lit(pri)) }
-            .reduce(_ unionByName _)
-            .where($"stream_id" === sid)
-            .groupBy($"partition_key")
-            .agg(max_by(struct($"version", $"partition_id"), $"pri").as("h"))
-            .collect()
-            .map(r => StreamHead(
-              r.getStruct(1).getLong(0), r.getString(0), r.getStruct(1).getInt(1)))
-            .toSeq
+          // JOBLESS, like lookupHead: per-layer driver-side probes,
+          // newest layer wins per partition key
+          val layersNewestFirst =
+            snap.headsDeltas.sorted.reverse.map(headsDeltaDir) ++
+              (if (snap.headsBase > 0) Seq(headsBaseDir(snap.headsBase))
+               else Nil)
+          val merged =
+            collection.mutable.LinkedHashMap.empty[String, StreamHead]
+          layersNewestFirst.foreach { dir =>
+            graft.storage.HeadProbe.probeStream(dir, sid, probeHadoopConf)
+              .foreach { case (pk, pid, ver) =>
+                if (!merged.contains(pk)) merged(pk) = StreamHead(ver, pk, pid)
+              }
+          }
+          val hit = merged.values.toSeq
           headCache.synchronized {
             // drop the result if a spill/fold happened mid-lookup
             if (headCacheGen.get() == gen0) streamHeadsCache.put(sid, hit)

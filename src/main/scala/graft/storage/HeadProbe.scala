@@ -73,6 +73,109 @@ object HeadProbe {
     None
   }
 
+  /** ALL (partition_key, partition_id, version) entries of one stream
+    * id in one layer directory — the per-stream analogue of [[probe]]
+    * (ESVER wants every partition key's head for a stream). Same
+    * pruning; within a surviving row group the (stream_id,
+    * partition_key)-sorted layout makes the matches contiguous, so the
+    * scan stops at the first row past the target.
+    */
+  def probeStream(dir: String, streamId: String,
+      conf: Configuration): Seq[(String, Int, Long)] = {
+    val files = dirListings.computeIfAbsent(dir, { d =>
+      val dirPath = new Path(d)
+      val fs = dirPath.getFileSystem(conf)
+      if (!fs.exists(dirPath)) Nil
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+    })
+    val target = Binary.fromString(streamId)
+    files.flatMap { f =>
+      val skip = Option(fileRangeOf(f, conf)).exists { case (mn, mx) =>
+        UnsignedBinary.compare(target, mn) < 0 ||
+          UnsignedBinary.compare(target, mx) > 0
+      }
+      if (skip) Nil else scanFileForStream(f, streamId, conf)
+    }
+  }
+
+  private def fileRangeOf(file: Path,
+      conf: Configuration): (Binary, Binary) = {
+    val footer = footerOf(file, conf)
+    val sidCol = footer.getFileMetaData.getSchema.getFieldIndex("stream_id")
+    val blocks = footer.getBlocks
+    val rs = (0 until blocks.size()).flatMap { b =>
+      blocks.get(b).getColumns.get(sidCol).getStatistics match {
+        case s: BinaryStatistics if s.hasNonNullValue =>
+          Some((s.genericGetMin, s.genericGetMax))
+        case _ => None
+      }
+    }
+    if (rs.isEmpty || rs.length != blocks.size()) null
+    else {
+      implicit val ord: Ordering[Binary] = (a, b) => UnsignedBinary.compare(a, b)
+      (rs.map(_._1).min, rs.map(_._2).max)
+    }
+  }
+
+  private def scanFileForStream(file: Path, streamId: String,
+      conf: Configuration): Seq[(String, Int, Long)] = {
+    val target = Binary.fromString(streamId)
+    val footer = footerOf(file, conf)
+    val schema = footer.getFileMetaData.getSchema
+    val sidCol = schema.getFieldIndex("stream_id")
+    val blocks = footer.getBlocks
+    val inRange = (0 until blocks.size()).filter { b =>
+      blocks.get(b).getColumns.get(sidCol).getStatistics match {
+        case s: BinaryStatistics if s.hasNonNullValue =>
+          UnsignedBinary.compare(s.genericGetMin, target) <= 0 &&
+            UnsignedBinary.compare(s.genericGetMax, target) >= 0
+        case _ => true
+      }
+    }
+    if (inRange.isEmpty) return Nil
+    var reader: ParquetFileReader = null
+    def theReader(): ParquetFileReader = {
+      if (reader == null) reader = new ParquetFileReader(conf, file, footer)
+      reader
+    }
+    try {
+      val out = Seq.newBuilder[(String, Int, Long)]
+      val candidates = inRange.filter { b =>
+        blooms.computeIfAbsent((file.toString, b), { _ =>
+          Option(theReader().getBloomFilterDataReader(blocks.get(b))
+            .readBloomFilter(blocks.get(b).getColumns.get(sidCol)))
+        }) match {
+          case Some(bloom) => bloom.findHash(bloom.hash(target))
+          case None => true
+        }
+      }
+      val columnIO = new ColumnIOFactory().getColumnIO(schema)
+      candidates.foreach { b =>
+        val pages = theReader().readRowGroup(b)
+        val recordReader = columnIO.getRecordReader(
+          pages, new GroupRecordConverter(schema))
+        var i = 0L
+        val n = blocks.get(b).getRowCount
+        var pastTarget = false
+        while (i < n && !pastTarget) {
+          val g = recordReader.read()
+          val sid = g.getString("stream_id", 0)
+          if (sid == streamId)
+            out += ((g.getString("partition_key", 0),
+              g.getInteger("partition_id", 0), g.getLong("version", 0)))
+          else if (UnsignedBinary.compare(
+              Binary.fromString(sid), target) > 0)
+            pastTarget = true // sorted layout: no more matches here
+          i += 1
+        }
+      }
+      out.result()
+    } finally if (reader != null) reader.close()
+  }
+
   private def footerOf(file: Path, conf: Configuration): ParquetMetadata =
     footers.computeIfAbsent(file.toString, { _ =>
       ParquetFileReader.readFooter(conf, file, ParquetMetadataConverter.NO_FILTER)

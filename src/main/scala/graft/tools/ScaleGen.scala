@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * replica i). Non-key payloads (text, embeddings, prices) replicate
   * verbatim: each document/vector gains 9 exact duplicates, which is a
   * realistic dedup workload and keeps every per-row cost identical to
-  * the base corpus.
+  * the base corpus. Read the dedup legs' 10× ratios with that in mind:
+  * candidate-pair VERIFICATION work grows with the duplicate factor
+  * (every doc now collides with its 9 replicas), so ratios above 10
+  * there reflect the duplicated workload, not operator
+  * super-linearity — the banding/bucketing stages themselves stay
+  * linear in corpus size.
   *
   * The replica is generated ONCE into a content-addressed cache dir
   * (keyed by source dir name) with a completion marker; a crashed

@@ -84,6 +84,24 @@ class HeadStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.storage.HeadProbe.probe(dir + "-nope", "s", "p", conf).isEmpty)
   }
 
+  test("HeadProbe.probeStream returns every partition key's entry for a stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-probe-s-").toString + "/layer"
+    val rows = (0 until 500).map(i => (f"t-$i%04d", s"pk-$i", i % 5, i.toLong)) ++
+      Seq(("t-dup", "pk-a", 1, 5L), ("t-dup", "pk-b", 2, 7L))
+    rows.toDF("stream_id", "partition_key", "partition_id", "version")
+      .repartitionByRange(3, col("stream_id"))
+      .sortWithinPartitions("stream_id", "partition_key")
+      .write.option("parquet.bloom.filter.enabled#stream_id", "true")
+      .parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(graft.storage.HeadProbe.probeStream(dir, "t-dup", conf).toSet ==
+      Set(("pk-a", 1, 5L), ("pk-b", 2, 7L)))
+    assert(graft.storage.HeadProbe.probeStream(dir, "t-0123", conf) ==
+      Seq(("pk-123", 123 % 5, 123L)))
+    assert(graft.storage.HeadProbe.probeStream(dir, "t-none", conf).isEmpty)
+  }
+
   test("state persists across reopen; orphan layers are cleaned") {
     val dir = Files.createTempDirectory("graft-heads-").toString
     val es = EventStore.open(spark, dir, 4, maxInlineHeads = 2)
