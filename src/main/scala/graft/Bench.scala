@@ -254,9 +254,10 @@ object Bench {
         -1.0
       }
     val simhash64Ratio = simhashRatio(64, 8)
-    // 128-bit production-top width next to it: wider bands (same 8-bit
-    // keys, 16 of them) should collide no more than the 64-bit scheme
-    val simhash128Ratio = simhashRatio(128, 16)
+    // 128-bit production-top width next to it: 8 bands of 16-bit keys
+    // (65k buckets/band) — random collisions should come in BELOW the
+    // 64-bit scheme's 8-bit bands
+    val simhash128Ratio = simhashRatio(128, 8)
 
     // 2c. diagnostic (not a timing): trained-IVF recall@5 against the
     //     brute-force exact neighbors — the go/no-go number for the

@@ -489,11 +489,15 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
 
     // 128-bit fingerprints (4 chained seeded hashes) — the top of the
-    // production range: 16 bands of 8-bit keys, exact to hamming 15.
-    // More bits = fewer random collisions per band at huge corpora.
+    // production range: 8 bands of 16-BIT keys (65k buckets per band,
+    // growing with the corpus), exact to hamming 7 — the same distance
+    // bar as the 64-bit variant with twice the fingerprint entropy, so
+    // random band collisions halve. (16 bands of 8-bit keys would be
+    // exact to hamming 15 but cap each band at 256 buckets — the
+    // quadratic-bucket trap the banding scaladoc warns about.)
     "dedup_simhash_pairs_128" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-          bits = 128, bands = 16, maxDistance = 15)
+          bits = 128, bands = 8, maxDistance = 7)
         .orderBy(col("a"), col("b"))),
 
     // Language identification via marker-token scoring.
@@ -1094,8 +1098,8 @@ object SparkEntry {
     */
   private def simhashPairs64Oracle: String = simhashPairsOracleAt(64, 7)
 
-  /** 128-bit variant — 16 bands of 8-bit keys, exact to hamming 15. */
-  private def simhashPairs128Oracle: String = simhashPairsOracleAt(128, 15)
+  /** 128-bit variant — 8 bands of 16-bit keys, exact to hamming 7. */
+  private def simhashPairs128Oracle: String = simhashPairsOracleAt(128, 7)
 
   private def simhashPairsOracleAt(bits: Int, maxDistance: Int): String = {
     // list_sum over a list literal, not a `+` chain (binder depth)

@@ -84,13 +84,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f128.keySet == f64.keySet)
     assert(f128.values.forall(_.length == 128))
     f64.foreach { case (id, f) => assert(f128(id).startsWith(f), s"id $id") }
-    // pigeonhole exactness at the wide width: 16 bands, hamming <= 15
+    // pigeonhole exactness at the gated config: 8 bands of 16-bit
+    // keys, hamming <= 7
     val brute = (for {
       (a, fa) <- f128.toSeq; (b, fb) <- f128.toSeq if a < b
-      d = fa.zip(fb).count { case (x, y) => x != y } if d <= 15
+      d = fa.zip(fb).count { case (x, y) => x != y } if d <= 7
     } yield (a, b, d.toLong)).toSet
     val banded = Dedup.simhashPairs(docs, "text", "doc_id",
-        bits = 128, bands = 16, maxDistance = 15)
+        bits = 128, bands = 8, maxDistance = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded == brute)
   }
