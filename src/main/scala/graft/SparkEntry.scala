@@ -481,11 +481,13 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
 
     // 64-bit shingled fingerprints — the standard production width at
-    // 100 TB: 8 bands of 8-bit keys (256 buckets/band), exact to
-    // hamming 7.
+    // 100 TB, in the canonical config (64-bit fingerprints, hamming
+    // <= 3, 4 bands of 16-bit keys — Manku et al., WWW'07): 65k
+    // buckets per band, growing with the corpus. 8 bands of 8-bit keys
+    // would reach hamming 7 but cap bands at 256 buckets — quadratic.
     "dedup_simhash_pairs_64" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-          bits = 64, bands = 8, maxDistance = 7)
+          bits = 64, bands = 4, maxDistance = 3)
         .orderBy(col("a"), col("b"))),
 
     // 128-bit fingerprints (4 chained seeded hashes) — the top of the
@@ -1093,10 +1095,10 @@ object SparkEntry {
     */
   private def simhashPairsOracle: String = simhashPairsOracleAt(32, 3)
 
-  /** 64-bit variant — the 100 TB production regime (8 bands of 8-bit
-    * keys, exact to hamming 7 by pigeonhole).
+  /** 64-bit variant — the 100 TB production regime (4 bands of 16-bit
+    * keys, exact to hamming 3 by pigeonhole — the canonical config).
     */
-  private def simhashPairs64Oracle: String = simhashPairsOracleAt(64, 7)
+  private def simhashPairs64Oracle: String = simhashPairsOracleAt(64, 3)
 
   /** 128-bit variant — 8 bands of 16-bit keys, exact to hamming 7. */
   private def simhashPairs128Oracle: String = simhashPairsOracleAt(128, 7)

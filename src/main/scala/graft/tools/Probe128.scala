@@ -23,6 +23,12 @@ object Probe128 {
           bits = 128, bands = 8, maxDistance = 7)
         .write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.ops.Dedup.simhashPairs(docs, "text", "doc_id",
+          bits = 64, bands = 4, maxDistance = 3)
+        .write.mode("overwrite").format("noop").save()
+      val secs64 = (System.nanoTime() - t1) / 1e9
+      println(f"PROBE64 dir=$d pairs64_secs=$secs64%.2f")
       val fp = graft.ops.Dedup.simhash(docs, "text", "doc_id", 128, 3)
         .localCheckpoint()
       val cand = graft.ops.Dedup.simhashBandCandidates(fp, 128, 8).count().toDouble
