@@ -336,14 +336,26 @@ object Bench {
         sq("ingest") = time { StoreProvider.storeFor(spark, bigDir) }
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           if (spent > budgetSec) skipped += name
-          else sq(name) =
-            try time {
-              fn(spark, bigDir).write.mode("overwrite").format("noop").save()
-            } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
-                -1.0
-            }
+          else {
+            def onePass(): Double =
+              try time {
+                fn(spark, bigDir).write.mode("overwrite").format("noop").save()
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
+                  -1.0
+              }
+            val a = onePass()
+            // cheap legs are the contention-noisy ones (a phantom 6×
+            // on a 0.3 s query costs nothing to re-check; a 30 s leg
+            // is already stable and not worth doubling) — min-of-2
+            // below 5 s, single pass above
+            sq(name) =
+              if (a >= 0 && a < 5.0 && spent <= budgetSec) {
+                val b = onePass()
+                if (b < 0) a else math.min(a, b)
+              } else a
+          }
         }
         val ratios = sq.toSeq.collect {
           case (n, v) if v >= 0 && results.getOrElse(n, -1.0) > 0.0 =>

@@ -29,12 +29,18 @@ import org.apache.parquet.io.api.Binary
   *   3. a record scan of the one surviving row group, short-circuited
   *      on match.
   *
-  * Layer directories are IMMUTABLE (content-addressed `delta-v{n}` /
-  * `base-v{n}`; folds write new dirs, orphans are deleted, never
-  * rewritten), so footers, bloom filters, and directory listings are
-  * cached process-wide: a steady-state probe re-reads NO metadata —
-  * only the one surviving row group's pages. Caches are bounded by the
-  * live layer-file count (a few dozen per store).
+  * COMMITTED layer directories are immutable (`delta-v{n}` /
+  * `base-v{n}`; folds write new version-named dirs; manifest versions
+  * are monotonic within a store's life), so footers, bloom filters,
+  * and directory listings are cached process-wide: a steady-state
+  * probe re-reads NO metadata — only the surviving row group's pages.
+  * The one path that CAN be rewritten is an uncommitted orphan
+  * (layer written, crash before manifest commit, deleted on reopen,
+  * version number reused by the next spill) — safe because callers
+  * only probe layers referenced by a committed manifest snapshot, and
+  * an uncommitted layer is never referenced, hence never cached.
+  * Caches are bounded by the live layer-file count (a few dozen per
+  * store).
   *
   * Keys are unique within a layer (a layer is a snapshot of a head
   * map), so the first match IS the layer's entry. Layer precedence

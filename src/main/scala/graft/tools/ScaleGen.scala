@@ -43,9 +43,27 @@ object ScaleGen {
 
   val FixedTables: Seq[String] = Seq("region", "nation")
 
+  /** cache key includes a fingerprint of the source listing (names +
+    * lengths), so a regenerated source dir gets a fresh replica
+    * instead of silently benching stale data
+    */
+  private def srcFingerprint(srcDir: String): String = {
+    val files = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array())
+      .flatMap { f =>
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array())
+            .map(g => s"${f.getName}/${g.getName}:${g.length()}")
+        else Array(s"${f.getName}:${f.length()}")
+      }.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** Generate (or reuse) the 10× replica of `srcDir`; returns its path. */
   def ensure10x(spark: SparkSession, srcDir: String): String = {
-    val dst = s"/tmp/graft-scale${Factor}x-${new java.io.File(srcDir).getName}"
+    val dst = s"/tmp/graft-scale${Factor}x-" +
+      s"${new java.io.File(srcDir).getName}-${srcFingerprint(srcDir)}"
     val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
     if (java.nio.file.Files.exists(marker)) return dst
     val dstDir = new java.io.File(dst)
