@@ -806,6 +806,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END dedup pipeline: exact dedup strips duplicate mass
+    // with one cheap hash shuffle BEFORE the LSH tier ever shingles a
+    // document; near-dup discovery + connected components run over
+    // representatives only; every document lands in its merged
+    // cluster. The composition a production corpus run executes.
+    "dedup_pipeline" -> ((s, d) =>
+      graft.ops.Dedup.dedupPipeline(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster"), col("keeper"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling by language: per-stratum keep
     // rates in basis points over an md5 bucket — the corpus-mixing
     // downsample; pure projection + filter, zero shuffle.
@@ -1187,10 +1198,16 @@ object SparkEntry {
     * node IS the component id, computed by a completely different
     * algorithm than the Spark side's alternating-star contraction.
     */
-  private def dedupClustersOracle: String = {
+  /** Shared CTE chain from a shingle CTE `sh(id, sh)` to the
+    * connected-components `walk(node, lbl)` over MinHash-LSH near-dup
+    * edges at jaccard >= `threshold` — the SQL mirror of
+    * Dedup.minhashLsh + connectedComponents, reused by both the plain
+    * clusters oracle (shingles over documents) and the pipeline oracle
+    * (shingles over exact-dedup representatives).
+    */
+  private def lshWalkCtes(threshold: String = "0.5"): String = {
     val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
-    s"""WITH RECURSIVE $shinglesCte,
-       |sig AS (SELECT id, $sigs FROM sh GROUP BY id),
+    s"""sig AS (SELECT id, $sigs FROM sh GROUP BY id),
        |bands AS (
        |  SELECT id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
        |  SELECT id, 1, h2 || h3 FROM sig UNION ALL
@@ -1211,15 +1228,41 @@ object SparkEntry {
        |  SELECT i.a AS u, i.b AS v FROM inter i
        |  JOIN sizes na ON na.id = i.a
        |  JOIN sizes nb ON nb.id = i.b
-       |  WHERE round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) >= 0.5),
+       |  WHERE round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) >= $threshold),
        |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
        |walk(node, lbl) AS (
        |  SELECT u, u FROM (SELECT DISTINCT u FROM bidir) t
        |  UNION
-       |  SELECT b.u, w.lbl FROM bidir b JOIN walk w ON w.node = b.v)
+       |  SELECT b.u, w.lbl FROM bidir b JOIN walk w ON w.node = b.v)""".stripMargin
+  }
+
+  private def dedupClustersOracle: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |${lshWalkCtes()}
        |SELECT node AS doc_id, min(lbl) AS cluster, (node = min(lbl)) AS keeper
        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
-  }
+
+  /** Mirror of Dedup.dedupPipeline: exact md5 groups → min-id
+    * representatives → LSH + components over representatives only →
+    * every document mapped to its merged cluster.
+    */
+  private def dedupPipelineOracle: String =
+    s"""WITH RECURSIVE
+       |ex AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |kp AS (SELECT fp, min(doc_id) AS rep FROM ex GROUP BY fp),
+       |dk AS (SELECT e.doc_id, k.rep FROM ex e JOIN kp k ON k.fp = e.fp),
+       |reps AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN kp k ON k.rep = d.doc_id),
+       |${shinglesCteFor(3, "reps", "sh")},
+       |${lshWalkCtes()},
+       |rc AS (
+       |  SELECT k.rep, coalesce(w.cl, k.rep) AS cluster
+       |  FROM (SELECT DISTINCT rep FROM kp) k
+       |  LEFT JOIN (SELECT node, min(lbl) AS cl FROM walk GROUP BY node) w
+       |    ON w.node = k.rep)
+       |SELECT dk.doc_id, rc.cluster, (dk.doc_id = rc.cluster) AS keeper
+       |FROM dk JOIN rc ON rc.rep = dk.rep
+       |ORDER BY doc_id""".stripMargin
 
   private def stratSampleOracle: String = {
     val bucket = s"(${sqlHexBucket("md5('sample:' || doc_id)")} % 10000)"
@@ -1873,6 +1916,7 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_pipeline" -> dedupPipelineOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

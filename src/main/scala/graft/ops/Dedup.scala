@@ -115,6 +115,43 @@ object Dedup {
     jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
   }
 
+  /** END-TO-END dedup pipeline — the composition a production corpus
+    * run actually executes, in tier order:
+    *   1. EXACT dedup: md5(content) groups collapse to their min-id
+    *      representative. One cheap hash shuffle strips the bulk
+    *      duplicate mass before anything expensive runs — at 100 TB
+    *      the exact-dup fraction is typically the majority of all
+    *      duplication, and every exact dup skipped here is a document
+    *      the LSH tier never shingles, signs, or pairs.
+    *   2. NEAR-dup discovery: MinHash-LSH over REPRESENTATIVES only.
+    *   3. Connected components over the near-dup pairs, merging exact
+    *      groups whose representatives are near-dups of each other.
+    *   4. Every document mapped to its final cluster: the min doc id
+    *      of its merged (exact ∪ near-dup) group.
+    *
+    * Output: (id, cluster, keeper) for EVERY input document — the
+    * "keep one per cluster" decision is `keeper`.
+    */
+  def dedupPipeline(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      md5(col(textCol).cast("binary")).as("fp"))
+    val keepers = withFp.groupBy(col("fp")).agg(min(col("id")).as("rep"))
+    val docRep = withFp.join(keepers, "fp").select(col("id"), col("rep"))
+    val reps = docRep.where(col("id") === col("rep"))
+      .join(withFp.select(col("id"), col("text")), "id")
+      .select(col("id"), col("text"))
+    val pairs = minhashLsh(reps, "text", "id", k, numHashes, bands, threshold)
+    val cc = connectedComponents(pairs.select(col("a"), col("b")))
+    val repCluster = keepers.select(col("rep")).distinct()
+      .join(cc.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("cluster"), col("rep")).as("cluster"))
+    docRep.join(repCluster, "rep")
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("keeper"))
+  }
+
   /** Exact n-gram Jaccard ≥ threshold via inverted-index self-join (no
     * LSH) — the VERIFICATION path; `minhashLsh` is the headline
     * discovery path at scale.

@@ -96,6 +96,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded == brute)
   }
 
+  test("dedup pipeline: exact tier collapses first, every doc lands in a cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "totally different words entirely here now friend"),
+      (5L, "totally different words entirely here now friend"), // exact dup of 4
+      (6L, "unrelated singleton content sharing nothing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupPipeline(df, "text", "doc_id", threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L, 6L, 7L), "every doc clustered")
+    // exact groups collapse onto their min-id representative
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)) && out(7L) == ((1L, false)))
+    assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)))
+    assert(out(6L) == ((6L, true)))
+    // keeper flag = "is the cluster minimum", exactly once per cluster
+    out.groupBy(_._2._1).foreach { case (cl, members) =>
+      assert(members.count(_._2._2) == 1, s"cluster $cl keepers")
+      assert(members.keys.min == cl, s"cluster $cl label is its min id")
+    }
+  }
+
   test("near-dup LSH bucket count scales with the corpus (not constant)") {
     import spark.implicits._
     // deterministic synthetic vectors: bucket space must GROW with the
