@@ -817,6 +817,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"), col("keeper"))
         .orderBy(col("doc_id"))),
 
+    // Composite Gopher-style quality FILTER: the curation decision
+    // point — token bounds, mean-token-length band, stopword floor,
+    // repetition caps — keep/drop with the first failing rule named.
+    "curation_quality_filter" -> ((s, d) =>
+      graft.ops.Curation.qualityFilter(Tables.documents(s, d), "text", "doc_id",
+          minTokens = QfMinTokens, maxTokens = QfMaxTokens,
+          minMeanTokLen = QfMinMeanTokLen, maxMeanTokLen = QfMaxMeanTokLen,
+          minStopRatio = QfMinStopRatio,
+          maxTopBigramFrac = QfMaxTopBigramFrac,
+          maxDupTrigramFrac = QfMaxDupTrigramFrac)
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling by language: per-stratum keep
     // rates in basis points over an md5 bucket — the corpus-mixing
     // downsample; pure projection + filter, zero shuffle.
@@ -1581,8 +1593,12 @@ object SparkEntry {
     * and a LEFT JOIN onto the full document base so sub-3-token docs
     * keep their zero defaults.
     */
-  private def repetitionOracle: String =
-    s"""WITH rt AS (
+  /** Shared repetition-feature CTE chain ending in `top` (top bigram)
+    * and `tgf` (duplicate-trigram fraction) — reused by the repetition
+    * signal oracle and the composite quality-filter oracle.
+    */
+  private def repetitionCtes: String =
+    s"""rt AS (
        |  SELECT doc_id, length(text) AS nch, string_split(text, ' ') AS t
        |  FROM documents),
        |bg AS (
@@ -1603,7 +1619,10 @@ object SparkEntry {
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
        |      CAST(sum(c) AS DOUBLE) AS dup_frac
-       |  FROM tgc GROUP BY doc_id)
+       |  FROM tgc GROUP BY doc_id)""".stripMargin
+
+  private def repetitionOracle: String =
+    s"""WITH $repetitionCtes
        |SELECT d.doc_id,
        |  coalesce(top_bigram, '') AS top_bigram,
        |  CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
@@ -1615,6 +1634,52 @@ object SparkEntry {
        |LEFT JOIN top ON top.doc_id = d.doc_id
        |LEFT JOIN tgf ON tgf.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Mirror of Curation.qualityFilter: the same base signals
+    * (text_quality's divisions of exact ints), the shared repetition
+    * CTEs, and the identical rule CASE in the identical order with the
+    * identical interpolated thresholds.
+    */
+  private def qualityFilterOracle: String =
+    s"""WITH $repetitionCtes,
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+       |      AS mean_tok_len,
+       |    CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS DOUBLE)
+       |      / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+       |      AS stop_ratio
+       |  FROM documents),
+       |feats AS (
+       |  SELECT d.doc_id,
+       |    coalesce(round(CAST(top_bigram_count AS DOUBLE) *
+       |      CAST(length(top_bigram) AS DOUBLE) / CAST(nch AS DOUBLE), 6), 0.0)
+       |      AS top_bigram_frac,
+       |    coalesce(round(dup_frac, 6), 0.0) AS dup_trigram_frac
+       |  FROM documents d
+       |  LEFT JOIN top ON top.doc_id = d.doc_id
+       |  LEFT JOIN tgf ON tgf.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT b.doc_id, b.n_tokens, b.mean_tok_len, b.stop_ratio,
+       |    f.top_bigram_frac, f.dup_trigram_frac,
+       |    CASE
+       |      WHEN b.n_tokens < $QfMinTokens THEN 'too_few_tokens'
+       |      WHEN b.n_tokens > $QfMaxTokens THEN 'too_many_tokens'
+       |      WHEN b.mean_tok_len < $QfMinMeanTokLen
+       |        OR b.mean_tok_len > $QfMaxMeanTokLen THEN 'mean_tok_len'
+       |      WHEN b.stop_ratio < $QfMinStopRatio THEN 'low_stopword_ratio'
+       |      WHEN f.top_bigram_frac > $QfMaxTopBigramFrac
+       |        THEN 'top_bigram_repetition'
+       |      WHEN f.dup_trigram_frac > $QfMaxDupTrigramFrac
+       |        THEN 'dup_trigram_repetition'
+       |      ELSE '' END AS reason
+       |  FROM base b JOIN feats f ON f.doc_id = b.doc_id)
+       |SELECT doc_id, n_tokens, mean_tok_len, stop_ratio,
+       |  top_bigram_frac, dup_trigram_frac, reason, (reason = '') AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** Mirror of the pii_redact query: identical doc_id salting CASE,
     * independent raw-text match counts (see Pii.scala's count-semantics
@@ -1685,6 +1750,20 @@ object SparkEntry {
   }
 
   /** PQ constants shared by the Spark query and its oracle. */
+  /** Quality-filter thresholds, shared verbatim by the Spark operator
+    * and its SQL oracle (numeric literals interpolate identically into
+    * both). Chosen so each rule fires on a real fraction of the
+    * synthetic corpus (token p10 ≈ 21, mean-token-length band ≈
+    * 3.7-5.3, stopword p50 ≈ 0.026).
+    */
+  private val QfMinTokens = 16L
+  private val QfMaxTokens = 100000L
+  private val QfMinMeanTokLen = 3.0
+  private val QfMaxMeanTokLen = 5.0
+  private val QfMinStopRatio = 0.01
+  private val QfMaxTopBigramFrac = 0.18
+  private val QfMaxDupTrigramFrac = 0.2
+
   private val PqM = 4
   private val PqK = 8
   private val PqIters = 2
@@ -1917,6 +1996,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
+    "curation_quality_filter" -> qualityFilterOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -173,6 +173,53 @@ object Curation {
       .agg(countDistinct(col("sh")).as("n_hits"), min(col("sh")).as("first_hit"))
   }
 
+  /** Gopher-style composite quality FILTER (the rule family of Rae et
+    * al. 2021, "Scaling Language Models" §A1.1, public heuristics):
+    * token-count bounds, mean-token-length band, minimum stopword
+    * ratio, and the repetition caps — combined into one keep/drop
+    * decision with the FIRST failing rule named. This is the actual
+    * curation decision point downstream of the individual signal
+    * operators; every signal uses the same engine-portable arithmetic
+    * those operators use (integer length differences, IEEE divisions
+    * of exact ints, 6-dp-rounded repetition fractions), so an external
+    * oracle reproduces the decision bit-for-bit.
+    *
+    * One corpus pass for the cheap signals + the repetition features'
+    * bounded aggregations; zero additional shuffles beyond them.
+    */
+  def qualityFilter(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Long, maxTokens: Long,
+      minMeanTokLen: Double, maxMeanTokLen: Double,
+      minStopRatio: Double,
+      maxTopBigramFrac: Double, maxDupTrigramFrac: Double): DataFrame = {
+    val id = col(idCol)
+    val t = col(textCol)
+    val nTokens = (length(t) -
+      length(regexp_replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nChars = length(regexp_replace(t, lit(" "), lit(""))).cast("double")
+    val nThe = ((length(t) -
+      length(regexp_replace(t, lit("the"), lit("")))) / lit(3)).cast("double")
+    val base = df.select(id,
+      nTokens.as("n_tokens"),
+      (nChars / nTokens.cast("double")).as("mean_tok_len"),
+      (nThe / nTokens.cast("double")).as("stop_ratio"))
+    val rep = graft.ops.Repetition.repetitionFeatures(df, textCol, idCol)
+      .select(id, col("top_bigram_frac"), col("dup_trigram_frac"))
+    base.join(rep, Seq(idCol))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_few_tokens")
+          .when(col("n_tokens") > maxTokens, "too_many_tokens")
+          .when(col("mean_tok_len") < minMeanTokLen ||
+            col("mean_tok_len") > maxMeanTokLen, "mean_tok_len")
+          .when(col("stop_ratio") < minStopRatio, "low_stopword_ratio")
+          .when(col("top_bigram_frac") > maxTopBigramFrac,
+            "top_bigram_repetition")
+          .when(col("dup_trigram_frac") > maxDupTrigramFrac,
+            "dup_trigram_repetition")
+          .otherwise(""))
+      .withColumn("keep", col("reason") === "")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = floor(x/scale + 0.5) clamped to
     * [-127, 127]. floor(x + 0.5) — not round() — because engines

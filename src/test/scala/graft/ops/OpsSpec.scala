@@ -360,6 +360,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bhj && !smj, hits.queryExecution.executedPlan.toString)
   }
 
+  test("quality filter: rules fire in order, first failure names the reason") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"the word$i").mkString(" ") // healthy doc
+    val df = Seq(
+      (1L, long),                                   // passes everything
+      (2L, "tiny doc"),                             // too few tokens
+      (3L, (1 to 30).map(_ => "a b").mkString(" ")), // short tokens + no 'the'
+      (4L, (1 to 30).map(_ => "the extraordinarily phenomenal").mkString(" ")),
+      (5L, "the " + (1 to 29).map(_ => "same bigram same").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.qualityFilter(df, "text", "doc_id",
+        minTokens = 16, maxTokens = 100000,
+        minMeanTokLen = 3.0, maxMeanTokLen = 8.0,
+        minStopRatio = 0.01,
+        maxTopBigramFrac = 0.18, maxDupTrigramFrac = 0.2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reason")))).toMap
+    assert(out(1L) == ((true, "")))
+    assert(out(2L) == ((false, "too_few_tokens")))
+    // doc 3 fails BOTH mean_tok_len and stopword — the earlier rule names it
+    assert(out(3L) == ((false, "mean_tok_len")))
+    assert(out(4L) == ((false, "mean_tok_len")))
+    assert(!out(5L)._1 && out(5L)._2.endsWith("repetition"), out(5L).toString)
+  }
+
   test("stratified sample: deterministic, per-stratum rates honored") {
     val rates = Map("en" -> 0, "de" -> 10000)
     val s1 = Curation.stratifiedSample(docs, "lang", "doc_id", rates, 5000)
