@@ -60,12 +60,29 @@ object ScaleGen {
       .take(6).map(b => f"${b & 0xff}%02x").mkString
   }
 
-  /** Generate (or reuse) the 10× replica of `srcDir`; returns its path. */
+  /** Generate (or reuse) the 10× replica of `srcDir`; returns its path.
+    *
+    * The session must have `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (events.parquet carries TIMESTAMP(NANOS); the scan throws without
+    * it — Bench's session sets it). A generation that dies mid-way
+    * leaves no `_COMPLETE` marker and is re-done from scratch.
+    */
   def ensure10x(spark: SparkSession, srcDir: String): String = {
-    val dst = s"/tmp/graft-scale${Factor}x-" +
-      s"${new java.io.File(srcDir).getName}-${srcFingerprint(srcDir)}"
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "ScaleGen needs spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(events.parquet is TIMESTAMP(NANOS))")
+    val prefix = s"graft-scale${Factor}x-${new java.io.File(srcDir).getName}"
+    val dst = s"/tmp/$prefix-${srcFingerprint(srcDir)}"
     val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
     if (java.nio.file.Files.exists(marker)) return dst
+    // a changed source means the old replica will never be read again —
+    // drop stale siblings (same source, other fingerprints) so /tmp
+    // holds at most one replica per source across rounds
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
+      .filter(f => (f.getName == prefix || // pre-fingerprint layout
+        f.getName.startsWith(prefix + "-")) && f.toString != dst)
+      .foreach(delete)
     val dstDir = new java.io.File(dst)
     if (dstDir.exists()) delete(dstDir)
     FixedTables.foreach { t =>
