@@ -629,6 +629,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image resize, end-to-end: synthesize a per-document
+    // 2D-GRADIENT BMP (pixel value varies with x AND the file row, so
+    // any off-by-one in either sampling axis — including the BMP
+    // bottom-up row flip — shifts the sampled values), nearest-neighbor
+    // resize to 8×4 through ImageIO decode + integer index mapping,
+    // and pin the resized mean plus both corner samples against the
+    // synthesis arithmetic.
+    "multimodal_resize" -> ((s, d) => {
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val w = (pmod(col("doc_id"), lit(21)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 5, lit(17)) + 1).cast("int")
+      val rowSize = ((w * 3 + 3) / lit(4)).cast("int") * 4
+      def chan(fy: Column, x: Column, m1: Int, m2: Int, m3: Int): Column =
+        lpad(hex(pmod(col("doc_id") * m1 + x * m2 + fy * m3, lit(256))), 2, "0")
+      val body = concat_ws("", transform(sequence(lit(0), h - 1), fy =>
+        concat(
+          concat_ws("", transform(sequence(lit(0), w - 1), x =>
+            concat(chan(fy, x, 7, 13, 3), chan(fy, x, 3, 5, 7),
+              chan(fy, x, 1, 11, 17)))),
+          call_function("repeat", lit("00"), rowSize - w * 3))))
+      val bmp = unhex(concat(
+        lit("424D"), le32(lit(54) + rowSize * h), lit("00000000"), le32(lit(54)),
+        le32(lit(40)), le32(w), le32(h), lit("0100"), lit("1800"),
+        le32(lit(0)), le32(rowSize * h), le32(lit(2835)), le32(lit(2835)),
+        le32(lit(0)), le32(lit(0)), body))
+      graft.ops.Multimodal.resizeImages(
+          Tables.documents(s, d).withColumn("payload", bmp), "payload",
+          dw = 8, dh = 4)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("resized_mean"), col("tl_sum"), col("br_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata envelope — the
     // envelope fields are oracle-checked.
     "multimodal_meta" -> ((s, d) => {
@@ -1635,6 +1672,36 @@ object SparkEntry {
        |LEFT JOIN tgf ON tgf.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirror of the multimodal_resize query: the nearest-neighbor
+    * sampling arithmetic replayed over the synthesis formula — source
+    * index = dest·src div dest per axis, with the BMP bottom-up flip
+    * (image row y = file row h-1-y) applied exactly as the decoder
+    * sees it. Sums are channel-order independent by construction.
+    */
+  private def resizeOracle: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, (doc_id % 21) + 1 AS w, ((doc_id * 5) % 17) + 1 AS h
+       |  FROM documents),
+       |grid AS (
+       |  SELECT doc_id, w, h, gx.x AS x, gy.y AS y
+       |  FROM dims, generate_series(0, 7) gx(x), generate_series(0, 3) gy(y)),
+       |vals AS (
+       |  SELECT doc_id, x, y,
+       |      ((doc_id * 7 + ((x * w) // 8) * 13 + (h - 1 - ((y * h) // 4)) * 3) % 256)
+       |    + ((doc_id * 3 + ((x * w) // 8) * 5  + (h - 1 - ((y * h) // 4)) * 7) % 256)
+       |    + ((doc_id * 1 + ((x * w) // 8) * 11 + (h - 1 - ((y * h) // 4)) * 17) % 256)
+       |      AS s
+       |  FROM grid),
+       |agg AS (
+       |  SELECT doc_id, sum(s) AS total,
+       |    max(CASE WHEN x = 0 AND y = 0 THEN s END) AS tl,
+       |    max(CASE WHEN x = 7 AND y = 3 THEN s END) AS br
+       |  FROM vals GROUP BY doc_id)
+       |SELECT doc_id, 8 AS out_w, 4 AS out_h,
+       |  round(CAST(total AS DOUBLE) / 96.0, 6) AS resized_mean,
+       |  CAST(tl AS BIGINT) AS tl_sum, CAST(br AS BIGINT) AS br_sum
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Mirror of Curation.qualityFilter: the same base signals
     * (text_quality's divisions of exact ints), the shared repetition
     * CTEs, and the identical rule CASE in the identical order with the
@@ -1997,6 +2064,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "curation_quality_filter" -> qualityFilterOracle,
+    "multimodal_resize" -> resizeOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -162,6 +162,79 @@ object Multimodal {
       .withColumn("img_score", col("decoded._4"))
       .drop("decoded")
 
+  /** REAL nearest-neighbor image resize: `javax.imageio` decode
+    * (PNG/JPEG/BMP/GIF), then pure integer index mapping on the
+    * top-down image grid — output pixel (x, y) samples source pixel
+    * (x·sw div dw, y·sh div dh). Returns (out_w, out_h, total, tl, br):
+    * the exact integer sum of R+G+B over every output pixel, plus the
+    * top-left and bottom-right samples as positional witnesses (a mean
+    * alone could survive a permuted sample set; corners cannot survive
+    * shifted index math).
+    *
+    * NN is the one resampling kernel whose arithmetic is engine-exact
+    * (integer division, integer byte sums — no float filter weights),
+    * which is what makes a resize oracle-checkable; smoother kernels
+    * share this plumbing. Sums are over R+G+B, so the check is
+    * independent of the decoder's channel order. Non-decodable
+    * payloads return the (0, 0, 0, 0, 0) null-object shape.
+    */
+  def resizeSamples(bytes: Array[Byte], dw: Int, dh: Int): (Int, Int, Long, Long, Long) = {
+    require(dw > 0 && dh > 0)
+    if (bytes == null || bytes.isEmpty) (0, 0, 0L, 0L, 0L)
+    else {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) (0, 0, 0L, 0L, 0L)
+      else {
+        val sw = img.getWidth
+        val sh = img.getHeight
+        var total = 0L
+        var tl = 0L
+        var br = 0L
+        var y = 0
+        while (y < dh) {
+          val sy = y * sh / dh
+          var x = 0
+          while (x < dw) {
+            val sx = x * sw / dw
+            val rgb = img.getRGB(sx, sy)
+            val s = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)).toLong
+            total += s
+            if (x == 0 && y == 0) tl = s
+            if (x == dw - 1 && y == dh - 1) br = s
+            x += 1
+          }
+          y += 1
+        }
+        (dw, dh, total, tl, br)
+      }
+    }
+  }
+
+  private val resizeUdf =
+    udf((b: Array[Byte], dw: Int, dh: Int) => resizeSamples(b, dw, dh))
+
+  /** Resize stage: one narrow transformation, no shuffle. Adds
+    * out_w/out_h, the exact `resized_mean` (single division of the
+    * integer total — order-independent), and the corner witnesses;
+    * non-images yield nulls.
+    */
+  def resizeImages(df: DataFrame, binCol: String, dw: Int, dh: Int): DataFrame = {
+    val r = resizeUdf(col(binCol), lit(dw), lit(dh))
+    val ok = col("__rz._1") > 0
+    df.withColumn("__rz", r)
+      .withColumn("out_w", when(ok, col("__rz._1")))
+      .withColumn("out_h", when(ok, col("__rz._2")))
+      .withColumn("resized_mean", when(ok,
+        round(col("__rz._3").cast("double") / lit(3.0 * dw * dh), 6)))
+      .withColumn("tl_sum", when(ok, col("__rz._4")))
+      .withColumn("br_sum", when(ok, col("__rz._5")))
+      .drop("__rz")
+  }
+
   /** Synthesize a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up,
     * 4-byte row padding) filled with one BGR value — a fully valid image
     * whose pixel statistics are known arithmetically, used by tests to

@@ -573,6 +573,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, avi.take(10))).toDF("id", "payload"), "payload").count() == 0)
   }
 
+  test("NN resize samples exactly the mapped source pixels, both axes") {
+    import spark.implicits._
+    // independent ByteBuffer encoder: 5×3 gradient BMP, value = f(x, fileRow)
+    val (w, h) = (5, 3)
+    def ch(x: Int, fy: Int, m2: Int, m3: Int) = (40 + x * m2 + fy * m3) % 256
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    (0 until h).foreach { fy =>
+      (0 until w).foreach { x =>
+        buf.put(ch(x, fy, 13, 3).toByte)
+          .put(ch(x, fy, 5, 7).toByte)
+          .put(ch(x, fy, 11, 17).toByte)
+      }
+      (w * 3 until rowSize).foreach(_ => buf.put(0.toByte))
+    }
+    val (dw, dh) = (4, 2)
+    // manual NN on the top-down image grid; image row y = file row h-1-y
+    def s(x: Int, y: Int) = {
+      val sx = x * w / dw
+      val fy = h - 1 - (y * h / dh)
+      ch(sx, fy, 13, 3) + ch(sx, fy, 5, 7) + ch(sx, fy, 11, 17)
+    }
+    val expTotal = (for (y <- 0 until dh; x <- 0 until dw) yield s(x, y)).sum.toLong
+    val got = graft.ops.Multimodal.resizeImages(
+        Seq((1L, buf.array()), (2L, "junk".getBytes)).toDF("id", "payload"),
+        "payload", dw, dh)
+      .orderBy("id").collect()
+    assert(got(0).getAs[Int]("out_w") == dw && got(0).getAs[Int]("out_h") == dh)
+    assert(got(0).getAs[Long]("tl_sum") == s(0, 0).toLong)
+    assert(got(0).getAs[Long]("br_sum") == s(dw - 1, dh - 1).toLong)
+    val expMean = BigDecimal(expTotal.toDouble / (3.0 * dw * dh))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getAs[Double]("resized_mean") == expMean)
+    // non-image payloads yield nulls, never garbage
+    assert(got(1).isNullAt(got(1).fieldIndex("resized_mean")))
+  }
+
   test("AVI declaring an avih payload beyond the buffer yields None, not a crash") {
     // a crafted container whose chunk sizes parse but whose declared
     // 40-byte avih payload does not exist — the dim reads at payload
