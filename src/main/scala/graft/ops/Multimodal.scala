@@ -109,6 +109,72 @@ object Multimodal {
         when(isPng(b), pngHeight(b)).otherwise(jpeg.getField("_2").cast("long")))
   }
 
+  // --- shared decoder plumbing -------------------------------------
+  // ImageIO.setUseCache is a static write (executors would otherwise
+  // spill a temp file per decoded blob). It must run ONCE per JVM, not
+  // once per row: a per-row static write is a needless cross-core
+  // store, and at 32 concurrent tasks it showed up in the 10× scale
+  // leg. `lazy val` gives us the once-per-JVM init on first decode.
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Sniff the container format from magic bytes — lets the hot path
+    * skip `ImageIO.read`'s per-call walk of the synchronized SPI
+    * registry (a real lock at 32 concurrent decode tasks) and go
+    * straight to a cached reader. Unknown magics fall back to the
+    * generic registry path.
+    */
+  private def sniffImageFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else null
+
+  /** Per-thread resolved `ImageReader` cache, keyed by sniffed format.
+    * `ImageReader` instances are stateful and not thread-safe, so the
+    * cache is a ThreadLocal; task threads are pooled, so each executor
+    * thread resolves each format's reader exactly once for the life of
+    * the JVM (bounded: ≤4 formats × pool size).
+    */
+  private val readerCache =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() =
+        scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+    }
+
+  /** Decode a payload to a BufferedImage, or null for anything
+    * non-decodable. Known formats reuse a per-thread reader over an
+    * in-memory stream (no SPI walk, no temp files); unknown formats
+    * take the generic `ImageIO.read` path.
+    */
+  private def decodeBuffered(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoInit
+    try {
+      val fmt = sniffImageFormat(bytes)
+      val cached =
+        if (fmt == null) null
+        else readerCache.get().getOrElseUpdate(fmt, {
+          val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+          if (it.hasNext) it.next() else null
+        })
+      if (cached == null)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      else {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          cached.setInput(iis, true, true)
+          cached.read(0)
+        } finally {
+          cached.setInput(null)
+          iis.close()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** REAL pixel decode via `javax.imageio` (ships with the JDK — PNG,
     * JPEG, BMP, GIF, WBMP): emits (width, height, channels,
     * mean intensity over every band of every pixel). Non-decodable or
@@ -120,12 +186,7 @@ object Multimodal {
   val decodePixels: Array[Byte] => (Int, Int, Int, Double) = bytes => {
     if (bytes == null || bytes.isEmpty) (0, 0, 0, 0.0)
     else {
-      // no ImageIO disk-backed stream cache: executors would otherwise
-      // write a temp file per decoded blob
-      javax.imageio.ImageIO.setUseCache(false)
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = decodeBuffered(bytes)
       if (img == null) (0, 0, 0, 0.0)
       else {
         val raster = img.getRaster
@@ -182,24 +243,30 @@ object Multimodal {
     require(dw > 0 && dh > 0)
     if (bytes == null || bytes.isEmpty) (0, 0, 0L, 0L, 0L)
     else {
-      javax.imageio.ImageIO.setUseCache(false)
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = decodeBuffered(bytes)
       if (img == null) (0, 0, 0L, 0L, 0L)
-      else {
+      else try {
         val sw = img.getWidth
         val sh = img.getHeight
+        // Fetch each needed SOURCE row once via the bulk getRGB —
+        // per-pixel getRGB pays a color-model conversion call per
+        // sample, and consecutive output rows usually map to the same
+        // source row when downscaling.
+        val rowBuf = new Array[Int](sw)
+        var bufSy = -1
         var total = 0L
         var tl = 0L
         var br = 0L
         var y = 0
         while (y < dh) {
-          val sy = y * sh / dh
+          // index math in Long: Int y*sh can overflow to a negative
+          // index on very large decoded dimensions
+          val sy = (y.toLong * sh / dh).toInt
+          if (sy != bufSy) { img.getRGB(0, sy, sw, 1, rowBuf, 0, sw); bufSy = sy }
           var x = 0
           while (x < dw) {
-            val sx = x * sw / dw
-            val rgb = img.getRGB(sx, sy)
+            val sx = (x.toLong * sw / dw).toInt
+            val rgb = rowBuf(sx)
             val s = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
               (rgb & 0xff)).toLong
             total += s
@@ -210,6 +277,11 @@ object Multimodal {
           y += 1
         }
         (dw, dh, total, tl, br)
+      } catch {
+        // the module contract: untrusted payloads decode to the
+        // null-object shape, never throw — the sampling loop is part
+        // of decode for that purpose
+        case scala.util.control.NonFatal(_) => (0, 0, 0L, 0L, 0L)
       }
     }
   }

@@ -392,11 +392,12 @@ object Similarity {
     val scored = exploded
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol), dist.as("adist"))
+    // rank comes from the final heap pass itself (rankCol) — the heap
+    // already ordered each key's survivors, so no Window operator
+    // appears anywhere in this plan
     graft.plans.TopK.topKPerKey(scored, Seq("qid"),
-        Seq(col("adist").asc, col(idCol).asc), kNN)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adist"), col(idCol))))
-      .select(col("qid"), col(idCol), col("adist"), col("rk").cast("long").as("rk"))
+        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("adist"), col("rk"))
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `nlist`

@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 /** Grouped top-k as a first-class operator (logical node + strategy +
   * physical plan), for when `row_number().over(...) <= k` is too
@@ -20,14 +21,21 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * Semantics: retain, per distinct key, the first k rows under
   * `ordering` (ties resolved by the ordering itself — give it a unique
   * tie-break column for determinism). Output order within/across keys
-  * is unspecified, like any aggregation.
+  * is unspecified, like any aggregation — unless `rankCol` is set, in
+  * which case the final pass also emits each survivor's 1-based rank
+  * under `ordering` as an extra Long column (the heap already ordered
+  * the rows; numbering them here is free and saves consumers a
+  * redundant window sort over the survivors).
   */
 final case class TopKPerKeyPlan(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyPlan =
     copy(child = c)
@@ -35,7 +43,7 @@ final case class TopKPerKeyPlan(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, ordering, k, child) =>
+    case TopKPerKeyPlan(keys, ordering, k, child, rankAttr) =>
       // two-phase, like any aggregate: a partial pass prunes each input
       // partition to ≤ k rows per key BEFORE the exchange (exact —
       // a row outside its partition's top-k cannot be in the global
@@ -43,7 +51,8 @@ object TopKStrategy extends SparkStrategy {
       // the full input
       TopKPerKeyExec(keys, ordering, k,
         TopKPerKeyExec(keys, ordering, k, planLater(child),
-          partial = true)) :: Nil
+          partial = true),
+        rankAttr = rankAttr) :: Nil
     case _ => Nil
   }
 }
@@ -53,12 +62,16 @@ final case class TopKPerKeyExec(
     ordering: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean = false) extends UnaryExecNode {
+    partial: Boolean = false,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
   require(k >= 1, s"top-k requires k >= 1, got $k")
   require(keys.nonEmpty, "top-k requires at least one grouping key")
+  require(rankAttr.isEmpty || !partial, "rank is a final-pass output")
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   /** final pass: one hash shuffle on the keys — all surviving rows of a
     * key meet in one task; partial pass: runs wherever the data already
@@ -80,6 +93,13 @@ final case class TopKPerKeyExec(
     val sortOrders = ordering
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    val emitRank = rankAttr.isDefined
+    val outputAttrs = output
+    // driver-side conf read, captured into the task closure
+    val rowBudget =
+      conf.getConfString("graft.topk.partialRowBudget",
+        TopK.PartialHeapRowBudget.toString).toLong
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd: Ordering[InternalRow] =
@@ -88,23 +108,62 @@ final case class TopKPerKeyExec(
       // per key: bounded heap holding the current top-k, worst on top
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // memory fallback (partial pass only): heaps hold up to keys·k
+      // row copies per INPUT partition — with high-cardinality keys
+      // randomly distributed that is a new OOM surface the single-phase
+      // plan never had. Past the row budget, stop admitting NEW keys
+      // and pass their rows straight through (the final pass prunes
+      // exactly; the partial pass is only ever an optimization) —
+      // mirroring partial-aggregation fallback.
+      var heldRows = 0L
+      val pruned = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            limit + 1, rowOrd.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (rowOrd.lt(row, heap.peek())) {
-          heap.poll()
-          heap.add(row.copy())
+          if (isPartial && heldRows + limit > rowBudget) {
+            // fallback: untracked key past the budget — emit as-is
+            Iterator.single(row)
+          } else {
+            heap = new java.util.PriorityQueue[InternalRow](
+              limit + 1, rowOrd.reverse)
+            heaps.put(key.copy(), heap)
+            heap.add(row.copy())
+            heldRows += 1
+            Iterator.empty
+          }
+        } else {
+          if (heap.size < limit) { heap.add(row.copy()); heldRows += 1 }
+          else if (rowOrd.lt(row, heap.peek())) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+          Iterator.empty
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // `++` keeps the drain lazy: heaps are complete only once the
+      // child iterator is exhausted
+      val drained =
+        if (!emitRank)
+          pruned ++ heaps.values().iterator().asScala
+            .flatMap(_.iterator().asScala)
+        else {
+          // final pass with rank: drain each heap sorted and append the
+          // 1-based position — the heap did the ordering work already
+          val toUnsafe = UnsafeProjection.create(
+            outputAttrs.map(_.dataType).toArray)
+          val rankRow = new GenericInternalRow(1)
+          val joined = new JoinedRow
+          pruned ++ heaps.values().iterator().asScala.flatMap { heap =>
+            val arr = heap.toArray(new Array[InternalRow](heap.size))
+            java.util.Arrays.sort(arr, rowOrd)
+            arr.iterator.zipWithIndex.map { case (r, i) =>
+              rankRow.setLong(0, i + 1L)
+              toUnsafe(joined(r, rankRow))
+            }
+          }
+        }
+      drained
     }, preservesPartitioning = true)
   }
 
@@ -114,6 +173,15 @@ final case class TopKPerKeyExec(
 
 object TopK {
 
+  /** Partial-pass heap budget in retained row copies per input
+    * partition (override with SQL conf `graft.topk.partialRowBudget`).
+    * Past this, new keys bypass the heap and flow to the exchange
+    * unpruned (correctness unaffected — the final pass prunes
+    * exactly). 2²¹ rows ≈ tens of MB for typical narrow top-k inputs,
+    * far below an executor-thread share of the heap.
+    */
+  val PartialHeapRowBudget: Long = 1L << 21
+
   /** Install the strategy once per session (idempotent). */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
@@ -121,10 +189,14 @@ object TopK {
         spark.experimental.extraStrategies :+ TopKStrategy
 
   /** Keep the first `k` rows per key under `orderBy` (add a unique
-    * tie-break column for deterministic results).
+    * tie-break column for deterministic results). With `rankCol` set,
+    * the result carries each row's 1-based rank within its key under
+    * `orderBy` as an extra Long column — emitted by the final heap
+    * pass, so no window operator appears anywhere in the plan.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
-      orderBy: Seq[Column], k: Int): DataFrame = {
+      orderBy: Seq[Column], k: Int,
+      rankCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1, got $k")
     require(keyCols.nonEmpty, "top-k requires at least one grouping key")
     val spark = df.sparkSession
@@ -144,6 +216,9 @@ object TopK {
       child.output.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
     }
-    ColumnBridge.ofRows(spark, TopKPerKeyPlan(keyExprs, sortOrders, k, child))
+    val rankAttr = rankCol.map(n =>
+      AttributeReference(n, LongType, nullable = false)())
+    ColumnBridge.ofRows(spark,
+      TopKPerKeyPlan(keyExprs, sortOrders, k, child, rankAttr))
   }
 }

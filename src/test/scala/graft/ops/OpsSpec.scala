@@ -721,6 +721,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.length == 1, batch.queryExecution.executedPlan.toString)
+    // rank comes from the heap pass — no window operator re-sorting
+    // survivors the heap already ordered
+    assert(!graft.PlanTestHelpers.physicalOps(batch).exists {
+      case _: org.apache.spark.sql.execution.window.WindowExec => true
+      case _ => false
+    }, batch.queryExecution.executedPlan.toString)
   }
 
   test("range join by bucketization equals the brute-force theta join") {

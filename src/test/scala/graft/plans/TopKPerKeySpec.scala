@@ -73,4 +73,59 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
       orders, Seq("o_custkey"), Seq(col("o_orderkey").asc), 1000000)
     assert(df.count() == orders.count())
   }
+
+  test("rankCol emits window-identical ranks with no Window operator") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+
+    val custom = TopK.topKPerKey(
+      orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3,
+      rankCol = Some("rk"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan)
+
+    val got = custom.orderBy("o_custkey", "rk")
+      .collect().map(_.toSeq).toSeq
+    val viaWindow = orders
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast("long"))
+      .orderBy("o_custkey", "rk")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == viaWindow)
+  }
+
+  test("partial-pass row-budget fallback keeps results exact") {
+    // force the fallback: a tiny budget means the partial pass admits
+    // only the first few keys to heaps and passes every other row
+    // through unpruned — the final pass must still prune exactly
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    spark.conf.set("graft.topk.partialRowBudget", "8")
+    try {
+      val fellBack = TopK.topKPerKey(
+        orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+        .collect().map(_.toSeq).toSeq
+      val viaWindow = orders
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+        .collect().map(_.toSeq).toSeq
+      assert(fellBack.nonEmpty)
+      assert(fellBack == viaWindow)
+    } finally spark.conf.unset("graft.topk.partialRowBudget")
+  }
 }
