@@ -281,6 +281,41 @@ object Bench {
         -1.0
       }
 
+    // 2d. diagnostic (not a timing): batch PQ-ADC recall@5 against the
+    //     exact L2 neighbors for the SAME query batch the gated
+    //     `ann_pq_adc_batch` runs. The oracle retrains identical
+    //     codebooks on both sides, so a codebook regression passes
+    //     correctness while silently returning bad neighbors — THIS
+    //     number is what catches it. Ground truth is exact L2 (the
+    //     ADC metric), not cosine: comparing across metrics would
+    //     conflate quantization error with metric disagreement.
+    val pqRecall: Double =
+      try {
+        import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(spark, sfDir)
+        val pred = pmod(col("vec_id"), lit(7)) === 3 && col("vec_id") < 2000
+        val adc = graft.ops.Similarity.pqAdcTopKBatch(e, pred, kNN = 5,
+            m = SparkEntry.PqM, k = SparkEntry.PqK, iters = SparkEntry.PqIters)
+          .select("qid", "vec_id")
+        val q = e.where(pred)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val d2 = graft.ops.Similarity.dot(col("embedding"), col("embedding")) -
+          lit(2.0) * graft.ops.Similarity.dot(col("embedding"), col("qe")) +
+          graft.ops.Similarity.dot(col("qe"), col("qe"))
+        val exact = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(d2.asc, col("vec_id"))))
+          .where(col("rk") <= 5)
+          .select("qid", "vec_id")
+        val tot = exact.count().toDouble
+        if (tot == 0) 0.0 else exact.intersect(adc).count() / tot
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
+        -1.0
+      }
+
     // 3. subscription catch-up: deliver one stream's full history
     //    through the streaming source. WINDOW is a per-client pacing
     //    control (default 1000 = at most 1000 unacked in flight); bulk
@@ -292,9 +327,14 @@ object Bench {
         import graft.streaming.Subscriptions._
         val n = new java.util.concurrent.atomic.AtomicLong()
         val ck = java.nio.file.Files.createTempDirectory("bench-ck-")
+        // backlog-proportional bulk window (see SparkEntry
+        // .runSubscription): batch count stays bounded as history grows
+        val window = math.max(50000L,
+          es.manifest.watermarks.values.map(_ + 1).sum / 4)
+          .min(Int.MaxValue.toLong).toInt
         val q = deliver(
           subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0),
-            window = 50000),
+            window = window),
           ck.toString,
           byStream = true)(rows => n.addAndGet(rows.size))
         try q.processAllAvailable()
@@ -383,11 +423,24 @@ object Bench {
     val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio,""" +
       s""""simhash128_candidate_ratio":$simhash128Ratio,""" +
       s""""ivf_recall_at_5":$ivfRecall,""" +
+      s""""pq_recall_at_5":$pqRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_drain_sec":$serverDrainSec,""" +
       s""""scale10x":$scaleJson,"load_avg":$loadAvg}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the record: the driver captures stdout through a
+    // bounded tail, and seven rounds of BENCH_r0N.json came back with
+    // "parsed": null because this (single, large) line got truncated
+    // mid-map. The file is the durable per-query record.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench-out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench-out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

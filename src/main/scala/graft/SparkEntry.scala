@@ -1053,7 +1053,17 @@ object SparkEntry {
     import graft.streaming.Subscriptions._
     val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
     val ck = java.nio.file.Files.createTempDirectory("verify-sub-")
-    val q = deliver(subscribe(es, matcher, From.Value(0), window = 50000),
+    // Backlog-proportional admission: with a FIXED window the
+    // micro-batch COUNT grows with history and catch-up cost becomes
+    // trigger round-trips (the r7 10× leg measured 7.4× on
+    // es_psub_deliver). A backfill consumer sizes its window to the
+    // backlog; backlog/4 keeps catch-up at a handful of batches at any
+    // scale. WINDOW stays the flow-control surface for live tails —
+    // this only widens the bulk catch-up batches.
+    val backlog = es.manifest.watermarks.values.map(_ + 1).sum
+    val window = math.max(50000L, backlog / 4)
+      .min(Int.MaxValue.toLong).toInt
+    val q = deliver(subscribe(es, matcher, From.Value(0), window = window),
       ck.toString, byStream) { rows => rows.foreach(r => got.add(extract(r))) }
     try q.processAllAvailable()
     finally {
@@ -1707,7 +1717,11 @@ object SparkEntry {
     * CTEs, and the identical rule CASE in the identical order with the
     * identical interpolated thresholds.
     */
-  private def qualityFilterOracle: String =
+  private def qualityFilterOracle: String = {
+    // token-boundary stop-word count over the doubled-space form (the
+    // sqlTokenCount contract), summed over the shared Gopher list
+    val stopSum = graft.ops.Curation.Stopwords
+      .map(sqlTokenCount).mkString("(", " + ", ")")
     s"""WITH $repetitionCtes,
        |base AS (
        |  SELECT doc_id,
@@ -1716,10 +1730,12 @@ object SparkEntry {
        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
        |      / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
        |      AS mean_tok_len,
-       |    CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS DOUBLE)
+       |    CAST($stopSum AS DOUBLE)
        |      / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
        |      AS stop_ratio
-       |  FROM documents),
+       |  FROM (SELECT doc_id, text,
+       |    regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
+       |    FROM documents) doc2),
        |feats AS (
        |  SELECT d.doc_id,
        |    coalesce(round(CAST(top_bigram_count AS DOUBLE) *
@@ -1747,6 +1763,7 @@ object SparkEntry {
        |SELECT doc_id, n_tokens, mean_tok_len, stop_ratio,
        |  top_bigram_frac, dup_trigram_frac, reason, (reason = '') AS keep
        |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** Mirror of the pii_redact query: identical doc_id salting CASE,
     * independent raw-text match counts (see Pii.scala's count-semantics
@@ -1831,9 +1848,11 @@ object SparkEntry {
   private val QfMaxTopBigramFrac = 0.18
   private val QfMaxDupTrigramFrac = 0.2
 
-  private val PqM = 4
-  private val PqK = 8
-  private val PqIters = 2
+  // visible to Bench: the pq_recall diagnostic must measure the SAME
+  // codebook geometry the gated queries run
+  private[graft] val PqM = 4
+  private[graft] val PqK = 8
+  private[graft] val PqIters = 2
   private val PqSample = 10000
   private val PqDims = 64
 

@@ -480,6 +480,11 @@ final class EventStore private (
     headCacheGen.incrementAndGet()
     headCache.clear()
     streamHeadsCache.clear()
+    // the process-wide probe caches (listings/footers/blooms) hold
+    // entries for this store's layer files — drop them too, or folded-
+    // away layers leak for the JVM's life and a deleted-and-recreated
+    // store path would be served stale metadata
+    graft.storage.HeadProbe.invalidate(s"$root/_heads")
   }
 
   private def readHeads(dir: String): DataFrame =
@@ -1048,6 +1053,10 @@ object EventStore {
       })
     val es = new EventStore(
       spark, root, st.numPartitions.max(1), st, strictVersioning, maxInlineHeads)
+    // a fresh handle must not trust process-wide probe caches for this
+    // path: the same root may have been deleted and recreated since a
+    // previous store cached its layer metadata
+    graft.storage.HeadProbe.invalidate(s"$root/_heads")
     es.recoverOrphans()
     es.recoverOrphanHeads()
     register(es)

@@ -187,6 +187,15 @@ object Curation {
     * One corpus pass for the cheap signals + the repetition features'
     * bounded aggregations; zero additional shuffles beyond them.
     */
+  /** The Gopher stop-word list (Rae et al. 2021 §A1.1 verbatim: a doc
+    * must contain stop words from this exact 8-word set). Counted on
+    * TOKEN boundaries via [[TextAnalysis.tokenOccurrences]] — substring
+    * counting would score "there"/"toward"/"offer" as stop words.
+    * Shared with the SQL oracle so both sides count identically.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def qualityFilter(df: DataFrame, textCol: String, idCol: String,
       minTokens: Long, maxTokens: Long,
       minMeanTokLen: Double, maxMeanTokLen: Double,
@@ -197,12 +206,13 @@ object Curation {
     val nTokens = (length(t) -
       length(regexp_replace(t, lit(" "), lit(""))) + 1).cast("long")
     val nChars = length(regexp_replace(t, lit(" "), lit(""))).cast("double")
-    val nThe = ((length(t) -
-      length(regexp_replace(t, lit("the"), lit("")))) / lit(3)).cast("double")
+    val nStop = Stopwords
+      .map(w => TextAnalysis.tokenOccurrences(t, w))
+      .reduce(_ + _).cast("double")
     val base = df.select(id,
       nTokens.as("n_tokens"),
       (nChars / nTokens.cast("double")).as("mean_tok_len"),
-      (nThe / nTokens.cast("double")).as("stop_ratio"))
+      (nStop / nTokens.cast("double")).as("stop_ratio"))
     val rep = graft.ops.Repetition.repetitionFeatures(df, textCol, idCol)
       .select(id, col("top_bigram_frac"), col("dup_trigram_frac"))
     base.join(rep, Seq(idCol))

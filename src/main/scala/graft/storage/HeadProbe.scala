@@ -57,6 +57,24 @@ object HeadProbe {
   private val blooms =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[BloomFilter]]()
 
+  /** Drop every cached listing/footer/bloom under `rootPrefix` (a
+    * store's `_heads` tree). Committed layer FILES are immutable, but
+    * the cache keyed on bare paths outlives them two ways: entries for
+    * folded-away layers accumulate for the life of the JVM, and a
+    * store path deleted and recreated within one process (test
+    * harnesses, reused temp dirs) would be served stale metadata.
+    * `EventStore.invalidateHeadCache()` calls this on every layer-
+    * structure change, so the caches really are bounded by the live
+    * layer count. Substring match, not startsWith: listed file paths
+    * carry a filesystem scheme (`file:/...`) while directory keys are
+    * bare.
+    */
+  def invalidate(rootPrefix: String): Unit = {
+    dirListings.keySet.removeIf(_.contains(rootPrefix))
+    footers.keySet.removeIf(_.contains(rootPrefix))
+    blooms.keySet.removeIf(_._1.contains(rootPrefix))
+  }
+
   /** (partition_id, version) for the (stream_id, partition_key) head
     * entry in one layer directory, or None if absent.
     */

@@ -11,15 +11,25 @@ import org.apache.spark.sql.functions._
   * Re-keying adds `replica × 10^12` to every key column of a scaled
   * table — the SAME offset for every key domain, so foreign keys stay
   * consistent across tables (orders replica i references customer
-  * replica i). Non-key payloads (text, embeddings, prices) replicate
-  * verbatim: each document/vector gains 9 exact duplicates, which is a
-  * realistic dedup workload and keeps every per-row cost identical to
-  * the base corpus. Read the dedup legs' 10× ratios with that in mind:
-  * candidate-pair VERIFICATION work grows with the duplicate factor
-  * (every doc now collides with its 9 replicas), so ratios above 10
-  * there reflect the duplicated workload, not operator
-  * super-linearity — the banding/bucketing stages themselves stay
-  * linear in corpus size.
+  * replica i).
+  *
+  * Document TEXT is replica-MUTATED, not copied: replica i > 0
+  * prefixes every whitespace token with `r<i>x`. Verbatim replication
+  * (rounds ≤7) gave every doc 9 exact duplicates, so the near-dup
+  * legs' 10× ratios measured the duplicate factor (cross-replica
+  * copies collide in every MinHash/SimHash band — base candidate
+  * pairs inflate ~Factor², the r7 driver recorded minhash_lsh at
+  * 17.8×), not operator scaling. Appending one token would NOT fix
+  * this: for any non-trivial doc one extra shingle leaves Jaccard ≈ 1
+  * and the replicas still collide. Token-prefixing destroys
+  * cross-replica shingle overlap entirely while mapping intra-replica
+  * edits 1:1 — each replica keeps exactly the base corpus's near-dup
+  * structure, so a 10× corpus carries 10× the dedup workload and the
+  * leg's ratio reads directly as operator scaling. Exact-dup structure
+  * moves the same way (replicas are distinct rows now), so the exact
+  * tier legs also measure 10× distinct groups. Embeddings still
+  * replicate verbatim (vector payloads have no banding-verify stage;
+  * over-dense LSH buckets are dropped by construction).
   *
   * The replica is generated ONCE into a content-addressed cache dir
   * (keyed by source dir name) with a completion marker; a crashed
@@ -29,6 +39,12 @@ object ScaleGen {
 
   val Factor = 10
   val KeyOffset = 1000000000000L // > any base key in any domain
+
+  /** bump when the generation logic changes shape (it is part of the
+    * cache key — a cached replica from an older generator must not be
+    * reused; v2 = replica-mutated document text)
+    */
+  val GenVersion = 2
 
   /** scaled tables → their key columns (offset per replica) */
   val ScaledKeys: Map[String, Seq[String]] = Map(
@@ -73,15 +89,23 @@ object ScaleGen {
       "ScaleGen needs spark.sql.legacy.parquet.nanosAsLong=true " +
         "(events.parquet is TIMESTAMP(NANOS))")
     val prefix = s"graft-scale${Factor}x-${new java.io.File(srcDir).getName}"
-    val dst = s"/tmp/$prefix-${srcFingerprint(srcDir)}"
+    val dst = s"/tmp/$prefix-v$GenVersion-${srcFingerprint(srcDir)}"
     val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
     if (java.nio.file.Files.exists(marker)) return dst
     // a changed source means the old replica will never be read again —
     // drop stale siblings (same source, other fingerprints) so /tmp
-    // holds at most one replica per source across rounds
+    // holds at most one replica per source across rounds. Only
+    // known-superseded siblings (_COMPLETE present) or abandoned ones
+    // (no marker AND untouched for an hour) are deleted: a sibling
+    // with no marker but a recent mtime may be another process's
+    // in-progress generation, and deleting it mid-write would hand
+    // that process a corrupt dataset.
+    val staleCutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
       .filter(f => (f.getName == prefix || // pre-fingerprint layout
         f.getName.startsWith(prefix + "-")) && f.toString != dst)
+      .filter(f => new java.io.File(f, "_COMPLETE").exists() ||
+        f.lastModified() < staleCutoff)
       .foreach(delete)
     val dstDir = new java.io.File(dst)
     if (dstDir.exists()) delete(dstDir)
@@ -91,17 +115,32 @@ object ScaleGen {
     }
     ScaledKeys.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$srcDir/$t.parquet")
-      replicate(base, keys)
+      replicate(base, keys, mutateText = MutatedText.get(t))
         .write.option("compression", "zstd").parquet(s"$dst/$t.parquet")
     }
     java.nio.file.Files.createFile(marker)
     dst
   }
 
-  def replicate(base: DataFrame, keys: Seq[String]): DataFrame =
+  /** text columns to replica-mutate (see the class scaladoc) */
+  val MutatedText: Map[String, String] = Map("documents" -> "text")
+
+  def replicate(base: DataFrame, keys: Seq[String],
+      mutateText: Option[String] = None): DataFrame =
     (0 until Factor).map { i =>
-      keys.foldLeft(base)((df, k) =>
+      val keyed = keys.foldLeft(base)((df, k) =>
         df.withColumn(k, (col(k) + lit(i.toLong * KeyOffset)).cast("long")))
+      mutateText match {
+        case Some(c) if i > 0 =>
+          // prefix every token with the replica tag: kills ALL
+          // cross-replica shingle overlap (no band collisions between
+          // replicas) while preserving intra-replica near-dup
+          // structure token-for-token
+          keyed.withColumn(c, array_join(
+            transform(split(col(c), " "),
+              t => concat(lit(s"r${i}x"), t)), " "))
+        case _ => keyed
+      }
     }.reduce(_ unionByName _)
 
   private def delete(f: java.io.File): Unit = {

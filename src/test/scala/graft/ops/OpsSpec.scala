@@ -368,7 +368,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "tiny doc"),                             // too few tokens
       (3L, (1 to 30).map(_ => "a b").mkString(" ")), // short tokens + no 'the'
       (4L, (1 to 30).map(_ => "the extraordinarily phenomenal").mkString(" ")),
-      (5L, "the " + (1 to 29).map(_ => "same bigram same").mkString(" ")))
+      (5L, "the " + (1 to 29).map(_ => "same bigram same").mkString(" ")),
+      // "the" appears ONLY inside words: substring counting (the old
+      // rule) would keep this; token-boundary Gopher counting drops it
+      (6L, (1 to 10).map(i => s"there lathe soothe brothers heathen wk$i")
+        .mkString(" ")))
       .toDF("doc_id", "text")
     val out = Curation.qualityFilter(df, "text", "doc_id",
         minTokens = 16, maxTokens = 100000,
@@ -383,6 +387,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((false, "mean_tok_len")))
     assert(out(4L) == ((false, "mean_tok_len")))
     assert(!out(5L)._1 && out(5L)._2.endsWith("repetition"), out(5L).toString)
+    assert(out(6L) == ((false, "low_stopword_ratio")), out(6L).toString)
   }
 
   test("stratified sample: deterministic, per-stratum rates honored") {

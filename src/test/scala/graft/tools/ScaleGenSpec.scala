@@ -40,4 +40,32 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bigJoin == baseJoin * ScaleGen.Factor,
       s"join rows $bigJoin != $baseJoin * ${ScaleGen.Factor}")
   }
+
+  test("text mutation isolates replicas but preserves intra-replica structure") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val big = ScaleGen.replicate(docs, ScaleGen.ScaledKeys("documents"),
+      mutateText = Some("text"))
+    assert(big.count() == docs.count() * ScaleGen.Factor)
+    // no replica copy is an exact duplicate of another: every text is
+    // distinct exactly as often as in 10 independent base corpora
+    val baseDistinct = docs.select("text").distinct().count()
+    assert(big.select("text").distinct().count() ==
+      baseDistinct * ScaleGen.Factor)
+    // cross-replica shingle overlap is ZERO: replica tags touch every
+    // token, so no 3-shingle can appear in two replicas
+    def shingles(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      graft.ops.Dedup.wordShingles(
+        df.where(col("doc_id") >= lo && col("doc_id") < hi), "text", "doc_id", 3)
+        .select("sh").distinct()
+    val r0 = shingles(big, 0L, ScaleGen.KeyOffset)
+    val r1 = shingles(big, ScaleGen.KeyOffset, 2 * ScaleGen.KeyOffset)
+    assert(r0.count() > 0 && r1.count() > 0)
+    assert(r0.intersect(r1).count() == 0)
+    // intra-replica structure is the base corpus's, mapped 1:1 — the
+    // shingle-set SIZE per replica matches base exactly
+    val baseShingles = graft.ops.Dedup.wordShingles(docs, "text", "doc_id", 3)
+      .select("sh").distinct().count()
+    assert(r1.count() == baseShingles, s"${r1.count()} != $baseShingles")
+  }
 }
