@@ -289,15 +289,22 @@ object Bench {
     //     number is what catches it. Ground truth is exact L2 (the
     //     ADC metric), not cosine: comparing across metrics would
     //     conflate quantization error with metric disagreement.
-    val pqRecall: Double =
+    //
+    //     Read it as a RELATIVE canary, not absolute quality: the
+    //     gated geometry (m=4, k=8 — small enough for the SQL oracle
+    //     to unroll its k-means) is deliberately coarse, and i.i.d.
+    //     synthetic embeddings are PQ's adversarial case (no cluster
+    //     structure to quantize onto) — recall rises steadily with
+    //     geometry (measured here via the _wide variant at m=8, k=16;
+    //     production would run k=256, far past SQL-unrollable). A
+    //     regression shows as this number MOVING, not as it being
+    //     small.
+    val (pqRecall, pqRecallWide): (Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
         val e = Tables.embeddings(spark, sfDir)
         val pred = pmod(col("vec_id"), lit(7)) === 3 && col("vec_id") < 2000
-        val adc = graft.ops.Similarity.pqAdcTopKBatch(e, pred, kNN = 5,
-            m = SparkEntry.PqM, k = SparkEntry.PqK, iters = SparkEntry.PqIters)
-          .select("qid", "vec_id")
         val q = e.where(pred)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val d2 = graft.ops.Similarity.dot(col("embedding"), col("embedding")) -
@@ -309,11 +316,18 @@ object Bench {
             Window.partitionBy(col("qid")).orderBy(d2.asc, col("vec_id"))))
           .where(col("rk") <= 5)
           .select("qid", "vec_id")
+          .localCheckpoint()
         val tot = exact.count().toDouble
-        if (tot == 0) 0.0 else exact.intersect(adc).count() / tot
+        def recallOf(m: Int, k: Int): Double = {
+          val adc = graft.ops.Similarity.pqAdcTopKBatch(e, pred, kNN = 5,
+              m = m, k = k, iters = SparkEntry.PqIters)
+            .select("qid", "vec_id")
+          if (tot == 0) 0.0 else exact.intersect(adc).count() / tot
+        }
+        (recallOf(SparkEntry.PqM, SparkEntry.PqK), recallOf(8, 16))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        -1.0
+        (-1.0, -1.0)
       }
 
     // 3. subscription catch-up: deliver one stream's full history
@@ -424,6 +438,7 @@ object Bench {
       s""""simhash128_candidate_ratio":$simhash128Ratio,""" +
       s""""ivf_recall_at_5":$ivfRecall,""" +
       s""""pq_recall_at_5":$pqRecall,""" +
+      s""""pq_recall_at_5_wide":$pqRecallWide,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_drain_sec":$serverDrainSec,""" +

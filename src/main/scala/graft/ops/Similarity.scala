@@ -334,11 +334,9 @@ object Similarity {
       codes.where(col(idCol) =!= qid)
         .select(lit(qid).as("qid"), col(idCol), dist.as("adist"))
     }.reduce(_ unionByName _)
-    perQuery
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adist"), col(idCol))))
-      .where(col("rk") <= kNN)
-      .select(col("qid"), col(idCol), col("adist"), col("rk").cast("long").as("rk"))
+    graft.plans.TopK.topKPerKey(perQuery, Seq("qid"),
+        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("adist"), col("rk"))
   }
 
   /** Batch PQ-ADC: ONE corpus pass for the whole query batch — the
