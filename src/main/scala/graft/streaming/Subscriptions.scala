@@ -184,6 +184,12 @@ object Subscriptions {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the sort stays DISTRIBUTED deliberately: a driver-side sort
+        // after collect was measured SLOWER at 10× (8.9× vs 6.4×
+        // scale ratio — one boxed single-threaded sort of a
+        // million-row batch loses to the cluster sort, even paying
+        // the range-sampling job per trigger); the collect itself is
+        // the contract — delivered rows must reach the consumer
         val ordered =
           if (byStream) batch.orderBy(col("stream_id"), col("stream_version"))
           else batch.orderBy(col("partition_id"), col("partition_sequence"))
