@@ -1718,10 +1718,15 @@ object SparkEntry {
     * identical interpolated thresholds.
     */
   private def qualityFilterOracle: String = {
-    // token-boundary stop-word count over the doubled-space form (the
-    // sqlTokenCount contract), summed over the shared Gopher list
-    val stopSum = graft.ops.Curation.Stopwords
-      .map(sqlTokenCount).mkString("(", " + ", ")")
+    // token-boundary stop-word count over the doubled-space form —
+    // ONE alternation pass, mirroring TextAnalysis.tokenSetOccurrences
+    // (identical match semantics: space-anchored non-capturing
+    // alternation over the shared Gopher list, counted matches)
+    val alt = graft.ops.Curation.Stopwords
+      .map(w => graft.ops.TextAnalysis.escapeRegex(w).replace("'", "''"))
+      .mkString("|")
+    val stopSum =
+      s"CAST(len(regexp_extract_all(d2, ' (?:$alt) ')) AS BIGINT)"
     s"""WITH $repetitionCtes,
        |base AS (
        |  SELECT doc_id,

@@ -206,9 +206,9 @@ object Curation {
     val nTokens = (length(t) -
       length(regexp_replace(t, lit(" "), lit(""))) + 1).cast("long")
     val nChars = length(regexp_replace(t, lit(" "), lit(""))).cast("double")
-    val nStop = Stopwords
-      .map(w => TextAnalysis.tokenOccurrences(t, w))
-      .reduce(_ + _).cast("double")
+    // one alternation pass for the whole set — not one full-text
+    // replace per stop word
+    val nStop = TextAnalysis.tokenSetOccurrences(t, Stopwords).cast("double")
     val base = df.select(id,
       nTokens.as("n_tokens"),
       (nChars / nTokens.cast("double")).as("mean_tok_len"),

@@ -46,6 +46,25 @@ object TextAnalysis {
       / lit(needle.length - 1)).cast("long")
   }
 
+  /** Total occurrences of ANY word in `words` as a whole token — equal
+    * to Σ [[tokenOccurrences]] over the set (distinct space-anchored
+    * words can never match at the same position), but ONE regexp pass
+    * over the text instead of |words| full-text replace passes: at
+    * 100 TB the per-word form scans the corpus once per word. Matches
+    * are counted directly (`regexp_extract_all`), so unlike the
+    * length-difference form it needs no per-word length arithmetic and
+    * a whole set shares one alternation. Same doubled-space trick for
+    * adjacent-token exactness; non-capturing group so any engine
+    * counts full matches.
+    */
+  def tokenSetOccurrences(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "empty word set")
+    val padded = concat(lit(" "), text, lit(" "))
+    val doubled = regexp_replace(padded, lit(" "), lit("  "))
+    val alt = words.map(escapeRegex).mkString("|")
+    size(regexp_extract_all(doubled, lit(s" (?:$alt) "), lit(0))).cast("long")
+  }
+
   /** Per-language marker score = Σ occurrences of that language's
     * marker tokens.
     */

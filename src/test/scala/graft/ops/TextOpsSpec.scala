@@ -20,6 +20,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("tokenSetOccurrences equals the per-word sum, adjacent tokens included") {
+    import spark.implicits._
+    val words = graft.ops.Curation.Stopwords
+    val df = Seq(
+      "the of and the",            // adjacent stop words back-to-back
+      "the the the",               // repeated same word adjacent
+      "there lathe soothe",        // substrings only — must count 0
+      "with that have be to of and the", // the full set once
+      "x",                         // none
+      "of")                        // single-token document
+      .toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenSetOccurrences(col("text"), words).as("set"),
+      words.map(w => TextAnalysis.tokenOccurrences(col("text"), w))
+        .reduce(_ + _).as("sum"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(got.map(_.getLong(0)).toSeq == Seq(4L, 3L, 0L, 8L, 0L, 1L))
+  }
+
   test("PII: email-first precedence, independent raw-text counts") {
     import spark.implicits._
     val rows = Seq(
