@@ -406,17 +406,19 @@ object SparkEntry {
             .cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
-    // Quality scoring: stopword ratio + mean token length.
+    // Quality scoring: stopword ratio (token-boundary Gopher set, the
+    // same counting qualityFilter gates on) + mean token length.
     "text_quality" -> ((s, d) => {
       val toks = (length(col("text")) -
         length(regexp_replace(col("text"), lit(" "), lit(""))) + 1).cast("double")
-      val theCount = ((length(col("text")) -
-        length(regexp_replace(col("text"), lit("the"), lit("")))) / lit(3)).cast("double")
+      val stopCount = graft.ops.TextAnalysis
+        .tokenSetOccurrences(col("text"), graft.ops.Curation.Stopwords)
+        .cast("double")
       Tables.documents(s, d)
         .select(col("doc_id"),
           toks.as("n_tokens"),
-          theCount.as("n_the"),
-          (theCount / toks).as("stop_ratio"),
+          stopCount.as("n_stop"),
+          (stopCount / toks).as("stop_ratio"),
           (length(regexp_replace(col("text"), lit(" "), lit(""))).cast("double") / toks)
             .as("mean_tok_len"))
         .orderBy(col("doc_id"))
@@ -1090,10 +1092,19 @@ object SparkEntry {
     s"CAST((length(d2) - length(regexp_replace(d2, ' $w ', ' ', 'g'))) / ${word.length + 1} AS BIGINT)"
   }
 
+  /** SQL mirror of TextAnalysis.tokenSetOccurrences — one alternation
+    * pass over d2, counted matches.
+    */
+  private def sqlTokenSetCount(words: Seq[String]): String = {
+    val alt = words
+      .map(w => graft.ops.TextAnalysis.escapeRegex(w).replace("'", "''"))
+      .mkString("|")
+    s"CAST(len(regexp_extract_all(d2, ' (?:$alt) ')) AS BIGINT)"
+  }
+
   /** SQL mirror of TextAnalysis.langScore. */
   private def sqlLangScore(lang: String): String =
-    graft.ops.TextAnalysis.LangMarkers.toMap.apply(lang)
-      .map(sqlTokenCount).mkString("(", " + ", ")")
+    sqlTokenSetCount(graft.ops.TextAnalysis.LangMarkers.toMap.apply(lang))
 
   private def langIdOracle: String = {
     val langs = graft.ops.TextAnalysis.LangMarkers.map(_._1)
@@ -1720,13 +1731,8 @@ object SparkEntry {
   private def qualityFilterOracle: String = {
     // token-boundary stop-word count over the doubled-space form —
     // ONE alternation pass, mirroring TextAnalysis.tokenSetOccurrences
-    // (identical match semantics: space-anchored non-capturing
-    // alternation over the shared Gopher list, counted matches)
-    val alt = graft.ops.Curation.Stopwords
-      .map(w => graft.ops.TextAnalysis.escapeRegex(w).replace("'", "''"))
-      .mkString("|")
-    val stopSum =
-      s"CAST(len(regexp_extract_all(d2, ' (?:$alt) ')) AS BIGINT)"
+    // over the shared Gopher list
+    val stopSum = sqlTokenSetCount(graft.ops.Curation.Stopwords)
     s"""WITH $repetitionCtes,
        |base AS (
        |  SELECT doc_id,
@@ -2416,14 +2422,16 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n_tokens,
-        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS DOUBLE) AS n_the,
-        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS DOUBLE)
-        |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS stop_ratio,
-        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n_tokens,
+         |  CAST(${sqlTokenSetCount(graft.ops.Curation.Stopwords)} AS DOUBLE) AS n_stop,
+         |  CAST(${sqlTokenSetCount(graft.ops.Curation.Stopwords)} AS DOUBLE)
+         |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS stop_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len
+         |FROM (SELECT doc_id, text,
+         |  regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
+         |  FROM documents) doc2 ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

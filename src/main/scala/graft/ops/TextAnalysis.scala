@@ -66,12 +66,12 @@ object TextAnalysis {
   }
 
   /** Per-language marker score = Σ occurrences of that language's
-    * marker tokens.
+    * marker tokens — one alternation pass per language (the per-word
+    * sum would scan the text once per marker; see
+    * [[tokenSetOccurrences]]).
     */
   def langScore(text: Column, lang: String): Column =
-    LangMarkers.toMap.apply(lang)
-      .map(w => tokenOccurrences(text, w))
-      .reduce(_ + _)
+    tokenSetOccurrences(text, LangMarkers.toMap.apply(lang))
 
   /** Predicted language: argmax of marker scores, ties broken by the
     * declaration order in `LangMarkers`; "und" (undetermined) when all
