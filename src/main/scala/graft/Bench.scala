@@ -344,7 +344,7 @@ object Bench {
         // backlog-proportional bulk window (see SparkEntry
         // .runSubscription): batch count stays bounded as history grows
         val window = math.max(50000L,
-          es.manifest.watermarks.values.map(_ + 1).sum / 4)
+          es.manifest.watermarks.values.map(_ + 1).sum / 2)
           .min(Int.MaxValue.toLong).toInt
         val q = deliver(
           subscribe(es, Matcher(streams = Seq("user-42", "user-7")), From.Value(0),
