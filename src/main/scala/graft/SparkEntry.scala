@@ -2426,15 +2426,17 @@ object SparkEntry {
 
     "text_quality" ->
       s"""SELECT doc_id,
-         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n_tokens,
-         |  CAST(${sqlTokenSetCount(graft.ops.Curation.Stopwords)} AS DOUBLE) AS n_stop,
-         |  CAST(${sqlTokenSetCount(graft.ops.Curation.Stopwords)} AS DOUBLE)
-         |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS stop_ratio,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS mean_tok_len
-         |FROM (SELECT doc_id, text,
-         |  regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
-         |  FROM documents) doc2 ORDER BY doc_id""".stripMargin,
+         |  CAST(n_tokens AS DOUBLE) AS n_tokens,
+         |  CAST(n_stop AS DOUBLE) AS n_stop,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |  CAST(n_chars2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len
+         |FROM (SELECT doc_id,
+         |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         |    length(replace(text, ' ', '')) AS n_chars2,
+         |    ${sqlTokenSetCount(graft.ops.Curation.Stopwords)} AS n_stop
+         |  FROM (SELECT doc_id, text,
+         |    regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
+         |    FROM documents) doc2) feats ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -173,6 +173,15 @@ object Curation {
       .agg(countDistinct(col("sh")).as("n_hits"), min(col("sh")).as("first_hit"))
   }
 
+  /** The Gopher stop-word list (Rae et al. 2021 §A1.1 verbatim: a doc
+    * must contain stop words from this exact 8-word set). Counted on
+    * TOKEN boundaries via [[TextAnalysis.tokenSetOccurrences]] —
+    * substring counting would score "there"/"toward"/"offer" as stop
+    * words. Shared with the SQL oracle so both sides count identically.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Gopher-style composite quality FILTER (the rule family of Rae et
     * al. 2021, "Scaling Language Models" §A1.1, public heuristics):
     * token-count bounds, mean-token-length band, minimum stopword
@@ -187,15 +196,6 @@ object Curation {
     * One corpus pass for the cheap signals + the repetition features'
     * bounded aggregations; zero additional shuffles beyond them.
     */
-  /** The Gopher stop-word list (Rae et al. 2021 §A1.1 verbatim: a doc
-    * must contain stop words from this exact 8-word set). Counted on
-    * TOKEN boundaries via [[TextAnalysis.tokenOccurrences]] — substring
-    * counting would score "there"/"toward"/"offer" as stop words.
-    * Shared with the SQL oracle so both sides count identically.
-    */
-  val Stopwords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
-
   def qualityFilter(df: DataFrame, textCol: String, idCol: String,
       minTokens: Long, maxTokens: Long,
       minMeanTokLen: Double, maxMeanTokLen: Double,

@@ -114,13 +114,18 @@ final case class TopKPerKeyExec(
       // plan never had. Past the row budget, stop admitting NEW keys
       // and pass their rows straight through (the final pass prunes
       // exactly; the partial pass is only ever an optimization) —
-      // mirroring partial-aggregation fallback.
-      var heldRows = 0L
+      // mirroring partial-aggregation fallback. The budget RESERVES k
+      // rows per admitted key up front: accounting admissions lazily
+      // (one row at a time) would cap the key count but let
+      // already-admitted heaps keep growing to k each, overshooting
+      // the budget by up to k× in exactly the random-key-order
+      // scenario the guard exists for.
+      var reservedRows = 0L
       val pruned = iter.flatMap { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          if (isPartial && heldRows + limit > rowBudget) {
+          if (isPartial && reservedRows + limit > rowBudget) {
             // fallback: untracked key past the budget — emit as-is
             Iterator.single(row)
           } else {
@@ -128,11 +133,11 @@ final case class TopKPerKeyExec(
               limit + 1, rowOrd.reverse)
             heaps.put(key.copy(), heap)
             heap.add(row.copy())
-            heldRows += 1
+            reservedRows += limit
             Iterator.empty
           }
         } else {
-          if (heap.size < limit) { heap.add(row.copy()); heldRows += 1 }
+          if (heap.size < limit) heap.add(row.copy())
           else if (rowOrd.lt(row, heap.peek())) {
             heap.poll()
             heap.add(row.copy())

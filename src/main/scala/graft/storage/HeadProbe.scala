@@ -65,14 +65,20 @@ object HeadProbe {
     * harnesses, reused temp dirs) would be served stale metadata.
     * `EventStore.invalidateHeadCache()` calls this on every layer-
     * structure change, so the caches really are bounded by the live
-    * layer count. Substring match, not startsWith: listed file paths
-    * carry a filesystem scheme (`file:/...`) while directory keys are
-    * bare.
+    * layer count. Both sides are normalized through Hadoop `Path` to
+    * the bare URI path before matching: cached keys may carry a
+    * filesystem scheme (`file:/...` from listStatus) while callers may
+    * pass bare paths, `file:///`-form URIs, or trailing slashes — raw
+    * substring matching would silently miss (and leave stale) every
+    * entry for a URI-form store root.
     */
   def invalidate(rootPrefix: String): Unit = {
-    dirListings.keySet.removeIf(_.contains(rootPrefix))
-    footers.keySet.removeIf(_.contains(rootPrefix))
-    blooms.keySet.removeIf(_._1.contains(rootPrefix))
+    val want = new Path(rootPrefix).toUri.getPath
+    def hit(key: String): Boolean =
+      new Path(key).toUri.getPath.startsWith(want)
+    dirListings.keySet.removeIf(hit(_))
+    footers.keySet.removeIf(hit(_))
+    blooms.keySet.removeIf(k => hit(k._1))
   }
 
   /** (partition_id, version) for the (stream_id, partition_key) head

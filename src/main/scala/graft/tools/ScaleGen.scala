@@ -107,18 +107,39 @@ object ScaleGen {
       .filter(f => new java.io.File(f, "_COMPLETE").exists() ||
         f.lastModified() < staleCutoff)
       .foreach(delete)
-    val dstDir = new java.io.File(dst)
-    if (dstDir.exists()) delete(dstDir)
+    // generate into a PROCESS-UNIQUE temp sibling, then atomically
+    // rename into place: two processes racing ensure10x on the same
+    // source (same dst — the likeliest collision) each build their own
+    // tree, and whoever renames first wins; the loser's rename fails,
+    // it deletes its temp tree and uses the winner's marked replica.
+    // Writing into dst directly would let one process delete the
+    // other's half-written tree and then commit _COMPLETE over
+    // interleaved output — cached forever.
+    val tmp = s"$dst.tmp-${java.lang.ProcessHandle.current().pid()}"
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists()) delete(tmpDir)
     FixedTables.foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
-        .write.option("compression", "zstd").parquet(s"$dst/$t.parquet")
+        .write.option("compression", "zstd").parquet(s"$tmp/$t.parquet")
     }
     ScaledKeys.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$srcDir/$t.parquet")
       replicate(base, keys, mutateText = MutatedText.get(t))
-        .write.option("compression", "zstd").parquet(s"$dst/$t.parquet")
+        .write.option("compression", "zstd").parquet(s"$tmp/$t.parquet")
     }
-    java.nio.file.Files.createFile(marker)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_COMPLETE"))
+    val dstDir = new java.io.File(dst)
+    // an unmarked dst here is a pre-rename-era leftover or a crashed
+    // direct write — never a live generation (those are under .tmp-*)
+    if (dstDir.exists() && !java.nio.file.Files.exists(marker)) delete(dstDir)
+    try java.nio.file.Files.move(tmpDir.toPath, dstDir.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      // lost the race — a concurrent process renamed its replica in
+      delete(tmpDir)
+      if (!java.nio.file.Files.exists(marker))
+        sys.error(s"replica rename failed and no complete replica at $dst")
+    }
     dst
   }
 

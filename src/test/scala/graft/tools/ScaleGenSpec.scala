@@ -15,6 +15,7 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -67,5 +68,20 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseShingles = graft.ops.Dedup.wordShingles(docs, "text", "doc_id", 3)
       .select("sh").distinct().count()
     assert(r1.count() == baseShingles, s"${r1.count()} != $baseShingles")
+  }
+
+  test("ensure10x generates via temp+rename, marks complete, and caches") {
+    val d = "/root/testdata/sf0.001"
+    val dst = ScaleGen.ensure10x(spark, d)
+    assert(new java.io.File(dst, "_COMPLETE").exists())
+    // no abandoned temp tree left behind
+    val parent = new java.io.File(dst).getParentFile
+    assert(!parent.listFiles().exists(_.getName
+      .startsWith(new java.io.File(dst).getName + ".tmp-")), dst)
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+    val base = spark.read.parquet(s"$d/documents.parquet")
+    assert(docs.count() == base.count() * ScaleGen.Factor)
+    // second call is a pure cache hit on the marker
+    assert(ScaleGen.ensure10x(spark, d) == dst)
   }
 }
