@@ -40,6 +40,27 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.getLong(0)).toSeq == Seq(4L, 3L, 0L, 8L, 0L, 1L))
   }
 
+  test("tokenSetOccurrences equals the per-word sum on random token soups") {
+    import spark.implicits._
+    // random texts over an alphabet that mixes stop words, words
+    // containing them as substrings, and noise — 300 docs, one job
+    val words = graft.ops.Curation.Stopwords
+    val alphabet = words ++ Seq("there", "lathe", "toward", "offer",
+      "xx", "q7", "bethe", "thebe")
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+    }.toDF("id", "text").where(length(col("text")) > 0)
+    val cmp = docs.select(
+      TextAnalysis.tokenSetOccurrences(col("text"), words).as("set"),
+      words.map(w => TextAnalysis.tokenOccurrences(col("text"), w))
+        .reduce(_ + _).as("sum"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("PII: email-first precedence, independent raw-text counts") {
     import spark.implicits._
     val rows = Seq(
