@@ -434,25 +434,14 @@ object SparkEntry {
 
     // Brute-force cosine top-k ANN over embeddings (the exact baseline;
     // LSH/IVF variants are the scale path — see graft.ops.Similarity).
+    // Codegen'd dot/norm, per-query top-k via bounded heaps with ranks
+    // from the heap pass (no Window operator).
     "ann_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      // codegen'd dot/norm (graft.functions.vec) — value-identical to
-      // the aggregate(zip_with(...)) HOF formulation the oracle mirrors
-      val dot = graft.ops.Similarity.dot(col("qe"), col("embedding"))
-      val qn = graft.ops.Similarity.norm(col("qe"))
-      val en = graft.ops.Similarity.norm(col("embedding"))
-      val scored = e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cosine", round(dot / (qn * en), 6))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("cosine").desc, col("vec_id"))))
-        .where(col("rk") <= 5)
-        .select(col("qid"), col("vec_id"), col("cosine"), col("rk").cast("long").as("rk"))
+      graft.ops.Similarity.bruteForceTopK(e, q, 5)
         .orderBy(col("qid"), col("rk"))
-      scored
     }),
 
     // MinHash + LSH near-duplicate detection (full pipeline: word

@@ -1,15 +1,15 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths:
   *   - `bruteForceTopK`: exact cosine top-k. Query side broadcast, one
-  *     pass over the corpus, per-query top-k via window. This is the
-  *     correctness baseline and is already 100 TB-shaped for small
+  *     pass over the corpus, per-query top-k via bounded heaps
+  *     ([[graft.plans.TopK]], ranks from the final heap pass). This is
+  *     the correctness baseline and is already 100 TB-shaped for small
   *     query sets (broadcast join + single scan, no shuffle of the
   *     corpus).
   *   - `lshTopK`: random-hyperplane LSH. Each vector gets a `planes`-bit
@@ -36,16 +36,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query top-k of scored (qid, id, cosine) candidates by
+    * (cosine desc, id asc), ranks emitted by the heap pass — bounded
+    * heaps instead of a full per-group window sort. The candidate set
+    * per query is a corpus fraction (all of it for brute force), so
+    * the window's group sort is the part that breaks first at scale;
+    * the explicit pre-projection keeps heap rows narrow (column
+    * pruning does not push through a custom node).
+    */
+  private def topKByCosine(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    graft.plans.TopK.topKPerKey(
+        scored.select(col("qid"), col(idCol), col("cosine")),
+        Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k,
+        rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("cosine"), col("rk"))
+
   /** Exact top-k neighbors for the query rows (qid, qe). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.crossJoin(broadcast(queries))
-      .where(col(idCol) =!= col("qid"))
-      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
+    topKByCosine(
+      corpus.crossJoin(broadcast(queries))
+        .where(col(idCol) =!= col("qid"))
+        .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6)),
+      k, idCol)
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1. Distinct
@@ -91,12 +104,9 @@ object Similarity {
           col("bucket") === col("qbucket") && col(idCol) =!= col("qid"))
         .select(col("qid"), col("qe"), col(idCol), col(vecCol))
     }.reduce(_ unionByName _).distinct()
-    candidates
-      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
+    topKByCosine(
+      candidates.withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6)),
+      k, idCol)
   }
 
   /** Centroid list sorted by (distance asc, cid asc) as ONE projection
@@ -435,13 +445,11 @@ object Similarity {
       .withColumn("c",
         explode(slice(centroidRanking(col("qe"), cents), 1, nprobe)))
       .select(col("qid"), col("qe"), col("c.cid").as("cid"))
-    assigned.join(broadcast(probes), Seq("cid"))
-      .where(col(idCol) =!= col("qid"))
-      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
+    topKByCosine(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .where(col(idCol) =!= col("qid"))
+        .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6)),
+      k, idCol)
   }
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine ≥
@@ -494,12 +502,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = corpus.withColumn("bucket", lshBucket(col(vecCol), planes))
     val qb = queries.withColumn("qbucket", lshBucket(col("qe"), planes))
-    bucketed.join(broadcast(qb),
-        col("bucket") === col("qbucket") && col(idCol) =!= col("qid"))
-      .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))))
-      .where(col("rk") <= k)
-      .select(col("qid"), col(idCol), col("cosine"), col("rk").cast("long").as("rk"))
+    topKByCosine(
+      bucketed.join(broadcast(qb),
+          col("bucket") === col("qbucket") && col(idCol) =!= col("qid"))
+        .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6)),
+      k, idCol)
   }
 }
