@@ -34,6 +34,33 @@ object Bench {
 
     val results = mutable.LinkedHashMap.empty[String, Double]
 
+    // -----------------------------------------------------------------
+    // Between-leg memory hygiene + contamination witness. ~170 legs
+    // (base + 10×) share ONE JVM; the dedup/CC legs localCheckpoint
+    // intermediates whose blocks are only reclaimed when the result
+    // DataFrames get garbage-collected, so without an explicit release
+    // a late leg runs under whatever storage pressure the previous
+    // hundred legs accumulated (the r8 driver record's 32.9×/15.5×
+    // outliers against a same-HEAD builder run of 3.0×/3.3× — same
+    // code, same data). Every leg therefore ends with: measure what it
+    // left in the block manager (the witness — a contaminated leg is
+    // VISIBLY contaminated), unpersist every persistent RDD (all
+    // cross-leg entries are leg-local localCheckpoints; the two
+    // EventStore persists are scoped-and-unpersisted within their
+    // calls), and a GC nudge so the context cleaner reaps driver-side
+    // litter (collected samples, literal cubes).
+    // -----------------------------------------------------------------
+    val leftovers = mutable.LinkedHashMap.empty[String, Long]
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    def hygiene(tag: String): Unit = {
+      val left = storageBytes()
+      if (left > leftovers.getOrElse(tag, 0L)) leftovers(tag) = left
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     // JVM/codegen warm-up on the smallest scale factor (not measured)
     try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => }
@@ -221,18 +248,29 @@ object Bench {
     //    TWICE and records the min: a single pass is at the mercy of
     //    whatever else the machine is doing (BENCH_r05 recorded a 3.6×
     //    phantom regression from one contended run), while the min of
-    //    two is a far better estimate of the code's actual cost.
+    //    two is a far better estimate of the code's actual cost. Each
+    //    pass is followed by the hygiene sweep, so pass 2 (and the next
+    //    leg) starts from a clean block manager.
+    var ccRoundsBase = -1
+    hygiene("setup")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def onePass(): Double =
-        try time { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
+      def onePass(): Double = {
+        val t =
+          try time { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
+        hygiene(name)
+        t
+      }
       val a = onePass()
       val b = if (a < 0) a else onePass()
       results(name) = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      // scale witness for the clusters leg: star-contraction rounds
+      // (written eagerly by the CC fixpoint this leg just ran)
+      if (name == "dedup_clusters") ccRoundsBase = graft.ops.Dedup.lastCcRounds.get()
     }
 
     // 2b. diagnostic (not a timing): 64-bit simhash banding
@@ -258,6 +296,7 @@ object Bench {
     // come in at or below the 64-bit one (twice the entropy)
     val simhash64Ratio = simhashRatio(64, 4)
     val simhash128Ratio = simhashRatio(128, 8)
+    hygiene("diag_simhash_ratio")
 
     // 2c. diagnostic (not a timing): trained-IVF recall@5 against the
     //     brute-force exact neighbors — the go/no-go number for the
@@ -280,6 +319,7 @@ object Bench {
         System.err.println(s"[bench] ivf recall diagnostic failed: ${e.getMessage}")
         -1.0
       }
+    hygiene("diag_ivf_recall")
 
     // 2d. diagnostic (not a timing): batch PQ-ADC recall@5 against the
     //     exact L2 neighbors for the SAME query batch the gated
@@ -299,7 +339,16 @@ object Bench {
     //     production would run k=256, far past SQL-unrollable). A
     //     regression shows as this number MOVING, not as it being
     //     small.
-    val (pqRecall, pqRecallWide): (Double, Double) =
+    //     The _prod variant (m=8, k=256 — real PQ geometry, far past
+    //     SQL-unrollable, so no oracle can cover it) is the smoke test
+    //     for the CODE PATH at production shape: train (bounded 2000-
+    //     sample, 1 Lloyd's round — the geometry, not the fit, is what
+    //     is under test), encode at 256 centroids/subspace, batch-ADC,
+    //     recall vs the same exact-L2 ground truth. It must come in AT
+    //     OR ABOVE the wide canary (more centroids = strictly finer
+    //     quantization); below it means the path breaks somewhere the
+    //     coarse geometries can't see.
+    val (pqRecall, pqRecallWide, pqRecallProd): (Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -318,17 +367,90 @@ object Bench {
           .select("qid", "vec_id")
           .localCheckpoint()
         val tot = exact.count().toDouble
-        def recallOf(m: Int, k: Int): Double = {
+        def recallOf(m: Int, k: Int, iters: Int = SparkEntry.PqIters,
+            maxSample: Int = 10000): Double = {
           val adc = graft.ops.Similarity.pqAdcTopKBatch(e, pred, kNN = 5,
-              m = m, k = k, iters = SparkEntry.PqIters)
+              m = m, k = k, iters = iters, maxSample = maxSample)
             .select("qid", "vec_id")
           if (tot == 0) 0.0 else exact.intersect(adc).count() / tot
         }
-        (recallOf(SparkEntry.PqM, SparkEntry.PqK), recallOf(8, 16))
+        val base = recallOf(SparkEntry.PqM, SparkEntry.PqK)
+        val wide = recallOf(8, 16)
+        val prod = recallOf(8, 256, iters = 1, maxSample = 2000)
+        if (prod >= 0 && wide >= 0 && prod < wide)
+          System.err.println(f"[bench] pq prod-geometry recall $prod%.3f " +
+            f"BELOW wide canary $wide%.3f — investigate the k=256 path")
+        (base, wide, prod)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0)
+        (-1.0, -1.0, -1.0)
       }
+    hygiene("diag_pq_recall")
+
+    // 2e. diagnostic (not a timing): IVF inverted-list balance at the
+    //     gated `ann_ivf` config — probe cost is proportional to the
+    //     probed lists' sizes, so a skewed assignment (one giant list)
+    //     is what would turn the linear probe-join super-linear long
+    //     before recall moves. Recorded at base and 10× so a drifting
+    //     `ann_ivf` ratio has its explanation in the same record.
+    def ivfListStats(dir: String): (Long, Long) =
+      try {
+        val sizes = graft.ops.Similarity
+          .ivfListSizes(Tables.embeddings(spark, dir),
+            nlist = SparkEntry.IvfLists, trainIters = SparkEntry.IvfIters)
+          .select("n").collect().map(_.getLong(0)).sorted
+        if (sizes.isEmpty) (-1L, -1L)
+        else (sizes.last, sizes((sizes.length - 1) / 2))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivf list-size diagnostic failed: ${e.getMessage}")
+        (-1L, -1L)
+      }
+    val (ivfListMax, ivfListP50) = ivfListStats(sfDir)
+    hygiene("diag_ivf_lists")
+
+    // 2f. diagnostic (timed internally, reported as a ratio): EPSUB
+    //     delivery cost
+    //     WITHOUT the oracle's driver-side collect — the gated
+    //     es_psub_deliver query necessarily accumulates every delivered
+    //     row on the driver and re-sorts it (that is its oracle
+    //     contract), which at 10× dominates the leg. This measures the
+    //     operator itself: full catch-up through the streaming source
+    //     into a count-only sink. Min of two passes, fresh checkpoint
+    //     each (same policy as every timed leg).
+    def psubDeliverySec(dir: String): Double = {
+      def onePass(): Double =
+        try {
+          val es = StoreProvider.storeFor(spark, dir)
+          import graft.streaming.Subscriptions._
+          val backlog = es.manifest.watermarks.values.map(_ + 1).sum
+          val window = math.max(50000L, backlog / 2)
+            .min(Int.MaxValue.toLong).toInt
+          val n = new java.util.concurrent.atomic.AtomicLong()
+          val ck = java.nio.file.Files.createTempDirectory("bench-psub-")
+          time {
+            val q = deliver(
+              subscribe(es, Matcher(allPartitions = true), From.Value(0),
+                window = window),
+              ck.toString, byStream = false)(rows => n.addAndGet(rows.size))
+            try q.processAllAvailable()
+            finally {
+              q.stop()
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+              }
+              rm(ck.toFile)
+            }
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] psub delivery failed: ${e.getMessage}")
+          -1.0
+        }
+      val a = onePass()
+      val b = if (a < 0) a else onePass()
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
+    val psubDelivery = psubDeliverySec(sfDir)
+    hygiene("diag_psub_delivery")
 
     // 3. subscription catch-up: deliver one stream's full history
     //    through the streaming source. WINDOW is a per-client pacing
@@ -365,6 +487,7 @@ object Bench {
         System.err.println(s"[bench] esub_catchup failed: ${e.getMessage}")
       }
     }
+    hygiene("esub_catchup")
 
     // 3. SCALE-PROOF leg: every query once more against a 10× re-keyed
     //    replica of the bench corpus (ScaleGen; generated once, cached
@@ -376,6 +499,10 @@ object Bench {
     //    SPARK_GRAFT_SCALE_BUDGET_SEC (default 1200), remaining queries
     //    are SKIPPED AND LISTED — no silent truncation.
     var scaleJson = "null"
+    var ccRounds10x = -1
+    var psubDelivery10x = -1.0
+    var ivfListMax10x = -1L
+    var ivfListP5010x = -1L
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_LEG", "1") == "1") {
       try {
         val budgetSec =
@@ -388,29 +515,49 @@ object Bench {
         val sq = mutable.LinkedHashMap.empty[String, Double]
         val skipped = mutable.ArrayBuffer.empty[String]
         sq("ingest") = time { StoreProvider.storeFor(spark, bigDir) }
+        hygiene("10x:ingest")
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           if (spent > budgetSec) skipped += name
           else {
-            def onePass(): Double =
-              try time {
-                fn(spark, bigDir).write.mode("overwrite").format("noop").save()
-              } catch {
-                case e: Throwable =>
-                  System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
-                  -1.0
-              }
+            def onePass(): Double = {
+              val t =
+                try time {
+                  fn(spark, bigDir).write.mode("overwrite").format("noop").save()
+                } catch {
+                  case e: Throwable =>
+                    System.err.println(s"[bench] scale10x $name failed: ${e.getMessage}")
+                    -1.0
+                }
+              hygiene(s"10x:$name")
+              t
+            }
+            // min-of-2 UNCONDITIONALLY (budget permitting). Round 8
+            // conditioned the re-run on the first pass being under 5 s
+            // — which adversely selected exactly the outliers the
+            // policy exists to remove: a 2 s-true-cost leg whose first
+            // pass hit a 26 s GC/contention stall was recorded at 26 s
+            // forever (the r8 driver record's 32.9×/15.5× tail, each
+            // with a builder-measured twin at 2-16 s). A noisy first
+            // pass is evidence the leg NEEDS a second look, not a
+            // reason to skip it.
             val a = onePass()
-            // cheap legs are the contention-noisy ones (a phantom 6×
-            // on a 0.3 s query costs nothing to re-check; a 30 s leg
-            // is already stable and not worth doubling) — min-of-2
-            // below 5 s, single pass above
             sq(name) =
-              if (a >= 0 && a < 5.0 && spent <= budgetSec) {
+              if (a < 0 || spent > budgetSec) a
+              else {
                 val b = onePass()
                 if (b < 0) a else math.min(a, b)
-              } else a
+              }
+            if (name == "dedup_clusters")
+              ccRounds10x = graft.ops.Dedup.lastCcRounds.get()
           }
         }
+        // 10× twins of the base diagnostics (same helpers, big store)
+        psubDelivery10x = psubDeliverySec(bigDir)
+        hygiene("10x:diag_psub_delivery")
+        val ivf10 = ivfListStats(bigDir)
+        ivfListMax10x = ivf10._1
+        ivfListP5010x = ivf10._2
+        hygiene("10x:diag_ivf_lists")
         val ratios = sq.toSeq.collect {
           case (n, v) if v >= 0 && results.getOrElse(n, -1.0) > 0.0 =>
             n -> v / results(n)
@@ -427,18 +574,42 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3 decimals everywhere (a full double repr per leg was the main
+    // reason the stdout line outgrew the driver's bounded tail capture)
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // machine-contention witness: if a future run regresses with a high
     // load_avg, suspect the machine before the code
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // hygiene witness: what each leg LEFT in the block manager before
+    // its sweep — a leg whose number was taken under inherited storage
+    // pressure is visibly contaminated. Only the top offenders above
+    // 32 MB are listed (most legs leave exactly 0).
+    val leftoverJson = leftovers.toSeq.filter(_._2 > 32L * 1024 * 1024)
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val psubRatio =
+      if (psubDelivery > 0 && psubDelivery10x > 0)
+        f"${psubDelivery10x / psubDelivery}%.3f"
+      else "-1"
     val diag = s"""{"simhash64_candidate_ratio":$simhash64Ratio,""" +
       s""""simhash128_candidate_ratio":$simhash128Ratio,""" +
       s""""ivf_recall_at_5":$ivfRecall,""" +
       s""""pq_recall_at_5":$pqRecall,""" +
       s""""pq_recall_at_5_wide":$pqRecallWide,""" +
+      s""""pq_recall_at_5_prod":$pqRecallProd,""" +
+      s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
+      s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
+      s""""cc_rounds_base":$ccRoundsBase,"cc_rounds_10x":$ccRounds10x,""" +
+      f""""psub_delivery_sec":$psubDelivery%.3f,""" +
+      f""""psub_delivery_sec_10x":$psubDelivery10x%.3f,""" +
+      s""""psub_delivery_ratio_10x":$psubRatio,""" +
+      s""""hygiene_max_leftover_bytes":${
+        if (leftovers.isEmpty) 0L else leftovers.values.max},""" +
+      s""""hygiene_leftovers":$leftoverJson,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_drain_sec":$serverDrainSec,""" +

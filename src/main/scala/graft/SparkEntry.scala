@@ -1495,9 +1495,9 @@ object SparkEntry {
     * its oracle: Lloyd's iterations, coarse-list count, probe width,
     * and the ordered-prefix training-sample cap.
     */
-  private val IvfLists = 10
-  private val IvfProbes = 2
-  private val IvfIters = 3
+  private[graft] val IvfLists = 10
+  private[graft] val IvfProbes = 2
+  private[graft] val IvfIters = 3
   private val IvfSample = 10000
 
   /** Mirror of Similarity.kmeansCentroids + ivfTopK: the k-means

@@ -260,7 +260,27 @@ object Dedup {
     * the iterative lineage so round N's plan does not replay rounds
     * 0..N-1.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** Rounds the most recent [[connectedComponents]] fixpoint took on
+    * this driver (-1 before any run). A bench-harness diagnostic: the
+    * star-contraction round count is the scale witness for the
+    * clusters leg — O(log² n) rounds that hold steady between a 1× and
+    * a 10× corpus prove the replica's pair graph contracts the same
+    * way, while growing rounds would mean the edge structure (not the
+    * operator) changed shape. Written at the END of every CC call
+    * (the fixpoint loop runs eagerly), so a sequential caller reads
+    * the value for the run it just triggered.
+    */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** [[connectedComponents]] plus the number of large/small-star
+    * rounds the fixpoint took (the loop runs eagerly — the count is
+    * final when this returns).
+    */
+  def connectedComponentsWithRounds(edges: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val Seq(uc, vc) = edges.columns.take(2).toSeq
     var cur = edges.select(col(uc).as("u"), col(vc).as("v"))
       .where(col("u") =!= col("v"))
@@ -290,11 +310,12 @@ object Dedup {
         s"connectedComponents did not reach a fixpoint in $maxIter " +
           "iterations; the clustering would be wrong (components split). " +
           "Raise maxIter for this graph.")
+    lastCcRounds.set(it)
     // at the fixpoint every edge is (node, component-min); component
     // roots only appear on the right — add their identity rows
-    cur.select(col("u").as("id"), col("v").as("cluster"))
+    (cur.select(col("u").as("id"), col("v").as("cluster"))
       .union(cur.select(col("v").as("id"), col("v").as("cluster")))
-      .distinct()
+      .distinct(), it)
   }
 
   /** Large-star: connect every neighbor LARGER than `u` to

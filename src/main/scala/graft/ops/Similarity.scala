@@ -374,8 +374,10 @@ object Similarity {
     */
   def pqAdcTopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
       m: Int = 4, k: Int = 8, iters: Int = 2,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val books = pqTrain(corpus, m, k, iters, idCol = idCol, vecCol = vecCol)
+    val books = pqTrain(corpus, m, k, iters, maxSample, sampleMode,
+      idCol = idCol, vecCol = vecCol)
     val sub = books.head.head.length
     val codes = pqCodesWith(corpus, books, idCol = idCol, vecCol = vecCol)
     val qVecs: Seq[(Long, Seq[Double])] = corpus
@@ -385,11 +387,17 @@ object Similarity {
         r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
       .sortBy(_._1)
     require(qVecs.nonEmpty, "empty query batch")
-    val cube = array(qVecs.map { case (_, qv) =>
-      array((0 until m).flatMap(s =>
-        books(s).map(c => lit(l2r6(qv.slice(s * sub, s * sub + sub), c)))): _*)
-    }: _*)
-    val qids = array(qVecs.map(q => lit(q._1)): _*)
+    // ONE literal node each (typedLit), not Q·m·k nested lit() calls:
+    // at production geometry (k=256, m=8) the per-cell form would put
+    // ~Q·2048 expression nodes in the plan and analysis would dominate
+    // the query — a single nested-ArrayData literal keeps plan size
+    // independent of the cube's volume
+    val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
+      (0 until m).flatMap(s =>
+        books(s).map(c => l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
+    }
+    val cube = typedLit(cubeVals)
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
     val exploded = codes.select(
       col(idCol) +: (0 until m).map(s => col(s"code$s")) :+
         posexplode(qids).as(Seq("qpos", "qid")): _*)
@@ -422,21 +430,46 @@ object Similarity {
     * whole-stage codegen. The probe is a bucket equi-join on list id —
     * at 100 TB the inverted lists are the only shuffle key.
     */
+  /** The trained (or seeded) coarse quantizer both IVF entry points
+    * share — nlist is small by construction: collecting it to the
+    * driver is the IVF contract, not a scale hazard.
+    */
+  private def coarseCentroids(corpus: DataFrame, nlist: Int, trainIters: Int,
+      sampleMode: String, idCol: String,
+      vecCol: String): Seq[(Any, Seq[Double])] =
+    if (trainIters > 0) kmeansCentroids(corpus, nlist, trainIters,
+      sampleMode = sampleMode, idCol = idCol, vecCol = vecCol)
+    else corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.get(0),
+        // element type is whatever the embedding column holds
+        // (float or double) — don't assume
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+
+  /** Inverted-list size per coarse centroid, `(cid, n)` — the balance
+    * diagnostic for [[ivfTopK]]: probe cost is proportional to the
+    * probed lists' sizes, so a skewed assignment (one giant list) is
+    * what turns the linear probe-join super-linear long before recall
+    * moves. Same training, same assignment projection as the search
+    * path.
+    */
+  def ivfListSizes(corpus: DataFrame, nlist: Int = 10, trainIters: Int = 0,
+      sampleMode: String = "prefix",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
+    corpus
+      .withColumn("cid",
+        element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
       sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // nlist is small by construction: collecting the coarse quantizer
-    // to the driver is the IVF contract, not a scale hazard
-    val cents: Seq[(Any, Seq[Double])] =
-      if (trainIters > 0) kmeansCentroids(corpus, nlist, trainIters,
-        sampleMode = sampleMode, idCol = idCol, vecCol = vecCol)
-      else corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol), col(vecCol)).collect().toSeq
-        .map(r => (r.get(0),
-          // element type is whatever the embedding column holds
-          // (float or double) — don't assume
-          r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
     // nearest centroid per corpus vector: shuffle-free projection
     val assigned = corpus.withColumn("cid",
       element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))

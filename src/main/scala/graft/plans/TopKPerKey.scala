@@ -204,6 +204,12 @@ object TopK {
       rankCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1, got $k")
     require(keyCols.nonEmpty, "top-k requires at least one grouping key")
+    // a rank column shadowing an input column would emit TWO
+    // same-named attributes (child.output ++ rankAttr) — ambiguous
+    // references or silently wrong resolution downstream
+    rankCol.foreach(n => require(!df.columns.contains(n),
+      s"rankCol '$n' already exists in the input columns " +
+        s"(${df.columns.mkString(", ")}); pick an unused name"))
     val spark = df.sparkSession
     ensureRegistered(spark)
     // Column is a lazy node in Spark 4 — get fully-resolved catalyst

@@ -49,7 +49,9 @@ import org.apache.parquet.io.api.Binary
   */
 object HeadProbe {
 
-  private val dirListings =
+  // private[storage] so the spec can pin invalidate()'s path-boundary
+  // semantics directly against the cache keys
+  private[storage] val dirListings =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Path]]()
   private val footers =
     new java.util.concurrent.ConcurrentHashMap[String, ParquetMetadata]()
@@ -74,8 +76,16 @@ object HeadProbe {
     */
   def invalidate(rootPrefix: String): Unit = {
     val want = new Path(rootPrefix).toUri.getPath
-    def hit(key: String): Boolean =
-      new Path(key).toUri.getPath.startsWith(want)
+    // path-BOUNDARY match, not bare startsWith: invalidating
+    // `/x/_heads` must not also drop a sibling store whose directory
+    // name merely extends it (`/x/_heads-backup`) — only
+    // over-invalidation, but it silently crosses store boundaries.
+    // Hadoop Path normalization strips trailing slashes, so `want`
+    // never ends with "/" and the "/"-suffix probe is exact.
+    def hit(key: String): Boolean = {
+      val p = new Path(key).toUri.getPath
+      p == want || p.startsWith(want + "/")
+    }
     dirListings.keySet.removeIf(hit(_))
     footers.keySet.removeIf(hit(_))
     blooms.keySet.removeIf(k => hit(k._1))

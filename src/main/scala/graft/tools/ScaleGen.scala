@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
   * replicate verbatim (vector payloads have no banding-verify stage;
   * over-dense LSH buckets are dropped by construction).
   *
+  * KNOWN SKEW of the mutated replica: the token prefix also zeroes
+  * every stopword and language-marker hit in replicas 1-9, so ~90% of
+  * the 10× corpus scores stop_ratio 0 / lang 'und'. Legs whose
+  * DOWNSTREAM work is gated on those signals (quality filter pass
+  * rate, langid distribution) therefore run against a survivor set
+  * closer to base-sized than 10× — their scale ratios are optimistic
+  * and are read as scan-scaling only, not survivor-scaling. The dedup
+  * legs this mutation exists for are unaffected (their workload is
+  * the shingle/band structure, which IS preserved 1:1 per replica).
+  * An alternative that preserves stopwords (prefixing only every k-th
+  * token, k = shingle width) would keep every k-gram mutated but
+  * leave 1-1/k of unigram features shared across replicas — unigram-
+  * feature operators (simhash shingleK<=1, langid, quality) would then
+  * see cross-replica collisions instead, so no single mutation serves
+  * both families; this one favors the dedup legs and documents the
+  * skew.
+  *
   * The replica is generated ONCE into a content-addressed cache dir
   * (keyed by source dir name) with a completion marker; a crashed
   * generation is re-done from scratch.
@@ -99,11 +116,19 @@ object ScaleGen {
     // (no marker AND untouched for an hour) are deleted: a sibling
     // with no marker but a recent mtime may be another process's
     // in-progress generation, and deleting it mid-write would hand
-    // that process a corrupt dataset.
+    // that process a corrupt dataset. `.tmp-<pid>` trees are NEVER
+    // swept here regardless of age: a directory's mtime only moves
+    // when direct children appear, so a concurrent process mid-way
+    // through one long table write looks idle for longer than any
+    // cutoff — deleting its live tmp tree could let it commit a
+    // replica missing earlier tables. Each process deletes only its
+    // OWN tmp tree (below); abandoned ones from crashed runs are
+    // bounded at one dir per pid and /tmp is wiped on reboot anyway.
     val staleCutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
       .filter(f => (f.getName == prefix || // pre-fingerprint layout
         f.getName.startsWith(prefix + "-")) && f.toString != dst)
+      .filter(f => !f.getName.contains(".tmp-"))
       .filter(f => new java.io.File(f, "_COMPLETE").exists() ||
         f.lastModified() < staleCutoff)
       .foreach(delete)

@@ -304,6 +304,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(Nil).isEmpty)
   }
 
+  test("connected components report their round count (bench scale witness)") {
+    import spark.implicits._
+    // chain: needs real contraction rounds; star at min: one round to
+    // confirm the fixpoint. Both the return value and the last-run
+    // tracker (what the bench reads after the clusters leg) agree.
+    val (chainDf, chainRounds) = Dedup.connectedComponentsWithRounds(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b"))
+    assert(chainDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (1L to 6L).map(_ -> 1L).toMap)
+    assert(chainRounds >= 1 && chainRounds <= 25)
+    assert(Dedup.lastCcRounds.get() == chainRounds)
+    val (_, starRounds) = Dedup.connectedComponentsWithRounds(
+      Seq((1L, 5L), (1L, 9L)).toDF("a", "b"))
+    assert(starRounds >= 1 && starRounds <= chainRounds)
+    assert(Dedup.lastCcRounds.get() == starRounds)
+  }
+
   test("guards: over-wide hamming fingerprint and exhausted cc iteration cap fail loudly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -518,6 +535,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ivf(qid).contains(top1),
         s"trained IVF should find brute-force top-1 $top1 for query $qid")
     }
+  }
+
+  test("ivf list sizes: every vector lands in exactly one inverted list") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count()
+    val sizes = Similarity.ivfListSizes(e, nlist = 8, trainIters = 3)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    // a partition of the corpus: sizes sum to the corpus, every list
+    // non-empty would be ideal but is data-dependent — non-negative and
+    // at most nlist lists is the contract
+    assert(sizes.map(_._2).sum == n)
+    assert(sizes.length <= 8 && sizes.forall(_._2 > 0))
+    // same quantizer as the search path: deterministic across calls
+    val again = Similarity.ivfListSizes(e, nlist = 8, trainIters = 3)
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    assert(sizes.sortBy(_.toString).toSeq == again.sortBy(_.toString).toSeq)
   }
 
   test("forward as-of: next event, inclusive, bounded, tie to smallest id") {

@@ -128,4 +128,20 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fellBack == viaWindow)
     } finally spark.conf.unset("graft.topk.partialRowBudget")
   }
+
+  test("rankCol shadowing an input column is rejected up front") {
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    // emitting a second attribute named o_orderkey would make every
+    // downstream reference ambiguous — the API must refuse, not emit
+    val ex = intercept[IllegalArgumentException] {
+      TopK.topKPerKey(orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc), 3, rankCol = Some("o_orderkey"))
+    }
+    assert(ex.getMessage.contains("o_orderkey"))
+    // a fresh name on the same inputs still works
+    assert(TopK.topKPerKey(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3,
+      rankCol = Some("rk")).columns.contains("rk"))
+  }
 }

@@ -45,4 +45,27 @@ class HeadProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // either throw (files gone) or answer 0
     (0 until 8).foreach(i => assert(es2.sver(s"hp-$i").contains(1L), s"hp-$i"))
   }
+
+  test("invalidate stops at path boundaries (no sibling-store bleed)") {
+    val root = "/hp-bound/store/_heads"
+    // cache keys as the probe actually stores them: bare paths AND
+    // scheme-qualified paths from listStatus
+    HeadProbe.dirListings.put(s"$root", Nil)
+    HeadProbe.dirListings.put(s"$root/delta-v1", Nil)
+    HeadProbe.dirListings.put(s"file:$root/base-v2", Nil)
+    // siblings whose names merely EXTEND the root must survive
+    HeadProbe.dirListings.put(s"$root-backup/delta-v1", Nil)
+    HeadProbe.dirListings.put(s"${root}ish", Nil)
+    try {
+      HeadProbe.invalidate(root)
+      assert(!HeadProbe.dirListings.containsKey(s"$root"))
+      assert(!HeadProbe.dirListings.containsKey(s"$root/delta-v1"))
+      assert(!HeadProbe.dirListings.containsKey(s"file:$root/base-v2"))
+      assert(HeadProbe.dirListings.containsKey(s"$root-backup/delta-v1"))
+      assert(HeadProbe.dirListings.containsKey(s"${root}ish"))
+    } finally {
+      HeadProbe.dirListings.remove(s"$root-backup/delta-v1")
+      HeadProbe.dirListings.remove(s"${root}ish")
+    }
+  }
 }
