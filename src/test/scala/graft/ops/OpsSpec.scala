@@ -767,6 +767,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, batch.queryExecution.executedPlan.toString)
   }
 
+  test("batch PQ-ADC at production-ish geometry (k=64) with a bounded sample") {
+    // the bench's prod smoke runs m=8/k=256 at sf0.1; this pins the
+    // same path (wide codebooks, typed-literal cube, bounded training
+    // sample) at a spec-sized geometry: complete well-formed top-k
+    // per query, deterministic across calls
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = pmod(col("vec_id"), lit(100)) === 3
+    val q = e.where(pred).count()
+    assert(q >= 3)
+    def run() = Similarity.pqAdcTopKBatch(e, pred, kNN = 3, m = 8, k = 64,
+        iters = 1, maxSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val got = run()
+    assert(got.size == q * 3, s"${got.size} rows for $q queries")
+    got.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._4) == Set(1L, 2L, 3L), s"ranks for $qid")
+      assert(rs.forall(_._3 >= 0.0), s"negative ADC distance for $qid")
+    }
+    // trained constants are deterministic → so is the whole query
+    assert(run() == got)
+  }
+
   test("range join by bucketization equals the brute-force theta join") {
     import spark.implicits._
     // edge cases: empty interval (hi <= lo), inclusive lo / exclusive

@@ -84,4 +84,38 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     // second call is a pure cache hit on the marker
     assert(ScaleGen.ensure10x(spark, d) == dst)
   }
+
+  test("stale-sibling sweep never touches .tmp- trees (live generations)") {
+    val d = "/root/testdata/sf0.001"
+    val dst = new java.io.File(ScaleGen.ensure10x(spark, d))
+    // a sibling that LOOKS like a superseded replica (old mtime, even a
+    // _COMPLETE marker) but lives under a .tmp- name is some process's
+    // generation tree — a fresh ensure10x must leave it alone
+    val liveTmp = new java.io.File(dst.getParentFile,
+      dst.getName.replaceAll("-[0-9a-f]{12}$", "-deadbeef0000") + ".tmp-99999")
+    val old = new java.io.File(dst.getParentFile,
+      dst.getName.replaceAll("-[0-9a-f]{12}$", "-deadbeef0001"))
+    try {
+      assert(liveTmp.mkdirs() && old.mkdirs())
+      java.nio.file.Files.createFile(liveTmp.toPath.resolve("_COMPLETE"))
+      java.nio.file.Files.createFile(old.toPath.resolve("_COMPLETE"))
+      liveTmp.setLastModified(System.currentTimeMillis() - 3 * 3600 * 1000)
+      // the sweep only runs on a cache MISS — drop dst's marker so
+      // ensure10x regenerates (sf0.001 is seconds) and sweeps siblings
+      java.nio.file.Files.delete(dst.toPath.resolve("_COMPLETE"))
+      val again = ScaleGen.ensure10x(spark, d)
+      assert(again == dst.toString)
+      // the marked, old, NON-tmp sibling was swept...
+      assert(!old.exists(), "superseded sibling should be deleted")
+      // ...but the .tmp- tree survived untouched
+      assert(liveTmp.exists() &&
+        new java.io.File(liveTmp, "_COMPLETE").exists(),
+        ".tmp- tree must never be swept")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(liveTmp); rm(old)
+    }
+  }
 }
