@@ -1023,6 +1023,58 @@ object SparkEntry {
         .map { case (pid, wm) => (pid, wm) }
         .toDF("partition_id", "watermark")
         .orderBy(col("partition_id"))
+    }),
+
+    // Streaming exactly-once from at-least-once: the SAME event log
+    // delivered TWICE (two independent file-stream readers unioned — a
+    // redelivering feed), collapsed back to exactly-once by
+    // EventTimeAggs.dedupDeliveries — watermark-BOUNDED dedup state
+    // keyed on event_id, the shape that survives an unbounded 100 TB
+    // feed where plain dropDuplicates' O(all keys ever) state dies.
+    // The horizon covers the full replay window (the events corpus
+    // spans ~30 days) so catch-up is deterministic under any
+    // micro-batching; a live tail sizes it to the redelivery window.
+    // Only per-batch AGGREGATES reach the driver (events never do);
+    // per-stream (count, max, sum) of versions hash-matches the
+    // oracle's recount iff every event arrived exactly once — any
+    // duplicate breaks count+sum, any loss breaks count+max+sum.
+    "stream_dedup_deliver" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      def feed() = s.readStream
+        .schema(graft.core.EventSchema.schema)
+        .option("basePath", s"${es.root}/events")
+        .parquet(s"${es.root}/events")
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+      val ck = java.nio.file.Files.createTempDirectory("verify-sdedup-")
+      val q = graft.streaming.EventTimeAggs
+        .dedupDeliveries(feed().unionAll(feed()), horizon = "45 days")
+        .select(col("stream_id"), col("stream_version"))
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("stream_id"))
+            .agg(count(lit(1)).as("n"), max(col("stream_version")).as("mx"),
+              sum(col("stream_version")).as("vs"))
+            .collect().foreach(r => got.add((
+              r.getAs[String]("stream_id"), r.getAs[Long]("n"),
+              r.getAs[Long]("mx"), r.getAs[Long]("vs"))))
+        }
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(ck.toFile)
+      }
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.toDF("stream_id", "n", "mx", "vs")
+        .groupBy(col("stream_id"))
+        .agg(sum(col("n")).as("n_events"), max(col("mx")).as("max_version"),
+          sum(col("vs")).as("version_sum"))
+        .orderBy(col("stream_id"))
     })
   )
 
@@ -2023,6 +2075,17 @@ object SparkEntry {
         |    AS stream_version,
         |  event_type AS event_name, epoch_ms(ts) AS ts_ms, props AS payload
         |FROM events ORDER BY stream_id, stream_version""".stripMargin,
+
+    // Exactly-once recount: the doubled feed collapsed by streaming
+    // dedup must deliver precisely the distinct event set — per-stream
+    // (count, max, sum) of the gapless version sequence.
+    "stream_dedup_deliver" ->
+      """SELECT stream_id, count(*) AS n_events, max(v) AS max_version,
+        |  CAST(sum(v) AS BIGINT) AS version_sum
+        |FROM (SELECT 'user-' || user_id AS stream_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS v
+        |  FROM events)
+        |GROUP BY stream_id ORDER BY stream_id""".stripMargin,
 
     "es_scan_stream" ->
       """SELECT stream_id, stream_version, event_name, payload FROM (

@@ -33,6 +33,29 @@ object EventTimeAggs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_name"), col("n"))
 
+  /** Exactly-once view of an at-least-once event feed: duplicate
+    * deliveries of the same `event_id` are dropped with BOUNDED state
+    * (`dropDuplicatesWithinWatermark`) — the state store only has to
+    * remember keys newer than `watermark − horizon`, so an unbounded
+    * redelivering stream cannot grow state without bound. That is the
+    * property that matters when the log is 100 TB and redelivery is
+    * routine: the reference's `has_seen` cursor
+    * (`crates/sierradb-cluster/src/subscription.rs`) gives
+    * per-subscription exactly-once; this gives the same guarantee to
+    * any downstream consumer of a merged / re-sent feed, sized by the
+    * redelivery window instead of the key universe. `horizon` must be
+    * at least the worst-case gap between a delivery and its redelivery
+    * (plain `dropDuplicates` would be exact forever, but its state is
+    * O(all keys ever) — the shape that dies at scale).
+    */
+  def dedupDeliveries(
+      events: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("timestamp_ns div 1000")))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionInput(stream_id: String, timestamp_ns: Long)
   final case class SessionState(start_ns: Long, last_ns: Long, events: Long)
   final case class ClosedSession(

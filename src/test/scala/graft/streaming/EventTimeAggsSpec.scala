@@ -78,4 +78,34 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.getAs[Long]("end_ns") == (base + 60000) * 1000000L)
     } finally q.stop()
   }
+
+  test("dedupDeliveries collapses an at-least-once doubled feed to exactly once") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-sdd-").toString, 4)
+    val base = 1700000000000L
+    es.appendMany((0 until 20).map(i =>
+      EventInput(s"dd-${i % 3}", s"E$i", timestampMs = Some(base + i * 1000L))))
+
+    def feed() = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+    // every event delivered twice; horizon comfortably covers the feed
+    val q = EventTimeAggs.dedupDeliveries(feed().unionAll(feed()), "1 hour")
+      .select("event_id", "stream_id", "stream_version")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_dedup").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("eta_dedup").collect()
+      // exactly once: 20 distinct events, no event_id twice, and the
+      // per-stream version sequences are the complete gapless set
+      assert(rows.length == 20)
+      assert(rows.map(_.getAs[String]("event_id")).distinct.length == 20)
+      val perStream = rows.groupBy(_.getAs[String]("stream_id"))
+        .view.mapValues(_.map(_.getAs[Long]("stream_version")).sorted.toSeq).toMap
+      assert(perStream == Map(
+        "dd-0" -> (0L until 7L), "dd-1" -> (0L until 7L), "dd-2" -> (0L until 6L)))
+    } finally q.stop()
+  }
 }
