@@ -3,46 +3,51 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-level timing probe for the simhash pairs pipeline (dev tool,
-  * not part of the driver contract).
+/** Timing breakdown of the 128-bit simhash-pairs leg (the r9 record's
+  * worst scale leg): fingerprint aggregation alone vs band-candidates
+  * vs the full pairs query, at base and 10×. Decides whether the
+  * fingerprint's 128-column bit-sum aggregation is the part worth
+  * optimizing.
   */
 object ProbeSimhash {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-    docs.count()
-    def t(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.mode("overwrite").format("noop").save()
-
-    val sh = graft.ops.Dedup.wordShingles(docs, "text", "doc_id", 3)
-    t("shingles_distinct")(noop(sh))
-    t("shingles_distinct2")(noop(sh))
-    val hash = concat(md5(col("sh").cast("binary")),
-      md5(concat(lit("1:"), col("sh")).cast("binary")))
-    t("plus_hash")(noop(sh.select(col("id"), hash.as("th"))))
-    val chunked = sh.select(col("id") +: (0 until 8).map(c =>
-      conv(substring(hash, c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
-    t("plus_chunks")(noop(chunked))
-    t("full_fingerprint")(noop(
-      graft.ops.Dedup.simhash(docs, "text", "doc_id", 64, 3)))
-    t("full_fingerprint2")(noop(
-      graft.ops.Dedup.simhash(docs, "text", "doc_id", 64, 3)))
-    val fp = graft.ops.Dedup.simhash(docs, "text", "doc_id", 64, 3).localCheckpoint()
-    t("band_candidates") {
-      println("cand=" + graft.ops.Dedup.simhashBandCandidates(fp, 64, 8).count())
+    val bigDir = ScaleGen.ensure10x(spark, sfDir)
+    Seq("base" -> sfDir, "10x" -> bigDir).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (1 to 2).foreach { pass =>
+        val tFp = time {
+          graft.ops.Dedup.simhash(docs, "text", "doc_id", bits = 128, shingleK = 3)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val fp = graft.ops.Dedup
+          .simhash(docs, "text", "doc_id", bits = 128, shingleK = 3)
+          .localCheckpoint()
+        val tCand = time {
+          graft.ops.Dedup.simhashBandCandidates(fp, 128, 8)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val tFull = time {
+          graft.ops.Dedup.simhashPairs(docs, "text", "doc_id",
+              bits = 128, bands = 8, maxDistance = 7, shingleK = 3)
+            .write.mode("overwrite").format("noop").save()
+        }
+        println(f"[probe-simhash] $tag pass $pass fp=$tFp%.2f cand(fp cached)=$tCand%.2f full=$tFull%.2f")
+      }
     }
-    t("full_pairs_64")(noop(
-      graft.ops.Dedup.simhashPairs(docs, "text", "doc_id", 64, 8, 7, 3)))
     spark.stop()
   }
 }

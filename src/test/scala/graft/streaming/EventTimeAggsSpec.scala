@@ -108,4 +108,42 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "dd-0" -> (0L until 7L), "dd-1" -> (0L until 7L), "dd-2" -> (0L until 6L)))
     } finally q.stop()
   }
+
+  test("dedupDeliveries drops redeliveries arriving in LATER micro-batches") {
+    // the state-store path (not just in-batch dedup): branch 1 delivers
+    // the full log in batch 0; branch 2 re-delivers the same files one
+    // per micro-batch afterwards — every one a cross-batch duplicate
+    // that only the watermark-bounded key state can recognize
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-sddx-").toString, 4)
+    val base = 1700000000000L
+    // two appends so the log spans several files
+    es.appendMany((0 until 10).map(i =>
+      EventInput(s"dx-${i % 3}", s"E$i", timestampMs = Some(base + i * 1000L))))
+    es.appendMany((10 until 20).map(i =>
+      EventInput(s"dx-${i % 3}", s"E$i", timestampMs = Some(base + i * 1000L))))
+
+    def feed(extra: (String, String)*) = {
+      val rs = spark.readStream
+        .schema(graft.core.EventSchema.schema)
+        .option("basePath", s"${es.root}/events")
+      extra.foldLeft(rs) { case (r, (k, v)) => r.option(k, v) }
+        .parquet(s"${es.root}/events")
+    }
+    val q = EventTimeAggs
+      .dedupDeliveries(
+        feed().unionAll(feed("maxFilesPerTrigger" -> "1")), "1 hour")
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_dedup_xb").start()
+    try {
+      q.processAllAvailable()
+      // the trickling branch forces multiple micro-batches
+      assert(q.lastProgress.batchId > 0,
+        s"expected multiple micro-batches, got batchId=${q.lastProgress.batchId}")
+      val ids = spark.table("eta_dedup_xb").collect().map(_.getString(0))
+      assert(ids.length == 20, s"expected 20 exactly-once events, got ${ids.length}")
+      assert(ids.distinct.length == 20)
+    } finally q.stop()
+  }
 }
