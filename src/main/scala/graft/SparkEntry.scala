@@ -1075,6 +1075,49 @@ object SparkEntry {
         .agg(sum(col("n")).as("n_events"), max(col("mx")).as("max_version"),
           sum(col("vs")).as("version_sum"))
         .orderBy(col("stream_id"))
+    }),
+
+    // Stream-stream event-time interval join: every click enriched
+    // with ALL purchases of the same stream within the next hour —
+    // the streaming counterpart of asof_join_forward (all matches in
+    // the window, not the nearest). Watermarks on both sides + the
+    // relative time bound keep join state inside `reach + lateness`
+    // of the frontier: unbounded feeds, bounded memory. The lateness
+    // horizon covers the replay window (~30-day corpus) so the
+    // catch-up result is deterministic under any micro-batching; the
+    // emitted (stream, click_version, purchase_version) matches are
+    // hash-checked against the oracle's batch theta-join recount.
+    "stream_interval_join" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      def feed() = s.readStream
+        .schema(graft.core.EventSchema.schema)
+        .option("basePath", s"${es.root}/events")
+        .parquet(s"${es.root}/events")
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      val ck = java.nio.file.Files.createTempDirectory("verify-sijoin-")
+      val q = graft.streaming.EventTimeAggs
+        .intervalJoin(feed(), feed(), "click", "purchase",
+          reach = "1 hour", lateness = "45 days")
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((
+            r.getAs[String]("stream_id"), r.getAs[Long]("left_version"),
+            r.getAs[Long]("right_version"))))
+        }
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(ck.toFile)
+      }
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.toDF("stream_id", "click_version", "purchase_version")
+        .orderBy(col("stream_id"), col("click_version"), col("purchase_version"))
     })
   )
 
@@ -2086,6 +2129,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS v
         |  FROM events)
         |GROUP BY stream_id ORDER BY stream_id""".stripMargin,
+
+    // Batch theta-join recount of the streaming interval join: same
+    // µs-truncated event times (DuckDB reads TIMESTAMP(NANOS) at µs;
+    // Spark side is timestamp_micros(ns div 1000)), same inclusive
+    // window bounds.
+    "stream_interval_join" ->
+      """WITH v AS (SELECT 'user-' || user_id AS stream_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS v,
+        |    ts
+        |  FROM events)
+        |SELECT l.stream_id, l.v AS click_version, r.v AS purchase_version
+        |FROM v l JOIN v r ON l.stream_id = r.stream_id
+        |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+        |ORDER BY l.stream_id, click_version, purchase_version""".stripMargin,
 
     "es_scan_stream" ->
       """SELECT stream_id, stream_version, event_name, payload FROM (

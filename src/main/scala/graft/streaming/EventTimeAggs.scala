@@ -56,6 +56,47 @@ object EventTimeAggs {
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream event-time interval join: every `leftName` event is
+    * enriched with ALL `rightName` events of the same stream whose time
+    * falls in `[left_time, left_time + reach]` — the streaming
+    * counterpart of the batch as-of/range joins (all matches in the
+    * window rather than the nearest one). Both sides carry watermarks
+    * and the join condition bounds right-time relative to left-time, so
+    * Spark's stream-stream join state holds only rows inside
+    * `reach + lateness` of the frontier — an unbounded pair of feeds
+    * joins in bounded memory, which is what lets the operator run
+    * forever against a 100 TB log. Inner join ⇒ the emitted match set
+    * is exact and deterministic under any micro-batching.
+    *
+    * `leftEvents`/`rightEvents` must be two INDEPENDENT streaming
+    * readers of the log (each gets its own watermark; reusing one
+    * lineage for both sides is rejected by Spark).
+    */
+  def intervalJoin(
+      leftEvents: DataFrame,
+      rightEvents: DataFrame,
+      leftName: String,
+      rightName: String,
+      reach: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    def side(df: DataFrame, name: String, prefix: String) =
+      df.where(col("event_name") === name)
+        .withColumn(s"${prefix}_time",
+          timestamp_micros(expr("timestamp_ns div 1000")))
+        .select(col("stream_id").as(s"${prefix}_stream"),
+          col("stream_version").as(s"${prefix}_version"),
+          col(s"${prefix}_time"))
+        .withWatermark(s"${prefix}_time", lateness)
+    val l = side(leftEvents, leftName, "left")
+    val r = side(rightEvents, rightName, "right")
+    l.join(r,
+        col("left_stream") === col("right_stream") &&
+          col("right_time") >= col("left_time") &&
+          col("right_time") <= col("left_time") + expr(s"INTERVAL $reach"))
+      .select(col("left_stream").as("stream_id"),
+        col("left_version"), col("right_version"))
+  }
+
   final case class SessionInput(stream_id: String, timestamp_ns: Long)
   final case class SessionState(start_ns: Long, last_ns: Long, events: Long)
   final case class ClosedSession(

@@ -146,4 +146,38 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ids.distinct.length == 20)
     } finally q.stop()
   }
+
+  test("intervalJoin matches same-stream events inside the inclusive window only") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-ij-").toString, 4)
+    val t0 = 1700000000000L
+    val Hour = 3600000L
+    es.appendMany(Seq(
+      // ij-1 versions 0..5
+      EventInput("ij-1", "click", timestampMs = Some(t0)),            // v0
+      EventInput("ij-1", "purchase", timestampMs = Some(t0)),         // v1: >= bound
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + 600000)),// v2: inside
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + Hour)),  // v3: <= bound
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + Hour + 1)), // v4: out
+      EventInput("ij-1", "click", timestampMs = Some(t0 + 2 * Hour)), // v5: no matches
+      // ij-2: same-time purchase matches only within ITS stream
+      EventInput("ij-2", "purchase", timestampMs = Some(t0 + 300000)),// v0
+      EventInput("ij-2", "click", timestampMs = Some(t0 + 300000))))  // v1
+
+    def feed() = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+    val q = EventTimeAggs.intervalJoin(feed(), feed(), "click", "purchase",
+        reach = "1 hour", lateness = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_ijoin").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("eta_ijoin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got == Seq(
+        ("ij-1", 0L, 1L), ("ij-1", 0L, 2L), ("ij-1", 0L, 3L), ("ij-2", 1L, 0L)))
+    } finally q.stop()
+  }
 }
