@@ -424,6 +424,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style LM quality score: average bigram log-probability
+    // under an add-k model TRAINED ON THE CORPUS (counts via two
+    // map-side-combined aggregations, scoring via equi-joins of the
+    // linear bigram stream against them). exp(-avg_logp) is the
+    // perplexity; low scores surface gibberish / divergent documents.
+    "text_lm_logprob" -> ((s, d) =>
+      graft.ops.LanguageModel.bigramLogProb(Tables.documents(s, d),
+          "text", "doc_id", k = 0.5)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
+        .orderBy(col("doc_id"))),
+
     // Document fingerprint: md5 of whitespace-normalized lowercase text.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -844,6 +855,45 @@ object SparkEntry {
           threshold = 0.5)
         .select(col("id").as("doc_id"), col("cluster"), col("keeper"))
         .orderBy(col("doc_id"))),
+
+    // Chunk-level exact SUBSTRING dedup: repeated boilerplate is
+    // removed from the text itself (every occurrence of any 100-char
+    // chunk seen more than once corpus-wide), not just used to drop
+    // whole documents — the fixed-alignment tier of suffix-array
+    // substring dedup. One hash-count shuffle + anti-join + per-doc
+    // reassembly; cost O(corpus bytes), no pair explosion.
+    "dedup_chunks" -> ((s, d) =>
+      graft.ops.Dedup.chunkDedup(Tables.documents(s, d), "text", "doc_id",
+          chunkChars = 100, maxDf = 1)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_chunks"), col("n_dropped"))
+        .orderBy(col("doc_id"))),
+
+    // Temperature-scaled language mixing (p(l) ∝ count(l)^0.5): keep-
+    // rates DERIVED from corpus composition — the rarest language is
+    // kept whole, over-represented ones (en is ~40% of this corpus)
+    // downsample toward it. sqrt + IEEE division keep the rates
+    // bit-portable; the keep decision is the same md5-bucket machinery
+    // as hash_split.
+    "curation_temperature_mix" -> ((s, d) =>
+      graft.ops.Curation.temperatureMix(Tables.documents(s, d),
+          "lang", "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          col("rate_bp"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus-composition map: pairwise cosine between per-source mean
+    // embeddings. The element-wise centroid aggregation collapses the
+    // corpus to |sources|×dims rows before any join — the join itself
+    // is corpus-size-independent.
+    "embedding_source_cosine" -> ((s, d) => {
+      val j = Tables.embeddings(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      graft.ops.Similarity.groupCentroidCosine(j, "source")
+        .select(col("ga").as("src_a"), col("gb").as("src_b"), col("cosine"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
 
     // Composite Gopher-style quality FILTER: the curation decision
     // point — token bounds, mean-token-length band, stopword floor,
@@ -1705,6 +1755,66 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of Dedup.chunkDedup at chunkChars=100, maxDf=1: same
+    * fixed-stride chunking (bounded generate_series like the shingle
+    * CTEs), duplicate set by chunk STRING where Spark groups by its
+    * md5 (identical counts — 128-bit collisions are not a thing at
+    * these corpus sizes), reassembly ordered by chunk position.
+    */
+  private def chunkDedupOracle: String =
+    """WITH chunks AS (
+      |  SELECT doc_id, i - 1 AS ord, substr(text, (i-1)*100 + 1, 100) AS chunk
+      |  FROM documents, generate_series(1, 65536) g(i)
+      |  WHERE (i-1)*100 < length(text)),
+      |dup AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(*) > 1),
+      |kept AS (SELECT c.doc_id, c.ord, c.chunk FROM chunks c
+      |  WHERE c.chunk NOT IN (SELECT chunk FROM dup))
+      |SELECT d.doc_id,
+      |  coalesce(string_agg(k.chunk, '' ORDER BY k.ord), '') AS clean_text,
+      |  CAST(ceil(length(d.text) / 100.0) AS BIGINT) AS n_chunks,
+      |  CAST(ceil(length(d.text) / 100.0) AS BIGINT) - count(k.ord) AS n_dropped
+      |FROM documents d LEFT JOIN kept k USING (doc_id)
+      |GROUP BY d.doc_id, d.text ORDER BY doc_id""".stripMargin
+
+  /** Mirror of Curation.temperatureMix at alpha=0.5: keep-rate
+    * sqrt(min_count/count) in basis points (IEEE division + sqrt are
+    * correctly rounded on both engines, so floor(×10000) agrees
+    * bit-for-bit), bucket from the same md5('mix:'||id) machinery as
+    * the hash split.
+    */
+  private def temperatureMixOracle: String = {
+    val bucket = s"(${sqlHexBucket("md5('mix:' || doc_id)")} % 10000)"
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |m AS (SELECT min(n) AS mn FROM c),
+       |r AS (SELECT lang,
+       |    CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) * 10000)
+       |      AS BIGINT) AS rate_bp
+       |  FROM c, m)
+       |SELECT d.doc_id, d.lang, CAST($bucket AS BIGINT) AS bucket, r.rate_bp,
+       |  CAST($bucket AS BIGINT) < r.rate_bp AS keep
+       |FROM documents d JOIN r USING (lang)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirror of Similarity.groupCentroidCosine over source groups:
+    * element-wise centroid avg then pairwise cosine, rounded to 4 dp
+    * (centroid sums are float aggregations whose addition order
+    * differs per engine — low decimals are partition noise).
+    */
+  private def sourceCosineOracle: String =
+    """WITH j AS (
+      |  SELECT d.source AS grp, e.embedding AS emb
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      |flat AS (
+      |  SELECT grp, i, CAST(emb[i] AS DOUBLE) AS v
+      |  FROM j, generate_series(1, 64) t(i)),
+      |cent AS (SELECT grp, i, avg(v) AS v FROM flat GROUP BY grp, i)
+      |SELECT a.grp AS src_a, b.grp AS src_b,
+      |  round(sum(a.v * b.v) /
+      |    (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cosine
+      |FROM cent a JOIN cent b ON a.i = b.i AND a.grp < b.grp
+      |GROUP BY a.grp, b.grp ORDER BY src_a, src_b""".stripMargin
+
   private def decontaminateOracle: String =
     s"""WITH corpus_docs AS (SELECT * FROM documents WHERE doc_id >= 10),
        |bench_docs AS (SELECT * FROM documents WHERE doc_id < 10),
@@ -2094,6 +2204,9 @@ object SparkEntry {
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,
+    "dedup_chunks" -> chunkDedupOracle,
+    "curation_temperature_mix" -> temperatureMixOracle,
+    "embedding_source_cosine" -> sourceCosineOracle,
 
     "dedup_exact_salted" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS dups
@@ -2551,6 +2664,31 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirror of LanguageModel.bigramLogProb (k=0.5): same whitespace
+    // tokenization with empties dropped, same add-k bigram formula;
+    // counts/V/k are exact integers so only ln() (≤1 ulp) and the
+    // per-doc summation order differ per engine — hence round(4).
+    "text_lm_logprob" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |toks AS (SELECT ts[i] AS w1
+        |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+        |uni AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni),
+        |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts) - 1),
+        |bic AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    round(avg(ln((bc.cb + 0.5) / (u.c1 + 0.5 * v.v_size))), 4)
+        |      AS avg_logp
+        |  FROM bi b JOIN bic bc USING (w1, w2) JOIN uni u USING (w1), v
+        |  GROUP BY b.doc_id)
+        |SELECT d2.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logp
+        |FROM documents d2 LEFT JOIN scored s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

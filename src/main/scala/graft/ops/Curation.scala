@@ -98,6 +98,45 @@ object Curation {
       .where(col("bucket") < rate)
   }
 
+  /** Temperature-scaled source mixing: derive each stratum's keep-rate
+    * FROM THE CORPUS so the sampled mix follows p(s) ∝ count(s)^alpha —
+    * the multinomial temperature-sampling rule used to rebalance
+    * multi-source / multilingual training corpora (alpha = 1 keeps the
+    * natural distribution, alpha → 0 approaches uniform over strata).
+    * Unlike [[stratifiedSample]] (rates given by the caller), the rates
+    * here are data-dependent: sampling documents independently with
+    * keep-rate r(s) ∝ count(s)^(alpha-1) gives an expected sampled
+    * count ∝ count(s)^alpha; normalizing by the SMALLEST stratum
+    * (r = (min_count / count)^(1-alpha)) keeps the rarest source intact
+    * and downsamples the rest toward it.
+    *
+    * Engine portability: the keep decision is `hashBucket < floor(rate
+    * × 10000)` — and for the default alpha = 0.5 the rate is
+    * sqrt(min/n), computed with IEEE-754 division and sqrt (both
+    * correctly rounded, so bit-identical on any engine); other alphas
+    * go through pow(), whose last-ulp behavior is library-specific —
+    * fine for production, not for an exact external oracle.
+    *
+    * Scale: one map-side-combined aggregation to |strata| rows, a
+    * broadcast join of those rates back onto the corpus, and a
+    * projection — no corpus-wide shuffle at any size.
+    *
+    * Output: input columns + (bucket, rate_bp, keep).
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double = 0.5, seed: String = "mix"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("min_n"))
+    val ratio = col("min_n").cast("double") / col("n").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    val rates = counts.crossJoin(minN)
+      .select(col(stratumCol), floor(rate * 10000).cast("long").as("rate_bp"))
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("bucket", hashBucket(col(idCol), seed))
+      .withColumn("keep", col("bucket") < col("rate_bp"))
+  }
+
   /** Greedy next-fit sequence packing: assign documents to fixed
     * token-budget packs — the step that turns a filtered corpus into
     * dense training sequences. Documents route to `numLanes`

@@ -152,6 +152,71 @@ object Dedup {
         (col("id") === col("cluster")).as("keeper"))
   }
 
+  /** Chunk-level exact substring dedup: split every document into
+    * fixed-stride character chunks, count each chunk's corpus-wide
+    * occurrences, drop EVERY occurrence of any chunk appearing more
+    * than `maxDf` times, and reassemble the surviving chunks in
+    * document order — the scalable fixed-alignment variant of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): boilerplate that repeats
+    * verbatim across documents (headers, license blocks, templated
+    * paragraphs) is removed from the text itself, not just used to
+    * drop whole documents. Shifted/near-duplicate substrings are out
+    * of scope by construction — that is [[minhashLsh]]/[[simhashPairs]]
+    * territory; this operator is the exact tier.
+    *
+    * Dropping ALL occurrences (not keep-first) is deliberate: keeping
+    * one copy would need a global "first" order; removing every copy
+    * is order-free, engine-portable, and the conservative choice for
+    * training data (repeated boilerplate adds no signal).
+    *
+    * Scale shape: chunk rows are linear in corpus bytes; the count is
+    * one map-side-combinable aggregation on the 128-bit chunk hash;
+    * the anti-join ships only hashes that are actually duplicated
+    * (broadcast when small, AQE decides); reassembly is one shuffle on
+    * doc id. No pair explosion anywhere — cost is O(bytes), the same
+    * plan at 100 TB as at 500 rows.
+    *
+    * Output: (id, clean_text, n_chunks, n_dropped) — one row per input
+    * document, `clean_text` empty when every chunk was shared (e.g.
+    * exact duplicate documents dedup to nothing, both copies).
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkChars: Int = 100, maxDf: Int = 1,
+      hasher: Column => Column = md5String): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    val nChunks = ceil(length(col(textCol)).cast("double") / chunkChars)
+      .cast("int")
+    // sequence(0, n-1) with n = 0 would yield DESCENDING [0, -1] (same
+    // trap as wordShinglesAll) — guard empty documents explicitly
+    val idxs = when(length(col(textCol)) > 0,
+      sequence(lit(0), nChunks - 1)).otherwise(array().cast("array<int>"))
+    val chunks = df
+      .select(col(idCol).as("id"), col(textCol).as("text"), idxs.as("is"))
+      .select(col("id"), posexplode(col("is")).as(Seq("ord", "i")),
+        col("text"))
+      .select(col("id"), col("ord"),
+        col("text").substr(col("i") * chunkChars + 1, lit(chunkChars))
+          .as("chunk"))
+    val withH = chunks.withColumn("h", hasher(col("chunk")))
+    val dupHashes = withH.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > maxDf)
+      .select(col("h"))
+    val kept = withH.join(dupHashes, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ord"), col("chunk")))),
+          s => s.getField("chunk")), "").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"), nChunks.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Exact n-gram Jaccard ≥ threshold via inverted-index self-join (no
     * LSH) — the VERIFICATION path; `minhashLsh` is the headline
     * discovery path at scale.

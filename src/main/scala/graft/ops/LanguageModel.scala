@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style
+  * perplexity filter (Wenzek et al., "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data"): score every document by
+  * its average token-transition log-probability under a model trained
+  * on the corpus itself, so documents whose token statistics diverge
+  * from the corpus norm (boilerplate, gibberish, wrong-language
+  * fragments) surface at the low end without any external model
+  * artifact. Production pipelines swap the corpus-trained counts for a
+  * reference-corpus LM; the plan shape is identical.
+  *
+  * Model: add-k smoothed bigram LM.
+  *   P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+  * with V the corpus unigram vocabulary size. Scoring the training
+  * corpus itself means every document bigram exists in the count
+  * table, but the joins stay LEFT-free (inner is safe) only for that
+  * reason; the smoothing constant still shapes scores and keeps the
+  * formula total.
+  *
+  * Scale shape: tokenization/explode is linear in corpus bytes; the
+  * unigram and bigram count tables are map-side-combinable
+  * aggregations (bounded by vocabulary², not corpus size); scoring is
+  * two equi-joins of the linear bigram stream against those count
+  * tables (AQE broadcasts them when the vocabulary is small) and one
+  * map-side-combinable per-document average. No driver-side state —
+  * the vocabulary size joins in as a 1-row broadcast aggregate. The
+  * same plan holds at 100 TB: nothing materializes more than
+  * O(corpus tokens) rows, and the only shuffles are on token hash
+  * keys.
+  *
+  * Float discipline: counts, V, and k are exact in any engine; the
+  * (cb + k)/(c1 + k·V) division is IEEE-correctly-rounded; only
+  * log() (≤1 ulp, library-specific) and the per-document summation
+  * order carry engine noise, so the average is rounded to 4 dp —
+  * the same convention as the centroid-cosine operators.
+  *
+  * Output: (id, n_bigrams, avg_logp) — one row per input document;
+  * documents with fewer than two tokens keep n_bigrams = 0 and a NULL
+  * score. Perplexity is exp(-avg_logp), monotone in the score, so the
+  * filter threshold can be stated either way.
+  */
+object LanguageModel {
+
+  /** Whitespace tokens with empties dropped (leading/trailing/double
+    * spaces), the same convention as TextAnalysis token counting. */
+  private def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, "smoothing constant k must be positive")
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    // adjacent pairs: element i of slice(ts,1,n-1) pairs with ts[i+2]
+    // (transform's lambda index is 0-based, element_at is 1-based);
+    // greatest(n-1, 0) keeps slice total on 0/1-token documents
+    val docBi = base
+      .select(col("id"), explode(expr(
+        "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), " +
+          "(w, i) -> named_struct('w1', w, 'w2', element_at(ts, i + 2)))"))
+        .as("b"))
+      .select(col("id"), col("b.w1"), col("b.w2"))
+    val uniCounts = base.select(explode(col("ts")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val biCounts = docBi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val vocab = uniCounts.agg(count(lit(1)).cast("double").as("v_size"))
+    val scored = docBi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((col("cb") + lit(k)) / (col("c1") + lit(k) * col("v_size"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("logp")), 4).as("avg_logp"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+}

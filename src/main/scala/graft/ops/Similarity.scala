@@ -541,4 +541,41 @@ object Similarity {
         .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6)),
       k, idCol)
   }
+
+  /** Per-group mean embeddings, flattened: (group, i, v) with `v` the
+    * average of dimension `i` over the group's vectors. The element-
+    * wise aggregation is one posexplode (linear in corpus × dim) into
+    * a map-side-combined groupBy on (group, i) — output is
+    * |groups| × dims rows regardless of corpus size, the shape that
+    * holds at 100 TB.
+    */
+  def groupCentroidsFlat(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("grp"), col("i"))
+      .agg(avg(col("v").cast("double")).as("v"))
+
+  /** Pairwise cosine similarity between per-group centroid embeddings —
+    * the corpus-composition map (which sources/languages/domains live
+    * in the same region of embedding space) that drives mixing
+    * decisions like [[Curation.temperatureMix]]. Works on the
+    * flattened centroids: a self-join on dimension index i
+    * (|groups|² × dims rows — independent of corpus size; 20 sources ×
+    * 64 dims is 25 600 rows) then one aggregation per ordered pair.
+    * Cosine is rounded to 4 dp: centroid sums are float
+    * aggregations whose addition order differs per engine/partition
+    * layout, so low decimals carry partition noise, not signal.
+    */
+  def groupCentroidCosine(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = groupCentroidsFlat(df, groupCol, vecCol)
+    val a = cents.select(col("grp").as("ga"), col("i"), col("v").as("va"))
+    val b = cents.select(col("grp").as("gb"), col("i"), col("v").as("vb"))
+    a.join(b, "i")
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(round(sum(col("va") * col("vb")) /
+        (sqrt(sum(col("va") * col("va"))) * sqrt(sum(col("vb") * col("vb")))),
+        4).as("cosine"))
+  }
 }
