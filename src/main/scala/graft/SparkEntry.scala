@@ -1168,6 +1168,48 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       got.asScala.toSeq.toDF("stream_id", "click_version", "purchase_version")
         .orderBy(col("stream_id"), col("click_version"), col("purchase_version"))
+    }),
+
+    // STREAMING gap sessionization (30 min) — the stateful-operator
+    // counterpart of batch events_sessionize: flatMapGroupsWithState
+    // holds ONE (start, last, count) triple per stream (O(streams)
+    // state, checkpointed) and emits a session the moment a gap closes
+    // it. Time is fed at µs so the oracle's µs-truncated reader runs
+    // identical gap arithmetic; each stream's trailing session is
+    // still open when the replay ends, so the oracle recount drops its
+    // last gaps-and-islands session per stream.
+    "stream_sessions" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      val feed = s.readStream
+        .schema(graft.core.EventSchema.schema)
+        .option("basePath", s"${es.root}/events")
+        .parquet(s"${es.root}/events")
+        .select(col("stream_id"),
+          expr("timestamp_ns div 1000").as("timestamp_ns"))
+        .as[graft.streaming.EventTimeAggs.SessionInput]
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+      val ck = java.nio.file.Files.createTempDirectory("verify-ssess-")
+      val q = graft.streaming.EventTimeAggs
+        .sessionizeFeed(feed, gapNs = 30L * 60 * 1000000L) // 30 min in µs
+        .writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.EventTimeAggs.ClosedSession], _: Long) =>
+          batch.collect().foreach(c => got.add(
+            (c.stream_id, c.start_ns, c.end_ns, c.events)))
+        }
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(ck.toFile)
+      }
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.toDF("stream_id", "start_us", "end_us", "n_events")
+        .orderBy(col("stream_id"), col("start_us"))
     })
   )
 
@@ -2257,6 +2299,37 @@ object SparkEntry {
         |  AND l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |ORDER BY l.stream_id, click_version, purchase_version""".stripMargin,
+
+    // Gaps-and-islands recount of the streaming sessionizer. The
+    // store's append path carries ms-precision timestamps (reference
+    // parity: timestamp_ns = ms·10⁶), and the gated query re-scales to
+    // µs (timestamp_ns div 1000) — so the oracle's time base is
+    // epoch_ms·1000, giving both engines identical gap arithmetic on
+    // ms-derived µs values. The stream's trailing session is still
+    // OPEN when the replay ends — the stateful operator emits only
+    // gap-closed sessions — so the recount drops each stream's last
+    // island. Equal-timestamp ties need no tie-break: a zero gap can
+    // never split a session.
+    "stream_sessions" ->
+      """WITH e AS (SELECT 'user-' || user_id AS stream_id,
+        |    epoch_ms(ts) * 1000 AS t
+        |  FROM events),
+        |m AS (SELECT stream_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY stream_id ORDER BY t)),
+        |s AS (SELECT stream_id, t,
+        |    sum(new_s) OVER (PARTITION BY stream_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT stream_id, sid, min(t) AS start_us, max(t) AS end_us,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY stream_id, sid)
+        |SELECT stream_id, start_us, end_us, n_events
+        |FROM (SELECT sess.*, max(sid) OVER (PARTITION BY stream_id) AS mx
+        |  FROM sess)
+        |WHERE sid < mx
+        |ORDER BY stream_id, start_us""".stripMargin,
 
     "es_scan_stream" ->
       """SELECT stream_id, stream_version, event_name, payload FROM (

@@ -115,14 +115,29 @@ object EventTimeAggs {
       gapNs: Long = 30L * 60 * 1000000000L): Dataset[ClosedSession] = {
     val spark = es.spark
     import spark.implicits._
+    sessionizeFeed(
+      spark.readStream
+        .schema(EventSchema.schema)
+        .option("basePath", s"${es.root}/events")
+        .parquet(s"${es.root}/events")
+        .select(col("stream_id"), col("timestamp_ns"))
+        .as[SessionInput],
+      gapNs)
+  }
 
-    val events = spark.readStream
-      .schema(EventSchema.schema)
-      .option("basePath", s"${es.root}/events")
-      .parquet(s"${es.root}/events")
-      .select(col("stream_id"), col("timestamp_ns"))
-      .as[SessionInput]
-
+  /** [[sessionize]] over a caller-prepared feed. Time units are
+    * whatever the caller put in `timestamp_ns` — the gate feeds µs
+    * (`timestamp_ns div 1000`) so the external oracle, whose parquet
+    * reader truncates TIMESTAMP(NANOS) to µs, sees the exact same gap
+    * arithmetic. The trailing session of each stream stays open (never
+    * emitted) until either more data closes it or a production
+    * deployment's state timeout flushes it.
+    */
+  def sessionizeFeed(
+      events: Dataset[SessionInput],
+      gapNs: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
     events
       .groupByKey(_.stream_id)
       .flatMapGroupsWithState(

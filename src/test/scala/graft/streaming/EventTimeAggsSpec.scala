@@ -180,4 +180,44 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("ij-1", 0L, 1L), ("ij-1", 0L, 2L), ("ij-1", 0L, 3L), ("ij-2", 1L, 0L)))
     } finally q.stop()
   }
+
+  test("sessionizeFeed is unit-agnostic: µs timestamps with a µs gap") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-sessus-").toString, 4)
+    val base = 1700000000000L
+    val GapMs = 30L * 60000L
+    es.appendMany(Seq(
+      // three sessions in su-1: the first two close on in-data gaps
+      EventInput("su-1", "E", timestampMs = Some(base)),
+      EventInput("su-1", "E", timestampMs = Some(base + GapMs)), // gap == 30min: same session
+      EventInput("su-1", "E", timestampMs = Some(base + 2 * GapMs + 1)), // closes #1
+      EventInput("su-1", "E", timestampMs = Some(base + 4 * GapMs + 2)), // closes #2
+      // su-2: single open session, never emitted
+      EventInput("su-2", "E", timestampMs = Some(base))))
+
+    import spark.implicits._
+    val feed = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+      .select(org.apache.spark.sql.functions.col("stream_id"),
+        org.apache.spark.sql.functions.expr("timestamp_ns div 1000")
+          .as("timestamp_ns"))
+      .as[EventTimeAggs.SessionInput]
+    val q = EventTimeAggs.sessionizeFeed(feed, gapNs = 30L * 60 * 1000000L)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_sessions_us").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("eta_sessions_us").collect()
+        .map(r => (r.getAs[String]("stream_id"), r.getAs[Long]("start_ns"),
+          r.getAs[Long]("end_ns"), r.getAs[Long]("events"))).sorted.toSeq
+      // start/end come back in the unit the feed supplied (µs here);
+      // the 30-minute-exactly gap does NOT split (strict > only)
+      assert(closed == Seq(
+        ("su-1", base * 1000L, (base + GapMs) * 1000L, 2L),
+        ("su-1", (base + 2 * GapMs + 1) * 1000L, (base + 2 * GapMs + 1) * 1000L, 1L)))
+    } finally q.stop()
+  }
 }
