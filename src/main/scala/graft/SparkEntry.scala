@@ -435,6 +435,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
         .orderBy(col("doc_id"))),
 
+    // BPE tokenizer-TRAINING statistics: the frequency-weighted
+    // adjacent-pair counts the merge argmax reads. The corpus
+    // collapses to its vocabulary first (one aggregation); pairs are
+    // counted over DISTINCT words weighted by frequency — equivalent
+    // to counting the raw corpus, at |vocab| cost. Top-20 by
+    // (count desc, pair asc) is fully deterministic; the iterative
+    // merge loop itself is spec-tested (BpeTrainSpec pins the
+    // textbook low/lower/newest/widest merge sequence).
+    "bpe_pair_stats" -> ((s, d) => {
+      val words = graft.ops.BpeTrain.wordCounts(Tables.documents(s, d), "text")
+        .select(graft.ops.BpeTrain.charSyms(col("word")).as("syms"), col("c"))
+      graft.ops.BpeTrain.pairCounts(words)
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(20)
+    }),
+
     // Document fingerprint: md5 of whitespace-normalized lowercase text.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2737,6 +2752,21 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirror of BpeTrain pair statistics: same whitespace word split
+    // with empties dropped, same frequency weighting, same
+    // deterministic (count desc, pair asc) top-20. Integer counts
+    // only — no float noise anywhere.
+    "bpe_pair_stats" ->
+      """WITH w AS (SELECT t AS word, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t
+        |    FROM documents) GROUP BY t),
+        |p AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM w, generate_series(1, 64) g(i) WHERE i < length(word)
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cnt FROM p ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
 
     // Mirror of LanguageModel.bigramLogProb (k=0.5): same whitespace
     // tokenization with empties dropped, same add-k bigram formula;
