@@ -278,7 +278,7 @@ object Bench {
       results(name) = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       // scale witness for the clusters leg: star-contraction rounds
       // (written eagerly by the CC fixpoint this leg just ran)
-      if (name == "dedup_clusters") ccRoundsBase = graft.ops.Dedup.lastCcRounds.get()
+      if (name == "dedup_clusters") ccRoundsBase = graft.Telemetry.ccRounds.get()
     }
 
     // 2b. diagnostic (not a timing): 64-bit simhash banding
@@ -384,7 +384,12 @@ object Bench {
         }
         val base = recallOf(SparkEntry.PqM, SparkEntry.PqK)
         val wide = recallOf(8, 16)
-        val prod = recallOf(8, 256, iters = 1, maxSample = 2000)
+        // same iters/maxSample as the wide canary — the monotonicity
+        // check below compares CENTROID COUNTS, so the training budget
+        // must not be a second variable (a 1-iteration/small-sample
+        // k=256 codebook can legitimately fit worse than a 2-iteration
+        // k=16 one, and that would be a false alarm, not a path bug)
+        val prod = recallOf(8, 256)
         if (prod >= 0 && wide >= 0 && prod < wide)
           System.err.println(f"[bench] pq prod-geometry recall $prod%.3f " +
             f"BELOW wide canary $wide%.3f — investigate the k=256 path")
@@ -441,13 +446,7 @@ object Bench {
                 window = window),
               ck.toString, byStream = false)(rows => n.addAndGet(rows.size))
             try q.processAllAvailable()
-            finally {
-              q.stop()
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-              }
-              rm(ck.toFile)
-            }
+            finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] psub delivery failed: ${e.getMessage}")
@@ -483,13 +482,9 @@ object Bench {
           byStream = true)(rows => n.addAndGet(rows.size))
         try q.processAllAvailable()
         finally {
-          q.stop()
           // the checkpoint is this run's subscription identity — keeping
           // it would leak one temp dir per bench invocation
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(ck.toFile)
+          q.stop(); graft.core.Fs.deleteRecursively(ck.toFile)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] esub_catchup failed: ${e.getMessage}")
@@ -556,7 +551,7 @@ object Bench {
                 if (b < 0) a else math.min(a, b)
               }
             if (name == "dedup_clusters")
-              ccRounds10x = graft.ops.Dedup.lastCcRounds.get()
+              ccRounds10x = graft.Telemetry.ccRounds.get()
           }
         }
         // outlier third pass: a burst that spans BOTH min-of-2 passes

@@ -853,9 +853,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => {
       val pairs = graft.ops.Dedup.minhashLsh(
         Tables.documents(s, d), "text", "doc_id", threshold = 0.5)
-      graft.ops.Dedup.connectedComponents(
-          pairs.select(col("a"), col("b")))
-        .withColumn("keeper", col("id") === col("cluster"))
+      val (cc, rounds) = graft.ops.Dedup.connectedComponentsWithRounds(
+        pairs.select(col("a"), col("b")))
+      // scale witness for the bench: the query layer records, the
+      // library stays pure (see graft.Telemetry)
+      Telemetry.ccRounds.set(rounds)
+      cc.withColumn("keeper", col("id") === col("cluster"))
         .select(col("id").as("doc_id"), col("cluster"), col("keeper"))
         .orderBy(col("doc_id"))
     }),
@@ -1110,32 +1113,18 @@ object SparkEntry {
         .schema(graft.core.EventSchema.schema)
         .option("basePath", s"${es.root}/events")
         .parquet(s"${es.root}/events")
-      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
-      val ck = java.nio.file.Files.createTempDirectory("verify-sdedup-")
-      val q = graft.streaming.EventTimeAggs
-        .dedupDeliveries(feed().unionAll(feed()), horizon = "45 days")
-        .select(col("stream_id"), col("stream_version"))
-        .writeStream
-        .option("checkpointLocation", ck.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy(col("stream_id"))
+      drainStream(
+          graft.streaming.EventTimeAggs
+            .dedupDeliveries(feed().unionAll(feed()), horizon = "45 days")
+            .select(col("stream_id"), col("stream_version")),
+          "verify-sdedup-",
+          perBatch = b => b.groupBy(col("stream_id"))
             .agg(count(lit(1)).as("n"), max(col("stream_version")).as("mx"),
-              sum(col("stream_version")).as("vs"))
-            .collect().foreach(r => got.add((
-              r.getAs[String]("stream_id"), r.getAs[Long]("n"),
-              r.getAs[Long]("mx"), r.getAs[Long]("vs"))))
+              sum(col("stream_version")).as("vs"))) { r =>
+          (r.getAs[String]("stream_id"), r.getAs[Long]("n"),
+            r.getAs[Long]("mx"), r.getAs[Long]("vs"))
         }
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(ck.toFile)
-      }
-      import scala.jdk.CollectionConverters._
-      got.asScala.toSeq.toDF("stream_id", "n", "mx", "vs")
+        .toDF("stream_id", "n", "mx", "vs")
         .groupBy(col("stream_id"))
         .agg(sum(col("n")).as("n_events"), max(col("mx")).as("max_version"),
           sum(col("vs")).as("version_sum"))
@@ -1159,29 +1148,15 @@ object SparkEntry {
         .schema(graft.core.EventSchema.schema)
         .option("basePath", s"${es.root}/events")
         .parquet(s"${es.root}/events")
-      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
-      val ck = java.nio.file.Files.createTempDirectory("verify-sijoin-")
-      val q = graft.streaming.EventTimeAggs
-        .intervalJoin(feed(), feed(), "click", "purchase",
-          reach = "1 hour", lateness = "45 days")
-        .writeStream
-        .option("checkpointLocation", ck.toString)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.collect().foreach(r => got.add((
-            r.getAs[String]("stream_id"), r.getAs[Long]("left_version"),
-            r.getAs[Long]("right_version"))))
+      drainStream(
+          graft.streaming.EventTimeAggs
+            .intervalJoin(feed(), feed(), "click", "purchase",
+              reach = "1 hour", lateness = "45 days"),
+          "verify-sijoin-") { r =>
+          (r.getAs[String]("stream_id"), r.getAs[Long]("left_version"),
+            r.getAs[Long]("right_version"))
         }
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(ck.toFile)
-      }
-      import scala.jdk.CollectionConverters._
-      got.asScala.toSeq.toDF("stream_id", "click_version", "purchase_version")
+        .toDF("stream_id", "click_version", "purchase_version")
         .orderBy(col("stream_id"), col("click_version"), col("purchase_version"))
     }),
 
@@ -1203,27 +1178,15 @@ object SparkEntry {
         .select(col("stream_id"),
           expr("timestamp_ns div 1000").as("timestamp_ns"))
         .as[graft.streaming.EventTimeAggs.SessionInput]
-      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
-      val ck = java.nio.file.Files.createTempDirectory("verify-ssess-")
-      val q = graft.streaming.EventTimeAggs
-        .sessionizeFeed(feed, gapNs = 30L * 60 * 1000000L) // 30 min in µs
-        .writeStream
-        .option("checkpointLocation", ck.toString)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.EventTimeAggs.ClosedSession], _: Long) =>
-          batch.collect().foreach(c => got.add(
-            (c.stream_id, c.start_ns, c.end_ns, c.events)))
+      drainStream(
+          graft.streaming.EventTimeAggs
+            .sessionizeFeed(feed, gapNs = 30L * 60 * 1000000L) // 30 min in µs
+            .toDF(),
+          "verify-ssess-") { r =>
+          (r.getAs[String]("stream_id"), r.getAs[Long]("start_ns"),
+            r.getAs[Long]("end_ns"), r.getAs[Long]("events"))
         }
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(ck.toFile)
-      }
-      import scala.jdk.CollectionConverters._
-      got.asScala.toSeq.toDF("stream_id", "start_us", "end_us", "n_events")
+        .toDF("stream_id", "start_us", "end_us", "n_events")
         .orderBy(col("stream_id"), col("start_us"))
     })
   )
@@ -1234,6 +1197,30 @@ object SparkEntry {
     */
   private val PsubPartition =
     graft.core.Ids.partitionIdForStream("user-42", StoreProvider.NumPartitions)
+
+  /** Run a streaming query to completion over the store's current
+    * history (fresh temp checkpoint => deterministic full catch-up),
+    * shipping each micro-batch through `perBatch` (driver-bounding
+    * aggregation or identity) and collecting the resulting rows. The
+    * shared scaffolding of every `stream_*` gated query; the temp
+    * checkpoint dir is always removed.
+    */
+  private def drainStream[T](stream: DataFrame, ckPrefix: String,
+      perBatch: DataFrame => DataFrame = identity)(
+      extract: org.apache.spark.sql.Row => T): Seq[T] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+    val ck = java.nio.file.Files.createTempDirectory(ckPrefix)
+    val q = stream.writeStream
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        perBatch(batch).collect().foreach(r => got.add(extract(r)))
+      }
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
 
   /** Run a subscription to completion over the store's current history
     * (fresh checkpoint ⇒ deterministic full catch-up) and collect every
@@ -1262,13 +1249,7 @@ object SparkEntry {
     val q = deliver(subscribe(es, matcher, From.Value(0), window = window),
       ck.toString, byStream) { rows => rows.foreach(r => got.add(extract(r))) }
     try q.processAllAvailable()
-    finally {
-      q.stop()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(ck.toFile)
-    }
+    finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
     import scala.jdk.CollectionConverters._
     got.asScala.toSeq
   }

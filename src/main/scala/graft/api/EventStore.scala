@@ -246,10 +246,8 @@ final class EventStore private (
     foldHeads()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.core.Fs.deleteRecursively(f)
 
   /** Bulk ingest — the 100 TB path. Routes rows to partitions by
     * stream-id hash, assigns gapless partition sequences and stream

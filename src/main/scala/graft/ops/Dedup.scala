@@ -328,21 +328,14 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
     connectedComponentsWithRounds(edges, maxIter)._1
 
-  /** Rounds the most recent [[connectedComponents]] fixpoint took on
-    * this driver (-1 before any run). A bench-harness diagnostic: the
-    * star-contraction round count is the scale witness for the
-    * clusters leg — O(log² n) rounds that hold steady between a 1× and
-    * a 10× corpus prove the replica's pair graph contracts the same
-    * way, while growing rounds would mean the edge structure (not the
-    * operator) changed shape. Written at the END of every CC call
-    * (the fixpoint loop runs eagerly), so a sequential caller reads
-    * the value for the run it just triggered.
-    */
-  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
-
   /** [[connectedComponents]] plus the number of large/small-star
     * rounds the fixpoint took (the loop runs eagerly — the count is
-    * final when this returns).
+    * final when this returns). The round count is the scale witness
+    * for the clusters bench leg — O(log² n) rounds that hold steady
+    * between a 1× and a 10× corpus prove the replica's pair graph
+    * contracts the same way. Callers that want the witness recorded
+    * (the gated query) write it into `graft.Telemetry` — the library
+    * itself keeps no mutable state.
     */
   def connectedComponentsWithRounds(edges: DataFrame,
       maxIter: Int = 25): (DataFrame, Int) = {
@@ -375,7 +368,6 @@ object Dedup {
         s"connectedComponents did not reach a fixpoint in $maxIter " +
           "iterations; the clustering would be wrong (components split). " +
           "Raise maxIter for this graph.")
-    lastCcRounds.set(it)
     // at the fixpoint every edge is (node, component-min); component
     // roots only appear on the right — add their identity rows
     (cur.select(col("u").as("id"), col("v").as("cluster"))

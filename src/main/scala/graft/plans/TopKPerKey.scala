@@ -206,8 +206,14 @@ object TopK {
     require(keyCols.nonEmpty, "top-k requires at least one grouping key")
     // a rank column shadowing an input column would emit TWO
     // same-named attributes (child.output ++ rankAttr) — ambiguous
-    // references or silently wrong resolution downstream
-    rankCol.foreach(n => require(!df.columns.contains(n),
+    // references or silently wrong resolution downstream. Match with
+    // the session's resolver: under the default case-INsensitive
+    // analysis, "RK" vs "rk" is exactly such a collision
+    val caseSensitive =
+      df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    rankCol.foreach(n => require(
+      !df.columns.exists(c => if (caseSensitive) c == n
+        else c.equalsIgnoreCase(n)),
       s"rankCol '$n' already exists in the input columns " +
         s"(${df.columns.mkString(", ")}); pick an unused name"))
     val spark = df.sparkSession

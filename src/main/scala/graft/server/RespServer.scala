@@ -113,10 +113,8 @@ final class RespServer(es: EventStore, port: Int = 0) {
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.core.Fs.deleteRecursively(f)
 
   private def handle(
       raw: Seq[Array[Byte]],

@@ -159,7 +159,15 @@ object EventTimeAggs {
                   closed += ClosedSession(sid, s.start_ns, s.last_ns, s.events)
                   cur = Some(SessionState(r.timestamp_ns, r.timestamp_ns, 1))
                 case Some(s) =>
-                  cur = Some(s.copy(last_ns = r.timestamp_ns, events = s.events + 1))
+                  // out-of-order arrival ACROSS micro-batches lands
+                  // here with r.timestamp_ns < s.last_ns (the per-batch
+                  // sort only orders within a batch): the event joins
+                  // the open session but must not REGRESS its bounds,
+                  // or a later in-order event would measure its gap
+                  // from the regressed time and falsely split
+                  cur = Some(SessionState(
+                    math.min(s.start_ns, r.timestamp_ns),
+                    math.max(s.last_ns, r.timestamp_ns), s.events + 1))
                 case None =>
                   cur = Some(SessionState(r.timestamp_ns, r.timestamp_ns, 1))
               }

@@ -307,18 +307,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("connected components report their round count (bench scale witness)") {
     import spark.implicits._
     // chain: needs real contraction rounds; star at min: one round to
-    // confirm the fixpoint. Both the return value and the last-run
-    // tracker (what the bench reads after the clusters leg) agree.
+    // confirm the fixpoint
     val (chainDf, chainRounds) = Dedup.connectedComponentsWithRounds(
       Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b"))
     assert(chainDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       (1L to 6L).map(_ -> 1L).toMap)
     assert(chainRounds >= 1 && chainRounds <= 25)
-    assert(Dedup.lastCcRounds.get() == chainRounds)
     val (_, starRounds) = Dedup.connectedComponentsWithRounds(
       Seq((1L, 5L), (1L, 9L)).toDF("a", "b"))
     assert(starRounds >= 1 && starRounds <= chainRounds)
-    assert(Dedup.lastCcRounds.get() == starRounds)
   }
 
   test("guards: over-wide hamming fingerprint and exhausted cc iteration cap fail loudly") {

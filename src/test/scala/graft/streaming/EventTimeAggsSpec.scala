@@ -220,4 +220,43 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("su-1", (base + 2 * GapMs + 1) * 1000L, (base + 2 * GapMs + 1) * 1000L, 1L)))
     } finally q.stop()
   }
+
+  test("sessionizeFeed: out-of-order arrival across batches cannot regress the session frontier") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-sessoo-").toString, 4)
+    val base = 1700000000000L
+    val Min = 60000L
+    // four separate appends = four parquet files; maxFilesPerTrigger=1
+    // delivers them in four micro-batches, so the 10-minute event
+    // reaches the operator AFTER the 20-minute event. All four are
+    // inside one 30-minute-gap session: a state that regressed
+    // last_ns to the out-of-order 10-minute event would see the
+    // 45-minute event as a 35-minute gap and falsely split.
+    es.appendMany(Seq(EventInput("oo-1", "E", timestampMs = Some(base))))
+    es.appendMany(Seq(EventInput("oo-1", "E", timestampMs = Some(base + 20 * Min))))
+    es.appendMany(Seq(EventInput("oo-1", "E", timestampMs = Some(base + 10 * Min))))
+    es.appendMany(Seq(EventInput("oo-1", "E", timestampMs = Some(base + 45 * Min))))
+
+    import spark.implicits._
+    val feed = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${es.root}/events")
+      .select(org.apache.spark.sql.functions.col("stream_id"),
+        org.apache.spark.sql.functions.col("timestamp_ns"))
+      .as[EventTimeAggs.SessionInput]
+    val q = EventTimeAggs.sessionizeFeed(feed, gapNs = 30L * 60 * 1000000000L)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_sessions_oo").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId > 0,
+        s"expected multiple micro-batches, got batchId=${q.lastProgress.batchId}")
+      // every event is within 30 minutes of the session frontier —
+      // nothing may close
+      assert(spark.table("eta_sessions_oo").collect().isEmpty)
+    } finally q.stop()
+  }
 }
