@@ -345,9 +345,14 @@ object SparkEntry {
     }),
 
     // Anti join: customers with no orders at all (NOT EXISTS).
+    // Anti join: customers with no FINALIZED order. The status filter
+    // keeps the result non-empty on the regenerated testdata (every
+    // customer now has at least one order, so the unfiltered anti join
+    // proved nothing — empty vs empty).
     "anti_join" -> ((s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
@@ -561,9 +566,20 @@ object SparkEntry {
     // 16-plane signatures (65k buckets/table), 3 tables for recall,
     // over-dense buckets dropped.
     "dedup_embedding_cosine" -> ((s, d) =>
-      graft.ops.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.95,
+      graft.ops.Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          NearDupThreshold,
           planes = NearDupPlanes, tables = NearDupTables, maxBucket = NearDupMaxBucket)
         .orderBy(col("a"), col("b"))),
+
+    // SemDeDup: cluster-partitioned semantic dedup — the learned-
+    // structure counterpart of dedup_embedding_cosine's random-
+    // projection LSH. Same trained quantizer as ann_ivf; per-vector
+    // keep/drop verdict against the cluster's broadcast anchor set.
+    "dedup_semantic" -> ((s, d) =>
+      graft.ops.Similarity.semanticDedup(Tables.embeddings(s, d),
+          SemThreshold, nlist = IvfLists, trainIters = IvfIters,
+          maxAnchors = SemAnchors)
+        .orderBy(col("vec_id"))),
 
     // BPE-ish subword token counting (regex pre-tokenizer shape).
     "text_bpe_tokens" -> ((s, d) =>
@@ -932,6 +948,16 @@ object SparkEntry {
       graft.ops.Curation.stratifiedSample(Tables.documents(s, d),
           "lang", "doc_id", StratRatesBp, StratDefaultBp)
         .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Score-proportional sampling: keep-probability equal to the
+    // document's own quality score (here a length proxy, 25 bp per
+    // char capped at 1) — the continuous counterpart of the per-
+    // stratum rates above; zero shuffle, deterministic by id.
+    "curation_sample_weighted" -> ((s, d) =>
+      graft.ops.Curation.weightedSample(Tables.documents(s, d),
+          "doc_id", col("n_chars") * lit(WeightedBpPerChar))
+        .select(col("doc_id"), col("score_bp"), col("bucket"))
         .orderBy(col("doc_id"))),
 
     // Greedy next-fit sequence packing into fixed token budgets across
@@ -1426,6 +1452,11 @@ object SparkEntry {
   private val StratRatesBp = Map("en" -> 2500, "zh" -> 5000, "de" -> 10000, "fr" -> 7500)
   private val StratDefaultBp = 1000
 
+  /** Weighted-sample length-proxy score: 25 bp per character, capped
+    * at 10000 (docs >= 400 chars always kept; the corpus runs 48-553).
+    */
+  private val WeightedBpPerChar = 25
+
   /** Sequence-packing token budget and lane count (docs are ~56 tokens
     * median, so ~4 docs/pack; 8 lanes ≈ 62 docs/lane at sf0.01).
     */
@@ -1519,6 +1550,16 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private def weightedSampleOracle: String = {
+    val bucket = s"(${sqlHexBucket("md5('wsample:' || doc_id)")} % 10000)"
+    val score = s"greatest(0, least(10000, n_chars * $WeightedBpPerChar))"
+    s"""SELECT doc_id, CAST($score AS BIGINT) AS score_bp,
+       |  CAST($bucket AS BIGINT) AS bucket
+       |FROM documents
+       |WHERE $bucket < $score
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def packSequencesOracle: String = {
     val lane = s"((${sqlHexBucket("md5('pack:' || doc_id)")} % 10000) % $PackLanes)"
     s"""WITH RECURSIVE toks AS (
@@ -1587,6 +1628,15 @@ object SparkEntry {
   private val NearDupTables = 3
   private val NearDupMaxBucket = 1000
 
+  /** Cosine-pair gate threshold. Production would use ~0.95, but the
+    * synthetic embeddings are i.i.d. (max pairwise cosine ~0.48, and
+    * only ~15 pairs survive the 16-plane × 3-table bucketing at
+    * sf0.01), so 0.95 made the oracle compare empty-vs-empty; 0.35
+    * keeps a non-empty pair list flowing through BOTH engines' cosine
+    * filters.
+    */
+  private val NearDupThreshold = 0.35
+
   /** Per-table hyperplane buckets CTE chain ending in
     * `allbuckets(vec_id, tbl, bucket)` — mirrors Similarity.lshBucket
     * seeds exactly (table 0: "p:i", table t: "tT:p:i").
@@ -1634,7 +1684,7 @@ object SparkEntry {
        |  FROM pairs p
        |  JOIN corp ca ON ca.vec_id = p.a
        |  JOIN corp cb ON cb.vec_id = p.b)
-       |SELECT a, b, cosine FROM scored WHERE cosine >= 0.95
+       |SELECT a, b, cosine FROM scored WHERE cosine >= $NearDupThreshold
        |ORDER BY a, b""".stripMargin
 
   private def annLshOracle: String = {
@@ -1678,6 +1728,17 @@ object SparkEntry {
     * its oracle: Lloyd's iterations, coarse-list count, probe width,
     * and the ordered-prefix training-sample cap.
     */
+  /** SemDeDup constants shared by the Spark query and its oracle:
+    * per-cluster anchor cap and the near-dup cosine threshold.
+    * Production would gate ~0.95, but the synthetic embeddings are
+    * i.i.d. (max pairwise cosine ~0.48 — no planted semantic dups),
+    * so the gate uses 0.40 to keep the verdict path EXERCISED: at
+    * sf0.01 ~59 corpus pairs clear it, so both true and false
+    * `is_dup` rows reach the oracle compare.
+    */
+  private[graft] val SemAnchors = 25
+  private[graft] val SemThreshold = 0.40
+
   private[graft] val IvfLists = 10
   private[graft] val IvfProbes = 2
   private[graft] val IvfIters = 3
@@ -1713,7 +1774,12 @@ object SparkEntry {
         s"md5('${graft.ops.Similarity.HashSampleSeed}:' || vec_id)")} % 10000)" +
       s" < ${graft.ops.Similarity.HashSampleBuckets}")
 
-  private def ivfOracleFor(sampPred: String): String = {
+  /** The k-means-training + full-corpus-assignment CTE prefix shared
+    * by every oracle that mirrors the coarse quantizer (`ann_ivf`,
+    * `ann_ivf_hash`, `dedup_semantic`): ends with
+    * `assigned(vec_id, cid)` over `corp(vec_id, ve)`.
+    */
+  private def ivfTrainAssignCtes(sampPred: String): String = {
     val iterCtes = (1 to IvfIters).map { r =>
       val prev = s"c${r - 1}"
       s"""a$r AS (
@@ -1733,7 +1799,7 @@ object SparkEntry {
          |    ON n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
     val cf = s"c$IvfIters"
-    s"""WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |samp AS (SELECT vec_id, ve FROM corp WHERE $sampPred
        |  ORDER BY vec_id LIMIT $IvfSample),
        |flat AS (SELECT vec_id, i, ve[i] AS v
@@ -1745,7 +1811,12 @@ object SparkEntry {
        |    SELECT corp.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY corp.vec_id
        |        ORDER BY ${cosSql("ve", "ce")} DESC, c.cid) AS rn
-       |    FROM corp, $cf c) WHERE rn = 1),
+       |    FROM corp, $cf c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracleFor(sampPred: String): String = {
+    val cf = s"c$IvfIters"
+    s"""WITH ${ivfTrainAssignCtes(sampPred)},
        |q AS (SELECT vec_id AS qid, ve AS qe FROM corp WHERE vec_id IN (0, 1, 2)),
        |probes AS (
        |  SELECT qid, cid, qe FROM (
@@ -1765,6 +1836,27 @@ object SparkEntry {
        |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
        |ORDER BY qid, rk""".stripMargin
   }
+
+  /** dedup_semantic: the same trained quantizer + assignment as
+    * ann_ivf (shared CTEs), then the anchor-bounded SemDeDup verdict —
+    * duplicate iff an earlier same-cluster anchor (rank-by-id <=
+    * SemAnchors) is >= SemThreshold rounded-cosine similar.
+    */
+  private def semanticDedupOracle: String =
+    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+       |av AS (
+       |  SELECT a.vec_id, a.cid, corp.ve FROM assigned a
+       |  JOIN corp ON corp.vec_id = a.vec_id),
+       |anchors AS (
+       |  SELECT vec_id, cid, ve FROM (
+       |    SELECT vec_id, cid, ve,
+       |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       |    FROM av) WHERE rn <= $SemAnchors)
+       |SELECT v.vec_id, v.cid,
+       |  EXISTS (SELECT 1 FROM anchors e
+       |    WHERE e.cid = v.cid AND e.vec_id < v.vec_id
+       |      AND ${cosSql("v.ve", "e.ve")} >= $SemThreshold) AS is_dup
+       |FROM av v ORDER BY v.vec_id""".stripMargin
 
   private def rollingHashOracle: String = {
     val powRows = graft.ops.TextAnalysis.powTable.zipWithIndex
@@ -2254,6 +2346,7 @@ object SparkEntry {
     "ann_ivf_hash" -> ivfHashOracle,
 
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
+    "dedup_semantic" -> semanticDedupOracle,
 
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
@@ -2391,6 +2484,7 @@ object SparkEntry {
     "curation_quality_filter" -> qualityFilterOracle,
     "multimodal_resize" -> resizeOracle,
     "curation_sample_stratified" -> stratSampleOracle,
+    "curation_sample_weighted" -> weightedSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
@@ -2677,7 +2771,8 @@ object SparkEntry {
 
     "anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "rollup_agg" ->

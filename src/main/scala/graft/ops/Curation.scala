@@ -98,6 +98,27 @@ object Curation {
       .where(col("bucket") < rate)
   }
 
+  /** Score-proportional deterministic sampling: keep each document
+    * with probability equal to its OWN quality score — the continuous
+    * counterpart of [[stratifiedSample]]'s per-stratum rates, i.e. the
+    * classifier-score-weighted downsampling step of modern curation
+    * pipelines (keep-probability ∝ model-judged quality). `scoreBp` is
+    * any Column yielding the score in BASIS POINTS of 10000 (integer,
+    * like every rate here, so the keep decision is bit-portable);
+    * a document is kept iff its md5 bucket falls under its score.
+    *
+    * Zero shuffle — one projection + filter over the corpus, the same
+    * plan at 100 TB — and deterministic by id, so re-runs keep the
+    * same documents and the sample composes with [[hashSplit]] and
+    * [[stratifiedSample]] under independent seeds.
+    */
+  def weightedSample(df: DataFrame, idCol: String, scoreBp: Column,
+      seed: String = "wsample"): DataFrame =
+    df.withColumn("score_bp",
+        greatest(lit(0L), least(lit(10000L), scoreBp.cast("long"))))
+      .withColumn("bucket", hashBucket(col(idCol), seed))
+      .where(col("bucket") < col("score_bp"))
+
   /** Temperature-scaled source mixing: derive each stratum's keep-rate
     * FROM THE CORPUS so the sampled mix follows p(s) ∝ count(s)^alpha —
     * the multinomial temperature-sampling rule used to rebalance

@@ -542,6 +542,63 @@ object Similarity {
       k, idCol)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the corpus with the
+    * shared k-means coarse quantizer, then compare each vector only
+    * against its OWN cluster's `maxAnchors` earliest members — a
+    * vector is a semantic duplicate iff some smaller-id anchor in its
+    * cluster has rounded cosine >= `threshold` ("keep the first
+    * occurrence", the same deterministic survivor rule as exact
+    * dedup). Anchors themselves can be duplicates of earlier anchors.
+    *
+    * vs [[cosineNearDupPairs]]: LSH banding prunes by random
+    * projection (pairs can straddle buckets, recall < 1 by chance);
+    * the partition here is the data's own learned cluster structure,
+    * and the output is the per-vector keep/drop verdict a curation
+    * pipeline applies, not a pair list.
+    *
+    * Scale shape: centroids are a trained driver-side constant
+    * (bounded sample, [[kmeansCentroids]]); assignment is a zero-
+    * shuffle codegen'd projection; the anchor set is `nlist ×
+    * maxAnchors` rows selected by the bounded-heap
+    * [[graft.plans.TopK.topKPerKey]] pass and BROADCAST back — the corpus
+    * itself is never shuffled, and total comparison work is
+    * <= n × maxAnchors dots regardless of cluster skew. The anchor cap
+    * is the documented approximation (a duplicate of a non-anchor
+    * survivor survives); at 100 TB `nlist` grows with the corpus so
+    * clusters — and the cap's bite — stay bounded.
+    *
+    * Output: (id, cid, is_dup) — one row per input vector.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      nlist: Int = 10, trainIters: Int = 3, maxAnchors: Int = 25,
+      sampleMode: String = "prefix",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    require(maxAnchors >= 1, "maxAnchors >= 1")
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .withColumn("cid",
+        element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
+    val anchors = graft.plans.TopK.topKPerKey(
+        assigned, Seq("cid"), Seq(col(idCol).asc), maxAnchors)
+      .select(col("cid").as("a_cid"), col(idCol).as("a_id"),
+        col(vecCol).as("a_vec"))
+    // semi + anti against the broadcast anchors, then union: the dup
+    // verdict costs two broadcast-join passes over the corpus and ZERO
+    // shuffles of it (the dup set is O(n) — re-joining it back on id
+    // would shuffle the whole corpus just to attach a boolean)
+    val cond = col("cid") === col("a_cid") && col("a_id") < col(idCol) &&
+      round(cosine(col(vecCol), col("a_vec")), 6) >= threshold
+    val dup = assigned.join(broadcast(anchors), cond, "left_semi")
+      .withColumn("is_dup", lit(true))
+    val kept = assigned.join(broadcast(anchors), cond, "left_anti")
+      .withColumn("is_dup", lit(false))
+    dup.unionByName(kept).select(col(idCol), col("cid"), col("is_dup"))
+  }
+
   /** Per-group mean embeddings, flattened: (group, i, v) with `v` the
     * average of dimension `i` over the group's vectors. The element-
     * wise aggregation is one posexplode (linear in corpus × dim) into

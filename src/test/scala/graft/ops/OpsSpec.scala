@@ -203,6 +203,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semantic dedup: verdicts replay the anchor rule; cap only shrinks the dup set") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count()
+    // uncapped (maxAnchors >= any cluster size) = the full SemDeDup
+    // rule: dup iff ANY earlier same-cluster vector is >= τ-similar.
+    // τ = 0.4: the synthetic embeddings are i.i.d. (no planted dups;
+    // max pairwise cosine ~0.48), so production's ~0.95 never fires
+    val full = Similarity.semanticDedup(e, 0.4, nlist = 8, trainIters = 2,
+      maxAnchors = n.toInt).collect()
+    assert(full.length == n, "one verdict row per input vector")
+    assert(full.exists(_.getAs[Boolean]("is_dup")),
+      "test corpus should contain planted semantic near-dups")
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Number](1).map(_.doubleValue())).toMap
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    full.groupBy(_.getAs[Long]("cid")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("vec_id")).sorted
+      rows.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        val expect = ids.takeWhile(_ < id)
+          .exists(a => cos6(vecs(a), vecs(id)) >= 0.4)
+        assert(r.getAs[Boolean]("is_dup") == expect,
+          s"verdict for $id should replay the earlier-member rule")
+      }
+    }
+    // the anchor cap is a pure restriction: capped dups ⊆ uncapped dups,
+    // same assignments, same row count
+    val capped = Similarity.semanticDedup(e, 0.4, nlist = 8, trainIters = 2,
+      maxAnchors = 5).collect()
+    assert(capped.length == n)
+    val fullDups = full.filter(_.getAs[Boolean]("is_dup"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    val cappedDups = capped.filter(_.getAs[Boolean]("is_dup"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(cappedDups.subsetOf(fullDups))
+    assert(capped.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap ==
+      full.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap)
+  }
+
   test("multi-table LSH recall >= single-table recall vs brute force") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -421,6 +465,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rest = byLang.count(kv => kv._2 != "en" && kv._2 != "de")
     val kept = s1.count(id => byLang(id) != "en" && byLang(id) != "de")
     assert(kept > rest / 4 && kept < rest * 3 / 4, s"$kept of $rest")
+  }
+
+  test("weighted sample: keep-rate tracks the per-document score") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val kept = Curation.weightedSample(docs, "doc_id",
+        col("n_chars") * lit(25)).collect()
+    // score and bucket honor the keep rule row-by-row
+    kept.foreach { r =>
+      assert(r.getAs[Long]("bucket") < r.getAs[Long]("score_bp"))
+      assert(r.getAs[Long]("score_bp") ==
+        math.min(10000L, r.getAs[Long]("n_chars") * 25))
+    }
+    // deterministic
+    val again = Curation.weightedSample(docs, "doc_id",
+        col("n_chars") * lit(25)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getAs[Long]("doc_id")).toSet)
+    // scores of 0 and 10000 are hard guarantees, not probabilities
+    val all = Curation.weightedSample(docs, "doc_id", lit(10000)).count()
+    val none = Curation.weightedSample(docs, "doc_id", lit(0)).count()
+    assert(all == docs.count() && none == 0)
+    // aggregate keep-rate ≈ mean score (uniform buckets; wide slack)
+    val expected = docs.select((least(lit(10000), col("n_chars") * 25))
+        .cast("long")).collect().map(_.getLong(0)).sum / 10000.0
+    assert(kept.length > expected / 2 && kept.length < expected * 2,
+      s"kept ${kept.length}, expected ~$expected")
   }
 
   test("sequence packing: next-fit invariants per lane") {
