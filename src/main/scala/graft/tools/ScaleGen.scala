@@ -95,16 +95,20 @@ object ScaleGen {
 
   /** Generate (or reuse) the 10× replica of `srcDir`; returns its path.
     *
-    * The session must have `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (events.parquet carries TIMESTAMP(NANOS); the scan throws without
-    * it — Bench's session sets it). A generation that dies mid-way
-    * leaves no `_COMPLETE` marker and is re-done from scratch.
+    * The session must have `spark.sql.legacy.parquet.nanosAsLong=true`:
+    * the driver has shipped events.parquet as TIMESTAMP(NANOS) in some
+    * rounds (the raw scan below throws on those without the conf) and
+    * TIMESTAMP(MICROS) in others (where the conf is a no-op) — Bench's
+    * session always sets it. Columns replicate as whatever physical
+    * type the source carries; readers normalize via Tables.events. A
+    * generation that dies mid-way leaves no `_COMPLETE` marker and is
+    * re-done from scratch.
     */
   def ensure10x(spark: SparkSession, srcDir: String): String = {
     require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       .contains("true"),
       "ScaleGen needs spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(events.parquet is TIMESTAMP(NANOS))")
+        "(events.parquet may carry TIMESTAMP(NANOS))")
     val prefix = s"graft-scale${Factor}x-${new java.io.File(srcDir).getName}"
     val dst = s"/tmp/$prefix-v$GenVersion-${srcFingerprint(srcDir)}"
     val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
