@@ -482,6 +482,17 @@ object SparkEntry {
       graft.ops.Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("a"), col("b"))),
 
+    // Incremental MinHash-LSH: a ~10% "new batch" (deterministic md5
+    // bucket) probes the corpus band index — pairs touching a new doc
+    // only, the per-ingest shape of production dedup (no corpus
+    // self-join).
+    "dedup_minhash_incremental" -> ((s, d) =>
+      graft.ops.Dedup.minhashLshIncremental(Tables.documents(s, d),
+          "text", "doc_id",
+          graft.ops.Curation.hashBucket(col("doc_id"), IncrementalSeed)
+            < lit(IncrementalNewBp))
+        .orderBy(col("a"), col("b"))),
+
     // Exact n-gram Jaccard ≥ 0.8 — the VERIFICATION path, gated by a
     // posting-list cap (maxDf) so the self-join has a candidate-pair
     // budget; minhash_lsh above is the headline discovery path.
@@ -1414,7 +1425,29 @@ object SparkEntry {
 
   private def shinglesCte: String = shinglesCteFor(3)
 
-  private def minhashLshOracle: String = {
+  private def minhashLshOracle: String = minhashOracleFor(
+    """cand AS (
+      |  SELECT DISTINCT x.id AS a, y.id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin)
+
+  /** dedup_minhash_incremental: identical pipeline, but candidates
+    * come from the NEW batch's bands probing the full band index —
+    * the oracle mirrors the membership predicate (same md5 bucket as
+    * Curation.hashBucket) and the least/greatest pair canonicalization.
+    */
+  private def minhashIncrementalOracle: String = minhashOracleFor(
+    s"""newids AS (
+       |  SELECT doc_id AS id FROM documents
+       |  WHERE (${sqlHexBucket(s"md5('$IncrementalSeed:' || doc_id)")} % 10000)
+       |    < $IncrementalNewBp),
+       |cand AS (
+       |  SELECT DISTINCT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b
+       |  FROM bands x JOIN newids nx ON nx.id = x.id
+       |  JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id <> y.id)""".stripMargin)
+
+  private def minhashOracleFor(candCte: String): String = {
     val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
     s"""WITH $shinglesCte,
        |sig AS (SELECT id, $sigs FROM sh GROUP BY id),
@@ -1423,10 +1456,7 @@ object SparkEntry {
        |  SELECT id, 1, h2 || h3 FROM sig UNION ALL
        |  SELECT id, 2, h4 || h5 FROM sig UNION ALL
        |  SELECT id, 3, h6 || h7 FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT x.id AS a, y.id AS b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |$candCte,
        |inter AS (
        |  SELECT c.a, c.b, count(*) AS ni
        |  FROM cand c
@@ -1444,6 +1474,12 @@ object SparkEntry {
 
   /** Posting-list cap shared by the Spark query and its oracle. */
   private val NgramMaxDf = 64
+
+  /** Incremental-dedup "new batch" membership: md5 bucket under 1000
+    * bp = a deterministic ~10% of documents play the ingest batch.
+    */
+  private val IncrementalSeed = "ingest"
+  private val IncrementalNewBp = 1000
 
   /** Stratified-sample keep rates (basis points of 10000) by language;
     * es exercises the default path. Integer basis points — not double
@@ -2479,6 +2515,7 @@ object SparkEntry {
          |ORDER BY sub, partition_id, partition_sequence""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_minhash_incremental" -> minhashIncrementalOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "curation_quality_filter" -> qualityFilterOracle,

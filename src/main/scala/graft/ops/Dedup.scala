@@ -68,15 +68,19 @@ object Dedup {
         (1 until numHashes).map(j =>
           min(hasher(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
 
+  /** (id, band, bkey) band rows for LSH candidate joins. */
+  def bandKeys(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    (0 until bands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      signatures.select(col("id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionAll _)
+
   /** LSH banding: candidate pairs = documents agreeing on ALL rows of
     * at least one band. Shuffle is on (band index, band key) — uniform
     * by construction (hash values), so no skew.
     */
   def minhashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
-      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      signatures.select(col("id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionAll _)
+    val banded = bandKeys(signatures, bands, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -112,6 +116,41 @@ object Dedup {
     val sh = wordShingles(df, textCol, idCol, k)
     val sig = minhashSignatures(sh, numHashes, hasher)
     val cand = minhashCandidates(sig, bands, numHashes / bands)
+    jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL MinHash-LSH: near-dup pairs touching at least one NEW
+    * document — the shape corpus dedup actually runs at 100 TB. A
+    * production pipeline does not re-deduplicate the whole corpus per
+    * ingest batch: the existing corpus's band keys are a precomputed
+    * INDEX (recomputed from `df` here so the gated query is self-
+    * contained; production reads them from the signature store), only
+    * the new batch's bands PROBE it, and per-bucket candidate work is
+    * |new ∩ bucket| × |bucket| instead of |bucket|² — the self-join
+    * over the historical corpus never happens. New-new pairs fall out
+    * of the same probe (the new batch is part of the probed side).
+    *
+    * Result == [[minhashLsh]] over the full corpus RESTRICTED to pairs
+    * with at least one `isNewCol` member (pinned by OpsSpec), so
+    * batch-then-incremental composes to exactly the batch-global
+    * answer. Output: (a, b, jaccard), a < b.
+    */
+  def minhashLshIncremental(df: DataFrame, textCol: String, idCol: String,
+      isNewCol: Column, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.0,
+      hasher: Column => Column = md5String): DataFrame = {
+    val sh = wordShingles(df, textCol, idCol, k)
+    val sig = minhashSignatures(sh, numHashes, hasher)
+    val banded = bandKeys(sig, bands, numHashes / bands)
+    val newIds = df.where(isNewCol).select(col(idCol).as("id"))
+    val probe = banded.join(newIds, "id")
+    val cand = probe.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
     jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
   }
 

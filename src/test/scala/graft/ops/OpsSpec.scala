@@ -34,6 +34,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("incremental minhash == full minhash restricted to pairs touching a new doc") {
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
+    val newIds = docs.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < docs.count(),
+      "batch split must be a proper subset")
+    val full = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val inc = Dedup.minhashLshIncremental(docs, "text", "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    assert(expected.nonEmpty,
+      "the 10% batch should touch at least one planted near-dup pair")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions.col
     val nearDups = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.95)
