@@ -509,18 +509,15 @@ object SparkEntry {
 
     // SimHash near-dup pairs: banded hamming buckets (exact for
     // distance <= bands-1 by pigeonhole), verified with hammingDistance.
+    // Gated at the library default — the canonical Manku et al. WWW'07
+    // config (64-bit shingled fingerprints, hamming <= 3, 4 bands of
+    // 16-BIT keys): 65k buckets per band, growing with the corpus.
+    // The 32-bit/8-bit-band config this query once ran caps every band
+    // at 256 buckets and goes quadratic (BENCH_r09: 28.8× at 10×) — it
+    // survives only as the bench's `simhash32_candidate_ratio`
+    // small-corpus diagnostic, never as a gated query.
     "dedup_simhash_pairs" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")
-        .orderBy(col("a"), col("b"))),
-
-    // 64-bit shingled fingerprints — the standard production width at
-    // 100 TB, in the canonical config (64-bit fingerprints, hamming
-    // <= 3, 4 bands of 16-bit keys — Manku et al., WWW'07): 65k
-    // buckets per band, growing with the corpus. 8 bands of 8-bit keys
-    // would reach hamming 7 but cap bands at 256 buckets — quadratic.
-    "dedup_simhash_pairs_64" -> ((s, d) =>
-      graft.ops.Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
-          bits = 64, bands = 4, maxDistance = 3)
         .orderBy(col("a"), col("b"))),
 
     // 128-bit fingerprints (4 chained seeded hashes) — the top of the
@@ -1382,16 +1379,12 @@ object SparkEntry {
     s"""WITH ${simhashCte(16)}
        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
 
-  /** All-pairs hamming over the 32-bit shingled fingerprints — the
+  /** All-pairs hamming over the 64-bit shingled fingerprints — the
     * banded Spark path is exact for distance <= bands-1, so the oracle
-    * can brute-force.
+    * can brute-force. 64/hamming-3 is the gated headline config (the
+    * canonical Manku WWW'07 setting with 16-bit band keys).
     */
-  private def simhashPairsOracle: String = simhashPairsOracleAt(32, 3)
-
-  /** 64-bit variant — the 100 TB production regime (4 bands of 16-bit
-    * keys, exact to hamming 3 by pigeonhole — the canonical config).
-    */
-  private def simhashPairs64Oracle: String = simhashPairsOracleAt(64, 3)
+  private def simhashPairsOracle: String = simhashPairsOracleAt(64, 3)
 
   /** 128-bit variant — 8 bands of 16-bit keys, exact to hamming 7. */
   private def simhashPairs128Oracle: String = simhashPairsOracleAt(128, 7)
@@ -2526,7 +2519,6 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
-    "dedup_simhash_pairs_64" -> simhashPairs64Oracle,
     "dedup_simhash_pairs_128" -> simhashPairs128Oracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,

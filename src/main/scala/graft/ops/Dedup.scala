@@ -497,24 +497,26 @@ object Dedup {
     *
     * The exactness guarantee couples bucket granularity to fingerprint
     * width: each band key is `bits/bands` bits, so bucket space per
-    * band is 2^(bits/bands). 16-bit fingerprints give 4-bit bands = 16
-    * buckets — quadratic at any real corpus. Default is therefore
-    * 32-bit SHINGLED fingerprints (8-bit bands; unigram fingerprints
-    * on a shared-vocabulary corpus cluster within hamming ~6 of each
-    * other, so bands stop pruning — shingles spread random pairs to
-    * hamming ≈ bits/2 and banding cuts candidates to ~1% of pairs).
-    * Production at 100 TB widens the fingerprint AND the band keys
-    * together: the scale-shaped configs are 16-BIT band keys (65k+
-    * buckets per band, growing with the corpus) — 64-bit/4-band/
-    * hamming 3 (the canonical Manku et al. WWW'07 setting) and
-    * 128-bit/8-band/hamming 7. Trading band width for reach (e.g. 8-bit
-    * keys to push maxDistance up) caps every band at 256 buckets and
-    * goes quadratic — measured 15× on a 10× corpus before the gated
-    * queries moved to 16-bit keys. Candidates travel as (a, b) id
+    * band is 2^(bits/bands). The DEFAULT is the canonical Manku et al.
+    * WWW'07 setting — 64-bit SHINGLED fingerprints, 4 bands of 16-BIT
+    * keys, hamming <= 3: 65k+ buckets per band, a space that grows
+    * with the corpus, so candidate mass stays ~linear. (Shingling
+    * matters too: unigram fingerprints on a shared-vocabulary corpus
+    * cluster within hamming ~6 of each other, so bands stop pruning —
+    * shingles spread random pairs to hamming ≈ bits/2.) The wide
+    * variant is 128-bit/8-band/hamming-7 — same 16-bit keys, twice the
+    * entropy. Narrow band keys are the scale trap: trading band width
+    * for reach (e.g. 32-bit fingerprints in 4 bands = 8-bit keys to
+    * keep hamming 3 cheap) caps every band at 256 buckets and goes
+    * quadratic — measured 15× on a 10× corpus, then 28.8× again when a
+    * gated query slipped back to it; the 32-bit config is a
+    * SMALL-CORPUS DIAGNOSTIC only (its candidate ratio is reported by
+    * the bench as `simhash32_candidate_ratio` next to the 64/128
+    * ratios so the gap stays visible). Candidates travel as (a, b) id
     * pairs only; fingerprints are re-joined for the verify.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 32, bands: Int = 4, maxDistance: Int = 3,
+      bits: Int = 64, bands: Int = 4, maxDistance: Int = 3,
       shingleK: Int = 3): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")

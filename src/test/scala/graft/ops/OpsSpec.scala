@@ -78,7 +78,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("simhashPairs: banded join equals all-pairs hamming scan") {
     // exact-equivalence claim: for maxDistance <= bands-1, banding
     // loses nothing (pigeonhole) — verify against a brute-force scan
-    val fps = Dedup.simhash(docs, "text", "doc_id", bits = 32, shingleK = 3)
+    // at the DEFAULT config (64-bit Manku, 16-bit band keys)
+    val fps = Dedup.simhash(docs, "text", "doc_id", bits = 64, shingleK = 3)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash"))
     val brute = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
@@ -88,6 +89,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded == brute)
     assert(banded.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
+  test("simhashPairs: 32-bit small-corpus config stays exact (diagnostic only)") {
+    // the 8-bit-band config is quadratic at scale (256 buckets/band)
+    // and is never gated — but on a small corpus its pigeonhole
+    // exactness still holds, which is what makes it usable as a
+    // candidate-ratio diagnostic
+    val fps = Dedup.simhash(docs, "text", "doc_id", bits = 32, shingleK = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash"))
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      d = fa.zip(fb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id",
+        bits = 32, bands = 4, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
   }
 
   test("128-bit simhash: narrower widths are prefixes; banding stays exact") {
