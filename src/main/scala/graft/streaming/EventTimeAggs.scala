@@ -106,13 +106,16 @@ object EventTimeAggs {
     * (flatMapGroupsWithState): emits a session when `gapNs` of
     * inactivity passes within a stream. State is one (start, last,
     * count) triple per stream — O(streams), checkpointed. Sessions
-    * close on the in-data gap; a production deployment that needs
-    * idle-stream flushing adds a state timeout (the handler below
-    * already covers `hasTimedOut`).
+    * close on the in-data gap; `idleFlushMs` additionally flushes the
+    * trailing session of a stream that has gone quiet (no new events
+    * for that long in PROCESSING time) via a state timeout — without
+    * it a stream that stops emitting holds its last session open
+    * forever.
     */
   def sessionize(
       es: EventStore,
-      gapNs: Long = 30L * 60 * 1000000000L): Dataset[ClosedSession] = {
+      gapNs: Long = 30L * 60 * 1000000000L,
+      idleFlushMs: Option[Long] = None): Dataset[ClosedSession] = {
     val spark = es.spark
     import spark.implicits._
     sessionizeFeed(
@@ -122,7 +125,7 @@ object EventTimeAggs {
         .parquet(s"${es.root}/events")
         .select(col("stream_id"), col("timestamp_ns"))
         .as[SessionInput],
-      gapNs)
+      gapNs, idleFlushMs)
   }
 
   /** [[sessionize]] over a caller-prepared feed. Time units are
@@ -130,18 +133,28 @@ object EventTimeAggs {
     * (`timestamp_ns div 1000`) so the external oracle, whose parquet
     * reader truncates TIMESTAMP(NANOS) to µs, sees the exact same gap
     * arithmetic. The trailing session of each stream stays open (never
-    * emitted) until either more data closes it or a production
-    * deployment's state timeout flushes it.
+    * emitted) until more data closes it — or, with `idleFlushMs` set,
+    * until the stream has produced nothing for that long in processing
+    * time: each update arms a per-group processing-time timeout, and
+    * an expired group emits its open session and drops its state (the
+    * `hasTimedOut` branch), so idle streams neither hold sessions open
+    * forever nor leak state. The gated query leaves the flush OFF
+    * (its oracle recounts only gap-closed sessions); timeouts fire
+    * when a later micro-batch runs, which in continuous ingestion is
+    * always soon.
     */
   def sessionizeFeed(
       events: Dataset[SessionInput],
-      gapNs: Long): Dataset[ClosedSession] = {
+      gapNs: Long,
+      idleFlushMs: Option[Long] = None): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.stream_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append,
+        if (idleFlushMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
         (sid: String, rows: Iterator[SessionInput],
             state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
@@ -172,7 +185,10 @@ object EventTimeAggs {
                   cur = Some(SessionState(r.timestamp_ns, r.timestamp_ns, 1))
               }
             }
-            cur.foreach(state.update)
+            cur.foreach { s =>
+              state.update(s)
+              idleFlushMs.foreach(state.setTimeoutDuration)
+            }
             closed.iterator
           }
         })

@@ -31,22 +31,28 @@ import org.apache.spark.sql.functions._
   * replicate verbatim (vector payloads have no banding-verify stage;
   * over-dense LSH buckets are dropped by construction).
   *
-  * KNOWN SKEW of the mutated replica: the token prefix also zeroes
-  * every stopword and language-marker hit in replicas 1-9, so ~90% of
-  * the 10× corpus scores stop_ratio 0 / lang 'und'. Legs whose
-  * DOWNSTREAM work is gated on those signals (quality filter pass
-  * rate, langid distribution) therefore run against a survivor set
-  * closer to base-sized than 10× — their scale ratios are optimistic
-  * and are read as scan-scaling only, not survivor-scaling. The dedup
-  * legs this mutation exists for are unaffected (their workload is
-  * the shingle/band structure, which IS preserved 1:1 per replica).
-  * An alternative that preserves stopwords (prefixing only every k-th
-  * token, k = shingle width) would keep every k-gram mutated but
-  * leave 1-1/k of unigram features shared across replicas — unigram-
-  * feature operators (simhash shingleK<=1, langid, quality) would then
-  * see cross-replica collisions instead, so no single mutation serves
-  * both families; this one favors the dedup legs and documents the
-  * skew.
+  * The mutation PRESERVES the scoring-token vocabulary: stopwords and
+  * language markers ([[PreservedTokens]] — the exact lists
+  * `Curation.Stopwords` and `TextAnalysis.LangMarkers` count) keep
+  * their surface form, every other token is prefixed, and the FIRST
+  * token is prefixed unconditionally (so no two replicas of a doc are
+  * ever byte-identical — the exact-dedup legs keep 10× distinct
+  * groups). Rounds ≤9 prefixed every token, which zeroed every
+  * stopword/langid hit in replicas 1-9: ~90% of the 10× corpus scored
+  * stop_ratio 0 / lang 'und', so quality-filter and langid legs ran
+  * against base-sized survivor sets and their ratios read as
+  * scan-scaling only. With the whitelist, stop_ratio and language
+  * scores survive per replica (up to the one first-token hit), so
+  * those legs' 10× ratios are survivor-proportional again. The cost:
+  * k-grams composed ENTIRELY of whitelist tokens stay shared across
+  * replicas — a vanishing slice of the shingle space (the whitelist
+  * is ~30 function words; any shingle containing one content token is
+  * still mutated), bounded in practice by the ngram maxDf cap and by
+  * band verification, and pinned small by ScaleGenSpec. Mutation is
+  * CONTENT-keyed (same token maps to the same mutated form everywhere
+  * in a replica, position-independent except the first token), so
+  * intra-replica shingle equality — the near-dup structure the dedup
+  * legs measure — is preserved 1:1.
   *
   * The replica is generated ONCE into a content-addressed cache dir
   * (keyed by source dir name) with a completion marker; a crashed
@@ -59,9 +65,18 @@ object ScaleGen {
 
   /** bump when the generation logic changes shape (it is part of the
     * cache key — a cached replica from an older generator must not be
-    * reused; v2 = replica-mutated document text)
+    * reused; v2 = replica-mutated document text, v3 = whitelist-
+    * preserving mutation)
     */
-  val GenVersion = 2
+  val GenVersion = 3
+
+  /** Tokens the replica mutation leaves intact: exactly the lists the
+    * quality/langid operators count, so their statistics survive the
+    * 10× replication (see the class scaladoc).
+    */
+  val PreservedTokens: Seq[String] =
+    (graft.ops.Curation.Stopwords ++
+      graft.ops.TextAnalysis.LangMarkers.flatMap(_._2)).distinct
 
   /** scaled tables → their key columns (offset per replica) */
   val ScaledKeys: Map[String, Seq[String]] = Map(
@@ -182,13 +197,15 @@ object ScaleGen {
         df.withColumn(k, (col(k) + lit(i.toLong * KeyOffset)).cast("long")))
       mutateText match {
         case Some(c) if i > 0 =>
-          // prefix every token with the replica tag: kills ALL
-          // cross-replica shingle overlap (no band collisions between
-          // replicas) while preserving intra-replica near-dup
-          // structure token-for-token
+          // prefix every non-whitelisted token with the replica tag
+          // (first token unconditionally): kills cross-replica shingle
+          // overlap for any shingle containing a content token, while
+          // preserving intra-replica near-dup structure token-for-token
+          // AND the stopword/langid statistics the quality legs gate on
           keyed.withColumn(c, array_join(
-            transform(split(col(c), " "),
-              t => concat(lit(s"r${i}x"), t)), " "))
+            transform(split(col(c), " "), (t, idx) =>
+              when(idx === 0 || !t.isin(PreservedTokens: _*),
+                concat(lit(s"r${i}x"), t)).otherwise(t)), " "))
         case _ => keyed
       }
     }.reduce(_ unionByName _)

@@ -259,4 +259,70 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("eta_sessions_oo").collect().isEmpty)
     } finally q.stop()
   }
+
+  test("sessionizeFeed: idle flush closes the trailing session via state timeout") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-sessidle-").toString, 4)
+    val base = 1700000000000L
+    // idle-1 gets two events inside one session, then goes quiet
+    es.appendMany(Seq(
+      EventInput("idle-1", "E", timestampMs = Some(base)),
+      EventInput("idle-1", "E", timestampMs = Some(base + 60000))))
+
+    import spark.implicits._
+    val feed = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+      .select(org.apache.spark.sql.functions.col("stream_id"),
+        org.apache.spark.sql.functions.col("timestamp_ns"))
+      .as[EventTimeAggs.SessionInput]
+    val q = EventTimeAggs.sessionizeFeed(feed,
+        gapNs = 30L * 60 * 1000000000L, idleFlushMs = Some(500L))
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_sessions_idle").start()
+    // NOTE: no processAllAvailable() anywhere in this test — with a
+    // processing-time timeout armed, FlatMapGroupsWithStateExec keeps
+    // requesting no-data micro-batches (that is HOW idle groups get
+    // flushed without new input), so the engine never reports the
+    // quiescence processAllAvailable waits for. Poll the sink instead.
+    def awaitRows(what: String)(
+        cond: => Array[org.apache.spark.sql.Row]): org.apache.spark.sql.Row = {
+      var got = Array.empty[org.apache.spark.sql.Row]
+      var i = 0
+      while (got.isEmpty && i < 100) { // <= 30 s
+        Thread.sleep(300)
+        got = cond
+        i += 1
+      }
+      assert(got.length == 1, s"$what: expected 1 row, got ${got.length}")
+      got.head
+    }
+    try {
+      // the trailing session has NO in-data gap — only the timeout
+      // path (the hasTimedOut branch) can emit it
+      val r = awaitRows("idle flush") {
+        spark.table("eta_sessions_idle")
+          .where($"stream_id" === "idle-1").collect()
+      }
+      assert(r.getAs[Long]("start_ns") == base * 1000000L)
+      assert(r.getAs[Long]("end_ns") == (base + 60000) * 1000000L)
+      assert(r.getAs[Long]("events") == 2L)
+      // the flushed group's state is gone: a new event for idle-1
+      // starts a FRESH session (events=1) rather than extending the
+      // flushed one — it closes on the in-batch gap (or a later idle
+      // flush), either way as its own 1-event session
+      es.appendMany(Seq(
+        EventInput("idle-1", "E", timestampMs = Some(base + 120000)),
+        EventInput("idle-1", "E", timestampMs = Some(base + 7200000))))
+      val again = awaitRows("fresh session") {
+        spark.table("eta_sessions_idle")
+          .where($"stream_id" === "idle-1" &&
+            $"start_ns" === (base + 120000) * 1000000L).collect()
+      }
+      assert(again.getAs[Long]("events") == 1L,
+        "state must be removed on flush — new events start a fresh session")
+    } finally q.stop()
+  }
 }

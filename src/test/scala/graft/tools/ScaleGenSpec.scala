@@ -53,8 +53,11 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val baseDistinct = docs.select("text").distinct().count()
     assert(big.select("text").distinct().count() ==
       baseDistinct * ScaleGen.Factor)
-    // cross-replica shingle overlap is ZERO: replica tags touch every
-    // token, so no 3-shingle can appear in two replicas
+    // cross-replica shingle overlap is confined to shingles made
+    // ENTIRELY of whitelist tokens (stopwords/lang markers keep their
+    // surface form so quality/langid statistics survive) — any shingle
+    // containing a content token is replica-tagged, so the shared
+    // slice is a vanishing fraction of the shingle space
     def shingles(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
       graft.ops.Dedup.wordShingles(
         df.where(col("doc_id") >= lo && col("doc_id") < hi), "text", "doc_id", 3)
@@ -62,12 +65,34 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r0 = shingles(big, 0L, ScaleGen.KeyOffset)
     val r1 = shingles(big, ScaleGen.KeyOffset, 2 * ScaleGen.KeyOffset)
     assert(r0.count() > 0 && r1.count() > 0)
-    assert(r0.intersect(r1).count() == 0)
-    // intra-replica structure is the base corpus's, mapped 1:1 — the
-    // shingle-set SIZE per replica matches base exactly
+    val whitelist = ScaleGen.PreservedTokens.toSet
+    val shared = r0.intersect(r1).collect().map(_.getString(0))
+    shared.foreach { sh =>
+      assert(sh.split(" ").forall(whitelist), s"non-whitelist shingle shared: $sh")
+    }
     val baseShingles = graft.ops.Dedup.wordShingles(docs, "text", "doc_id", 3)
       .select("sh").distinct().count()
-    assert(r1.count() == baseShingles, s"${r1.count()} != $baseShingles")
+    assert(shared.length <= baseShingles / 100,
+      s"${shared.length} shared shingles vs $baseShingles base — overlap not vanishing")
+    // intra-replica structure is the base corpus's, mapped 1:1: the
+    // mutation is content-keyed (same token -> same mutated form), so
+    // the per-replica distinct-shingle count matches base up to the
+    // unconditional first-token prefix (at most one extra shingle
+    // form per document)
+    val nDocs = docs.count()
+    assert(r1.count() >= baseShingles && r1.count() <= baseShingles + nDocs,
+      s"${r1.count()} outside [$baseShingles, ${baseShingles + nDocs}]")
+    // the signals the mutation now preserves: per-replica stopword
+    // mass and langid distribution match base (up to first-token hits)
+    val baseStops = docs.select(sum(graft.ops.TextAnalysis
+      .tokenSetOccurrences(col("text"), graft.ops.Curation.Stopwords))).first().getLong(0)
+    val r1Stops = big.where(col("doc_id") >= ScaleGen.KeyOffset &&
+        col("doc_id") < 2 * ScaleGen.KeyOffset)
+      .select(sum(graft.ops.TextAnalysis
+        .tokenSetOccurrences(col("text"), graft.ops.Curation.Stopwords)))
+      .first().getLong(0)
+    assert(r1Stops >= baseStops - nDocs && r1Stops <= baseStops,
+      s"replica stopword mass $r1Stops vs base $baseStops (docs=$nDocs)")
   }
 
   test("ensure10x generates via temp+rename, marks complete, and caches") {
