@@ -415,7 +415,7 @@ object Bench {
     //     OR ABOVE the wide canary (more centroids = strictly finer
     //     quantization); below it means the path breaks somewhere the
     //     coarse geometries can't see.
-    val (pqRecall, pqRecallWide, pqRecallProd): (Double, Double, Double) =
+    val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall): (Double, Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -452,10 +452,24 @@ object Bench {
         if (prod >= 0 && wide >= 0 && prod < wide)
           System.err.println(f"[bench] pq prod-geometry recall $prod%.3f " +
             f"BELOW wide canary $wide%.3f — investigate the k=256 path")
-        (base, wide, prod)
+        // composed IVF-PQ at the SAME PQ geometry as the base canary:
+        // the delta vs pq_recall_at_5 is pure probe cost (a true
+        // neighbor in an unprobed list is unreachable by construction,
+        // so this number is <= the flat canary and approaches it as
+        // nprobe -> nlist) — the honest price of scanning ~nprobe/
+        // nlist of the corpus instead of all of it
+        val ivfpq = {
+          val got = graft.ops.Similarity.ivfPqTopKBatch(e, pred, kNN = 5,
+              nlist = SparkEntry.IvfLists, nprobe = SparkEntry.IvfProbes,
+              trainIters = SparkEntry.IvfIters,
+              m = SparkEntry.PqM, k = SparkEntry.PqK, iters = SparkEntry.PqIters)
+            .select("qid", "vec_id")
+          if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+        }
+        (base, wide, prod, ivfpq)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -695,6 +709,7 @@ object Bench {
       s""""pq_recall_at_5":$pqRecall,""" +
       s""""pq_recall_at_5_wide":$pqRecallWide,""" +
       s""""pq_recall_at_5_prod":$pqRecallProd,""" +
+      s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
       s""""cc_rounds_base":$ccRoundsBase,"cc_rounds_10x":$ccRounds10x,""" +

@@ -569,6 +569,18 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // IVF-PQ composed ANN — the production stack: the trained coarse
+    // quantizer prunes to nprobe inverted lists per query, PQ-ADC
+    // lookup distances WITHIN the probed lists, bounded-heap top-k.
+    // Candidate mass per query is the probed lists' size, not the
+    // corpus; the corpus side reads only the code columns + list id.
+    "ann_ivf_pq" -> ((s, d) =>
+      graft.ops.Similarity.ivfPqTopKBatch(Tables.embeddings(s, d),
+          queryPred = col("vec_id").isin(0, 1, 2), kNN = 5,
+          nlist = IvfLists, nprobe = IvfProbes, trainIters = IvfIters,
+          m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("qid"), col("rk"))),
+
     // Embedding-cosine near-duplicate pairs (banded multi-table LSH +
     // exact verify), the semantic-dedup counterpart of minhash:
     // 16-plane signatures (65k buckets/table), 3 tables for recall,
@@ -2237,7 +2249,18 @@ object SparkEntry {
     * and per-corpus-vector code assignments `code{s}(vec_id, cid, d)`
     * — the SQL retraining of Similarity.pqTrain (see pqOracle doc).
     */
-  private def pqCodebookCtes: String = {
+  private def pqCodebookCtes: String =
+    s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
+       |$pqCodebookBodyCtes""".stripMargin
+
+  /** The per-subspace PQ training/encoding CTEs WITHOUT the corp/samp
+    * prefix — so the IVF-PQ composed oracle can share one corp/samp
+    * with the coarse-quantizer chain (IvfSample == PqSample and both
+    * samples are the ordered id prefix, so the two prefixes are the
+    * same relation). Ends in `code0..code{m-1}(vec_id, cid, d)`.
+    */
+  private def pqCodebookBodyCtes: String = {
     val sub = PqDims / PqM
     val perSubspace = (0 until PqM).map { s =>
       val lo = s * sub + 1
@@ -2275,9 +2298,7 @@ object SparkEntry {
          |            ${pqDistSql(s"v.ve[$lo:$hi]", "c.ce")} AS d
          |          FROM corp v, c${s}_$PqIters c)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
-       |$perSubspace""".stripMargin
+    perSubspace
   }
 
   private def pqOracle: String = {
@@ -2339,6 +2360,57 @@ object SparkEntry {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** Mirror of Similarity.ivfPqTopKBatch — the composed IVF-PQ oracle:
+    * the coarse-quantizer training/assignment chain (shared verbatim
+    * with ann_ivf) routes each query to its IvfProbes nearest lists,
+    * and the PQ codebook chain (shared verbatim with ann_pq_adc)
+    * scores ONLY vectors assigned to a probed list via the same ADC
+    * cell sum. The one new clause is the probes join — everything
+    * upstream is the two proven CTE families composed.
+    */
+  private def ivfPqOracle: String = {
+    require(IvfSample == PqSample,
+      "composed oracle shares one samp CTE — keep the sample caps equal")
+    val sub = PqDims / PqM
+    val cellCtes = (0 until PqM).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      s"""cell$s AS (
+         |  SELECT q.qid, c.cid, ${pqDistSql(s"q.ve[$lo:$hi]", "c.ce")} AS cell
+         |  FROM qv q, c${s}_$PqIters c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(s =>
+      s"JOIN code$s k$s ON k$s.vec_id = k0.vec_id").mkString("\n  ")
+    val cellJoins = (0 until PqM).map(s =>
+      s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid" +
+        (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
+    val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
+    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+       |$pqCodebookBodyCtes,
+       |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("q.ve", "c.ce")} DESC, c.cid) AS rn
+       |    FROM qv q, c$IvfIters c) WHERE rn <= $IvfProbes),
+       |$cellCtes,
+       |scored AS (
+       |  SELECT ce0.qid, k0.vec_id, round($cellSum, 6) AS adist
+       |  FROM code0 k0
+       |  $codeJoins
+       |  JOIN assigned av ON av.vec_id = k0.vec_id
+       |  $cellJoins
+       |  JOIN probes pr ON pr.qid = ce0.qid AND pr.cid = av.cid
+       |  WHERE k0.vec_id != ce0.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** Mirror of Curation.zValue: the same 16-bit Morton interleave as
     * explicit shift/mask arithmetic.
     */
@@ -2373,6 +2445,7 @@ object SparkEntry {
 
     "ann_ivf" -> ivfOracle,
     "ann_ivf_hash" -> ivfHashOracle,
+    "ann_ivf_pq" -> ivfPqOracle,
 
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
     "dedup_semantic" -> semanticDedupOracle,

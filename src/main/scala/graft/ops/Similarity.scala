@@ -283,10 +283,13 @@ object Similarity {
 
   /** [[pqCodes]] against pre-trained codebooks — callers that already
     * hold the books (ADC search trains them for its lookup tables)
-    * encode without re-running the driver-side training loop.
+    * encode without re-running the driver-side training loop. `keep`
+    * names extra columns of `corpus` to carry through unchanged (e.g.
+    * a coarse-quantizer list id for the IVF-PQ composition).
     */
   def pqCodesWith(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     val m = books.length
     val sub = books.head.head.length
     val v = col(vecCol)
@@ -300,8 +303,8 @@ object Similarity {
       }: _*))
       element_at(sorted, 1).as(s"p$s")
     }
-    corpus.select(col(idCol) +: picks: _*)
-      .select(col(idCol) +:
+    corpus.select(col(idCol) +: keep.map(col) ++: picks: _*)
+      .select(col(idCol) +: keep.map(col) ++:
         (0 until m).map(s => col(s"p$s.cid").as(s"code$s")) :+
         round((0 until m).map(s => col(s"p$s.d")).reduce(_ + _), 6)
           .as("recon_err"): _*)
@@ -411,6 +414,90 @@ object Similarity {
     // rank comes from the final heap pass itself (rankCol) — the heap
     // already ordered each key's survivors, so no Window operator
     // appears anywhere in this plan
+    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
+        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("adist"), col("rk"))
+  }
+
+  /** IVF-PQ composed ANN — the production stack: the coarse quantizer
+    * routes each query to its `nprobe` nearest inverted lists, and
+    * WITHIN the probed lists distance is the PQ-ADC lookup against the
+    * trained codebooks (non-residual flavor: codes quantize the raw
+    * vectors, as in the classical IVFADC variant without residual
+    * encoding — both quantizers train exactly as their standalone
+    * gated counterparts, so the oracle reuses both CTE chains).
+    *
+    * Scale shape: ONE codes scan; each row expands only to the queries
+    * probing ITS list (an `explode` over a literal cid→query-positions
+    * map — candidate rows = Σ_q |probed lists of q|, the defining
+    * IVF-PQ candidate mass, not Q × N), the approximate distance is m
+    * constant-array lookups, and per-query top-k runs on the two-phase
+    * bounded heaps. Corpus vectors never shuffle; only (qid, id,
+    * adist) survivors do.
+    *
+    * Recall relative to flat ADC is bounded by the probe: a true
+    * neighbor living in an unprobed list is lost (the IVF trade), so
+    * the bench reports this path's recall NEXT TO the flat-ADC canary
+    * at the same PQ geometry — the gap IS the probe cost, and it
+    * shrinks as nprobe→nlist.
+    */
+  def ivfPqTopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
+      nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
+      m: Int = 4, k: Int = 8, iters: Int = 2,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
+    val books = pqTrain(corpus, m, k, iters, maxSample, sampleMode,
+      idCol = idCol, vecCol = vecCol)
+    val sub = books.head.head.length
+    // nearest coarse centroid per corpus vector: shuffle-free
+    // projection (same expression as ivfTopK), carried through the
+    // code projection
+    val assigned = corpus.withColumn("ivf_cid",
+      element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
+    val codes = pqCodesWith(assigned, books, idCol = idCol, vecCol = vecCol,
+      keep = Seq("ivf_cid"))
+    val qVecs: Seq[(Long, Seq[Double])] = corpus
+      .where(queryPred)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+      .sortBy(_._1)
+    require(qVecs.nonEmpty, "empty query batch")
+    // per-query probe set, ranked by the same rounded cosine (ties to
+    // the smaller cid) as centroidRanking — computed on the driver
+    // like every other trained constant, nlist × Q cells
+    val probes: Seq[(Long, Seq[Long])] = qVecs.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, ce) =>
+          (1.0 - cos6(qv, ce), cid.asInstanceOf[Number].longValue())
+        }.sorted.take(nprobe).map(_._2)
+    }
+    // invert to cid -> positions of the queries probing that list; a
+    // codes row explodes into exactly its probing queries
+    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
+      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
+      (0 until m).flatMap(s =>
+        books(s).map(c => l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
+    }
+    val cube = typedLit(cubeVals)
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val emptyProbe = typedLit(Seq.empty[Int])
+    val exploded = codes.select(
+      col(idCol) +: (0 until m).map(s => col(s"code$s")) :+
+        explode(coalesce(
+          element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
+          emptyProbe)).as("qpos"): _*)
+    val qtab = element_at(cube, col("qpos") + 1)
+    val dist = round((0 until m).map(s =>
+      element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
+      .reduce(_ + _), 6)
+    val scored = exploded
+      .withColumn("qid", element_at(qids, col("qpos") + 1))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), dist.as("adist"))
     graft.plans.TopK.topKPerKey(scored, Seq("qid"),
         Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
       .select(col("qid"), col(idCol), col("adist"), col("rk"))

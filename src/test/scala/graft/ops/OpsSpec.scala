@@ -237,6 +237,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF-PQ: probing every list equals flat batch ADC; partial probe only prunes") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id").isin(0, 1, 2)
+    def rows(df: DataFrame) = df.select("qid", "vec_id", "adist", "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // composition pin: with nprobe == nlist the coarse quantizer
+    // prunes nothing, so the composed path must equal the flat batch
+    // ADC bit-for-bit (same books, same cube, same tie-breaks)
+    val flat = rows(Similarity.pqAdcTopKBatch(e, pred, kNN = 5))
+    val all = rows(Similarity.ivfPqTopKBatch(e, pred, kNN = 5,
+      nlist = 8, nprobe = 8, trainIters = 2))
+    assert(all == flat, "nprobe == nlist must reproduce flat ADC exactly")
+    // partial probe: scores must agree with the flat ADC scoring on
+    // every emitted (qid, vec_id) — probing changes WHICH candidates
+    // are scored, never their distances
+    val fullScores = Similarity.pqAdcTopKBatch(e, pred, kNN = 10000)
+      .select("qid", "vec_id", "adist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pruned = Similarity.ivfPqTopKBatch(e, pred, kNN = 5,
+      nlist = 8, nprobe = 2, trainIters = 2)
+      .select("qid", "vec_id", "adist").collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(fullScores.get(key).contains(r.getDouble(2)),
+        s"pruned score for $key disagrees with flat ADC")
+    }
+  }
+
   test("semantic dedup: verdicts replay the anchor rule; cap only shrinks the dup set") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = e.count()
