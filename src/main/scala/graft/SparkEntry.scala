@@ -532,6 +532,18 @@ object SparkEntry {
           bits = 128, bands = 8, maxDistance = 7)
         .orderBy(col("a"), col("b"))),
 
+    // Incremental SimHash: the ~10% "new batch" (same deterministic
+    // md5 bucket as dedup_minhash_incremental) probes the corpus band
+    // index at the headline 64-bit/16-bit-key config — near-dup pairs
+    // touching a new doc only, no corpus self-join; the streaming-
+    // ingest counterpart of dedup_simhash_pairs.
+    "dedup_simhash_incremental" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairsIncremental(Tables.documents(s, d),
+          "text", "doc_id",
+          graft.ops.Curation.hashBucket(col("doc_id"), IncrementalSeed)
+            < lit(IncrementalNewBp))
+        .orderBy(col("a"), col("b"))),
+
     // Language identification via marker-token scoring.
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1401,16 +1413,34 @@ object SparkEntry {
   /** 128-bit variant — 8 bands of 16-bit keys, exact to hamming 7. */
   private def simhashPairs128Oracle: String = simhashPairsOracleAt(128, 7)
 
-  private def simhashPairsOracleAt(bits: Int, maxDistance: Int): String = {
+  private def simhashPairsOracleAt(bits: Int, maxDistance: Int,
+      extraCte: String = "", extraWhere: String = ""): String = {
     // list_sum over a list literal, not a `+` chain (binder depth)
     val ham = (1 to bits).map(i =>
       s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
       .mkString("list_sum([", ", ", "])")
-    s"""WITH ${simhashCte(bits, shingled = true)}
+    s"""WITH ${simhashCte(bits, shingled = true)}$extraCte
        |SELECT x.doc_id AS a, y.doc_id AS b, CAST($ham AS BIGINT) AS hamming
        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
-       |WHERE $ham <= $maxDistance
+       |WHERE $ham <= $maxDistance$extraWhere
        |ORDER BY a, b""".stripMargin
+  }
+
+  /** dedup_simhash_incremental: the all-pairs hamming oracle at the
+    * headline 64/3 config, restricted to pairs touching the same
+    * deterministic ~10% "new batch" the minhash incremental oracle
+    * uses (md5 bucket mirror of Curation.hashBucket).
+    */
+  private def simhashIncrementalOracle: String = {
+    val bucket = s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || doc_id)")} % 10000)"
+    simhashPairsOracleAt(64, 3,
+      extraCte =
+        s""",
+           |newids AS (SELECT doc_id AS id FROM documents WHERE $bucket < $IncrementalNewBp)""".stripMargin,
+      extraWhere =
+        """
+          |  AND (x.doc_id IN (SELECT id FROM newids)
+          |    OR y.doc_id IN (SELECT id FROM newids))""".stripMargin)
   }
 
   /** Shared CTE: distinct word k-shingles ending in `alias(id, sh)`
@@ -2593,6 +2623,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_simhash_pairs_128" -> simhashPairs128Oracle,
+    "dedup_simhash_incremental" -> simhashIncrementalOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 

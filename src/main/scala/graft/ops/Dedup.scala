@@ -443,6 +443,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Band-key rows `(id, band, bkey)` for precomputed fingerprints
+    * `fp(id, simhash)`: band b's key is the b-th `bits/bands`-wide
+    * slice of the fingerprint. The banding primitive shared by the
+    * batch self-join ([[simhashBandCandidates]]) and the incremental
+    * probe ([[simhashPairsIncremental]]).
+    */
+  def simhashBandKeys(fp: DataFrame, bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val width = bits / bands
+    (0 until bands).map { b =>
+      fp.select(col("id"), lit(b).as("band"),
+        substring(col("simhash"), b * width + 1, width).as("bkey"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Band-bucket candidate pairs over precomputed fingerprints
     * `fp(id, simhash)`: equi-join on (band index, band slice). Exposed
     * separately so the bench can report banding selectivity (candidate
@@ -450,12 +465,7 @@ object Dedup {
     * survives a 100× corpus.
     */
   def simhashBandCandidates(fp: DataFrame, bits: Int, bands: Int): DataFrame = {
-    require(bits % bands == 0, "bits must divide evenly into bands")
-    val width = bits / bands
-    val banded = (0 until bands).map { b =>
-      fp.select(col("id"), lit(b).as("band"),
-        substring(col("simhash"), b * width + 1, width).as("bkey"))
-    }.reduce(_ unionAll _)
+    val banded = simhashBandKeys(fp, bits, bands)
     banded.select(col("band"), col("bkey"), col("id").as("a"))
       .join(banded.select(col("band"), col("bkey"), col("id").as("b")),
         Seq("band", "bkey"))
@@ -528,6 +538,47 @@ object Dedup {
     // long-lived session don't pin cache entries forever.
     val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
     val cand = simhashBandCandidates(fp, bits, bands)
+    cand
+      .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
+      .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
+      .withColumn("hamming", hammingDistance(col("sa"), col("sb"), bits).cast("long"))
+      .where(col("hamming") <= maxDistance)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** INCREMENTAL SimHash near-dup pairs: pairs within `maxDistance`
+    * touching at least one NEW document — the per-ingest-batch shape
+    * of simhash dedup, mirroring [[minhashLshIncremental]]. The
+    * corpus's band keys are a precomputed INDEX (recomputed from `df`
+    * here so the gated query is self-contained; production reads
+    * fingerprints from the signature store), and only the new batch's
+    * bands PROBE it: per-bucket candidate work is
+    * |new ∩ bucket| × |bucket|, never |bucket|² — the historical
+    * corpus self-join never happens. Pigeonhole exactness carries over
+    * unchanged: any pair within hamming `bands - 1` shares a band, and
+    * when either member is new the probe finds that shared band.
+    *
+    * Result == [[simhashPairs]] at the same config RESTRICTED to pairs
+    * with at least one `isNewCol` member (pinned by OpsSpec), so
+    * batch-then-incremental composes to exactly the batch-global
+    * answer. Output: (a, b, hamming), a < b.
+    */
+  def simhashPairsIncremental(df: DataFrame, textCol: String, idCol: String,
+      isNewCol: Column, bits: Int = 64, bands: Int = 4, maxDistance: Int = 3,
+      shingleK: Int = 3): DataFrame = {
+    require(maxDistance <= bands - 1,
+      s"banding into $bands bands is only exact up to distance ${bands - 1}")
+    val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
+    val banded = simhashBandKeys(fp, bits, bands)
+    val newIds = df.where(isNewCol).select(col(idCol).as("id"))
+    val probe = banded.join(newIds, "id")
+    val cand = probe.select(col("band"), col("bkey"), col("id").as("x"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("y")),
+        Seq("band", "bkey"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
     cand
       .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
       .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")

@@ -50,6 +50,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the 10% batch should touch at least one planted near-dup pair")
   }
 
+  test("incremental simhash == batch pairs restricted to pairs touching a new doc") {
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
+    val newIds = docs.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < docs.count(),
+      "batch split must be a proper subset")
+    val full = Dedup.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val inc = Dedup.simhashPairsIncremental(docs, "text", "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    // all-new batch degenerates to the full batch answer
+    val allNew = Dedup.simhashPairsIncremental(docs, "text", "doc_id", lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allNew == full, s"allNew=$allNew full=$full")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions.col
     val nearDups = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.95)
