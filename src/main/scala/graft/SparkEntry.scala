@@ -265,6 +265,19 @@ object SparkEntry {
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("vec_id"))),
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    // seeded ±1/√16 md5-derived sign matrix: a zero-shuffle per-row
+    // projection (the matrix is a literal, reproducible from the seed
+    // by any engine — the oracle re-derives it in SQL). Gated in long
+    // (vec_id, j, proj) form so every coordinate is value-checked.
+    "embedding_random_projection" -> ((s, d) =>
+      graft.ops.Projection.randomProjection(Tables.embeddings(s, d),
+          "vec_id", "embedding", inDims = 64, outDims = RpOutDims)
+        .select(col("id").as("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("proj"))
+        .orderBy(col("vec_id"), col("j"))),
+
     // PQ-ADC search: per-query distance TABLES against the trained
     // codebooks (the asymmetric-distance trick), corpus scored by pure
     // code lookup — the billion-vector search shape; exact paths stay
@@ -438,6 +451,41 @@ object SparkEntry {
       graft.ops.LanguageModel.bigramLogProb(Tables.documents(s, d),
           "text", "doc_id", k = 0.5)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet head/middle/tail perplexity bucketing: tertile thresholds
+    // are trained constants from a bounded deterministic sample of LM
+    // scores; the corpus-wide pass is a pure projection against two
+    // literals (no global sort/ntile — that would range-shuffle the
+    // full corpus to rank rows whose bucket needs two comparisons).
+    "text_ppl_buckets" -> ((s, d) =>
+      graft.ops.LanguageModel.perplexityBuckets(Tables.documents(s, d),
+          "text", "doc_id", k = 0.5)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"),
+          col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Shannon character entropy + alphabet size: model-free repetition
+    // / gibberish signal. Per-row higher-order functions only — zero
+    // shuffle at any corpus size.
+    "text_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          graft.ops.TextAnalysis.distinctChars(col("text")).as("n_alpha"),
+          graft.ops.TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy(col("doc_id"))),
+
+    // fasttext-style corpus-trained quality/language classifier:
+    // multinomial Naive Bayes log-odds over whitespace tokens, trained
+    // in-plan against the `lang == 'en'` label. Token-count agg is
+    // vocab-bounded; scoring joins the linear token stream against the
+    // broadcast weight table.
+    "text_classifier" -> ((s, d) =>
+      graft.ops.Classifier.logOddsScore(Tables.documents(s, d),
+          "text", "doc_id", positive = col("lang") === "en")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("log_odds"),
+          col("pred_pos"))
         .orderBy(col("doc_id"))),
 
     // BPE tokenizer-TRAINING statistics: the frequency-weighted
@@ -1515,6 +1563,149 @@ object SparkEntry {
     */
   private val IncrementalSeed = "ingest"
   private val IncrementalNewBp = 1000
+
+  /** Random-projection output dims (JL cut 64 → 16). */
+  private val RpOutDims = 16
+
+  /** Shared LM-scoring CTE chain ending in
+    * `all_scored(doc_id, n_bigrams, avg_logp)` — the SQL mirror of
+    * LanguageModel.bigramLogProb(k = 0.5) over `documents`, reused by
+    * the logprob and perplexity-bucket oracles.
+    */
+  private def lmScoredCte: String =
+    """d AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT ts[i] AS w1
+      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+      |uni AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni),
+      |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts) - 1),
+      |bic AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(avg(ln((bc.cb + 0.5) / (u.c1 + 0.5 * v.v_size))), 4)
+      |      AS avg_logp
+      |  FROM bi b JOIN bic bc USING (w1, w2) JOIN uni u USING (w1), v
+      |  GROUP BY b.doc_id),
+      |all_scored AS (
+      |  SELECT d2.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logp
+      |  FROM documents d2 LEFT JOIN scored s USING (doc_id))""".stripMargin
+
+  private def lmLogProbOracle: String =
+    s"""WITH $lmScoredCte
+       |SELECT doc_id, n_bigrams, avg_logp FROM all_scored
+       |ORDER BY doc_id""".stripMargin
+
+  /** text_ppl_buckets: tertile thresholds as DISCRETE order statistics
+    * (ascending ranks floor(n/3)+1 and floor(2n/3)+1) over the same
+    * deterministic sample the Spark side collects — md5 bucket
+    * < 2000 bp (seed "ppl"), ordered-prefix limit 10000 — then a pure
+    * CASE compare. No interpolation, so thresholds are bit-identical
+    * 4-dp values.
+    */
+  private def pplBucketsOracle: String = {
+    val bucket = s"(${sqlHexBucket("md5('ppl:' || doc_id)")} % 10000)"
+    s"""WITH $lmScoredCte,
+       |samp AS (
+       |  SELECT doc_id, avg_logp FROM all_scored
+       |  WHERE avg_logp IS NOT NULL AND $bucket < 2000
+       |  ORDER BY doc_id LIMIT 10000),
+       |r AS (SELECT avg_logp, row_number() OVER (ORDER BY avg_logp) AS rn,
+       |    count(*) OVER () AS n FROM samp),
+       |th AS (SELECT
+       |    max(CASE WHEN rn = CAST(floor(n / 3.0) AS BIGINT) + 1
+       |      THEN avg_logp END) AS t1,
+       |    max(CASE WHEN rn = CAST(floor(2.0 * n / 3.0) AS BIGINT) + 1
+       |      THEN avg_logp END) AS t2
+       |  FROM r)
+       |SELECT a.doc_id, a.n_bigrams, a.avg_logp,
+       |  CASE WHEN a.avg_logp IS NULL THEN 'unscored'
+       |       WHEN a.avg_logp >= th.t2 THEN 'head'
+       |       WHEN a.avg_logp >= th.t1 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM all_scored a, th ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** text_entropy: chars via per-position substr (split-on-empty is
+    * engine-ambiguous), alphabet list_sort'ed so the float fold order
+    * matches Spark's array_sort'ed aggregate; `+ 0.0` canonicalizes
+    * -0.0 on both sides.
+    */
+  private def entropyOracle: String =
+    """WITH c AS (SELECT doc_id, text, length(text) AS len,
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> substr(text, CAST(i AS BIGINT), 1)) AS chars
+      |  FROM documents),
+      |a AS (SELECT doc_id, len, list_sort(list_distinct(chars)) AS alpha, chars
+      |  FROM c),
+      |e AS (SELECT doc_id, CAST(len AS BIGINT) AS len,
+      |    CAST(len(alpha) AS BIGINT) AS n_alpha,
+      |    CASE WHEN len = 0 THEN 0.0 ELSE
+      |      round(-list_sum(list_transform(alpha,
+      |        d -> (CAST(len(list_filter(chars, ch -> ch = d)) AS DOUBLE)
+      |              / len) *
+      |             ln(CAST(len(list_filter(chars, ch -> ch = d)) AS DOUBLE)
+      |              / len))), 4) + 0.0
+      |    END AS entropy
+      |  FROM a)
+      |SELECT doc_id, len, n_alpha, entropy FROM e ORDER BY doc_id""".stripMargin
+
+  /** text_classifier: the Naive-Bayes log-odds mirror (k = 1, label
+    * lang = 'en'); prediction derives from the ROUNDED score on both
+    * sides.
+    */
+  private def classifierOracle: String =
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS pos,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT doc_id, pos, ts[i] AS w
+      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+      |cw AS (SELECT w,
+      |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+      |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+      |  FROM toks GROUP BY w),
+      |tot AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+      |    CAST(sum(cneg) AS DOUBLE) AS tneg,
+      |    CAST(count(*) AS DOUBLE) AS v_size FROM cw),
+      |pr AS (SELECT
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS npos,
+      |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS nneg
+      |  FROM d),
+      |wt AS (SELECT w,
+      |    ln((cpos + 1.0) / (tpos + 1.0 * v_size)) -
+      |    ln((cneg + 1.0) / (tneg + 1.0 * v_size)) AS weight
+      |  FROM cw, tot),
+      |ds AS (SELECT t.doc_id, count(*) AS n_tokens, sum(wt.weight) AS w_sum
+      |  FROM toks t JOIN wt USING (w) GROUP BY t.doc_id)
+      |SELECT d2.doc_id,
+      |  CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  round(ln(pr.npos / pr.nneg) + coalesce(ds.w_sum, 0.0), 4) AS log_odds,
+      |  (round(ln(pr.npos / pr.nneg) + coalesce(ds.w_sum, 0.0), 4) > 0.0)
+      |    AS pred_pos
+      |FROM documents d2 LEFT JOIN ds USING (doc_id), pr
+      |ORDER BY doc_id""".stripMargin
+
+  /** embedding_random_projection: the oracle re-derives the seeded ±1
+    * sign matrix from md5 (hex digit ≥ '8' ⇔ top bit set — ASCII
+    * compare works for lowercase hex) and recomputes every projected
+    * coordinate.
+    */
+  private def randomProjectionOracle: String =
+    s"""WITH s AS (
+       |  SELECT j.j, i.i,
+       |    CASE WHEN substr(md5('rp:' || j.j || ':' || i.i), 1, 1) >= '8'
+       |      THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM (SELECT unnest(generate_series(0, ${RpOutDims - 1})) AS j) j,
+       |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+       |p AS (
+       |  SELECT e.vec_id, CAST(s.j AS BIGINT) AS j,
+       |    round(sum(CAST(e.embedding[s.i + 1] AS DOUBLE) * s.sgn) /
+       |      sqrt(${RpOutDims}.0), 4) AS proj
+       |  FROM embeddings e, s
+       |  GROUP BY e.vec_id, s.j)
+       |SELECT vec_id, j, proj FROM p ORDER BY vec_id, j""".stripMargin
 
   /** Stratified-sample keep rates (basis points of 10000) by language;
     * es exercises the default path. Integer basis points — not double
@@ -2981,26 +3172,11 @@ object SparkEntry {
     // tokenization with empties dropped, same add-k bigram formula;
     // counts/V/k are exact integers so only ln() (≤1 ulp) and the
     // per-doc summation order differ per engine — hence round(4).
-    "text_lm_logprob" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
-        |  FROM documents),
-        |toks AS (SELECT ts[i] AS w1
-        |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
-        |uni AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1),
-        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni),
-        |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
-        |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts) - 1),
-        |bic AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
-        |scored AS (
-        |  SELECT b.doc_id, count(*) AS n_bigrams,
-        |    round(avg(ln((bc.cb + 0.5) / (u.c1 + 0.5 * v.v_size))), 4)
-        |      AS avg_logp
-        |  FROM bi b JOIN bic bc USING (w1, w2) JOIN uni u USING (w1), v
-        |  GROUP BY b.doc_id)
-        |SELECT d2.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logp
-        |FROM documents d2 LEFT JOIN scored s USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "text_lm_logprob" -> lmLogProbOracle,
+    "text_ppl_buckets" -> pplBucketsOracle,
+    "text_entropy" -> entropyOracle,
+    "text_classifier" -> classifierOracle,
+    "embedding_random_projection" -> randomProjectionOracle,
 
     "ann_cosine_topk" ->
       """WITH q AS (

@@ -82,4 +82,49 @@ object LanguageModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
   }
+
+  /** CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    * §4.3): tertile thresholds are TRAINED CONSTANTS from a bounded
+    * deterministic sample of LM scores, then every document is
+    * bucketed by comparing its score against the two literals — the
+    * production shape, where thresholds come from a one-off sample job
+    * and the corpus-wide pass is a pure projection (no global sort, no
+    * corpus-sized window; a `ntile` over the full corpus would range-
+    * shuffle 100 TB to rank documents whose bucket only needs two
+    * comparisons).
+    *
+    * Sample discipline matches the ANN trainers: deterministic md5
+    * bucket (`sampleBp` of 10000) then ordered-prefix limit
+    * `maxSample`, so the trained thresholds are engine-independent.
+    * Thresholds are DISCRETE order statistics (ascending ranks
+    * floor(n/3)+1 and floor(2n/3)+1 — the first element of each upper
+    * tertile, so an evenly divisible sample splits exactly in thirds)
+    * over 4-dp-rounded scores — no interpolation, so the oracle's
+    * row_number mirror lands on bit-identical values. Higher avg_logp = lower perplexity: the top
+    * tertile is `head`. Unscorable docs (< 2 tokens) bucket as
+    * `unscored`.
+    *
+    * Output: (id, n_bigrams, avg_logp, bucket) — one row per document.
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+      k: Double = 0.5, sampleSeed: String = "ppl", sampleBp: Int = 2000,
+      maxSample: Int = 10000): DataFrame = {
+    // the LM scoring feeds both the threshold sample and the output —
+    // materialize once (reference-tracked blocks, as in simhashPairs)
+    val scored = bigramLogProb(df, textCol, idCol, k).localCheckpoint()
+    val sample = scored
+      .where(col("avg_logp").isNotNull &&
+        Curation.hashBucket(col("id"), sampleSeed) < lit(sampleBp))
+      .orderBy(col("id")).limit(maxSample)
+      .select(col("avg_logp")).collect().map(_.getDouble(0)).sorted
+    require(sample.nonEmpty, "perplexityBuckets needs at least one scorable doc")
+    val n = sample.length
+    val t1 = sample(n / 3)       // rank floor(n/3)+1, 0-indexed
+    val t2 = sample(2 * n / 3)   // rank floor(2n/3)+1
+    scored.withColumn("bucket",
+      when(col("avg_logp").isNull, lit("unscored"))
+        .when(col("avg_logp") >= lit(t2), lit("head"))
+        .when(col("avg_logp") >= lit(t1), lit("middle"))
+        .otherwise(lit("tail")))
+  }
 }

@@ -52,6 +52,43 @@ class LanguageModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0L until 9L).foreach(i => assert(out(i) > divergent))
   }
 
+  test("perplexityBuckets: tertile order statistics over the sample") {
+    import spark.implicits._
+    // 9 docs repeat the dominant transition (high score), one is
+    // divergent (low), one is unscorable; sample = all scorable docs
+    val docs = ((0L until 9L).map(i => (i, "x y x y x y")) :+
+      ((9L, "y x q r")) :+ ((10L, "solo"))).toDF("doc_id", "text")
+    val out = LanguageModel.perplexityBuckets(docs, "text", "doc_id",
+        sampleBp = 10000)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket"))
+      .toMap
+    // ascending sample: 1 low + 9 tied highs; t1 = s(4), t2 = s(7) are
+    // both the high score, so the divergent doc lands below t1
+    assert(out(9L) == "tail")
+    (0L until 9L).foreach(i => assert(out(i) == "head", s"doc $i: ${out(i)}"))
+    assert(out(10L) == "unscored")
+  }
+
+  test("perplexityBuckets: distinct scores split one per tertile") {
+    import spark.implicits._
+    // three scorable docs with three distinct avg scores: ascending
+    // sample s(1) < s(2) < s(3); t1 = s(1), t2 = s(2) ⇒ exactly one
+    // doc per bucket, and the best score is the head
+    val docs = Seq(
+      (0L, "x y x y x y x y"), // all dominant transitions
+      (1L, "x y x y q r"),     // mixed
+      (2L, "q r s t"))         // all rare
+      .toDF("doc_id", "text")
+    val out = LanguageModel.perplexityBuckets(docs, "text", "doc_id",
+        sampleBp = 10000)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Double]("avg_logp"), r.getAs[String]("bucket")))
+    val byBucket = out.map(t => t._3 -> t._1).toMap
+    assert(byBucket == Map("head" -> 0L, "middle" -> 1L, "tail" -> 2L),
+      out.mkString(", "))
+    assert(out.maxBy(_._2)._3 == "head")
+  }
+
   test("bigramLogProb: empty and whitespace-only text is total") {
     import spark.implicits._
     val out = LanguageModel.bigramLogProb(

@@ -134,4 +134,33 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2) == (("tiny doc", 1L, got(2)._3, 0.0)))
     assert(got(3) == (("", 0L, 0.0, 0.0)))
   }
+
+  test("charEntropy: hand-checked values, multibyte chars, empty text") {
+    import spark.implicits._
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      (0L, "aaaa"),     // single symbol: entropy 0 (and +0.0, not -0.0)
+      (1L, "abab"),     // two equiprobable: ln 2
+      (2L, "abcd"),     // four equiprobable: ln 4
+      (3L, "aab"),      // 2/3, 1/3 split
+      (4L, "日本語日本語"), // multibyte chars count as single symbols
+      (5L, ""))         // empty: 0 by the guard
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("e"),
+        TextAnalysis.distinctChars(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(got(0L) == ((0.0, 1L)))
+    assert(java.lang.Double.doubleToRawLongBits(got(0L)._1) == 0L,
+      "entropy of a constant string must be +0.0, not -0.0")
+    assert(got(1L) == ((round4(math.log(2)), 2L)))
+    assert(got(2L) == ((round4(math.log(4)), 4L)))
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(got(3L) == ((round4(h3), 2L)))
+    assert(got(4L) == ((round4(math.log(3)), 3L)),
+      "multibyte text must slice per character, not per byte")
+    assert(got(5L) == ((0.0, 0L)))
+  }
 }
