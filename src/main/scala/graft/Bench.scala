@@ -69,20 +69,34 @@ object Bench {
       }
     })
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    // (load_avg, spill_bytes, shuffle_write_bytes) of the pass whose
-    // time was RECORDED (the min pass) — the witness must describe the
-    // measurement that made it into the record, not some other pass
-    val witnessBase = mutable.LinkedHashMap.empty[String, (Double, Long, Long)]
-    val witness10x = mutable.LinkedHashMap.empty[String, (Double, Long, Long)]
+    // (load_avg, spill_bytes, shuffle_write_bytes, cpu_ratio, gc_ms)
+    // of the pass whose time was RECORDED (the min pass) — the witness
+    // must describe the measurement that made it into the record, not
+    // some other pass
+    val witnessBase =
+      mutable.LinkedHashMap.empty[String, (Double, Long, Long, Double, Long)]
+    val witness10x =
+      mutable.LinkedHashMap.empty[String, (Double, Long, Long, Double, Long)]
     // "contended" bound for the witness listing: 3/4 of the worker
     // thread count — local[32] on an otherwise-idle box idles far
     // below it, and r9's disputed run recorded load 22 ≈ 0.69×32
     val loadBound = cpus.toInt * 0.75
-    def witnessJson(m: Seq[(String, (Double, Long, Long))]): String =
-      m.map { case (k, (ld, sp, wr)) =>
+    def witnessJson(m: Seq[(String, (Double, Long, Long, Double, Long))]): String =
+      m.map { case (k, (ld, sp, wr, cr, gc)) =>
         "\"" + k + "\":{\"load\":" + f"$ld%.1f" + ",\"spill_bytes\":" + sp +
-          ",\"shuffle_write_bytes\":" + wr + "}"
+          ",\"shuffle_write_bytes\":" + wr +
+          ",\"cpu_ratio\":" + f"$cr%.1f" + ",\"gc_ms\":" + gc + "}"
       }.mkString("{", ",", "}")
+    // per-pass JVM counters feeding the witness
+    def procCpuNs(): Long = osBean match {
+      case x: com.sun.management.OperatingSystemMXBean => x.getProcessCpuTime
+      case _ => -1L
+    }
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    }
+    def gcTotalMs(): Long = gcBeans.map(_.getCollectionTime).sum
 
     // -----------------------------------------------------------------
     // Between-leg memory hygiene + contamination witness. ~170 legs
@@ -303,11 +317,20 @@ object Bench {
     //    leg) starts from a clean block manager.
     var ccRoundsBase = -1
     hygiene("setup")
-    // one measured pass + its witness: (sec, load_avg, spill Δ, shuffle-write Δ)
+    // one measured pass + its witness: (sec, load_avg, spill Δ,
+    // shuffle-write Δ, process-cpu ratio, gc Δms). cpu_ratio =
+    // JVM-cpu-seconds / wall-seconds over the pass: ≈ the worker
+    // thread count means WE used the machine (slow = real work or GC),
+    // near 0 means we were starved (foreign load) — the one number
+    // that separates self-load from contention, which the global
+    // load_avg cannot (the bench's own 32 threads dominate it). gc_ms
+    // attributes the "real work" case: a leg whose wall is mostly GC
+    // is memory pressure, not operator cost.
     def witnessedPass(name: String, tag: String)(
-        f: => Unit): (Double, Double, Long, Long) = {
+        f: => Unit): (Double, Double, Long, Long, Double, Long) = {
       Thread.sleep(50) // drain the async listener bus of the PREVIOUS pass
       val s0 = stageSpill.get(); val w0 = stageShuffleWrite.get()
+      val c0 = procCpuNs(); val g0 = gcTotalMs()
       val t =
         try time(f)
         catch {
@@ -315,9 +338,11 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }
+      val cpuRatio = if (t > 0) ((procCpuNs() - c0) / 1e9) / t else -1.0
+      val gcMs = gcTotalMs() - g0
       Thread.sleep(50) // let this pass's stage-completed events land
       val w = (t, osBean.getSystemLoadAverage,
-        stageSpill.get() - s0, stageShuffleWrite.get() - w0)
+        stageSpill.get() - s0, stageShuffleWrite.get() - w0, cpuRatio, gcMs)
       hygiene(tag)
       w
     }
@@ -329,7 +354,7 @@ object Bench {
       val b = if (a._1 < 0) a else onePass()
       val best = if (b._1 >= 0 && (a._1 < 0 || b._1 < a._1)) b else a
       results(name) = if (a._1 < 0 || b._1 < 0) -1.0 else math.min(a._1, b._1)
-      witnessBase(name) = (best._2, best._3, best._4)
+      witnessBase(name) = (best._2, best._3, best._4, best._5, best._6)
       // scale witness for the clusters leg: star-contraction rounds
       // (written eagerly by the CC fixpoint this leg just ran)
       if (name == "dedup_clusters") ccRoundsBase = graft.Telemetry.ccRounds.get()
@@ -596,7 +621,7 @@ object Bench {
             StoreProvider.storeFor(spark, bigDir)
           }
           sq("ingest") = w._1
-          witness10x("ingest") = (w._2, w._3, w._4)
+          witness10x("ingest") = (w._2, w._3, w._4, w._5, w._6)
         }
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           if (spent > budgetSec) skipped += name
@@ -621,7 +646,7 @@ object Bench {
                 if (b._1 >= 0 && b._1 < a._1) b else a
               }
             sq(name) = best._1
-            witness10x(name) = (best._2, best._3, best._4)
+            witness10x(name) = (best._2, best._3, best._4, best._5, best._6)
             if (name == "dedup_clusters")
               ccRounds10x = graft.Telemetry.ccRounds.get()
           }
@@ -643,7 +668,7 @@ object Bench {
               System.err.println(f"[bench] outlier re-run $name: " +
                 f"${sq(name)}%.2f -> ${c._1}%.2f")
               sq(name) = c._1
-              witness10x(name) = (c._2, c._3, c._4)
+              witness10x(name) = (c._2, c._3, c._4, c._5, c._6)
             }
           }
         }
@@ -665,7 +690,7 @@ object Bench {
         // by ratio so the record line stays parseable.
         val rmap = ratios.toMap
         witness10xJson = witnessJson(witness10x.toSeq
-          .filter { case (n, (ld, sp, _)) =>
+          .filter { case (n, (ld, sp, _, _, _)) =>
             rmap.getOrElse(n, 0.0) > 3.0 || sp > 0 || ld > loadBound }
           .sortBy { case (n, _) => -rmap.getOrElse(n, 0.0) }
           .take(24))
@@ -721,7 +746,7 @@ object Bench {
       s""""hygiene_leftovers":$leftoverJson,""" +
       s""""leg_witness_base":${
         witnessJson(witnessBase.toSeq
-          .filter { case (_, (ld, sp, _)) => sp > 0 || ld > loadBound }
+          .filter { case (_, (ld, sp, _, _, _)) => sp > 0 || ld > loadBound }
           .sortBy(-_._2._2).take(24))},""" +
       s""""leg_witness_10x":$witness10xJson,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
