@@ -278,6 +278,45 @@ object SparkEntry {
           col("col").as("proj"))
         .orderBy(col("vec_id"), col("j"))),
 
+    // Corpus covariance of the embedding column via the custom typed
+    // Aggregator (O(dims²) buffer, map-side combined — never the
+    // oracle's n·dims² explode-join, which is the cross-check only).
+    // Gated in long (i, j, cov) form, full symmetric matrix.
+    "embedding_covariance" -> ((s, d) => {
+      val dims = 64
+      val agg = udaf(new graft.ops.Moments.CovarianceAgg(dims),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      Tables.embeddings(s, d)
+        .agg(agg(col("embedding").cast("array<double>")).as("c"))
+        .select(posexplode(col("c")))
+        .select(floor(col("pos") / dims).cast("long").as("i"),
+          pmod(col("pos"), lit(dims)).cast("long").as("j"),
+          col("col").as("cov"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // Top principal component: power iteration (3 rounds, 6-dp
+    // discipline) on the collected covariance — a dims² trained
+    // constant — then a zero-shuffle corpus projection onto the
+    // literal component. The oracle re-runs the identical unrolled
+    // iteration in SQL from its own covariance CTE.
+    "embedding_pca_project" -> ((s, d) => {
+      val dims = 64
+      val agg = udaf(new graft.ops.Moments.CovarianceAgg(dims),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      val cov = Tables.embeddings(s, d)
+        .agg(agg(col("embedding").cast("array<double>")).as("c"))
+        .head.getSeq[Double](0)
+      val pc = graft.ops.Moments.topComponent(cov, dims, iters = PcaIters)
+      val pcLit = array(pc.map(lit): _*)
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(aggregate(
+          zip_with(col("embedding").cast("array<double>"), pcLit,
+            (x, w) => x * w),
+          lit(0.0), (a, x) => a + x), 6).as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // PQ-ADC search: per-query distance TABLES against the trained
     // codebooks (the asymmetric-distance trick), corpus scored by pure
     // code lookup — the billion-vector search shape; exact paths stay
@@ -453,6 +492,26 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
         .orderBy(col("doc_id"))),
 
+    // Corpus-wide top bigrams (frequency-weighted, not per-doc
+    // distinct): one explode + map-side-combined count + TakeOrdered
+    // top-20 — the corpus-statistics pass of a pipeline report.
+    "text_top_ngrams" -> ((s, d) =>
+      graft.ops.Dedup.wordShinglesAll(Tables.documents(s, d), "text",
+          "doc_id", 2)
+        .select(col("sh").as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20)),
+
+    // Per-doc top-3 TF-IDF terms (keyword extraction) on the custom
+    // bounded-heap TopKPerKey operator — no per-doc sort, no window.
+    "text_tfidf_terms" -> ((s, d) =>
+      graft.ops.Ranking.tfIdfTopTerms(Tables.documents(s, d), "text",
+          "doc_id", topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tfidf"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("doc_id"), col("rk"))),
+
     // CCNet head/middle/tail perplexity bucketing: tertile thresholds
     // are trained constants from a bounded deterministic sample of LM
     // scores; the corpus-wide pass is a pure projection against two
@@ -547,6 +606,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       graft.ops.Dedup.ngramJaccard(Tables.documents(s, d), "text", "doc_id",
           maxDf = NgramMaxDf)
+        .orderBy(col("a"), col("b"))),
+
+    // Shingle CONTAINMENT ≥ 0.5: |A∩B| / min(|A|,|B|) — the asymmetric
+    // measure that catches subset-duplicates (short doc quoted whole
+    // in a long one) which Jaccard dilutes below any usable threshold.
+    // Same inverted-index + maxDf posting cap as the Jaccard verify.
+    "dedup_containment" -> ((s, d) =>
+      graft.ops.Dedup.ngramContainment(Tables.documents(s, d), "text",
+          "doc_id", threshold = 0.5, maxDf = NgramMaxDf)
         .orderBy(col("a"), col("b"))),
 
     // SimHash 16-bit fingerprints per document.
@@ -1029,6 +1097,23 @@ object SparkEntry {
           "lang", "doc_id", StratRatesBp, StratDefaultBp)
         .select(col("doc_id"), col("lang"), col("bucket"))
         .orderBy(col("doc_id"))),
+
+    // Consistent EXACT-k per-stratum sample: the k smallest
+    // md5("csample:"+id) per language, via the custom TopKPerKey
+    // physical operator (bounded per-key heaps, one hash shuffle, no
+    // per-group sort). Hash order is a stable uniform permutation, so
+    // re-runs and incremental ingests keep the same survivors until a
+    // smaller hash arrives — the fixed-BUDGET counterpart of the
+    // fixed-RATE md5-bucket samplers.
+    "curation_sample_topk" -> ((s, d) =>
+      graft.plans.TopK.topKPerKey(
+        Tables.documents(s, d)
+          .withColumn("h", md5(concat(lit("csample:"),
+            col("doc_id").cast("string")).cast("binary"))),
+        Seq("lang"), Seq(col("h").asc, col("doc_id").asc), 20,
+        rankCol = Some("rk"))
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("rk"))),
 
     // Score-proportional sampling: keep-probability equal to the
     // document's own quality score (here a length proxy, 25 bp per
@@ -1567,6 +1652,10 @@ object SparkEntry {
   /** Random-projection output dims (JL cut 64 → 16). */
   private val RpOutDims = 16
 
+  /** Power-iteration rounds for the PCA component (fixed — part of the
+    * deterministic cross-engine contract). */
+  private val PcaIters = 3
+
   /** Shared LM-scoring CTE chain ending in
     * `all_scored(doc_id, n_bigrams, avg_logp)` — the SQL mirror of
     * LanguageModel.bigramLogProb(k = 0.5) over `documents`, reused by
@@ -1860,6 +1949,112 @@ object SparkEntry {
        |JOIN sizes nb ON nb.id = i.b
        |WHERE CAST(ni AS DOUBLE) / (na.n + nb.n - ni) >= 0.8
        |ORDER BY i.a, i.b""".stripMargin
+
+  /** dedup_containment: same capped-shingle universe as the Jaccard
+    * oracle, |A∩B| / min(|A|,|B|) at 0.5. */
+  private def containmentOracle: String =
+    s"""WITH $shinglesCte,
+       |shf AS (
+       |  SELECT id, sh FROM sh WHERE sh IN (
+       |    SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $NgramMaxDf)),
+       |inter AS (
+       |  SELECT sa.id AS a, sb.id AS b, count(*) AS ni
+       |  FROM shf sa JOIN shf sb ON sa.sh = sb.sh AND sa.id < sb.id
+       |  GROUP BY sa.id, sb.id),
+       |sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id)
+       |SELECT i.a, i.b,
+       |  round(CAST(ni AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+       |FROM inter i
+       |JOIN sizes na ON na.id = i.a
+       |JOIN sizes nb ON nb.id = i.b
+       |WHERE round(CAST(ni AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5
+       |ORDER BY i.a, i.b""".stripMargin
+
+  /** Shared CTE chain ending in `p(i, j, cov)` — the n·dims²
+    * explode-join covariance cross-check of the O(dims²)-buffer typed
+    * Aggregator, reused by the covariance and PCA oracles. */
+  private def covarianceCte: String =
+    """x AS (
+      |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+      |  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i),
+      |p AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    round(sum(a.v * b.v) / count(*) -
+      |      (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id
+      |  GROUP BY a.i, b.i)""".stripMargin
+
+  private def covarianceOracle: String =
+    s"""WITH $covarianceCte
+       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, cov
+       |FROM p ORDER BY i, j""".stripMargin
+
+  /** embedding_pca_project: the unrolled power iteration (PcaIters
+    * rounds, v₀ = round6(1/√dims), each iterate 6-dp-rounded after
+    * normalization) from the oracle's own covariance CTE, then the
+    * projection. Mirrors Moments.topComponent exactly.
+    */
+  private def pcaOracle: String = {
+    val iters = (1 to PcaIters).map { t =>
+      val prev = s"v${t - 1}"
+      s"""u$t AS (SELECT p.i AS i, sum(p.cov * $prev.v) AS u
+         |  FROM p JOIN $prev ON $prev.i = p.j GROUP BY p.i),
+         |v$t AS (SELECT i,
+         |  round(u / (SELECT sqrt(sum(u * u)) FROM u$t), 6) AS v
+         |  FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covarianceCte,
+       |v0 AS (SELECT unnest(generate_series(0, 63)) AS i,
+       |  round(1.0 / sqrt(64.0), 6) AS v),
+       |$iters
+       |SELECT e.vec_id,
+       |  round(sum(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.v), 6) AS pc1
+       |FROM embeddings e, v$PcaIters w
+       |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** text_top_ngrams: frequency-weighted corpus bigrams (the
+    * non-distinct mirror of the shingle CTE). */
+  private def topNgramsOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT t[i] || ' ' || t[i+1] AS gram
+      |  FROM t, generate_series(1, 65536) s(i) WHERE i <= len(t) - 1)
+      |SELECT gram, count(*) AS n FROM g GROUP BY gram
+      |ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
+  /** text_tfidf_terms: window-rank mirror of the TopKPerKey TF-IDF
+    * keyword extraction (smoothless idf = ln(N/df); both sides rank on
+    * the 6-dp-rounded score, ties to the term). */
+  private def tfidfOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |toks AS (SELECT doc_id, ts[i] AS term
+      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |    round(CAST(tf.tf AS DOUBLE) * ln(nn.n_docs / df_t), 6) AS tfidf
+      |  FROM tf JOIN dfq USING (term), nn),
+      |r AS (SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, term) AS rk
+      |  FROM sc)
+      |SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk FROM r
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** curation_sample_topk: window-rank mirror of the TopKPerKey
+    * consistent sample (k smallest md5 per language). */
+  private def sampleTopkOracle: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |    md5('csample:' || doc_id) AS h FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |  FROM h)
+      |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM r
+      |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
   /** Shared CTE chain: 6-plane hyperplane-LSH buckets per vector
     * (mirrors Similarity.lshBucket exactly).
@@ -2811,6 +3006,12 @@ object SparkEntry {
     "curation_sample_weighted" -> weightedSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_containment" -> containmentOracle,
+    "embedding_covariance" -> covarianceOracle,
+    "embedding_pca_project" -> pcaOracle,
+    "curation_sample_topk" -> sampleTopkOracle,
+    "text_top_ngrams" -> topNgramsOracle,
+    "text_tfidf_terms" -> tfidfOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_simhash_pairs_128" -> simhashPairs128Oracle,

@@ -107,6 +107,55 @@ object VecOps {
     }
     acc % mod
   }
+
+  /** Distinct-code-point counts in ascending code-point order, plus
+    * the total length — the shared single pass behind [[charEntropy]]
+    * and [[distinctChars]]. Code points (not UTF-16 units), so
+    * multibyte text counts whole characters, matching per-character
+    * `substr` addressing in any engine.
+    */
+  private def codePointCounts(str: String): java.util.TreeMap[Integer, Long] = {
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      val k: Integer = cp
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1L else prev + 1L)
+      off += Character.charCount(cp)
+    }
+    counts
+  }
+
+  /** Shannon character entropy in nats: −Σ (k/n)·ln(k/n) over distinct
+    * code points, folded in ASCENDING code-point order — the same
+    * summation sequence as the `array_sort(array_distinct(chars))`
+    * higher-order formulation and the oracle's list_sort'ed fold
+    * (single-char UTF-8 byte order == code-point order), so swapping
+    * this in moves no oracle hash. Empty string → positive 0.0; a
+    * constant string's 0-sum also returns +0.0, never −0.0. One
+    * O(len + d) pass instead of the HOF tree's O(len²) per-position
+    * substr + O(len·d) interpreted filter.
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = codePointCounts(str)
+    var n = 0L
+    val it0 = counts.values().iterator()
+    while (it0.hasNext) n += it0.next()
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      acc += p * math.log(p)
+    }
+    if (acc == 0.0) 0.0 else -acc
+  }
+
+  /** Distinct code points of `s` — the alphabet-size companion of
+    * [[charEntropy]]. */
+  def distinctChars(s: UTF8String): Long = codePointCounts(s.toString).size()
 }
 
 /** Codegen'd dot product of two array<float|double> columns. */
@@ -186,6 +235,29 @@ case class RollingHashExpr(child: Expression, pows: Array[Long], mod: Long)
     copy(child = c)
 }
 
+/** Codegen'd Shannon character entropy (nats, ascending-code-point
+  * fold — see VecOps.charEntropy). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(child = c)
+}
+
+/** Codegen'd distinct-code-point count. */
+case class DistinctCharsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.distinctChars(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.distinctChars($c)")
+  override protected def withNewChildInternal(c: Expression): DistinctCharsExpr =
+    copy(child = c)
+}
+
 /** Codegen'd unsigned-byte range sum over a binary column — the hot
   * inner loop of the WAV/AVI envelope and frame decoders.
   */
@@ -219,6 +291,12 @@ object vec {
 
   def rollingHash(text: Column, pows: Seq[Long], mod: Long): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(text), pows.toArray, mod))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+
+  def distinctChars(text: Column): Column =
+    ColumnBridge.column(DistinctCharsExpr(ColumnBridge.expression(text)))
 
   def byteSumRange(bin: Column, off: Column, len: Column): Column =
     ColumnBridge.column(ByteSumRangeExpr(ColumnBridge.expression(bin),

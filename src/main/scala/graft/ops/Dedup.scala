@@ -291,6 +291,41 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Shingle CONTAINMENT ≥ threshold: |A∩B| / min(|A|,|B|) — the
+    * asymmetric near-dup measure (Broder's resemblance-vs-containment
+    * distinction). A short document quoted whole inside a long one has
+    * low Jaccard (the union is dominated by the long doc) but
+    * containment ≈ 1 — the subset-duplicate class a Jaccard-only tier
+    * systematically misses. Same inverted-index self-join and `maxDf`
+    * posting cap as [[ngramJaccard]], and the same convention that
+    * sizes count CAPPED shingles (both measures see one shingle
+    * universe). Output: (a, b, containment), a < b, 6-dp.
+    */
+  def ngramContainment(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, threshold: Double = 0.9,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = wordShingles(df, textCol, idCol, k)
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else sh0.join(
+        sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
+          .where(col("df_c") <= maxDf).select("sh"),
+        "sh")
+    val pairs = sh.select(col("id").as("a"), col("sh"))
+      .join(sh.select(col("id").as("b"), col("sh")), "sh")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ni"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("containment",
+        round(col("ni").cast("double") / least(col("na"), col("nb")), 6))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** SimHash fingerprint (16-bit default; width configurable by
     * `bits`, max 64: bits 1-32 weight from md5(feature), bits 33-64
     * from md5("1:" + feature)). Per feature, bit i's

@@ -67,4 +67,36 @@ object Ranking {
     scored.withColumn("rk",
       row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
   }
+
+  /** Per-document top-k TF-IDF terms — keyword extraction over the
+    * whole corpus (the per-doc counterpart of [[bm25TopK]]'s fixed
+    * query): tf from one token explode + (id, term) count, idf from
+    * the vocab-bounded document-frequency aggregation, and the top-k
+    * selection runs on the custom bounded-heap `TopK.topKPerKey`
+    * physical operator — one hash shuffle on the doc id, NO per-doc
+    * sort, NO corpus-wide window. Smoothed idf = ln(N / df) (df ≥ 1
+    * always since terms come from the corpus itself).
+    *
+    * Determinism: tf/df/N are exact; the tfidf product is one
+    * multiply, rounded to 6 dp; ties break on the term string.
+    * Output: (id, term, tfidf, rk), rk ≤ topK.
+    */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      topK: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(col("n_docs") / col("df_t").cast("double")), 6))
+    graft.plans.TopK.topKPerKey(
+      scored.select(col("id"), col("term"), col("tfidf")),
+      Seq("id"), Seq(col("tfidf").desc, col("term").asc), topK,
+      rankCol = Some("rk"))
+  }
 }

@@ -140,6 +140,36 @@ class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CharEntropyExpr ≡ sorted-distinct HOF fold, incl. multibyte") {
+    import spark.implicits._
+    // reference: fold -(k/n)·ln(k/n) over distinct chars in ascending
+    // order — exactly the formulation the native pass replaced
+    def ref(s: String): Double = {
+      if (s.isEmpty) return 0.0
+      val cps = s.codePoints().toArray.toSeq
+      val counts = cps.groupBy(identity).map { case (c, g) => c -> g.size }
+      val acc = counts.toSeq.sortBy(_._1).map { case (_, k) =>
+        val p = k.toDouble / cps.size; p * math.log(p)
+      }.sum
+      if (acc == 0.0) 0.0 else -acc
+    }
+    val samples = Seq("", "a", "aaaa", "abab", "abcd", "日本語日本語",
+      "mixed 日本 ascii", "x y x y q r")
+    val got = samples.toDF("t")
+      .select(graft.functions.vec.charEntropy(col("t")).as("e"),
+        graft.functions.vec.distinctChars(col("t")).as("k"))
+      .collect()
+    samples.zip(got).foreach { case (s, r) =>
+      assert(r.getDouble(0) == ref(s), s"entropy('$s')")
+      assert(r.getLong(1) == s.codePoints().distinct().count(),
+        s"distinct('$s')")
+    }
+    // positive zero, bit-exact
+    val z = Seq("aaaa").toDF("t")
+      .select(graft.functions.vec.charEntropy(col("t"))).head.getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(z) == 0L)
+  }
+
   test("native expressions stay inside WholeStageCodegen") {
     val df = spark.range(10)
       .withColumn("v", array((0 until 8).map(_ => col("id").cast("float")): _*))

@@ -68,6 +68,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allNew == full, s"allNew=$allNew full=$full")
   }
 
+  test("consistent top-k sample: survivors stable under corpus growth") {
+    import spark.implicits._
+    def hashed(ids: Seq[Long]) = ids.map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "stratum")
+      .withColumn("h", md5(concat(lit("csample:"),
+        col("doc_id").cast("string")).cast("binary")))
+    def survivors(ids: Seq[Long]) =
+      graft.plans.TopK.topKPerKey(hashed(ids), Seq("stratum"),
+          Seq(col("h").asc, col("doc_id").asc), 5)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val base = survivors(0L until 60L)
+    assert(base.groupBy(_._1).forall(_._2.size == 5), "exact k per stratum")
+    // growing the corpus can only REPLACE a survivor with a smaller
+    // hash, never shuffle the rest: old ∩ new survivors ≥ k-1 per
+    // stratum is not guaranteed in general, but determinism is —
+    // the same corpus always yields the same sample
+    assert(survivors(0L until 60L) == base)
+    val grown = survivors(0L until 90L)
+    assert(grown.groupBy(_._1).forall(_._2.size == 5))
+    // every evicted survivor was evicted by a smaller-hash newcomer,
+    // so survivors of the grown corpus restricted to old ids are a
+    // subset of the old survivors
+    val oldIds = (0L until 60L).toSet
+    assert(grown.filter(p => oldIds(p._2)).subsetOf(base))
+  }
+
+  test("containment catches subset-duplicates that jaccard dilutes") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ") // prefix quote
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(df, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every shingle of the short doc appears in the long one
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(", "))
+    // jaccard misses the same pair at any useful threshold:
+    // 10 shared / (58 + 10 - 10) = 0.172
+    val jac = Dedup.ngramJaccard(df, "text", "doc_id", threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard should dilute the subset-dup below 0.5")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     import org.apache.spark.sql.functions.col
     val nearDups = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.95)

@@ -135,6 +135,30 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3) == (("", 0L, 0.0, 0.0)))
   }
 
+  test("tfIdfTopTerms: shared terms score 0, rare repeats rank first") {
+    import spark.implicits._
+    // 'the' appears in every doc (idf 0); 'rare' only in doc 0,
+    // repeated twice (tf 2 · ln 3); 'mid' in two docs (ln 1.5)
+    val df = Seq(
+      (0L, "the rare rare mid"),
+      (1L, "the mid x"),
+      (2L, "the y z"))
+      .toDF("doc_id", "text")
+    val got = Ranking.tfIdfTopTerms(df, "text", "doc_id", topK = 2)
+      .select(col("id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tfidf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((0L, 1L)) == (("rare", r6(2 * math.log(3.0)))))
+    assert(got((0L, 2L)) == (("mid", r6(math.log(1.5)))))
+    // doc 1: x (ln 3) beats mid (ln 1.5); the every-doc 'the' scores 0
+    assert(got((1L, 1L))._1 == "x" && got((1L, 2L))._1 == "mid")
+    // doc 2: y and z tie at ln 3 — rank breaks on the term string
+    assert(got((2L, 1L))._1 == "y" && got((2L, 2L))._1 == "z")
+  }
+
   test("charEntropy: hand-checked values, multibyte chars, empty text") {
     import spark.implicits._
     def round4(x: Double): Double =
