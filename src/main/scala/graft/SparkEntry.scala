@@ -1089,6 +1089,21 @@ object SparkEntry {
           maxDupTrigramFrac = QfMaxDupTrigramFrac)
         .orderBy(col("doc_id"))),
 
+    // The tiered production filter STACK: Gopher rules → CCNet
+    // perplexity tertile → NB classifier; first failing tier named.
+    // Two doc-id equi-joins over the three already-gated tiers.
+    "curation_quality_ensemble" -> ((s, d) =>
+      graft.ops.Curation.qualityEnsemble(Tables.documents(s, d), "text",
+          "doc_id", positive = col("lang") === "en",
+          minTokens = QfMinTokens, maxTokens = QfMaxTokens,
+          minMeanTokLen = QfMinMeanTokLen, maxMeanTokLen = QfMaxMeanTokLen,
+          minStopRatio = QfMinStopRatio,
+          maxTopBigramFrac = QfMaxTopBigramFrac,
+          maxDupTrigramFrac = QfMaxDupTrigramFrac)
+        .select(col("doc_id"), col("gopher_reason"), col("bucket"),
+          col("pred_pos"), col("reason"), col("keep"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic stratified sampling by language: per-stratum keep
     // rates in basis points over an md5 bucket — the corpus-mixing
     // downsample; pure projection + filter, zero shuffle.
@@ -1694,28 +1709,36 @@ object SparkEntry {
     * CASE compare. No interpolation, so thresholds are bit-identical
     * 4-dp values.
     */
-  private def pplBucketsOracle: String = {
+  /** Threshold chain `samp/rnk/th` from `all_scored` (collision-free
+    * for the ensemble), plus the bucket CASE both consumers share. */
+  private def pplThresholdCte: String = {
     val bucket = s"(${sqlHexBucket("md5('ppl:' || doc_id)")} % 10000)"
-    s"""WITH $lmScoredCte,
-       |samp AS (
+    s"""samp AS (
        |  SELECT doc_id, avg_logp FROM all_scored
        |  WHERE avg_logp IS NOT NULL AND $bucket < 2000
        |  ORDER BY doc_id LIMIT 10000),
-       |r AS (SELECT avg_logp, row_number() OVER (ORDER BY avg_logp) AS rn,
+       |rnk AS (SELECT avg_logp, row_number() OVER (ORDER BY avg_logp) AS rn,
        |    count(*) OVER () AS n FROM samp),
        |th AS (SELECT
        |    max(CASE WHEN rn = CAST(floor(n / 3.0) AS BIGINT) + 1
        |      THEN avg_logp END) AS t1,
        |    max(CASE WHEN rn = CAST(floor(2.0 * n / 3.0) AS BIGINT) + 1
        |      THEN avg_logp END) AS t2
-       |  FROM r)
-       |SELECT a.doc_id, a.n_bigrams, a.avg_logp,
-       |  CASE WHEN a.avg_logp IS NULL THEN 'unscored'
-       |       WHEN a.avg_logp >= th.t2 THEN 'head'
-       |       WHEN a.avg_logp >= th.t1 THEN 'middle'
-       |       ELSE 'tail' END AS bucket
-       |FROM all_scored a, th ORDER BY a.doc_id""".stripMargin
+       |  FROM rnk)""".stripMargin
   }
+
+  private def pplBucketCase(scoreExpr: String): String =
+    s"""CASE WHEN $scoreExpr IS NULL THEN 'unscored'
+       |       WHEN $scoreExpr >= th.t2 THEN 'head'
+       |       WHEN $scoreExpr >= th.t1 THEN 'middle'
+       |       ELSE 'tail' END""".stripMargin
+
+  private def pplBucketsOracle: String =
+    s"""WITH $lmScoredCte,
+       |$pplThresholdCte
+       |SELECT a.doc_id, a.n_bigrams, a.avg_logp,
+       |  ${pplBucketCase("a.avg_logp")} AS bucket
+       |FROM all_scored a, th ORDER BY a.doc_id""".stripMargin
 
   /** text_entropy: chars via per-position substr (split-on-empty is
     * engine-ambiguous), alphabet list_sort'ed so the float fold order
@@ -1741,40 +1764,49 @@ object SparkEntry {
       |  FROM a)
       |SELECT doc_id, len, n_alpha, entropy FROM e ORDER BY doc_id""".stripMargin
 
-  /** text_classifier: the Naive-Bayes log-odds mirror (k = 1, label
-    * lang = 'en'); prediction derives from the ROUNDED score on both
-    * sides.
+  /** Shared Naive-Bayes chain (k = 1, label lang = 'en') ending in
+    * `clf(doc_id, n_tokens, log_odds, pred_pos)` — collision-free
+    * CTE names (cd/ctoks/…) so it composes with the LM and quality
+    * chains in the ensemble oracle.
     */
-  private def classifierOracle: String =
-    """WITH d AS (SELECT doc_id, (lang = 'en') AS pos,
+  private def classifierCte: String =
+    """cd AS (SELECT doc_id, (lang = 'en') AS pos,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents),
-      |toks AS (SELECT doc_id, pos, ts[i] AS w
-      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+      |ctoks AS (SELECT doc_id, pos, ts[i] AS w
+      |  FROM cd, generate_series(1, 4096) cg(i) WHERE i <= len(ts)),
       |cw AS (SELECT w,
       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
       |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
-      |  FROM toks GROUP BY w),
+      |  FROM ctoks GROUP BY w),
       |tot AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
       |    CAST(sum(cneg) AS DOUBLE) AS tneg,
       |    CAST(count(*) AS DOUBLE) AS v_size FROM cw),
-      |pr AS (SELECT
+      |cpr AS (SELECT
       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS npos,
       |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS nneg
-      |  FROM d),
+      |  FROM cd),
       |wt AS (SELECT w,
       |    ln((cpos + 1.0) / (tpos + 1.0 * v_size)) -
       |    ln((cneg + 1.0) / (tneg + 1.0 * v_size)) AS weight
       |  FROM cw, tot),
-      |ds AS (SELECT t.doc_id, count(*) AS n_tokens, sum(wt.weight) AS w_sum
-      |  FROM toks t JOIN wt USING (w) GROUP BY t.doc_id)
-      |SELECT d2.doc_id,
-      |  CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
-      |  round(ln(pr.npos / pr.nneg) + coalesce(ds.w_sum, 0.0), 4) AS log_odds,
-      |  (round(ln(pr.npos / pr.nneg) + coalesce(ds.w_sum, 0.0), 4) > 0.0)
-      |    AS pred_pos
-      |FROM documents d2 LEFT JOIN ds USING (doc_id), pr
-      |ORDER BY doc_id""".stripMargin
+      |cds AS (SELECT t.doc_id, count(*) AS n_tokens, sum(wt.weight) AS w_sum
+      |  FROM ctoks t JOIN wt USING (w) GROUP BY t.doc_id),
+      |clf AS (SELECT d2.doc_id,
+      |    CAST(coalesce(cds.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |    round(ln(cpr.npos / cpr.nneg) + coalesce(cds.w_sum, 0.0), 4)
+      |      AS log_odds,
+      |    (round(ln(cpr.npos / cpr.nneg) + coalesce(cds.w_sum, 0.0), 4) > 0.0)
+      |      AS pred_pos
+      |  FROM documents d2 LEFT JOIN cds USING (doc_id), cpr)""".stripMargin
+
+  /** text_classifier: the Naive-Bayes log-odds mirror; prediction
+    * derives from the ROUNDED score on both sides.
+    */
+  private def classifierOracle: String =
+    s"""WITH $classifierCte
+       |SELECT doc_id, n_tokens, log_odds, pred_pos FROM clf
+       |ORDER BY doc_id""".stripMargin
 
   /** embedding_random_projection: the oracle re-derives the seeded ±1
     * sign matrix from md5 (hex digit ≥ '8' ⇔ top bit set — ASCII
@@ -2512,12 +2544,17 @@ object SparkEntry {
     * CTEs, and the identical rule CASE in the identical order with the
     * identical interpolated thresholds.
     */
-  private def qualityFilterOracle: String = {
+  /** Shared chain ending in `rq(doc_id, n_tokens, mean_tok_len,
+    * stop_ratio, top_bigram_frac, dup_trigram_frac, reason)` — the
+    * Gopher-rule verdict, reused by the quality-filter and ensemble
+    * oracles.
+    */
+  private def qualityCte: String = {
     // token-boundary stop-word count over the doubled-space form —
     // ONE alternation pass, mirroring TextAnalysis.tokenSetOccurrences
     // over the shared Gopher list
     val stopSum = sqlTokenSetCount(graft.ops.Curation.Stopwords)
-    s"""WITH $repetitionCtes,
+    s"""$repetitionCtes,
        |base AS (
        |  SELECT doc_id,
        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
@@ -2540,7 +2577,7 @@ object SparkEntry {
        |  FROM documents d
        |  LEFT JOIN top ON top.doc_id = d.doc_id
        |  LEFT JOIN tgf ON tgf.doc_id = d.doc_id),
-       |r AS (
+       |rq AS (
        |  SELECT b.doc_id, b.n_tokens, b.mean_tok_len, b.stop_ratio,
        |    f.top_bigram_frac, f.dup_trigram_frac,
        |    CASE
@@ -2554,11 +2591,39 @@ object SparkEntry {
        |      WHEN f.dup_trigram_frac > $QfMaxDupTrigramFrac
        |        THEN 'dup_trigram_repetition'
        |      ELSE '' END AS reason
-       |  FROM base b JOIN feats f ON f.doc_id = b.doc_id)
+       |  FROM base b JOIN feats f ON f.doc_id = b.doc_id)""".stripMargin
+  }
+
+  private def qualityFilterOracle: String =
+    s"""WITH $qualityCte
        |SELECT doc_id, n_tokens, mean_tok_len, stop_ratio,
        |  top_bigram_frac, dup_trigram_frac, reason, (reason = '') AS keep
-       |FROM r ORDER BY doc_id""".stripMargin
-  }
+       |FROM rq ORDER BY doc_id""".stripMargin
+
+  /** curation_quality_ensemble: the three tier chains composed
+    * (collision-free CTE names), first failing tier named. */
+  private def qualityEnsembleOracle: String =
+    s"""WITH $qualityCte,
+       |$lmScoredCte,
+       |$pplThresholdCte,
+       |$classifierCte,
+       |ens AS (
+       |  SELECT q.doc_id, q.reason AS gopher_reason,
+       |    ${pplBucketCase("a.avg_logp")} AS bucket,
+       |    c.pred_pos
+       |  FROM rq q
+       |  JOIN all_scored a ON a.doc_id = q.doc_id
+       |  JOIN clf c ON c.doc_id = q.doc_id, th),
+       |ens2 AS (
+       |  SELECT doc_id, gopher_reason, bucket, pred_pos,
+       |    CASE WHEN gopher_reason <> '' THEN 'gopher:' || gopher_reason
+       |         WHEN bucket = 'tail' THEN 'ppl:tail'
+       |         WHEN NOT pred_pos THEN 'classifier:neg'
+       |         ELSE '' END AS reason
+       |  FROM ens)
+       |SELECT doc_id, gopher_reason, bucket, pred_pos, reason,
+       |  (reason = '') AS keep
+       |FROM ens2 ORDER BY doc_id""".stripMargin
 
   /** Mirror of the pii_redact query: identical doc_id salting CASE,
     * independent raw-text match counts (see Pii.scala's count-semantics
@@ -3001,6 +3066,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "curation_quality_filter" -> qualityFilterOracle,
+    "curation_quality_ensemble" -> qualityEnsembleOracle,
     "multimodal_resize" -> resizeOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_sample_weighted" -> weightedSampleOracle,

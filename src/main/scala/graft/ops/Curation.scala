@@ -290,6 +290,42 @@ object Curation {
       .withColumn("keep", col("reason") === "")
   }
 
+  /** The production quality-filter STACK: cheap Gopher rules first,
+    * then the corpus-trained perplexity tertile (CCNet), then the
+    * Naive-Bayes classifier — the tiered composition modern curation
+    * pipelines run (rules → LM filter → classifier filter), with the
+    * FIRST failing tier named so drop statistics attribute per tier.
+    * Scale shape: each tier is the already-gated operator (zero-/
+    * vocab-bounded-shuffle respectively) and the composition adds only
+    * two equi-joins on the doc id.
+    *
+    * Output: (id, gopher_reason, bucket, pred_pos, reason, keep) — one
+    * row per document; `reason` is "" when every tier passes.
+    */
+  def qualityEnsemble(df: DataFrame, textCol: String, idCol: String,
+      positive: Column,
+      minTokens: Long, maxTokens: Long,
+      minMeanTokLen: Double, maxMeanTokLen: Double,
+      minStopRatio: Double,
+      maxTopBigramFrac: Double, maxDupTrigramFrac: Double): DataFrame = {
+    val gopher = qualityFilter(df, textCol, idCol, minTokens, maxTokens,
+      minMeanTokLen, maxMeanTokLen, minStopRatio,
+      maxTopBigramFrac, maxDupTrigramFrac)
+      .select(col(idCol), col("reason").as("gopher_reason"))
+    val ppl = LanguageModel.perplexityBuckets(df, textCol, idCol)
+      .select(col("id").as(idCol), col("bucket"))
+    val clf = Classifier.logOddsScore(df, textCol, idCol, positive)
+      .select(col("id").as(idCol), col("pred_pos"))
+    gopher.join(ppl, Seq(idCol)).join(clf, Seq(idCol))
+      .withColumn("reason",
+        when(col("gopher_reason") =!= "",
+          concat(lit("gopher:"), col("gopher_reason")))
+          .when(col("bucket") === "tail", lit("ppl:tail"))
+          .when(!col("pred_pos"), lit("classifier:neg"))
+          .otherwise(lit("")))
+      .withColumn("keep", col("reason") === "")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = floor(x/scale + 0.5) clamped to
     * [-127, 127]. floor(x + 0.5) — not round() — because engines

@@ -543,6 +543,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bhj && !smj, hits.queryExecution.executedPlan.toString)
   }
 
+  test("quality ensemble = first failing tier of its three components") {
+    val pos = col("lang") === "en"
+    val params = (5L, 10000L, 2.0, 12.0, 0.01, 0.4, 0.6)
+    val (mnT, mxT, mnL, mxL, mnS, mxB, mxD) = params
+    val ens = Curation.qualityEnsemble(docs, "text", "doc_id", pos,
+        mnT, mxT, mnL, mxL, mnS, mxB, mxD)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("reason"), r.getAs[Boolean]("keep")))).toMap
+    val gopher = Curation.qualityFilter(docs, "text", "doc_id",
+        mnT, mxT, mnL, mxL, mnS, mxB, mxD)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason"))
+      .toMap
+    val ppl = LanguageModel.perplexityBuckets(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("bucket"))
+      .toMap
+    val clf = Classifier.logOddsScore(docs, "text", "doc_id", pos)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("pred_pos"))
+      .toMap
+    assert(ens.keySet == gopher.keySet)
+    ens.foreach { case (id, (reason, keep)) =>
+      val expected =
+        if (gopher(id) != "") s"gopher:${gopher(id)}"
+        else if (ppl(id) == "tail") "ppl:tail"
+        else if (!clf(id)) "classifier:neg"
+        else ""
+      assert(reason == expected, s"doc $id: $reason != $expected")
+      assert(keep == reason.isEmpty)
+    }
+    // the fixture corpus must actually exercise more than one tier
+    val reasons = ens.values.map(_._1).toSet
+    assert(reasons.size >= 3, s"degenerate fixture: $reasons")
+  }
+
   test("quality filter: rules fire in order, first failure names the reason") {
     import spark.implicits._
     val long = (1 to 30).map(i => s"the word$i").mkString(" ") // healthy doc
