@@ -1394,6 +1394,33 @@ object SparkEntry {
         }
         .toDF("stream_id", "start_us", "end_us", "n_events")
         .orderBy(col("stream_id"), col("start_us"))
+    }),
+
+    // Streaming trending: tumbling 1h windows per event_name with a
+    // 10-min watermark, APPEND mode — only windows the watermark
+    // CLOSED are emitted (state dropped; unbounded feeds, bounded
+    // memory) — then top-3 per closed window ranked in the drained
+    // batch layer. The oracle recounts and applies the pinned close
+    // rule (window_end <= final watermark; EventTimeAggsSpec pins the
+    // boundary).
+    "stream_trending" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      drainStream(
+          graft.streaming.EventTimeAggs
+            .tumblingCounts(es, "1 hour", "10 minutes"),
+          "verify-strend-") { r =>
+          (r.getAs[java.sql.Timestamp]("window_start").getTime,
+            r.getAs[String]("event_name"), r.getAs[Long]("n"))
+        }
+        .toDF("window_start_ms", "event_name", "n")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("window_start_ms"))
+            .orderBy(col("n").desc, col("event_name"))))
+        .where(col("rk") <= 3)
+        .select(col("window_start_ms"), col("event_name"), col("n"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("window_start_ms"), col("rk"))
     })
   )
 
@@ -3002,6 +3029,25 @@ object SparkEntry {
         |  FROM sess)
         |WHERE sid < mx
         |ORDER BY stream_id, start_us""".stripMargin,
+
+    // Trending recount: tumbling counts restricted to windows the
+    // final watermark (max event ms − 10 min) closed — window_end <=
+    // watermark, the boundary EventTimeAggsSpec pins — then top-3 per
+    // window (ties to the name).
+    "stream_trending" ->
+      """WITH m AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+        |wmk AS (SELECT max(ms) - 600000 AS w FROM m),
+        |wc AS (SELECT (ms // 3600000) * 3600000 AS window_start_ms,
+        |    event_type AS event_name, count(*) AS n
+        |  FROM m GROUP BY 1, 2),
+        |kept AS (SELECT wc.* FROM wc, wmk
+        |  WHERE wc.window_start_ms + 3600000 <= wmk.w),
+        |r AS (SELECT window_start_ms, event_name, n,
+        |    row_number() OVER (PARTITION BY window_start_ms
+        |      ORDER BY n DESC, event_name) AS rk
+        |  FROM kept)
+        |SELECT window_start_ms, event_name, n, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY window_start_ms, rk""".stripMargin,
 
     "es_scan_stream" ->
       """SELECT stream_id, stream_version, event_name, payload FROM (

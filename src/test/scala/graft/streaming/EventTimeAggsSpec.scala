@@ -49,6 +49,30 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("append-mode tumbling: a window is emitted once watermark REACHES its end") {
+    // pins Spark's close boundary (watermark >= window end ⇒ emitted) —
+    // the stream_trending oracle's kept-window predicate mirrors this
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-eta-append-").toString, 4)
+    val base = 1700000000000L
+    val h0 = base - base % 3600000
+    es.appendMany(Seq(
+      EventInput("w", "A", timestampMs = Some(h0 + 1000)),
+      // max event time h0+1h+5min, lateness 5min ⇒ watermark EXACTLY h0+1h
+      EventInput("w", "B", timestampMs = Some(h0 + 3600000 + 300000))))
+    val q = EventTimeAggs.tumblingCounts(es, "1 hour", "5 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("eta_append").collect().map(r =>
+        (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[String]("event_name"), r.getAs[Long]("n"))).toSet
+      assert(rows == Set((h0, "A", 1L)),
+        s"boundary window must close at watermark == end: $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on gap, keeps open ones in state") {
     val es = EventStore.open(
       spark, Files.createTempDirectory("graft-sess-").toString, 4)
