@@ -648,6 +648,32 @@ object SparkEntry {
           bits = 128, bands = 8, maxDistance = 7)
         .orderBy(col("a"), col("b"))),
 
+    // Winnowing fingerprints (MOSS): rightmost-minimal k-gram hash per
+    // w-window — position-aware local-similarity selections at density
+    // ~2/(w+1); any >= w+k-1-token shared passage yields a shared fp.
+    // Pure per-row HOFs, zero shuffle.
+    "dedup_winnow" -> ((s, d) =>
+      graft.ops.Dedup.winnowFingerprints(Tables.documents(s, d), "text",
+          "doc_id")
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))),
+
+    // Shared-passage pairs from the winnowing index: docs sharing >= 2
+    // selected fingerprints — the quoted-passage detector; candidate
+    // work is bounded by fingerprint-bucket sizes (equi-join on fp),
+    // never all pairs.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val fps = graft.ops.Dedup.winnowFingerprints(Tables.documents(s, d),
+        "text", "doc_id").select(col("id"), col("fp")).distinct()
+      fps.select(col("id").as("a"), col("fp"))
+        .join(fps.select(col("id").as("b"), col("fp")), "fp")
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .where(col("shared_fps") >= 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Incremental SimHash: the ~10% "new batch" (same deterministic
     // md5 bucket as dedup_minhash_incremental) probes the corpus band
     // index at the headline 64-bit/16-bit-key config — near-dup pairs
@@ -1600,6 +1626,51 @@ object SparkEntry {
        |WHERE $ham <= $maxDistance$extraWhere
        |ORDER BY a, b""".stripMargin
   }
+
+  /** Winnowing CTE chain ending in `wf(doc_id, pos, fp)` — the SQL
+    * mirror of Dedup.winnowFingerprints(k=3, w=4): per-position 32-bit
+    * k-gram hashes (first 8 md5 hex digits), rightmost-min selection
+    * per window expressed as max-index-of-min-value, dedup over the
+    * pos·2³²+fp encoding (no struct equality).
+    */
+  private def winnowCte: String = {
+    def hexDigit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(s, $i, 1)) - 1)"
+    val hexVal = (1 to 8).map(i =>
+      s"${1L << (4 * (8 - i))} * ${hexDigit(i)}").mkString("(", " + ", ")")
+    s"""wt AS (SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(string_split(text, ' ')) - 2 AS m
+       |  FROM documents),
+       |wh AS (SELECT doc_id, m,
+       |    list_transform(
+       |      list_transform(generate_series(1, greatest(m, 0)),
+       |        i -> substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8)),
+       |      s -> $hexVal) AS h
+       |  FROM wt),
+       |wsel AS (SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, m - 3), j ->
+       |      CAST(list_max(list_filter(generate_series(j, j + 3),
+       |          p -> h[p] = list_min(h[j : j + 3]))) AS BIGINT)
+       |        * 4294967296
+       |        + CAST(list_min(h[j : j + 3]) AS BIGINT))) AS sels
+       |  FROM wh WHERE m >= 4),
+       |wf AS (SELECT doc_id,
+       |    CAST(e // 4294967296 AS BIGINT) AS pos,
+       |    CAST(e % 4294967296 AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, unnest(sels) AS e FROM wsel))""".stripMargin
+  }
+
+  private def winnowOracle: String =
+    s"""WITH $winnowCte
+       |SELECT doc_id, pos, fp FROM wf ORDER BY doc_id, pos, fp""".stripMargin
+
+  private def winnowPairsOracle: String =
+    s"""WITH $winnowCte,
+       |wd AS (SELECT DISTINCT doc_id, fp FROM wf)
+       |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_fps
+       |FROM wd a JOIN wd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY a, b""".stripMargin
 
   /** dedup_simhash_incremental: the all-pairs hamming oracle at the
     * headline 64/3 config, restricted to pairs touching the same
@@ -3128,6 +3199,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_simhash_pairs_128" -> simhashPairs128Oracle,
     "dedup_simhash_incremental" -> simhashIncrementalOracle,
+    "dedup_winnow" -> winnowOracle,
+    "dedup_winnow_pairs" -> winnowPairsOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 

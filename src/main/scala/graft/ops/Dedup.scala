@@ -326,6 +326,58 @@ object Dedup {
       .select(col("a"), col("b"), col("containment"))
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    * w-window over the hash sequence, and select the RIGHTMOST minimal
+    * hash of each window; the deduped (position, hash) selections are
+    * the document's fingerprint set. The winnowing guarantee: any
+    * match of at least w + k - 1 consecutive tokens between two
+    * documents produces at least one SHARED fingerprint, at selection
+    * density ~2/(w+1) — the position-aware local-similarity primitive
+    * (plagiarism / quoted-passage detection) that the set-global tiers
+    * (minhash resemblance, simhash distance) cannot express.
+    *
+    * Scale shape: pure per-row higher-order functions — ZERO shuffle
+    * at any corpus size; per-row cost O(tokens · w). Selections are
+    * encoded as `pos · 2³² + hash32` (hash32 = first 8 md5 hex digits,
+    * < 2³²) so the dedup is `array_distinct` over plain BIGINTs — no
+    * struct-equality semantics to disagree on across engines — and the
+    * final projection decodes. Fingerprint matching downstream is an
+    * equi-join on `fp`.
+    *
+    * Output: (id, pos, fp) — one row per selected fingerprint, pos the
+    * 1-based k-gram index; documents shorter than w + k - 1 tokens
+    * emit nothing.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val Enc = 4294967296L // 2^32
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("m", (size(col("t")) - (k - 1)).cast("int"))
+    // per-position 32-bit k-gram hashes (guard: sequence(1, n) with
+    // n < 1 is DESCENDING, not empty)
+    val hashes = transform(sequence(lit(1), col("m")), i =>
+      conv(substring(md5(concat_ws(" ", slice(col("t"), i, lit(k)))
+        .cast("binary")), 1, 8), 16, 10).cast("long"))
+    val withH = base.withColumn("h",
+      when(col("m") >= 1, hashes).otherwise(array().cast("array<long>")))
+    val selections = transform(sequence(lit(1), col("m") - (w - 1)), j => {
+      val win = slice(col("h"), j, lit(w))
+      val minv = array_min(win)
+      val pos = array_max(filter(sequence(j, j + lit(w - 1)),
+        p => element_at(col("h"), p) === minv))
+      pos.cast("long") * lit(Enc) + minv
+    })
+    withH
+      .withColumn("sel",
+        when(col("m") >= w, array_distinct(selections))
+          .otherwise(array().cast("array<long>")))
+      .select(col("id"), explode(col("sel")).as("e"))
+      .select(col("id"), expr(s"e div $Enc").as("pos"),
+        pmod(col("e"), lit(Enc)).as("fp"))
+  }
+
   /** SimHash fingerprint (16-bit default; width configurable by
     * `bits`, max 64: bits 1-32 weight from md5(feature), bits 33-64
     * from md5("1:" + feature)). Per feature, bit i's

@@ -94,6 +94,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown.filter(p => oldIds(p._2)).subsetOf(base))
   }
 
+  test("winnowing: shared-passage guarantee, short-doc cutoff, determinism") {
+    import spark.implicits._
+    // A and B embed the same 10-token passage at DIFFERENT offsets:
+    // >= w+k-1 = 6 shared tokens ⇒ the winnowing theorem guarantees a
+    // shared fingerprint (by VALUE; positions differ)
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 a3 a4 $passage a5 a6"),
+      (2L, s"b1 $passage b2 b3 b4 b5"),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" ")),
+      (4L, "s1 s2 s3 s4 s5")) // 5 tokens ⇒ m = 3 < w = 4 ⇒ nothing
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).map { case (d, g) => d -> g.map(_._3).toSet }
+    assert(!byDoc.contains(4L), "short doc must emit no fingerprints")
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "shared >= w+k-1-token passage must share a fingerprint")
+    assert((byDoc(3L) & (byDoc(1L) ++ byDoc(2L))).isEmpty,
+      "unrelated doc must not collide")
+    // density: selections bounded by window count, at least one per doc
+    fps.groupBy(_._1).foreach { case (d, g) =>
+      val m = df.where(col("doc_id") === d).select(
+        size(split(col("text"), " "))).head.getInt(0) - 2
+      assert(g.length >= 1 && g.length <= m - 3, s"doc $d density")
+    }
+    // positions are valid 1-based k-gram indexes
+    assert(fps.forall(f => f._2 >= 1))
+    // deterministic
+    val again = Dedup.winnowFingerprints(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fps.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("containment catches subset-duplicates that jaccard dilutes") {
     import spark.implicits._
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
