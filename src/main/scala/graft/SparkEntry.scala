@@ -192,6 +192,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))),
 
+    // Volume-anomaly detection: each (hour window, event_type) count
+    // z-scored against that type's window-count distribution —
+    // monitoring over the event log. Two map-side-combinable aggs; the
+    // |types|-row stats broadcast back; flag from the ROUNDED z so
+    // both engines agree at the boundary.
+    "events_anomaly" -> ((s, d) => {
+      val wc = ev(s, d)
+        .withColumn("window_start_ms",
+          expr("ts div 3600000000000") * lit(3600000L))
+        .groupBy(col("window_start_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = wc.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mean_n"),
+          sqrt(avg(col("n") * col("n")) - avg(col("n")) * avg(col("n")))
+            .as("std_n"))
+      wc.join(broadcast(stats), "event_type")
+        .withColumn("z",
+          round((col("n") - col("mean_n")) / col("std_n"), 4))
+        .select(col("window_start_ms"), col("event_type"), col("n"),
+          col("z"), (abs(col("z")) >= 2.0).as("is_anomaly"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }),
+
     // Sliding event-time windows: 1-hour windows every 30 minutes —
     // each event lands in exactly two windows (explode of the two
     // candidate starts, then the same map-side-combinable agg as
@@ -673,6 +696,16 @@ object SparkEntry {
         .where(col("shared_fps") >= 2)
         .orderBy(col("a"), col("b"))
     }),
+
+    // Incremental winnowing: the same ~10% "new batch" probes the
+    // corpus winnow-fingerprint index — shared-passage pairs touching
+    // a new doc only, no historical self-join.
+    "dedup_winnow_incremental" -> ((s, d) =>
+      graft.ops.Dedup.winnowPairsIncremental(Tables.documents(s, d),
+          "text", "doc_id",
+          graft.ops.Curation.hashBucket(col("doc_id"), IncrementalSeed)
+            < lit(IncrementalNewBp))
+        .orderBy(col("a"), col("b"))),
 
     // Incremental SimHash: the ~10% "new batch" (same deterministic
     // md5 bucket as dedup_minhash_incremental) probes the corpus band
@@ -1671,6 +1704,23 @@ object SparkEntry {
        |FROM wd a JOIN wd b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY a, b""".stripMargin
+
+  /** dedup_winnow_incremental: the pairs oracle restricted to
+    * new-touching pairs (same md5-bucket batch as the other
+    * incremental oracles). */
+  private def winnowIncrementalOracle: String = {
+    val bucket = s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || doc_id)")} % 10000)"
+    s"""WITH $winnowCte,
+       |wd AS (SELECT DISTINCT doc_id, fp FROM wf),
+       |newids AS (SELECT doc_id AS id FROM documents
+       |  WHERE $bucket < $IncrementalNewBp)
+       |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_fps
+       |FROM wd a JOIN wd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |WHERE a.doc_id IN (SELECT id FROM newids)
+       |  OR b.doc_id IN (SELECT id FROM newids)
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY a, b""".stripMargin
+  }
 
   /** dedup_simhash_incremental: the all-pairs hamming oracle at the
     * headline 64/3 config, restricted to pairs touching the same
@@ -3201,6 +3251,7 @@ object SparkEntry {
     "dedup_simhash_incremental" -> simhashIncrementalOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_winnow_pairs" -> winnowPairsOracle,
+    "dedup_winnow_incremental" -> winnowIncrementalOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 
@@ -3386,6 +3437,23 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    // z = (n − mean)/std with population std in the explicit
+    // sqrt(E[n²]−E[n]²) form both engines compute identically; flag
+    // from the rounded z.
+    "events_anomaly" ->
+      """WITH wc AS (
+        |  SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS mean_n,
+        |    sqrt(avg(n * n) - avg(n) * avg(n)) AS std_n
+        |  FROM wc GROUP BY 1)
+        |SELECT wc.window_start_ms, wc.event_type, wc.n,
+        |  round((wc.n - st.mean_n) / st.std_n, 4) AS z,
+        |  (abs(round((wc.n - st.mean_n) / st.std_n, 4)) >= 2.0) AS is_anomaly
+        |FROM wc JOIN st USING (event_type)
+        |ORDER BY window_start_ms, event_type""".stripMargin,
 
     "events_sliding" ->
       """SELECT (epoch_ns(ts) // 1800000000000 - k) * 1800000 AS window_start_ms,

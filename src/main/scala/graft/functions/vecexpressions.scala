@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -156,6 +156,63 @@ object VecOps {
   /** Distinct code points of `s` — the alphabet-size companion of
     * [[charEntropy]]. */
   def distinctChars(s: UTF8String): Long = codePointCounts(s.toString).size()
+
+  /** Winnowing selections (Schleimer et al. SIGMOD'03) over word
+    * k-grams of `s`, encoded `(pos+1)·2³² + hash32` with hash32 the
+    * first 8 md5 hex digits of the gram (== the first 4 digest bytes
+    * big-endian, matching `conv(substring(md5(gram), 1, 8), 16, 10)`
+    * and the oracle's hex-digit sum). Tokenization is `split(" ", -1)`
+    * — Spark's `split(text, " ")` semantics, empties kept — and grams
+    * join with single spaces, the shingle convention. Rightmost
+    * minimum per w-window via a left-to-right `<=` scan; selections
+    * deduped in first-occurrence order. One O(tokens·w) pass per row —
+    * the higher-order-function formulation this replaces was inlined
+    * by projection collapse into O(windows · w · tokens) md5
+    * evaluations per row (an uninterruptible ~30 min single task on
+    * the sf0.1 base corpus).
+    */
+  def winnowArray(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val m = toks.length - (k - 1)
+    if (m < w) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    val nw = m - w + 1
+    while (j < nw) {
+      var minv = java.lang.Long.MAX_VALUE
+      var pos = -1
+      var p = j
+      while (p < j + w) {
+        if (h(p) <= minv) { minv = h(p); pos = p }
+        p += 1
+      }
+      out.add((pos + 1).toLong * 4294967296L + minv)
+      j += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** Codegen'd dot product of two array<float|double> columns. */
@@ -258,6 +315,20 @@ case class DistinctCharsExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Codegen'd winnowing selections over a text column (see
+  * VecOps.winnowArray). */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.winnowArray(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.winnowArray($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+}
+
 /** Codegen'd unsigned-byte range sum over a binary column — the hot
   * inner loop of the WAV/AVI envelope and frame decoders.
   */
@@ -297,6 +368,9 @@ object vec {
 
   def distinctChars(text: Column): Column =
     ColumnBridge.column(DistinctCharsExpr(ColumnBridge.expression(text)))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
 
   def byteSumRange(bin: Column, off: Column, len: Column): Column =
     ColumnBridge.column(ByteSumRangeExpr(ColumnBridge.expression(bin),

@@ -353,29 +353,47 @@ object Dedup {
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val Enc = 4294967296L // 2^32
-    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .withColumn("m", (size(col("t")) - (k - 1)).cast("int"))
-    // per-position 32-bit k-gram hashes (guard: sequence(1, n) with
-    // n < 1 is DESCENDING, not empty)
-    val hashes = transform(sequence(lit(1), col("m")), i =>
-      conv(substring(md5(concat_ws(" ", slice(col("t"), i, lit(k)))
-        .cast("binary")), 1, 8), 16, 10).cast("long"))
-    val withH = base.withColumn("h",
-      when(col("m") >= 1, hashes).otherwise(array().cast("array<long>")))
-    val selections = transform(sequence(lit(1), col("m") - (w - 1)), j => {
-      val win = slice(col("h"), j, lit(w))
-      val minv = array_min(win)
-      val pos = array_max(filter(sequence(j, j + lit(w - 1)),
-        p => element_at(col("h"), p) === minv))
-      pos.cast("long") * lit(Enc) + minv
-    })
-    withH
-      .withColumn("sel",
-        when(col("m") >= w, array_distinct(selections))
-          .otherwise(array().cast("array<long>")))
+    // the selection runs as ONE native codegen'd pass per row
+    // (vec.winnow — O(tokens·w)). The higher-order-function
+    // formulation it replaced was re-inlined by projection collapse:
+    // every per-window element_at(h, p) carried the FULL hash-array
+    // expression, so each row cost O(windows·w·tokens) interpreted md5
+    // evaluations — a single ~30 min task on the sf0.1 base corpus.
+    df.select(col(idCol).as("id"),
+        graft.functions.vec.winnow(col(textCol), k, w).as("sel"))
       .select(col("id"), explode(col("sel")).as("e"))
       .select(col("id"), expr(s"e div $Enc").as("pos"),
         pmod(col("e"), lit(Enc)).as("fp"))
+  }
+
+  /** INCREMENTAL winnowing: shared-passage pairs (≥ `minShared` shared
+    * fingerprints) touching at least one NEW document — the per-ingest
+    * shape, completing the incremental family next to
+    * [[minhashLshIncremental]] and [[simhashPairsIncremental]]. The
+    * corpus's winnow fingerprints are a precomputed INDEX (recomputed
+    * from `df` so the gated query is self-contained); only the new
+    * batch's fingerprints PROBE it, so per-bucket candidate work is
+    * |new ∩ bucket| × |bucket| and the historical fingerprint
+    * self-join never happens. Result == the batch pairs query
+    * restricted to new-touching pairs (pinned by OpsSpec).
+    * Output: (a, b, shared_fps), a < b.
+    */
+  def winnowPairsIncremental(df: DataFrame, textCol: String, idCol: String,
+      isNewCol: Column, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct().localCheckpoint()
+    val newIds = df.where(isNewCol).select(col(idCol).as("id"))
+    val probe = fps.join(newIds, "id")
+    probe.select(col("id").as("x"), col("fp"))
+      .join(fps.select(col("id").as("y"), col("fp")), "fp")
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("fp"))
+      .distinct()
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
   }
 
   /** SimHash fingerprint (16-bit default; width configurable by

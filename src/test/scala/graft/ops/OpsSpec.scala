@@ -128,6 +128,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("incremental winnow == batch pairs restricted to pairs touching a new doc") {
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
+    val newIds = docs.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < docs.count())
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .select(col("id"), col("fp")).distinct()
+    val full = pairsOf(fps.select(col("id").as("a"), col("fp"))
+      .join(fps.select(col("id").as("b"), col("fp")), "fp")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2))
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val inc = pairsOf(Dedup.winnowPairsIncremental(docs, "text", "doc_id", isNew))
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    val allNew = pairsOf(Dedup.winnowPairsIncremental(docs, "text", "doc_id",
+      lit(true)))
+    assert(allNew == full)
+    assert(full.nonEmpty, "fixture corpus should contain shared passages")
+  }
+
   test("containment catches subset-duplicates that jaccard dilutes") {
     import spark.implicits._
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
