@@ -113,7 +113,13 @@ object Dedup {
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.0,
       hasher: Column => Column = md5String): DataFrame = {
-    val sh = wordShingles(df, textCol, idCol, k)
+    // the shingle explode feeds FOUR consumers (signatures, both
+    // verify joins, sizes); whether Spark reuses the exchange across
+    // them is an AQE coin-flip, measured as 1-3× recomputation of the
+    // corpus explode between same-HEAD runs (the r10 dedup_clusters
+    // 6.9 s-vs-18.7 s swing). Materialize once — reference-tracked
+    // blocks, same discipline as simhashPairs' fingerprints.
+    val sh = wordShingles(df, textCol, idCol, k).localCheckpoint()
     val sig = minhashSignatures(sh, numHashes, hasher)
     val cand = minhashCandidates(sig, bands, numHashes / bands)
     jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
@@ -139,7 +145,8 @@ object Dedup {
       isNewCol: Column, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.0,
       hasher: Column => Column = md5String): DataFrame = {
-    val sh = wordShingles(df, textCol, idCol, k)
+    // materialized for the same multi-consumer reason as minhashLsh
+    val sh = wordShingles(df, textCol, idCol, k).localCheckpoint()
     val sig = minhashSignatures(sh, numHashes, hasher)
     val banded = bandKeys(sig, bands, numHashes / bands)
     val newIds = df.where(isNewCol).select(col(idCol).as("id"))
@@ -269,13 +276,16 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    // capped shingles feed three consumers (both pair joins + sizes) —
+    // materialized for the same AQE-reuse-coin-flip reason as
+    // minhashLsh's shingles
     val sh0 = wordShingles(df, textCol, idCol, k)
-    val sh =
+    val sh = (
       if (maxDf == Int.MaxValue) sh0
       else sh0.join(
         sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
           .where(col("df_c") <= maxDf).select("sh"),
-        "sh")
+        "sh")).localCheckpoint()
     val pairs = sh.select(col("id").as("a"), col("sh"))
       .join(sh.select(col("id").as("b"), col("sh")), "sh")
       .where(col("a") < col("b"))
@@ -304,13 +314,14 @@ object Dedup {
   def ngramContainment(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.9,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    // materialized capped shingles — see ngramJaccard
     val sh0 = wordShingles(df, textCol, idCol, k)
-    val sh =
+    val sh = (
       if (maxDf == Int.MaxValue) sh0
       else sh0.join(
         sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
           .where(col("df_c") <= maxDf).select("sh"),
-        "sh")
+        "sh")).localCheckpoint()
     val pairs = sh.select(col("id").as("a"), col("sh"))
       .join(sh.select(col("id").as("b"), col("sh")), "sh")
       .where(col("a") < col("b"))

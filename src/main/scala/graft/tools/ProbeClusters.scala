@@ -22,6 +22,14 @@ object ProbeClusters {
       val t0 = System.nanoTime(); f
       println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // the bench's between-leg hygiene — without it the probe's own
+    // leftover localCheckpoint blocks poison later legs and the
+    // numbers stop being comparable to bench legs
+    def hygiene(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val big = ScaleGen.ensure10x(spark, sfDir)
     for ((label, dir) <- Seq(("base", sfDir), ("10x", big)); pass <- 1 to 2) {
       val docs = graft.Tables.documents(spark, dir)
@@ -29,6 +37,7 @@ object ProbeClusters {
         graft.ops.Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5)
           .write.mode("overwrite").format("noop").save()
       }
+      hygiene()
       time(s"$label-$pass full-clusters") {
         val pairs = graft.ops.Dedup.minhashLsh(docs, "text", "doc_id",
           threshold = 0.5)
@@ -36,6 +45,7 @@ object ProbeClusters {
           pairs.select(col("a"), col("b")))
         cc.write.mode("overwrite").format("noop").save()
       }
+      hygiene()
     }
     spark.stop()
   }
