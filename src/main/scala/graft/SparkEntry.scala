@@ -515,6 +515,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
         .orderBy(col("doc_id"))),
 
+    // Table profiling: one aggregation pass -> per-column row/null/
+    // distinct counts and value ranges in long form — the data-quality
+    // pass every pipeline stage brackets its transforms with.
+    "profile_documents" -> ((s, d) =>
+      graft.ops.Profile.profile(Tables.documents(s, d),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("column"))),
+
     // Corpus-wide top bigrams (frequency-weighted, not per-doc
     // distinct): one explode + map-side-combined count + TakeOrdered
     // top-20 — the corpus-statistics pass of a pipeline report.
@@ -2193,6 +2201,22 @@ object SparkEntry {
        |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** profile_documents: one UNION ALL branch per profiled column;
+    * min/max cast to VARCHAR (binary collation both engines). */
+  private def profileOracle: String = {
+    val branches = Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$branches
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** text_top_ngrams: frequency-weighted corpus bigrams (the
     * non-distinct mirror of the shingle CTE). */
   private def topNgramsOracle: String =
@@ -3244,6 +3268,7 @@ object SparkEntry {
     "embedding_pca_project" -> pcaOracle,
     "curation_sample_topk" -> sampleTopkOracle,
     "text_top_ngrams" -> topNgramsOracle,
+    "profile_documents" -> profileOracle,
     "text_tfidf_terms" -> tfidfOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
