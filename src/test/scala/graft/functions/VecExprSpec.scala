@@ -177,7 +177,11 @@ class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("d", vec.dotLit(col("v"), Seq.fill(8)(1.0)))
       .withColumn("h", vec.rollingHash(col("t"),
         graft.ops.TextAnalysis.powTable, graft.ops.TextAnalysis.HashMod))
-      .where(col("d") > -1 && col("h") >= 0)
+      .withColumn("e", vec.charEntropy(col("t")))
+      .withColumn("k", vec.distinctChars(col("t")))
+      .withColumn("w", size(vec.winnow(col("t"), 2, 2)))
+      .where(col("d") > -1 && col("h") >= 0 && col("e") >= 0 &&
+        col("k") >= 0 && col("w") >= 0)
     // `*(n)` is how a WholeStageCodegen span renders in the simple plan
     // string; the native expressions must sit INSIDE one, not fall back
     val plan = df.queryExecution.executedPlan.toString
