@@ -2160,7 +2160,10 @@ object SparkEntry {
 
   /** Shared CTE chain ending in `p(i, j, cov)` — the n·dims²
     * explode-join covariance cross-check of the O(dims²)-buffer typed
-    * Aggregator, reused by the covariance and PCA oracles. */
+    * Aggregator, reused by the covariance and PCA oracles. The `+ 0`
+    * on `cov` normalizes IEEE negative zero (DuckDB's round keeps the
+    * sign of a tiny negative; Spark's BigDecimal rounding cannot
+    * produce -0.0, and the driver's compare hashes bit patterns). */
   private def covarianceCte: String =
     """x AS (
       |  SELECT vec_id, i.i AS i, CAST(embedding[i.i + 1] AS DOUBLE) AS v
@@ -2168,7 +2171,7 @@ object SparkEntry {
       |p AS (
       |  SELECT a.i AS i, b.i AS j,
       |    round(sum(a.v * b.v) / count(*) -
-      |      (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+      |      (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) + 0 AS cov
       |  FROM x a JOIN x b ON a.vec_id = b.vec_id
       |  GROUP BY a.i, b.i)""".stripMargin
 
@@ -2207,7 +2210,7 @@ object SparkEntry {
     val branches = Seq("doc_id", "text", "lang", "source", "n_chars")
       .map(c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_value,
            |  CAST(max($c) AS VARCHAR) AS max_value
