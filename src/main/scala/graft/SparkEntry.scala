@@ -1335,24 +1335,55 @@ object SparkEntry {
     // EPSUB surface end-to-end (§2.1 #10, `epsub.rs`; matcher shapes
     // `subscription.rs:79-199`): real partition subscriptions — `*`
     // (all partitions) and a single partition id — catch up through
-    // the full history; the received rows are oracle-checked against
-    // the routing-table recount of exactly what each matcher should
-    // deliver, in partition-sequence order.
+    // the full history. The consumer folds per-(sub, partition)
+    // AGGREGATES in the delivery callback (the stream_dedup_deliver
+    // recount discipline) instead of accumulating every delivered row
+    // driver-side: only O(#partitions) state ever lives past a batch,
+    // so the gated leg times delivery, not a 10⁵-row re-sort. The
+    // aggregate shape still pins everything the row dump pinned:
+    //   n + min/max + seq_sum  → delivery completeness (gapless 0..max);
+    //   ord_sum = Σ rankᵢ·seqᵢ → delivery ORDER (rank = arrival index;
+    //     by the rearrangement inequality any out-of-sequence arrival
+    //     of distinct sequences changes the sum);
+    //   name_sum = Σ rankᵢ·md5(nameᵢ) → the event name AT each position.
+    // The oracle recomputes all six from the routing table with
+    // row_number() as the rank.
     "es_psub_deliver" -> ((s, d) => {
       val es = StoreProvider.storeFor(s, d)
       import graft.streaming.Subscriptions._
       import s.implicits._
-      def run(tag: String, m: Matcher) =
-        runSubscription(es, m, byStream = false) { r =>
-          (tag,
-            r.getAs[Int]("partition_id"),
-            r.getAs[Long]("partition_sequence"),
-            r.getAs[String]("event_name"))
+      def run(tag: String, m: Matcher): Seq[DeliveryAgg] = {
+        // key → (n, min, max, seq_sum, ord_sum, name_sum); arrival-order
+        // fold, one uncontended lock per micro-batch
+        val acc = scala.collection.mutable.LinkedHashMap[Int, Array[Long]]()
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        foldSubscription(es, m) { rows =>
+          acc.synchronized {
+            rows.foreach { r =>
+              val seq = r.getAs[Long]("partition_sequence")
+              val a = acc.getOrElseUpdate(r.getAs[Int]("partition_id"),
+                Array(0L, Long.MaxValue, Long.MinValue, 0L, 0L, 0L))
+              a(0) += 1
+              a(1) = math.min(a(1), seq); a(2) = math.max(a(2), seq)
+              a(3) += seq
+              a(4) += a(0) * (seq % ChecksumMod)
+              a(5) += a(0) * md5Mod(md5, r.getAs[String]("event_name"))
+            }
+          }
         }
-      run("*", Matcher(allPartitions = true))
-        .++(run("one", Matcher(partitions = Seq(PsubPartition))))
-        .toDF("sub", "partition_id", "partition_sequence", "event_name")
-        .orderBy(col("sub"), col("partition_id"), col("partition_sequence"))
+        acc.synchronized {
+          acc.toSeq.map { case (pid, a) =>
+            DeliveryAgg(tag, pid, a(0), a(1), a(2), a(3), a(4), a(5))
+          }
+        }
+      }
+      (run("*", Matcher(allPartitions = true)) ++
+        run("one", Matcher(partitions = Seq(PsubPartition))))
+        .toDF()
+        .select(col("sub"), col("partition_id"), col("n_events"),
+          col("min_seq"), col("max_seq"), col("seq_sum"), col("ord_sum"),
+          col("name_sum"))
+        .orderBy(col("sub"), col("partition_id"))
     }),
 
     // EPSEQ surface: per-partition watermarks vs an oracle recount
@@ -1520,6 +1551,47 @@ object SparkEntry {
     finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
     import scala.jdk.CollectionConverters._
     got.asScala.toSeq
+  }
+
+  /** Per-(sub, partition) delivery aggregate row for `es_psub_deliver`
+    * — see that query's comment for what each checksum pins. */
+  final case class DeliveryAgg(sub: String, partition_id: Int,
+      n_events: Long, min_seq: Long, max_seq: Long, seq_sum: Long,
+      ord_sum: Long, name_sum: Long)
+
+  /** Modulus bounding the rank-weighted checksum terms so the running
+    * Long sums stay far from overflow at any bench scale (n²/2·10⁶ ≈
+    * 5e18 even at 3M events/partition). Mirrored literally in the
+    * es_psub_deliver oracle. */
+  private val ChecksumMod = 1000003L
+
+  /** First 4 bytes of md5(s) as an unsigned big-endian int, mod
+    * [[ChecksumMod]] — the DuckDB mirror is
+    * `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 1000003`. */
+  private def md5Mod(md5: java.security.MessageDigest, s: String): Long = {
+    val d = md5.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % ChecksumMod
+  }
+
+  /** Run a subscription to completion (same backlog-proportional window
+    * and fresh-checkpoint policy as [[runSubscription]]) but hand each
+    * delivered batch to a FOLD callback instead of accumulating rows —
+    * the consumer keeps bounded state, the delivery itself is unchanged.
+    */
+  private def foldSubscription(es: graft.api.EventStore,
+      matcher: graft.streaming.Subscriptions.Matcher)(
+      onBatch: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
+    import graft.streaming.Subscriptions._
+    val ck = java.nio.file.Files.createTempDirectory("verify-sub-")
+    val backlog = es.manifest.watermarks.values.map(_ + 1).sum
+    val window = math.max(50000L, backlog / 2)
+      .min(Int.MaxValue.toLong).toInt
+    val q = deliver(subscribe(es, matcher, From.Value(0), window = window),
+      ck.toString, byStream = false)(onBatch)
+    try q.processAllAvailable()
+    finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
   }
 
   /** Run a subscription to completion over the store's current history
@@ -3238,6 +3310,11 @@ object SparkEntry {
          |  ON user_id = m.uid
          |GROUP BY pid ORDER BY partition_id""".stripMargin,
 
+    // per-(sub, partition) recount of exactly what each matcher should
+    // deliver — rank (arrival index) is row_number() in partition-
+    // sequence order, so the rank-weighted checksums only match if the
+    // engine delivered every event, in order, with the right name at
+    // each position (see the gated query's comment)
     "es_psub_deliver" ->
       s"""WITH routed AS (
          |  SELECT pid,
@@ -3245,15 +3322,25 @@ object SparkEntry {
          |      AS pseq,
          |    event_type
          |  FROM events JOIN (VALUES $userPidValues) m(uid, pid)
-         |    ON user_id = m.uid)
-         |SELECT sub, partition_id, partition_sequence, event_name FROM (
-         |  SELECT '*' AS sub, pid AS partition_id, pseq AS partition_sequence,
-         |    event_type AS event_name
-         |  FROM routed
+         |    ON user_id = m.uid),
+         |del AS (
+         |  SELECT '*' AS sub, pid, pseq, event_type FROM routed
          |  UNION ALL
          |  SELECT 'one', pid, pseq, event_type
-         |  FROM routed WHERE pid = $PsubPartition)
-         |ORDER BY sub, partition_id, partition_sequence""".stripMargin,
+         |  FROM routed WHERE pid = $PsubPartition),
+         |r AS (
+         |  SELECT sub, pid, pseq, event_type,
+         |    row_number() OVER (PARTITION BY sub, pid ORDER BY pseq) AS rk
+         |  FROM del)
+         |SELECT sub, pid AS partition_id,
+         |  count(*) AS n_events,
+         |  min(pseq) AS min_seq, max(pseq) AS max_seq,
+         |  CAST(sum(pseq) AS BIGINT) AS seq_sum,
+         |  CAST(sum(rk * (pseq % 1000003)) AS BIGINT) AS ord_sum,
+         |  CAST(sum(rk * (CAST(('0x' || substr(md5(event_type), 1, 8))
+         |    AS BIGINT) % 1000003)) AS BIGINT) AS name_sum
+         |FROM r GROUP BY sub, pid
+         |ORDER BY sub, partition_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_minhash_incremental" -> minhashIncrementalOracle,
