@@ -523,6 +523,28 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy(col("column"))),
 
+    // The 100 TB profile shape: the SAME one-pass profile with HLL
+    // (approx_count_distinct) in place of exact distinct counts,
+    // gated by the Sketches discipline (ops/Sketches.scala doc): the
+    // result carries the EXACT statistics plus a "sketch within 5% of
+    // exact" flag that the oracle pins to TRUE — a drifting sketch
+    // flips the flag and hash-mismatches. The exact side exists only
+    // for the gate; at scale only the `exact = false` pass runs.
+    "profile_documents_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pcols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val approx = graft.ops.Profile
+        .profile(docs, pcols, exact = false, rsd = 0.01)
+        .select(col("column"), col("n_distinct").as("n_approx"))
+      graft.ops.Profile.profile(docs, pcols)
+        .join(approx, "column")
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"),
+          (abs(col("n_approx") - col("n_distinct")).cast("double") <=
+            lit(0.05) * col("n_distinct").cast("double")).as("approx_ok"))
+        .orderBy(col("column"))
+    }),
+
     // Corpus-wide top bigrams (frequency-weighted, not per-doc
     // distinct): one explode + map-side-combined count + TakeOrdered
     // top-20 — the corpus-statistics pass of a pipeline report.
@@ -2292,6 +2314,22 @@ object SparkEntry {
        |ORDER BY "column"""".stripMargin
   }
 
+  /** profile_documents_approx: exact recount + the sketch-tolerance
+    * flag pinned TRUE (Sketches discipline — an out-of-tolerance HLL
+    * on the Spark side flips the flag and hash-mismatches). */
+  private def profileApproxOracle: String = {
+    val branches = Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  TRUE AS approx_ok
+           |FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$branches
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** text_top_ngrams: frequency-weighted corpus bigrams (the
     * non-distinct mirror of the shingle CTE). */
   private def topNgramsOracle: String =
@@ -3359,6 +3397,7 @@ object SparkEntry {
     "curation_sample_topk" -> sampleTopkOracle,
     "text_top_ngrams" -> topNgramsOracle,
     "profile_documents" -> profileOracle,
+    "profile_documents_approx" -> profileApproxOracle,
     "text_tfidf_terms" -> tfidfOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,

@@ -39,4 +39,20 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
       Profile.profile(df, Seq("nope"))
     }
   }
+
+  test("profile melts through one generator — single source pass, no Union") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Profile.profile(df, Seq("id", "s")).queryExecution.optimizedPlan
+    // the documented one-pass shape: the table is scanned exactly once
+    // (multi-column exact distinct legitimately plans Expand + a
+    // two-level Aggregate over that one scan) and the melt is a
+    // Generate, not a per-column Union of agg branches
+    val leaves = plan.collectLeaves().size
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.size
+    assert(leaves == 1 && unions == 0,
+      s"expected 1 source leaf and no Union, got $leaves leaves / $unions unions:\n$plan")
+  }
 }
