@@ -118,11 +118,21 @@ object Bench {
     def storageBytes(): Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
     def hygiene(tag: String): Unit = {
-      val left = storageBytes()
-      if (left > leftovers.getOrElse(tag, 0L)) leftovers(tag) = left
+      // release FIRST, then witness: unpersist every persistent RDD
+      // (blocking), nudge GC, give the async context cleaner a beat to
+      // drain — and only then read the block manager. What the witness
+      // records is the storage the sweep could NOT reclaim, i.e. the
+      // pressure the NEXT leg actually runs under. (The pre-sweep
+      // reading used here through r10 counted the leg's own
+      // still-referenced localCheckpoint intermediates as "leftovers" —
+      // 340 MB after the CC fixpoint at 10× — which conflated normal
+      // pending-release intermediates with genuine cross-leg leaks.)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
+      Thread.sleep(100)
+      val left = storageBytes()
+      if (left > leftovers.getOrElse(tag, 0L)) leftovers(tag) = left
     }
 
     // JVM/codegen warm-up on the smallest scale factor (not measured)

@@ -208,8 +208,12 @@ object SparkEntry {
           sqrt(avg(col("n") * col("n")) - avg(col("n")) * avg(col("n")))
             .as("std_n"))
       wc.join(broadcast(stats), "event_type")
+        // zero-variance guard: a type seen in a single window (or with
+        // constant counts) has std_n = 0 — Spark's division yields NULL
+        // while IEEE engines yield inf/NaN; pin z = 0 on both sides
         .withColumn("z",
-          round((col("n") - col("mean_n")) / col("std_n"), 4))
+          when(col("std_n") === 0, lit(0.0))
+            .otherwise(round((col("n") - col("mean_n")) / col("std_n"), 4)))
         .select(col("window_start_ms"), col("event_type"), col("n"),
           col("z"), (abs(col("z")) >= 2.0).as("is_anomaly"))
         .orderBy(col("window_start_ms"), col("event_type"))
@@ -1927,15 +1931,15 @@ object SparkEntry {
     * the logprob and perplexity-bucket oracles.
     */
   private def lmScoredCte: String =
-    """d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents),
       |toks AS (SELECT ts[i] AS w1
-      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+      |  FROM d, generate_series(1, $OracleTokenBound) g(i) WHERE i <= len(ts)),
       |uni AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1),
       |v AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni),
       |bi AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
-      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts) - 1),
+      |  FROM d, generate_series(1, $OracleTokenBound) g(i) WHERE i <= len(ts) - 1),
       |bic AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
       |scored AS (
       |  SELECT b.doc_id, count(*) AS n_bigrams,
@@ -2020,11 +2024,11 @@ object SparkEntry {
     * chains in the ensemble oracle.
     */
   private def classifierCte: String =
-    """cd AS (SELECT doc_id, (lang = 'en') AS pos,
+    s"""cd AS (SELECT doc_id, (lang = 'en') AS pos,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents),
       |ctoks AS (SELECT doc_id, pos, ts[i] AS w
-      |  FROM cd, generate_series(1, 4096) cg(i) WHERE i <= len(ts)),
+      |  FROM cd, generate_series(1, $OracleTokenBound) cg(i) WHERE i <= len(ts)),
       |cw AS (SELECT w,
       |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
       |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
@@ -2343,11 +2347,11 @@ object SparkEntry {
     * keyword extraction (smoothless idf = ln(N/df); both sides rank on
     * the 6-dp-rounded score, ties to the term). */
   private def tfidfOracle: String =
-    """WITH d AS (SELECT doc_id,
+    s"""WITH d AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
       |  FROM documents),
       |toks AS (SELECT doc_id, ts[i] AS term
-      |  FROM d, generate_series(1, 4096) g(i) WHERE i <= len(ts)),
+      |  FROM d, generate_series(1, $OracleTokenBound) g(i) WHERE i <= len(ts)),
       |tf AS (SELECT doc_id, term, count(*) AS tf
       |  FROM toks GROUP BY doc_id, term),
       |dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
@@ -2512,6 +2516,15 @@ object SparkEntry {
     */
   private[graft] val SemAnchors = 25
   private[graft] val SemThreshold = 0.40
+
+  /** Per-document token cap the LM/classifier/tfidf oracles unroll
+    * their token explode to (`generate_series(1, bound)`). This is a
+    * CORPUS INVARIANT, not a semantic truncation: the Spark side is
+    * unbounded, so a fixture document with more whitespace tokens than
+    * this would silently truncate the ORACLE only and fail the gate
+    * confusingly. OracleBoundsSpec asserts the gate corpus stays under
+    * the bound (sf0.01 measures max ~120 tokens/doc — 34× headroom). */
+  private[graft] val OracleTokenBound = 4096
 
   private[graft] val IvfLists = 10
   // nprobe 3 of 10: at 2 the composed IVF-PQ canary measured ~5%
@@ -3608,8 +3621,11 @@ object SparkEntry {
         |    sqrt(avg(n * n) - avg(n) * avg(n)) AS std_n
         |  FROM wc GROUP BY 1)
         |SELECT wc.window_start_ms, wc.event_type, wc.n,
-        |  round((wc.n - st.mean_n) / st.std_n, 4) AS z,
-        |  (abs(round((wc.n - st.mean_n) / st.std_n, 4)) >= 2.0) AS is_anomaly
+        |  CASE WHEN st.std_n = 0 THEN 0.0
+        |    ELSE round((wc.n - st.mean_n) / st.std_n, 4) END AS z,
+        |  (abs(CASE WHEN st.std_n = 0 THEN 0.0
+        |    ELSE round((wc.n - st.mean_n) / st.std_n, 4) END) >= 2.0)
+        |    AS is_anomaly
         |FROM wc JOIN st USING (event_type)
         |ORDER BY window_start_ms, event_type""".stripMargin,
 

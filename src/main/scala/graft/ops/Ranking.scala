@@ -74,8 +74,9 @@ object Ranking {
     * the vocab-bounded document-frequency aggregation, and the top-k
     * selection runs on the custom bounded-heap `TopK.topKPerKey`
     * physical operator — one hash shuffle on the doc id, NO per-doc
-    * sort, NO corpus-wide window. Smoothed idf = ln(N / df) (df ≥ 1
-    * always since terms come from the corpus itself).
+    * sort, NO corpus-wide window. Unsmoothed idf = ln(N / df) — no
+    * +1 smoothing needed, since df ≥ 1 always holds when terms come
+    * from the corpus itself.
     *
     * Determinism: tf/df/N are exact; the tfidf product is one
     * multiply, rounded to 6 dp; ties break on the term string.

@@ -150,15 +150,17 @@ object TextAnalysis {
     * shuffle at any corpus size, and none of the interpreted
     * higher-order-function tree's O(len²) per-position substr cost
     * (the HOF formulation measured 76 s on the sf0.1 corpus; this
-    * measures sub-second). Empty/null text scores 0 via the guard.
+    * measures sub-second). Empty text scores 0 via the guard; NULL
+    * text propagates NULL — standard SQL semantics, matching the
+    * entropy oracle (whose CASE also passes NULL through).
     */
   def charEntropy(text: Column): Column =
-    when(coalesce(length(text), lit(0)) === 0, lit(0.0))
+    when(length(text) === 0, lit(0.0))
       .otherwise(round(graft.functions.vec.charEntropy(text), 4))
 
   /** Distinct-character count (code points), the alphabet-size
     * companion signal to [[charEntropy]] (entropy near ln(alphabet) =
-    * flat usage). */
+    * flat usage). NULL text propagates NULL, like [[charEntropy]]. */
   def distinctChars(text: Column): Column =
-    coalesce(graft.functions.vec.distinctChars(text), lit(0L))
+    graft.functions.vec.distinctChars(text)
 }

@@ -186,5 +186,12 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((round4(math.log(3)), 3L)),
       "multibyte text must slice per character, not per byte")
     assert(got(5L) == ((0.0, 0L)))
+    // NULL text propagates NULL (standard SQL, matching the oracle's
+    // CASE) — it does NOT collapse to the empty-text 0
+    val nullRow = Seq((6L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.charEntropy(col("text")).as("e"),
+        TextAnalysis.distinctChars(col("text")).as("k"))
+      .collect().head
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 }
