@@ -569,6 +569,17 @@ object SparkEntry {
           col("rk").cast("long").as("rk"))
         .orderBy(col("doc_id"), col("rk"))),
 
+    // Inverted-index build: per term df/cf plus a BOUNDED posting
+    // sample (4 smallest doc ids with tf) on the bounded-heap
+    // TopKPerKey operator — O(postK) heap state per term where a
+    // collect_list would buffer a stopword's O(corpus) posting list.
+    "text_inverted_index" -> ((s, d) =>
+      graft.ops.Ranking.invertedIndex(Tables.documents(s, d), "text",
+          "doc_id", postK = 4)
+        .select(col("term"), col("df_t"), col("cf"),
+          col("rk").cast("long").as("rk"), col("id"), col("tf"))
+        .orderBy(col("term"), col("rk"))),
+
     // CCNet head/middle/tail perplexity bucketing: tertile thresholds
     // are trained constants from a bounded deterministic sample of LM
     // scores; the corpus-wide pass is a pure projection against two
@@ -1490,6 +1501,89 @@ object SparkEntry {
         .orderBy(col("stream_id"), col("click_version"), col("purchase_version"))
     }),
 
+    // LEFT-OUTER stream-stream interval join: clicks with no purchase
+    // within the hour ALSO emit, with a NULL right side — the
+    // enrichment-with-passthrough shape (conversion analysis over an
+    // unbounded feed). A NULL row may only emit once the watermark
+    // proves no match can still arrive, so on a finite replay the
+    // final reach+lateness of the corpus would never flush: the query
+    // unions a far-future sentinel pair (reserved stream, one event
+    // per side so both watermark columns see it) into the single data
+    // micro-batch — the post-batch watermark then clears every real
+    // click's window and the full NULL set emits deterministically in
+    // the no-data eviction batch, independent of micro-batching.
+    "stream_interval_join_left" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val eventsPath = s"${es.root}/events"
+      val maxNs = s.read.schema(graft.core.EventSchema.schema)
+        .option("basePath", eventsPath).parquet(eventsPath)
+        .agg(max(col("timestamp_ns"))).head.getLong(0)
+      val farNs = maxNs + 90L * 24 * 3600 * 1000000000L
+      val sentinelDir =
+        java.nio.file.Files.createTempDirectory("verify-lojoin-sent-")
+      try {
+        def writeSentinels(ns: Long, suffix: String): Unit = {
+          val rows = Seq("click", "purchase").zipWithIndex.map { case (n, i) =>
+            org.apache.spark.sql.Row(s"sent-$suffix-$i", s"sent-$suffix-$i",
+              "sentinel", 0, -1L, -1L, "__sentinel__", n, ns, null, null)
+          }
+          s.createDataFrame(rows.asJava, graft.core.EventSchema.schema)
+            .coalesce(1).write.mode("append").parquet(sentinelDir.toString)
+        }
+        writeSentinels(farNs, "a")
+        // unionByName: the store's events dir is partition_id-
+        // partitioned, so its reader moves that column to the end —
+        // a positional union against the flat sentinel dir misaligns
+        def feed() = s.readStream
+          .schema(graft.core.EventSchema.schema)
+          .option("basePath", eventsPath).parquet(eventsPath)
+          .unionByName(s.readStream
+            .schema(graft.core.EventSchema.schema)
+            .parquet(sentinelDir.toString))
+        // NB the sentinel filter lives in the SINK (per-batch), never
+        // on the streaming plan: as a stream-side filter Catalyst
+        // pushes it below the join into the left input, the left
+        // watermark column never sees the sentinel, and the global
+        // (min-of-sides) watermark stalls — measured as the NULL set
+        // silently never flushing.
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, Long, Option[Long])]()
+        val ck = java.nio.file.Files.createTempDirectory("verify-lojoin-")
+        val q = graft.streaming.EventTimeAggs
+          .intervalJoinLeft(feed(), feed(), "click", "purchase",
+            reach = "1 hour", lateness = "45 days")
+          .writeStream
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.where(col("stream_id") =!= "__sentinel__").collect()
+              .foreach { r =>
+                got.add((r.getAs[String]("stream_id"),
+                  r.getAs[Long]("left_version"),
+                  Option(r.getAs[java.lang.Long]("right_version"))
+                    .map(_.toLong)))
+              }
+          }
+          .start()
+        try {
+          // phase 1: the single data batch (events + sentinel pair);
+          // phase 2: one more sentinel file forces a real batch under
+          // the phase-1 watermark — outer NULL rows emit in the batch
+          // AFTER the watermark advance, and a no-data batch is not
+          // guaranteed before processAllAvailable returns
+          q.processAllAvailable()
+          writeSentinels(farNs + 86400L * 1000000000L, "b")
+          q.processAllAvailable()
+        } finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
+        import scala.jdk.CollectionConverters._
+        got.asScala.toSeq
+          .toDF("stream_id", "click_version", "purchase_version")
+          .orderBy(col("stream_id"), col("click_version"),
+            col("purchase_version"))
+      } finally graft.core.Fs.deleteRecursively(sentinelDir.toFile)
+    }),
+
     // STREAMING gap sessionization (30 min) — the stateful-operator
     // counterpart of batch events_sessionize: flatMapGroupsWithState
     // holds ONE (start, last, count) triple per stream (O(streams)
@@ -1884,15 +1978,36 @@ object SparkEntry {
        |  JOIN bands y
        |    ON x.band = y.band AND x.bkey = y.bkey AND x.id <> y.id)""".stripMargin)
 
-  private def minhashOracleFor(candCte: String): String = {
-    val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
-    s"""WITH $shinglesCte,
-       |sig AS (SELECT id, $sigs FROM sh GROUP BY id),
+  /** sig + bands CTEs mirroring Dedup.minhashSignatures/bandKeys'
+    * derived-seed scheme (one md5 per shingle, four 28-bit digest
+    * words mixed affinely per seed mod 2³¹−1) — generated from the
+    * SAME coefficient table the Spark side uses, so the two cannot
+    * drift. Expects an upstream CTE `sh(id, sh)`. */
+  private def minhashSigBandsCtes: String = {
+    val words = graft.ops.Dedup.MinhashWordOffsets.zipWithIndex
+      .map { case (off, i) =>
+        s"CAST(('0x' || substr(hx, $off, 7)) AS BIGINT) AS u${i + 1}"
+      }.mkString(", ")
+    val mins = (0 until 8).map { j =>
+      val c = graft.ops.Dedup.MinhashCoefs(j)
+      s"min((${c(0)}*u1 + ${c(1)}*u2 + ${c(2)}*u3 + ${c(3)}*u4 + ${c(4)}) " +
+        s"% ${graft.ops.Dedup.MinhashPrime}) AS h$j"
+    }.mkString(", ")
+    def bk(a: Int, b: Int) =
+      s"CAST(h$a AS VARCHAR) || ':' || CAST(h$b AS VARCHAR)"
+    s"""sigw AS (SELECT id, $words
+       |  FROM (SELECT id, md5(sh) AS hx FROM sh) hq),
+       |sig AS (SELECT id, $mins FROM sigw GROUP BY id),
        |bands AS (
-       |  SELECT id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
-       |  SELECT id, 1, h2 || h3 FROM sig UNION ALL
-       |  SELECT id, 2, h4 || h5 FROM sig UNION ALL
-       |  SELECT id, 3, h6 || h7 FROM sig),
+       |  SELECT id, 0 AS band, ${bk(0, 1)} AS bkey FROM sig UNION ALL
+       |  SELECT id, 1, ${bk(2, 3)} FROM sig UNION ALL
+       |  SELECT id, 2, ${bk(4, 5)} FROM sig UNION ALL
+       |  SELECT id, 3, ${bk(6, 7)} FROM sig)""".stripMargin
+  }
+
+  private def minhashOracleFor(candCte: String): String = {
+    s"""WITH $shinglesCte,
+       |$minhashSigBandsCtes,
        |$candCte,
        |inter AS (
        |  SELECT c.a, c.b, count(*) AS ni
@@ -2018,6 +2133,26 @@ object SparkEntry {
       |  FROM a)
       |SELECT doc_id, len, n_alpha, entropy FROM e ORDER BY doc_id""".stripMargin
 
+  /** text_inverted_index: window-rank mirror of the bounded-heap
+    * posting build (rank = row_number over ascending doc id). */
+  private def invertedIndexOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |toks AS (SELECT doc_id, ts[i] AS term
+       |  FROM d, generate_series(1, $OracleTokenBound) g(i) WHERE i <= len(ts)),
+       |tf AS (SELECT term, doc_id, count(*) AS tf
+       |  FROM toks GROUP BY term, doc_id),
+       |st AS (SELECT term, count(*) AS df_t,
+       |    CAST(sum(tf) AS BIGINT) AS cf
+       |  FROM tf GROUP BY term),
+       |r AS (SELECT term, doc_id, tf,
+       |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+       |  FROM tf)
+       |SELECT r.term, st.df_t, st.cf, r.rk, r.doc_id AS id, r.tf
+       |FROM r JOIN st USING (term) WHERE r.rk <= 4
+       |ORDER BY term, rk""".stripMargin
+
   /** Shared Naive-Bayes chain (k = 1, label lang = 'en') ending in
     * `clf(doc_id, n_tokens, log_odds, pred_pos)` — collision-free
     * CTE names (cd/ctoks/…) so it composes with the LM and quality
@@ -2119,13 +2254,7 @@ object SparkEntry {
     * (shingles over exact-dedup representatives).
     */
   private def lshWalkCtes(threshold: String = "0.5"): String = {
-    val sigs = (0 until 8).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
-    s"""sig AS (SELECT id, $sigs FROM sh GROUP BY id),
-       |bands AS (
-       |  SELECT id, 0 AS band, h0 || h1 AS bkey FROM sig UNION ALL
-       |  SELECT id, 1, h2 || h3 FROM sig UNION ALL
-       |  SELECT id, 2, h4 || h5 FROM sig UNION ALL
-       |  SELECT id, 3, h6 || h7 FROM sig),
+    s"""$minhashSigBandsCtes,
        |cand AS (
        |  SELECT DISTINCT x.id AS a, y.id AS b
        |  FROM bands x JOIN bands y
@@ -3274,6 +3403,21 @@ object SparkEntry {
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |ORDER BY l.stream_id, click_version, purchase_version""".stripMargin,
 
+    // left-outer recount: every click row, with NULLs where no
+    // purchase lands in the hour — the sentinel-flushed NULL set must
+    // match the plain batch LEFT JOIN exactly
+    "stream_interval_join_left" ->
+      """WITH v AS (SELECT 'user-' || user_id AS stream_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS v,
+        |    ts
+        |  FROM events),
+        |c AS (SELECT stream_id, v, ts FROM v WHERE event_type = 'click'),
+        |p AS (SELECT stream_id, v, ts FROM v WHERE event_type = 'purchase')
+        |SELECT c.stream_id, c.v AS click_version, p.v AS purchase_version
+        |FROM c LEFT JOIN p ON c.stream_id = p.stream_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.stream_id, click_version, purchase_version""".stripMargin,
+
     // Gaps-and-islands recount of the streaming sessionizer. The
     // store's append path carries ms-precision timestamps (reference
     // parity: timestamp_ns = ms·10⁶), and the gated query re-scales to
@@ -3416,6 +3560,7 @@ object SparkEntry {
     "profile_documents" -> profileOracle,
     "profile_documents_approx" -> profileApproxOracle,
     "text_tfidf_terms" -> tfidfOracle,
+    "text_inverted_index" -> invertedIndexOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_simhash_pairs_128" -> simhashPairs128Oracle,

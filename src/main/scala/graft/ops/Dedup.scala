@@ -54,24 +54,65 @@ object Dedup {
       .select(col("id"), shingle.as("sh"))
   }
 
+  /** Modulus for the derived minhash seeds (2³¹ − 1). */
+  val MinhashPrime = 2147483647L
+
+  /** Per-seed affine coefficients (c1..c4, d), all odd and < 2²⁰ —
+    * deterministic so the SQL oracle regenerates the identical table.
+    * With the digest words < 2²⁸, every term stays < 2⁴⁸ and the sum
+    * < 2⁵¹: exact in 64-bit integer arithmetic on any engine.
+    */
+  val MinhashCoefs: IndexedSeq[Array[Long]] =
+    (0 until 8).map { j =>
+      Array.tabulate(5)(i => ((1000003L * (j * 5 + i + 1)) % 1048573L) | 1L)
+    }
+
+  /** Offsets of the four 7-hex-digit (28-bit) words sliced from the
+    * md5 hex digest. */
+  val MinhashWordOffsets: Seq[Int] = Seq(1, 8, 15, 22)
+
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min hash value over the document's shingle set. One aggregation
     * with `numHashes` min() columns — a single shuffle on id, partial
     * aggregation on the map side (this is what makes it 100 TB-safe:
     * signature size is O(numHashes), independent of document length).
+    *
+    * The seeds are DERIVED, not re-hashed: ONE md5 per shingle, whose
+    * hex digest is sliced into four 28-bit words mixed affinely per
+    * seed mod 2³¹−1 (Broder-style minwise via universal hashing over a
+    * single strong hash). The previous formulation hashed `"$j:" + sh`
+    * per seed — `numHashes` full md5 passes over the corpus shingles,
+    * which WAS the dominant CPU of the whole LSH family at 10×; the
+    * derived form does one pass and eight multiply-adds, and min() now
+    * compares longs instead of 32-char strings.
     */
   def minhashSignatures(shingles: DataFrame, numHashes: Int,
-      hasher: Column => Column = md5String): DataFrame =
-    shingles.groupBy(col("id"))
-      .agg(
-        min(hasher(concat(lit("0:"), col("sh")))).as("h0"),
-        (1 until numHashes).map(j =>
-          min(hasher(concat(lit(s"$j:"), col("sh")))).as(s"h$j")): _*)
+      hasher: Column => Column = md5String): DataFrame = {
+    require(numHashes <= MinhashCoefs.size,
+      s"numHashes $numHashes exceeds the ${MinhashCoefs.size}-seed table")
+    val hx = hasher(col("sh"))
+    val words = shingles.select(col("id") +:
+      MinhashWordOffsets.zipWithIndex.map { case (off, i) =>
+        conv(substring(hx, off, 7), 16, 10).cast("long").as(s"u${i + 1}")
+      }: _*)
+    def hj(j: Int): Column = {
+      val c = MinhashCoefs(j)
+      pmod(lit(c(0)) * col("u1") + lit(c(1)) * col("u2") +
+        lit(c(2)) * col("u3") + lit(c(3)) * col("u4") + lit(c(4)),
+        lit(MinhashPrime))
+    }
+    words.groupBy(col("id"))
+      .agg(min(hj(0)).as("h0"),
+        (1 until numHashes).map(j => min(hj(j)).as(s"h$j")): _*)
+  }
 
-  /** (id, band, bkey) band rows for LSH candidate joins. */
+  /** (id, band, bkey) band rows for LSH candidate joins. The key is a
+    * delimiter-joined decimal rendering of the band's hash values
+    * (unambiguous, engine-portable). */
   def bandKeys(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     (0 until bands).map { b =>
-      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      val key = concat_ws(":", (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
       signatures.select(col("id"), lit(b).as("band"), key.as("bkey"))
     }.reduce(_ unionAll _)
 

@@ -100,4 +100,33 @@ object Ranking {
       Seq("id"), Seq(col("tfidf").desc, col("term").asc), topK,
       rankCol = Some("rk"))
   }
+
+  /** Inverted-index construction — the search-side artifact a
+    * retrieval/decontamination pipeline materializes from the corpus:
+    * per term its document frequency, collection frequency, and a
+    * BOUNDED posting sample (the `postK` smallest doc ids with their
+    * tf) via the bounded-heap TopKPerKey physical operator. The bound
+    * is what makes the build scale-safe: a stopword's full posting
+    * list is O(corpus) and a collect_list-style aggregate would hold
+    * it in one buffer, while the heap keeps O(postK) state per term
+    * and df/cf stay ordinary map-side-combinable aggregates. (A full
+    * posting SINK at 100 TB would instead write the tf table
+    * partitioned by term-hash — this operator is the bounded-summary
+    * form a pipeline report consumes.)
+    * Output: (term, df_t, cf, rk, id, tf), rk ≤ postK, ids ascending.
+    */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      postK: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t"), sum(col("tf")).as("cf"))
+    val posts = graft.plans.TopK.topKPerKey(
+      tf, Seq("term"), Seq(col("id").asc), postK, rankCol = Some("rk"))
+    posts.join(stats, "term")
+      .select(col("term"), col("df_t"), col("cf"), col("rk"),
+        col("id"), col("tf"))
+  }
 }

@@ -78,7 +78,40 @@ object EventTimeAggs {
       leftName: String,
       rightName: String,
       reach: String = "1 hour",
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes"): DataFrame =
+    intervalJoinTyped(leftEvents, rightEvents, leftName, rightName,
+      reach, lateness, joinType = "inner")
+
+  /** LEFT-OUTER stream-stream interval join: every `leftName` event is
+    * enriched like [[intervalJoin]], and ALSO emits exactly once with a
+    * NULL right side if no match arrives within `reach` — but only
+    * once the watermark passes `left_time + reach` (the row provably
+    * cannot match anymore), so NULL results trail the frontier by
+    * `reach + lateness` while state stays bounded exactly as in the
+    * inner form. On a FINITE replay the rows inside the final
+    * `reach + lateness` of the corpus frontier would never flush;
+    * the gated query drives the watermark past every real window with
+    * a far-future sentinel so the complete NULL set emits
+    * deterministically in the no-data eviction batch.
+    */
+  def intervalJoinLeft(
+      leftEvents: DataFrame,
+      rightEvents: DataFrame,
+      leftName: String,
+      rightName: String,
+      reach: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    intervalJoinTyped(leftEvents, rightEvents, leftName, rightName,
+      reach, lateness, joinType = "left_outer")
+
+  private def intervalJoinTyped(
+      leftEvents: DataFrame,
+      rightEvents: DataFrame,
+      leftName: String,
+      rightName: String,
+      reach: String,
+      lateness: String,
+      joinType: String): DataFrame = {
     def side(df: DataFrame, name: String, prefix: String) =
       df.where(col("event_name") === name)
         .withColumn(s"${prefix}_time",
@@ -92,7 +125,8 @@ object EventTimeAggs {
     l.join(r,
         col("left_stream") === col("right_stream") &&
           col("right_time") >= col("left_time") &&
-          col("right_time") <= col("left_time") + expr(s"INTERVAL $reach"))
+          col("right_time") <= col("left_time") + expr(s"INTERVAL $reach"),
+        joinType)
       .select(col("left_stream").as("stream_id"),
         col("left_version"), col("right_version"))
   }

@@ -159,6 +159,29 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((2L, 1L))._1 == "y" && got((2L, 2L))._1 == "z")
   }
 
+  test("invertedIndex: df/cf exact, postings bounded at the k smallest ids") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, "the cat"),
+      (1L, "the the dog"),
+      (2L, "the fish"),
+      (4L, "the bird"))
+      .toDF("doc_id", "text")
+    val got = Ranking.invertedIndex(df, "text", "doc_id", postK = 2)
+      .select(col("term"), col("df_t"), col("cf"),
+        col("rk").cast("long").as("rk"), col("id"), col("tf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    // 'the': df 4, cf 5 (doubled in doc 1), postings CAPPED at the 2
+    // smallest doc ids — docs 3 and 4 never appear
+    assert(got(("the", 1L)) == ((4L, 5L, 1L, 2L)))
+    assert(got(("the", 2L)) == ((4L, 5L, 2L, 1L)))
+    assert(!got.contains(("the", 3L)))
+    assert(got(("cat", 1L)) == ((1L, 1L, 3L, 1L)))
+    assert(got.size == 2 + 4) // 'the' x2 + four singleton terms
+  }
+
   test("charEntropy: hand-checked values, multibyte chars, empty text") {
     import spark.implicits._
     def round4(x: Double): Double =

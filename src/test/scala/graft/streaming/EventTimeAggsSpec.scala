@@ -205,6 +205,64 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("intervalJoinLeft: unmatched clicks emit NULL rows once the watermark clears their window") {
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-loj-").toString, 4)
+    val t0 = 1700000000000L
+    val Hour = 3600000L
+    es.appendMany(Seq(
+      // same fixture as the inner-join test...
+      EventInput("ij-1", "click", timestampMs = Some(t0)),            // v0
+      EventInput("ij-1", "purchase", timestampMs = Some(t0)),         // v1
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + 600000)),// v2
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + Hour)),  // v3
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + Hour + 1)), // v4: out
+      EventInput("ij-1", "click", timestampMs = Some(t0 + 2 * Hour)), // v5: no matches
+      EventInput("ij-2", "purchase", timestampMs = Some(t0 + 300000)),// v0
+      EventInput("ij-2", "click", timestampMs = Some(t0 + 300000)),   // v1
+      // ...plus the far-future sentinel pair: drives the final
+      // watermark past every real click's [t, t+reach] window so the
+      // NULL set flushes in the no-data eviction batch
+      EventInput("__sentinel__", "click",
+        timestampMs = Some(t0 + 90L * 24 * Hour)),
+      EventInput("__sentinel__", "purchase",
+        timestampMs = Some(t0 + 90L * 24 * Hour))))
+
+    def feed() = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+    // NB no sentinel filter on the streaming plan: Catalyst would push
+    // it below the join into the left input, the left watermark would
+    // never see the sentinel, and the min-of-sides global watermark
+    // would stall (the NULL set silently never flushes). Sentinel rows
+    // are dropped from the collected result instead.
+    val q = EventTimeAggs.intervalJoinLeft(feed(), feed(),
+        "click", "purchase", reach = "1 hour", lateness = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_lojoin").start()
+    try {
+      q.processAllAvailable()
+      // outer-join NULL rows are emitted in a batch AFTER the one that
+      // advanced the watermark — a no-data batch is not guaranteed
+      // before processAllAvailable returns, so a second-phase sentinel
+      // forces a real batch 2 under the batch-1 watermark
+      es.appendMany(Seq(EventInput("__sentinel__", "click",
+        timestampMs = Some(t0 + 91L * 24 * Hour))))
+      q.processAllAvailable()
+      val got = spark.table("eta_lojoin").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getAs[java.lang.Long]("right_version")).map(_.toLong)))
+        .filter(_._1 != "__sentinel__")
+        .sortBy(t => (t._1, t._2, t._3.getOrElse(-1L))).toSeq
+      assert(got == Seq(
+        ("ij-1", 0L, Some(1L)), ("ij-1", 0L, Some(2L)),
+        ("ij-1", 0L, Some(3L)),
+        ("ij-1", 5L, None), // the unmatched click's NULL-extended row
+        ("ij-2", 1L, Some(0L))))
+    } finally q.stop()
+  }
+
   test("sessionizeFeed is unit-agnostic: µs timestamps with a µs gap") {
     val es = EventStore.open(
       spark, Files.createTempDirectory("graft-sessus-").toString, 4)
