@@ -488,14 +488,17 @@ object Bench {
           System.err.println(f"[bench] pq prod-geometry recall $prod%.3f " +
             f"BELOW wide canary $wide%.3f — investigate the k=256 path")
         // composed IVF-PQ at the SAME PQ geometry as the base canary:
-        // the delta vs pq_recall_at_5 is pure probe cost (a true
-        // neighbor in an unprobed list is unreachable by construction,
-        // so this number is <= the flat canary and approaches it as
-        // nprobe -> nlist) — the honest price of scanning ~nprobe/
-        // nlist of the corpus instead of all of it
+        // the delta vs pq_recall_at_5 is probe cost (a true neighbor
+        // in an unprobed list is unreachable by construction) plus a
+        // small ADC rank-displacement term either way — probing fewer
+        // candidates can even RAISE recall by excluding false
+        // candidates the noisy ADC would rank above a true neighbor,
+        // so the number approaches (not strictly from below) the flat
+        // canary as nprobe -> nlist. IvfPqProbes is chosen as the
+        // smallest nprobe matching the flat canary (ProbeIvfPq sweep).
         val ivfpq = {
           val got = graft.ops.Similarity.ivfPqTopKBatch(e, pred, kNN = 5,
-              nlist = SparkEntry.IvfLists, nprobe = SparkEntry.IvfProbes,
+              nlist = SparkEntry.IvfLists, nprobe = SparkEntry.IvfPqProbes,
               trainIters = SparkEntry.IvfIters,
               m = SparkEntry.PqM, k = SparkEntry.PqK, iters = SparkEntry.PqIters)
             .select("qid", "vec_id")

@@ -809,7 +809,7 @@ object SparkEntry {
     "ann_ivf_pq" -> ((s, d) =>
       graft.ops.Similarity.ivfPqTopKBatch(Tables.embeddings(s, d),
           queryPred = col("vec_id").isin(0, 1, 2), kNN = 5,
-          nlist = IvfLists, nprobe = IvfProbes, trainIters = IvfIters,
+          nlist = IvfLists, nprobe = IvfPqProbes, trainIters = IvfIters,
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
@@ -2656,11 +2656,20 @@ object SparkEntry {
   private[graft] val OracleTokenBound = 4096
 
   private[graft] val IvfLists = 10
-  // nprobe 3 of 10: at 2 the composed IVF-PQ canary measured ~5%
-  // relative below the flat-ADC canary at the same PQ geometry (a true
-  // neighbor in an unprobed list is unreachable by construction);
-  // probing one more list closes the gap at ~1/10 extra scan cost
+  // nprobe 3 of 10 for plain IVF (full-vector re-rank: recall 0.93 at
+  // sf0.1, up from 0.80 at nprobe 2)
   private[graft] val IvfProbes = 3
+
+  // The COMPOSED IVF-PQ probes more lists than plain IVF: a true
+  // neighbor must be probed AND survive the quantization-noisy ADC
+  // ranking (multiplicative losses), and at the deliberately coarse
+  // gated geometry (m=4, k=8 — SQL-oracle-unrollable) recall vs nprobe
+  // is even slightly non-monotone from ADC rank displacement
+  // (ProbeIvfPq sweep at sf0.1: np2 .0371, np3 .0378, np4 .0371,
+  // np5 .0392 = flat parity, np6 .0399 > flat). np5 is the smallest
+  // value matching the flat-ADC canary; at production nlist (1000s)
+  // the probed fraction shrinks accordingly.
+  private[graft] val IvfPqProbes = 5
   private[graft] val IvfIters = 3
   private val IvfSample = 10000
 
@@ -3274,7 +3283,7 @@ object SparkEntry {
 
   /** Mirror of Similarity.ivfPqTopKBatch — the composed IVF-PQ oracle:
     * the coarse-quantizer training/assignment chain (shared verbatim
-    * with ann_ivf) routes each query to its IvfProbes nearest lists,
+    * with ann_ivf) routes each query to its IvfPqProbes nearest lists,
     * and the PQ codebook chain (shared verbatim with ann_pq_adc)
     * scores ONLY vectors assigned to a probed list via the same ADC
     * cell sum. The one new clause is the probes join — everything
@@ -3305,7 +3314,7 @@ object SparkEntry {
        |    SELECT q.qid, c.cid,
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY ${cosSql("q.ve", "c.ce")} DESC, c.cid) AS rn
-       |    FROM qv q, c$IvfIters c) WHERE rn <= $IvfProbes),
+       |    FROM qv q, c$IvfIters c) WHERE rn <= $IvfPqProbes),
        |$cellCtes,
        |scored AS (
        |  SELECT ce0.qid, k0.vec_id, round($cellSum, 6) AS adist
