@@ -1802,29 +1802,28 @@ object SparkEntry {
     * feature space simhashPairs uses).
     */
   private def simhashCte(bits: Int, shingled: Boolean = false): String = {
-    val hexHigh = "('8','9','a','b','c','d','e','f')"
-    val sums = (1 to bits).map(i =>
-      s"sum(CASE WHEN substr(th, $i, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$i")
-      .mkString(",\n    ")
+    // bit i of the digest (MSB-first): hex digit (i-1)/4, in-digit bit
+    // 3-(i-1)%4 — the full-digest scheme of Dedup.simhash (one md5
+    // carries all 128 weight positions; no chained seeded hashes)
+    val sums = (1 to bits).map { i =>
+      val digit = (i - 1) / 4 + 1
+      val mask = 1 << (3 - (i - 1) % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(th, $digit, 1)) - 1)" +
+        s" // $mask) % 2 = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n    ")
     // variadic concat, not a `||` chain: DuckDB binds `||` left-nested
     // and hits its recursion limit at 128 terms
     val concatBits = (1 to bits).map(i =>
       s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
-    // bits > 32 chains seeded md5s ("1:", "2:", …), mirroring
-    // Dedup.simhash's widened hash (every narrower fingerprint is a
-    // prefix of the wider one)
-    def th(feat: String) =
-      (s"md5($feat)" +: (1 until (bits + 31) / 32)
-        .map(j => s"md5('$j:' || $feat)")).mkString(" || ")
     val hashed =
       if (shingled)
         s"""$shinglesCte,
-           |hashed AS (SELECT id AS doc_id, ${th("sh")} AS th FROM sh)""".stripMargin
+           |hashed AS (SELECT id AS doc_id, md5(sh) AS th FROM sh)""".stripMargin
       else
         s"""toks AS (
            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
            |  FROM documents),
-           |hashed AS (SELECT doc_id, ${th("tok")} AS th FROM toks)""".stripMargin
+           |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks)""".stripMargin
     s"""$hashed,
        |sums AS (
        |  SELECT doc_id,

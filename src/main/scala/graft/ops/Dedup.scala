@@ -464,37 +464,35 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16,
       shingleK: Int = 0): DataFrame = {
-    // one md5 yields 32 hex digits = 32 weight positions; wider
-    // fingerprints chain seeded hashes ("1:", "2:", …) so every
-    // narrower fingerprint is a PREFIX of the wider one (the first 32
-    // bits are always the unseeded derivation)
-    require(bits <= 128, "weighting supports at most 128 bits (4 chained md5s)")
+    // ONE md5 per feature carries all 128 digest bits — weight bit i
+    // is the i-th bit of the digest itself (MSB-first), so 128-bit
+    // fingerprints no longer chain 4 seeded hashes and 64-bit no
+    // longer chains 2 (the pre-r11 scheme took only the MSB of each
+    // hex digit, 1 bit of weight per 4 bits of digest). Narrower
+    // fingerprints remain PREFIXES of wider ones (bits come off the
+    // digest in order).
+    require(bits <= 128, "one md5 digest carries at most 128 bits")
     val features =
       if (shingleK <= 1)
         df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
           .distinct()
       else wordShingles(df, textCol, idCol, shingleK)
         .select(col("id"), col("sh").as("tok"))
-    val nHashes = (bits + 31) / 32
-    val hash =
-      if (nHashes == 1) md5(col("tok").cast("binary"))
-      else concat(md5(col("tok").cast("binary")) +:
-        (1 until nHashes).map(j =>
-          md5(concat(lit(s"$j:"), col("tok")).cast("binary"))): _*)
     // Decode the hex ONCE per feature into 8-digit chunks (conv → long),
     // so each bit weight is an integer shift/mask on a decoded chunk
-    // instead of a per-bit substring+isin string comparison: bit i's
-    // weight is +1 iff the MSB of hex digit i is set (digit ≥ 8), i.e.
-    // ((chunk >> ((7 - pos) * 4 + 3)) & 1) * 2 - 1, and the `bits` sums
-    // stay one map-side-combinable aggregation.
-    val numChunks = (bits + 7) / 8
-    val tokens = features.withColumn("th", hash)
+    // instead of a per-bit substring comparison: bit i lives in hex
+    // digit (i-1)/4 at in-digit bit 3-(i-1)%4, i.e. chunk (i-1)/32,
+    // shift (7 - pos)*4 + b — and the `bits` sums stay one
+    // map-side-combinable aggregation.
+    val numChunks = (bits + 31) / 32
+    val tokens = features.withColumn("th", md5(col("tok").cast("binary")))
     val chunked = tokens.select(col("id") +:
       (0 until numChunks).map(c =>
         conv(substring(col("th"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
     val bitSums = (1 to bits).map { i =>
-      val chunk = (i - 1) / 8
-      val shift = (7 - (i - 1) % 8) * 4 + 3
+      val chunk = (i - 1) / 32
+      val pos = ((i - 1) / 4) % 8
+      val shift = (7 - pos) * 4 + (3 - (i - 1) % 4)
       sum(shiftright(col(s"c$chunk"), shift).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
     }
     chunked.groupBy(col("id"))
