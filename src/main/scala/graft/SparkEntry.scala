@@ -381,6 +381,15 @@ object SparkEntry {
       graft.ops.Sketches.medianGate(ev(s, d), "event_type", "value")
         .orderBy(col("event_type"))),
 
+    // Heavy hitters: exact top-5 users by event count, each pinned
+    // present in the Misra-Gries frequent-items sketch (no false
+    // negatives above support — the 100 TB "top domains/users/tokens"
+    // one-pass shape; see Sketches.topKItemsGate).
+    "sketch_topk_items" -> ((s, d) =>
+      graft.ops.Sketches.topKItemsGate(ev(s, d), "user_id", k = 5,
+          support = 0.002)
+        .orderBy(col("n").desc, col("user_id"))),
+
     // Stateful-shaped: gap-based sessionization (30 min) per user.
     "events_sessionize" -> ((s, d) => {
       // µs granularity on both sides: DuckDB's parquet reader truncates
@@ -3838,6 +3847,13 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
         |  TRUE AS p50_approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // heavy hitters: exact top-5 recount; the Misra-Gries presence
+    // flag is pinned TRUE (no false negatives above support)
+    "sketch_topk_items" ->
+      """SELECT user_id, count(*) AS n, TRUE AS in_sketch
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
 
     "events_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events

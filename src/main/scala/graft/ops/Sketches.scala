@@ -34,6 +34,34 @@ object Sketches {
         (abs(col("n_approx") - col("n_exact")).cast("double") <=
           lit(tol) * col("n_exact").cast("double")).as("approx_ok"))
 
+  /** Heavy-hitters gate: the exact top-k values by count, each flagged
+    * as present in the single-pass bounded-memory frequent-items
+    * sketch (Karp / Misra-Gries counting via `df.stat.freqItems`) at
+    * `support`. The sketch holds O(1/support) counters per partition
+    * and merges — the 100 TB shape for "top domains / top users /
+    * top tokens" where an exact global count-and-sort would be the
+    * whole job. Misra-Gries has NO false negatives above the support
+    * threshold, so as long as the true top-k all clear `support`, the
+    * flag is deterministically TRUE and the oracle pins it — a sketch
+    * regression that loses a true heavy hitter flips the flag and
+    * hash-mismatches. The sketch item list (≤ 1/support values)
+    * is collected driver-side — bounded by construction.
+    * Ties at the k boundary break on the value itself, so both
+    * engines pick the same k rows.
+    */
+  def topKItemsGate(df: DataFrame, valCol: String, k: Int,
+      support: Double): DataFrame = {
+    val items: Seq[Any] = df.stat.freqItems(Seq(valCol), support)
+      .head.getSeq[Any](0)
+    df.groupBy(col(valCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(valCol).asc)
+      .limit(k)
+      .select(col(valCol), col("n"),
+        (if (items.isEmpty) lit(false)
+         else col(valCol).isin(items: _*)).as("in_sketch"))
+  }
+
   /** Per-key exact median + sketch gate:
     * (key, p50_exact, p50_approx_ok). The approx flag tolerates
     * `tolFrac` of the key's exact (p95 - p5) spread — an
