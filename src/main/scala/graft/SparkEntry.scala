@@ -1092,6 +1092,24 @@ object SparkEntry {
         .select(col("event_id"), col("zval"))
         .orderBy(col("event_id"))),
 
+    // Bucketed co-located join: documents and embeddings written as
+    // bucket-sorted tables on the join key, joined with NO exchange
+    // and no re-sort on either side (BucketedJoinSpec pins the plan) —
+    // the pay-once-at-write layout for a key joined every day at
+    // 100 TB. Values oracle-checked against the plain join.
+    "layout_bucketed" -> ((s, d) =>
+      graft.ops.Curation.bucketedJoin(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "doc_id",
+          Tables.embeddings(s, d).select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dims")),
+          "vec_id",
+          buckets = 8,
+          leftTable = "graft_bkt_docs", rightTable = "graft_bkt_emb")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("dims"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic train/val/test split by md5 bucket — stable across
     // runs/engines/layouts, zero shuffle (pure projection).
     "curation_hash_split" -> ((s, d) =>
@@ -3355,6 +3373,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "layout_zorder" -> zorderOracle,
+
+    // the bucketed layout must not change the JOIN's result — recount
+    // as a plain join
+    "layout_bucketed" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, len(e.embedding) AS dims
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,

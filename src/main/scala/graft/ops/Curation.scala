@@ -55,6 +55,50 @@ object Curation {
       .drop("__z")
   }
 
+  /** Bucketed CO-LOCATED join layout: both sides are written as
+    * bucketed, bucket-sorted parquet tables on their join key, then
+    * joined with NO shuffle (and no per-partition re-sort) on either
+    * side — the output partitioning/ordering of the bucketed scans
+    * already satisfies the sort-merge join's requirements. This is
+    * the pay-once-at-write layout for a fact table that is joined on
+    * the same key every day at 100 TB: the repeated join stops paying
+    * the dominant exchange (BucketedJoinSpec pins the zero-shuffle
+    * plan; broadcast would of course also avoid the shuffle for a
+    * small side — the point here is that NEITHER side shuffles at any
+    * size). Bucket counts must match (or divide) for co-location.
+    *
+    * Each side is pre-repartitioned on the key with the bucket count —
+    * Spark's bucket id is the same murmur3 pmod as hashpartitioning,
+    * so this yields ONE file per bucket. A per-partition Sort still
+    * appears above the scans: since SPARK-28595 Spark never trusts
+    * bucket-file ordering (legacy `bucketedTableScan.outputOrdering`
+    * conf, default off) — the in-memory sort is the cheap part; the
+    * exchange it removes is the one that dominates at scale.
+    */
+  def bucketedJoin(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      buckets: Int, leftTable: String, rightTable: String): DataFrame = {
+    val spark = left.sparkSession
+    // a prior SESSION may have left the managed location on disk with
+    // no entry in this session's in-memory catalog — saveAsTable then
+    // refuses even with overwrite, so drop both table AND location
+    Seq(leftTable, rightTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    left.repartition(buckets, col(leftKey))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, leftKey).sortBy(leftKey).saveAsTable(leftTable)
+    right.repartition(buckets, col(rightKey))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, rightKey).sortBy(rightKey).saveAsTable(rightTable)
+    spark.table(leftTable)
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+
   /** Split assignment from per-mille thresholds, e.g.
     * `Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)` (basis
     * points of 10000, ascending, last must be 10000).

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-bkt-wh-").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketedJoin: correct rows, NO shuffle and no re-sort on either side") {
+    import spark.implicits._
+    // force the sort-merge path — a broadcast would hide the shuffle
+    // this layout exists to remove
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val left = (0L until 64L).map(i => (i, s"l$i")).toDF("lid", "lv")
+      val right = (0L until 64L by 2L).map(i => (i, i * 10)).toDF("rid", "rv")
+      val joined = Curation.bucketedJoin(left, "lid", right, "rid",
+        buckets = 4, leftTable = "bkt_spec_l", rightTable = "bkt_spec_r")
+      val got = joined.select(col("lid"), col("lv"), col("rv"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.length == 32 && got.head == ((0L, "l0", 0L)) &&
+        got.last == ((62L, "l62", 620L)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // a per-partition Sort above each scan is EXPECTED: since
+      // SPARK-28595 Spark never trusts bucket-file ordering (legacy
+      // conf, default off); the layout's win is the removed exchange
+      assert(plan.contains("Bucketed: true") &&
+        plan.contains("SelectedBucketsCount"),
+        s"expected bucketed scans:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
