@@ -1542,73 +1542,55 @@ object SparkEntry {
     "stream_interval_join_left" -> ((s, d) => {
       val es = StoreProvider.storeFor(s, d)
       import s.implicits._
-      import scala.jdk.CollectionConverters._
-      val eventsPath = s"${es.root}/events"
-      val maxNs = s.read.schema(graft.core.EventSchema.schema)
-        .option("basePath", eventsPath).parquet(eventsPath)
-        .agg(max(col("timestamp_ns"))).head.getLong(0)
-      val farNs = maxNs + 90L * 24 * 3600 * 1000000000L
-      val sentinelDir =
-        java.nio.file.Files.createTempDirectory("verify-lojoin-sent-")
-      try {
-        def writeSentinels(ns: Long, suffix: String): Unit = {
-          val rows = Seq("click", "purchase").zipWithIndex.map { case (n, i) =>
-            org.apache.spark.sql.Row(s"sent-$suffix-$i", s"sent-$suffix-$i",
-              "sentinel", 0, -1L, -1L, "__sentinel__", n, ns, null, null)
-          }
-          s.createDataFrame(rows.asJava, graft.core.EventSchema.schema)
-            .coalesce(1).write.mode("append").parquet(sentinelDir.toString)
+      drainWithSentinel[(String, Long, Option[Long])](s, es,
+          Seq("click", "purchase")) { feed =>
+          graft.streaming.EventTimeAggs
+            .intervalJoinLeft(feed(), feed(), "click", "purchase",
+              reach = "1 hour", lateness = "45 days")
+        } { r =>
+          val sid = r.getAs[String]("stream_id")
+          if (sid == "__sentinel__") None
+          else Some((sid, r.getAs[Long]("left_version"),
+            Option(r.getAs[java.lang.Long]("right_version")).map(_.toLong)))
         }
-        writeSentinels(farNs, "a")
-        // unionByName: the store's events dir is partition_id-
-        // partitioned, so its reader moves that column to the end —
-        // a positional union against the flat sentinel dir misaligns
-        def feed() = s.readStream
-          .schema(graft.core.EventSchema.schema)
-          .option("basePath", eventsPath).parquet(eventsPath)
-          .unionByName(s.readStream
-            .schema(graft.core.EventSchema.schema)
-            .parquet(sentinelDir.toString))
-        // NB the sentinel filter lives in the SINK (per-batch), never
-        // on the streaming plan: as a stream-side filter Catalyst
-        // pushes it below the join into the left input, the left
-        // watermark column never sees the sentinel, and the global
-        // (min-of-sides) watermark stalls — measured as the NULL set
-        // silently never flushing.
-        val got = new java.util.concurrent.ConcurrentLinkedQueue[
-          (String, Long, Option[Long])]()
-        val ck = java.nio.file.Files.createTempDirectory("verify-lojoin-")
-        val q = graft.streaming.EventTimeAggs
-          .intervalJoinLeft(feed(), feed(), "click", "purchase",
-            reach = "1 hour", lateness = "45 days")
-          .writeStream
-          .option("checkpointLocation", ck.toString)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.where(col("stream_id") =!= "__sentinel__").collect()
-              .foreach { r =>
-                got.add((r.getAs[String]("stream_id"),
-                  r.getAs[Long]("left_version"),
-                  Option(r.getAs[java.lang.Long]("right_version"))
-                    .map(_.toLong)))
-              }
-          }
-          .start()
-        try {
-          // phase 1: the single data batch (events + sentinel pair);
-          // phase 2: one more sentinel file forces a real batch under
-          // the phase-1 watermark — outer NULL rows emit in the batch
-          // AFTER the watermark advance, and a no-data batch is not
-          // guaranteed before processAllAvailable returns
-          q.processAllAvailable()
-          writeSentinels(farNs + 86400L * 1000000000L, "b")
-          q.processAllAvailable()
-        } finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
-        import scala.jdk.CollectionConverters._
-        got.asScala.toSeq
-          .toDF("stream_id", "click_version", "purchase_version")
-          .orderBy(col("stream_id"), col("click_version"),
-            col("purchase_version"))
-      } finally graft.core.Fs.deleteRecursively(sentinelDir.toFile)
+        .toDF("stream_id", "click_version", "purchase_version")
+        .orderBy(col("stream_id"), col("click_version"),
+          col("purchase_version"))
+    }),
+
+    // Spark's NATIVE streaming session windows (session_window +
+    // watermark, append mode) — the built-in counterpart of the
+    // custom flatMapGroupsWithState sessionizer in stream_sessions;
+    // both belong in the inventory because they trade differently:
+    // the native operator gets merging/state/timeout handling from
+    // the engine, the custom one controls its emission contract.
+    // Append mode only emits a session once the watermark passes its
+    // end, so the far-future sentinel closes every real session
+    // deterministically; the oracle is the plain gaps-and-islands
+    // recount (native session end = last event + gap).
+    "stream_sessions_native" -> ((s, d) => {
+      val es = StoreProvider.storeFor(s, d)
+      import s.implicits._
+      drainWithSentinel[(String, Long, Long, Long)](s, es, Seq("S")) { feed =>
+          feed()
+            .withColumn("event_time",
+              timestamp_micros(expr("timestamp_ns div 1000")))
+            .withWatermark("event_time", "45 days")
+            .groupBy(session_window(col("event_time"), "30 minutes"),
+              col("stream_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("stream_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              unix_micros(col("session_window.end")).as("end_us"),
+              col("n_events"))
+        } { r =>
+          val sid = r.getAs[String]("stream_id")
+          if (sid == "__sentinel__") None
+          else Some((sid, r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+            r.getAs[Long]("n_events")))
+        }
+        .toDF("stream_id", "start_us", "end_us", "n_events")
+        .orderBy(col("stream_id"), col("start_us"))
     }),
 
     // STREAMING gap sessionization (30 min) — the stateful-operator
@@ -1697,6 +1679,78 @@ object SparkEntry {
     try q.processAllAvailable()
     finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
     import scala.jdk.CollectionConverters._
+    got.asScala.toSeq
+  }
+
+  /** Run a watermark-dependent streaming query over the store's event
+    * log UNIONED with a far-future sentinel feed, in TWO phases — the
+    * shared scaffold of every gated query whose results only flush
+    * once the watermark passes the corpus (outer-join NULL rows,
+    * closed session windows):
+    *
+    *   - phase 1: one data micro-batch (all event files + one sentinel
+    *     event per name in `sentinelNames`, at maxTs + 90 days, on the
+    *     reserved `__sentinel__` stream) — the post-batch watermark
+    *     then clears every real row's window;
+    *   - phase 2: one more sentinel file forces a REAL batch under the
+    *     phase-1 watermark (results emit in the batch AFTER the
+    *     advance, and a no-data batch is not guaranteed before
+    *     processAllAvailable returns).
+    *
+    * `build` receives a () => DataFrame feed factory (fresh lineage
+    * per call — stream-stream joins need independent readers).
+    * `extract` runs in the sink on materialized batch rows — sentinel
+    * filtering belongs THERE (return None), never on the streaming
+    * plan, where Catalyst pushes it below joins and stalls the
+    * min-of-sides watermark.
+    */
+  private def drainWithSentinel[T](s: SparkSession, es: graft.api.EventStore,
+      sentinelNames: Seq[String], lateness: String = "45 days")(
+      build: (() => DataFrame) => DataFrame)(
+      extract: org.apache.spark.sql.Row => Option[T]): Seq[T] = {
+    import scala.jdk.CollectionConverters._
+    val eventsPath = s"${es.root}/events"
+    val maxNs = s.read.schema(graft.core.EventSchema.schema)
+      .option("basePath", eventsPath).parquet(eventsPath)
+      .agg(max(col("timestamp_ns"))).head.getLong(0)
+    val farNs = maxNs + 90L * 24 * 3600 * 1000000000L
+    val sentinelDir =
+      java.nio.file.Files.createTempDirectory("verify-sentinel-")
+    def writeSentinels(ns: Long, suffix: String): Unit = {
+      val rows = sentinelNames.zipWithIndex.map { case (n, i) =>
+        org.apache.spark.sql.Row(s"sent-$suffix-$i", s"sent-$suffix-$i",
+          "sentinel", 0, -1L, -1L, "__sentinel__", n, ns, null, null)
+      }
+      s.createDataFrame(rows.asJava, graft.core.EventSchema.schema)
+        .coalesce(1).write.mode("append").parquet(sentinelDir.toString)
+    }
+    writeSentinels(farNs, "a")
+    // unionByName: the store's events dir is partition_id-partitioned,
+    // so its reader moves that column to the end — a positional union
+    // against the flat sentinel dir misaligns
+    def feed() = s.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", eventsPath).parquet(eventsPath)
+      .unionByName(s.readStream
+        .schema(graft.core.EventSchema.schema)
+        .parquet(sentinelDir.toString))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+    val ck = java.nio.file.Files.createTempDirectory("verify-sentinel-ck-")
+    val q = build(feed _).writeStream
+      .option("checkpointLocation", ck.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => extract(r).foreach(got.add))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      writeSentinels(farNs + 86400L * 1000000000L, "b")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      graft.core.Fs.deleteRecursively(ck.toFile)
+      graft.core.Fs.deleteRecursively(sentinelDir.toFile)
+    }
     got.asScala.toSeq
   }
 
@@ -3489,6 +3543,29 @@ object SparkEntry {
         |FROM (SELECT sess.*, max(sid) OVER (PARTITION BY stream_id) AS mx
         |  FROM sess)
         |WHERE sid < mx
+        |ORDER BY stream_id, start_us""".stripMargin,
+
+    // Native session-window recount: plain gaps-and-islands (the
+    // sentinel closes EVERY real session, so no trailing drop);
+    // Spark's session_window MERGES at the exact gap boundary (an
+    // event at last + gap extends the session — pinned empirically),
+    // so the new-session predicate is strictly `>`; native session
+    // end = last event + gap.
+    "stream_sessions_native" ->
+      """WITH e AS (SELECT 'user-' || user_id AS stream_id,
+        |    epoch_ms(ts) * 1000 AS t
+        |  FROM events),
+        |m AS (SELECT stream_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY stream_id ORDER BY t)),
+        |s AS (SELECT stream_id, t,
+        |    sum(new_s) OVER (PARTITION BY stream_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT stream_id, min(t) AS start_us,
+        |  max(t) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY stream_id, sid
         |ORDER BY stream_id, start_us""".stripMargin,
 
     // Trending recount: tumbling counts restricted to windows the
