@@ -130,8 +130,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
-      Thread.sleep(100)
-      val left = storageBytes()
+      // the context cleaner releases referent-tracked blocks
+      // asynchronously after the GC — poll to 0 with a deadline
+      // rather than a fixed sleep, so a loaded box doesn't record a
+      // phantom leftover and a REAL leak still shows after 2 s
+      val deadline = System.nanoTime() + 2000000000L
+      var left = storageBytes()
+      while (left > 0 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        left = storageBytes()
+      }
       if (left > leftovers.getOrElse(tag, 0L)) leftovers(tag) = left
     }
 

@@ -1406,9 +1406,13 @@ object SparkEntry {
     // so the gated leg times delivery, not a 10⁵-row re-sort. The
     // aggregate shape still pins everything the row dump pinned:
     //   n + min/max + seq_sum  → delivery completeness (gapless 0..max);
-    //   ord_sum = Σ rankᵢ·seqᵢ → delivery ORDER (rank = arrival index;
-    //     by the rearrangement inequality any out-of-sequence arrival
-    //     of distinct sequences changes the sum);
+    //   ord_sum = Σ rankᵢ·(seqᵢ mod 10⁶+3) → delivery ORDER (rank =
+    //     arrival index; by the rearrangement inequality any
+    //     out-of-sequence arrival of sequences DISTINCT MOD the
+    //     checksum modulus changes the sum — exact for partitions
+    //     under ~10⁶ events, i.e. every gate/bench scale; beyond
+    //     that a misorder of two mod-congruent sequences aliases,
+    //     the price of overflow-safe 64-bit running sums);
     //   name_sum = Σ rankᵢ·md5(nameᵢ) → the event name AT each position.
     // The oracle recomputes all six from the routing table with
     // row_number() as the rank.
@@ -1698,14 +1702,20 @@ object SparkEntry {
     *     processAllAvailable returns).
     *
     * `build` receives a () => DataFrame feed factory (fresh lineage
-    * per call — stream-stream joins need independent readers).
+    * per call — stream-stream joins need independent readers) and
+    * MUST set its watermark delay to `latenessDays` days: the
+    * sentinel sits at maxTs + 2·latenessDays, so the post-batch
+    * watermark lands at maxTs + latenessDays — past every real row's
+    * window, but only if build's delay matches (a larger delay in
+    * build would put the watermark BELOW the corpus frontier and
+    * nothing would ever flush).
     * `extract` runs in the sink on materialized batch rows — sentinel
     * filtering belongs THERE (return None), never on the streaming
     * plan, where Catalyst pushes it below joins and stalls the
     * min-of-sides watermark.
     */
   private def drainWithSentinel[T](s: SparkSession, es: graft.api.EventStore,
-      sentinelNames: Seq[String], lateness: String = "45 days")(
+      sentinelNames: Seq[String], latenessDays: Int = 45)(
       build: (() => DataFrame) => DataFrame)(
       extract: org.apache.spark.sql.Row => Option[T]): Seq[T] = {
     import scala.jdk.CollectionConverters._
@@ -1713,7 +1723,7 @@ object SparkEntry {
     val maxNs = s.read.schema(graft.core.EventSchema.schema)
       .option("basePath", eventsPath).parquet(eventsPath)
       .agg(max(col("timestamp_ns"))).head.getLong(0)
-    val farNs = maxNs + 90L * 24 * 3600 * 1000000000L
+    val farNs = maxNs + 2L * latenessDays * 24 * 3600 * 1000000000L
     val sentinelDir =
       java.nio.file.Files.createTempDirectory("verify-sentinel-")
     def writeSentinels(ns: Long, suffix: String): Unit = {
@@ -1782,29 +1792,10 @@ object SparkEntry {
     * the consumer keeps bounded state, the delivery itself is unchanged.
     */
   private def foldSubscription(es: graft.api.EventStore,
-      matcher: graft.streaming.Subscriptions.Matcher)(
+      matcher: graft.streaming.Subscriptions.Matcher,
+      byStream: Boolean = false)(
       onBatch: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
     import graft.streaming.Subscriptions._
-    val ck = java.nio.file.Files.createTempDirectory("verify-sub-")
-    val backlog = es.manifest.watermarks.values.map(_ + 1).sum
-    val window = math.max(50000L, backlog / 2)
-      .min(Int.MaxValue.toLong).toInt
-    val q = deliver(subscribe(es, matcher, From.Value(0), window = window),
-      ck.toString, byStream = false)(onBatch)
-    try q.processAllAvailable()
-    finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
-  }
-
-  /** Run a subscription to completion over the store's current history
-    * (fresh checkpoint ⇒ deterministic full catch-up) and collect every
-    * delivered row through `extract`. The temp checkpoint dir is always
-    * removed — Verify/Bench would otherwise leak one per run.
-    */
-  private def runSubscription[T](es: graft.api.EventStore,
-      matcher: graft.streaming.Subscriptions.Matcher,
-      byStream: Boolean)(extract: org.apache.spark.sql.Row => T): Seq[T] = {
-    import graft.streaming.Subscriptions._
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
     val ck = java.nio.file.Files.createTempDirectory("verify-sub-")
     // Backlog-proportional admission: with a FIXED window the
     // micro-batch COUNT grows with history and catch-up cost becomes
@@ -1815,14 +1806,30 @@ object SparkEntry {
     // (one giant batch loses batch-to-batch pipelining; a couple of
     // window-bounded batches is the sweet spot). WINDOW stays the
     // flow-control surface for live tails — this only widens the bulk
-    // catch-up batches.
+    // catch-up batches. This is the ONE home of that measured policy;
+    // runSubscription delegates here.
     val backlog = es.manifest.watermarks.values.map(_ + 1).sum
     val window = math.max(50000L, backlog / 2)
       .min(Int.MaxValue.toLong).toInt
     val q = deliver(subscribe(es, matcher, From.Value(0), window = window),
-      ck.toString, byStream) { rows => rows.foreach(r => got.add(extract(r))) }
+      ck.toString, byStream)(onBatch)
     try q.processAllAvailable()
     finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
+  }
+
+  /** Run a subscription to completion over the store's current history
+    * (fresh checkpoint ⇒ deterministic full catch-up) and collect every
+    * delivered row through `extract` — [[foldSubscription]] with an
+    * accumulate-everything fold, for gated queries whose oracle needs
+    * the rows themselves.
+    */
+  private def runSubscription[T](es: graft.api.EventStore,
+      matcher: graft.streaming.Subscriptions.Matcher,
+      byStream: Boolean)(extract: org.apache.spark.sql.Row => T): Seq[T] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+    foldSubscription(es, matcher, byStream) { rows =>
+      rows.foreach(r => got.add(extract(r)))
+    }
     import scala.jdk.CollectionConverters._
     got.asScala.toSeq
   }

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   *
   * All operators are pure DataFrame transformations: shuffles only on
   * content hashes / band buckets (never on document ids), map-side
-  * combine everywhere, no driver-side loops. `hasher` is pluggable:
-  * `md5` is used where an external SQL oracle must reproduce the exact
-  * values; production at scale should pass `xxhash64String` (codegen'd,
-  * no hex-string materialization).
+  * combine everywhere, no driver-side loops. Where an operator still
+  * exposes a `hasher` (exact / chunk dedup), `md5` is the default so
+  * an external SQL oracle reproduces the exact values; production at
+  * scale can pass `xxhash64String` (codegen'd, no hex-string
+  * materialization). The minhash/simhash tiers fix md5 — their word
+  * slicing assumes a 32-hex-char digest, and a shorter pluggable hash
+  * would fail silently (NULL words), not loudly.
   */
 object Dedup {
 
@@ -86,11 +89,14 @@ object Dedup {
     * derived form does one pass and eight multiply-adds, and min() now
     * compares longs instead of 32-char strings.
     */
-  def minhashSignatures(shingles: DataFrame, numHashes: Int,
-      hasher: Column => Column = md5String): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes <= MinhashCoefs.size,
       s"numHashes $numHashes exceeds the ${MinhashCoefs.size}-seed table")
-    val hx = hasher(col("sh"))
+    // fixed md5: the word slicing below assumes a 32-hex-char digest —
+    // a pluggable shorter hasher would yield empty substrings → NULL
+    // words → NULL signatures with no error (the pre-r11 hasher
+    // parameter was dropped for exactly that silent-failure mode)
+    val hx = md5String(col("sh"))
     val words = shingles.select(col("id") +:
       MinhashWordOffsets.zipWithIndex.map { case (off, i) =>
         conv(substring(hx, off, 7), 16, 10).cast("long").as(s"u${i + 1}")
@@ -152,8 +158,7 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      threshold: Double = 0.0,
-      hasher: Column => Column = md5String): DataFrame = {
+      threshold: Double = 0.0): DataFrame = {
     // the shingle explode feeds FOUR consumers (signatures, both
     // verify joins, sizes); whether Spark reuses the exchange across
     // them is an AQE coin-flip, measured as 1-3× recomputation of the
@@ -161,7 +166,7 @@ object Dedup {
     // 6.9 s-vs-18.7 s swing). Materialize once — reference-tracked
     // blocks, same discipline as simhashPairs' fingerprints.
     val sh = wordShingles(df, textCol, idCol, k).localCheckpoint()
-    val sig = minhashSignatures(sh, numHashes, hasher)
+    val sig = minhashSignatures(sh, numHashes)
     val cand = minhashCandidates(sig, bands, numHashes / bands)
     jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
   }
@@ -184,11 +189,10 @@ object Dedup {
     */
   def minhashLshIncremental(df: DataFrame, textCol: String, idCol: String,
       isNewCol: Column, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      threshold: Double = 0.0,
-      hasher: Column => Column = md5String): DataFrame = {
+      threshold: Double = 0.0): DataFrame = {
     // materialized for the same multi-consumer reason as minhashLsh
     val sh = wordShingles(df, textCol, idCol, k).localCheckpoint()
-    val sig = minhashSignatures(sh, numHashes, hasher)
+    val sig = minhashSignatures(sh, numHashes)
     val banded = bandKeys(sig, bands, numHashes / bands)
     val newIds = df.where(isNewCol).select(col(idCol).as("id"))
     val probe = banded.join(newIds, "id")

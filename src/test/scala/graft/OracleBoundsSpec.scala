@@ -22,6 +22,25 @@ class OracleBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("gate-corpus top-5 users all clear the heavy-hitter support") {
+    // sketch_topk_items pins in_sketch=TRUE, which is only guaranteed
+    // (Misra-Gries no-false-negative) while every top-5 user's
+    // frequency exceeds the query's support of 0.002 — the same class
+    // of corpus invariant as the token bound below, asserted the same
+    // way (sf0.01: 5th-ranked ≈ 0.0083, 4× headroom)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val ev = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+      val total = ev.count().toDouble
+      val fifth = ev.groupBy(col("user_id")).count()
+        .orderBy(col("count").desc, col("user_id"))
+        .limit(5).collect().last.getLong(1).toDouble
+      assert(fifth / total > 0.002,
+        s"$sf 5th-ranked user frequency ${fifth / total} is at or under " +
+          "the sketch_topk_items support 0.002 — the in_sketch=TRUE " +
+          "pin would become nondeterministic")
+    }
+  }
+
   test("gate-corpus documents stay under the oracle token bound") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val docs = Tables.documents(spark, s"/root/testdata/$sf")

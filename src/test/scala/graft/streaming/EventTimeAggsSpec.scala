@@ -263,6 +263,46 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("native session_window: exact-gap boundary MERGES; end = last + gap") {
+    // pins the boundary the stream_sessions_native oracle encodes as
+    // a strict `>` new-session predicate — if a Spark upgrade flips
+    // the merge to exclusive (or the pin were wrong), this localizes
+    // it instead of an opaque gate hash mismatch
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val base = 1700000000000000L // µs
+    val gapUs = 30L * 60 * 1000000
+    ms.addData(
+      ("a", base), ("a", base + gapUs),     // EXACT gap: one session
+      ("b", base), ("b", base + gapUs + 1), // 1 µs past: two sessions
+      ("wm", base + 1000L * gapUs))         // watermark driver
+    val q = ms.toDF().toDF("sid", "us")
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", "1 minute")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("sid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sid"),
+        unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eta_native_sess").start()
+    try {
+      q.processAllAvailable()
+      ms.addData(("wm2", base + 2000L * gapUs)) // flush batch 2
+      q.processAllAvailable()
+      val got = spark.table("eta_native_sess").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(t => t._1 == "a" || t._1 == "b").sortBy(t => (t._1, t._2))
+      assert(got.toSeq == Seq(
+        ("a", base, base + 2 * gapUs, 2L), // merged; end = last + gap
+        ("b", base, base + gapUs, 1L),
+        ("b", base + gapUs + 1, base + 2 * gapUs + 1, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionizeFeed is unit-agnostic: µs timestamps with a µs gap") {
     val es = EventStore.open(
       spark, Files.createTempDirectory("graft-sessus-").toString, 4)
