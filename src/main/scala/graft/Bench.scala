@@ -541,31 +541,22 @@ object Bench {
     hygiene("diag_ivf_lists")
 
     // 2f. diagnostic (timed internally, reported as a ratio): EPSUB
-    //     delivery cost
-    //     WITHOUT the oracle's driver-side collect — the gated
-    //     es_psub_deliver query necessarily accumulates every delivered
-    //     row on the driver and re-sorts it (that is its oracle
-    //     contract), which at 10× dominates the leg. This measures the
-    //     operator itself: full catch-up through the streaming source
-    //     into a count-only sink. Min of two passes, fresh checkpoint
-    //     each (same policy as every timed leg).
+    //     delivery cost into a count-only fold — the operator-only
+    //     split the r10 verdict asked for, kept as the cross-check of
+    //     the gated leg (which since r11 also folds in its sink, so
+    //     the two should now agree). Runs through the SAME
+    //     foldSubscription helper as the gated query — one home for
+    //     the measured backlog/2 window policy. Min of two passes,
+    //     fresh checkpoint each (same policy as every timed leg).
     def psubDeliverySec(dir: String): Double = {
       def onePass(): Double =
         try {
           val es = StoreProvider.storeFor(spark, dir)
           import graft.streaming.Subscriptions._
-          val backlog = es.manifest.watermarks.values.map(_ + 1).sum
-          val window = math.max(50000L, backlog / 2)
-            .min(Int.MaxValue.toLong).toInt
           val n = new java.util.concurrent.atomic.AtomicLong()
-          val ck = java.nio.file.Files.createTempDirectory("bench-psub-")
           time {
-            val q = deliver(
-              subscribe(es, Matcher(allPartitions = true), From.Value(0),
-                window = window),
-              ck.toString, byStream = false)(rows => n.addAndGet(rows.size))
-            try q.processAllAvailable()
-            finally { q.stop(); graft.core.Fs.deleteRecursively(ck.toFile) }
+            SparkEntry.foldSubscription(es, Matcher(allPartitions = true))(
+              rows => n.addAndGet(rows.size))
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] psub delivery failed: ${e.getMessage}")

@@ -1791,7 +1791,7 @@ object SparkEntry {
     * delivered batch to a FOLD callback instead of accumulating rows —
     * the consumer keeps bounded state, the delivery itself is unchanged.
     */
-  private def foldSubscription(es: graft.api.EventStore,
+  private[graft] def foldSubscription(es: graft.api.EventStore,
       matcher: graft.streaming.Subscriptions.Matcher,
       byStream: Boolean = false)(
       onBatch: Seq[org.apache.spark.sql.Row] => Unit): Unit = {
