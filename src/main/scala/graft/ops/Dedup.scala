@@ -138,12 +138,24 @@ object Dedup {
 
   /** Exact Jaccard for given candidate pairs, via an inverted-index
     * join on shingles (never materializes document contents twice).
+    *
+    * The shingle table is first SEMI-JOINED down to documents that
+    * appear in some candidate pair: banding leaves most of the corpus
+    * in no pair at all, so the verify join's input shrinks from
+    * O(corpus shingles) to O(candidate-doc shingles) — each kept
+    * document keeps ALL its shingle rows, so sizes and intersections
+    * (hence Jaccard) are unchanged. AQE broadcasts the candidate-id
+    * set when small and falls back to a shuffled semi-join when not,
+    * so the restriction itself stays scale-safe.
     */
   def jaccardForCandidates(candidates: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val candIds = candidates.select(col("a").as("id"))
+      .unionAll(candidates.select(col("b").as("id"))).distinct()
+    val sh = shingles.join(candIds, Seq("id"), "left_semi")
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     candidates
-      .join(shingles.select(col("id").as("a"), col("sh")), "a")
-      .join(shingles.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(sh.select(col("id").as("a"), col("sh")), "a")
+      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("ni"))
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
