@@ -458,7 +458,7 @@ object Bench {
     //     OR ABOVE the wide canary (more centroids = strictly finer
     //     quantization); below it means the path breaks somewhere the
     //     coarse geometries can't see.
-    val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall): (Double, Double, Double, Double) =
+    val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd): (Double, Double, Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -512,10 +512,36 @@ object Bench {
             .select("qid", "vec_id")
           if (tot == 0) 0.0 else exact.intersect(got).count() / tot
         }
-        (base, wide, prod, ivfpq)
+        // composed IVF-PQ at PRODUCTION PQ geometry (m=8, k=256): the
+        // r11 composed canary ran only at the oracle-unrollable gated
+        // toy geometry, but the composed path at prod geometry is the
+        // one a 100 TB ANN deployment actually runs. Same exact-L2
+        // ground truth, same coarse quantizer split (nlist=IvfLists,
+        // nprobe=IvfPqProbes — the ProbeIvfPq-swept split), same
+        // training budget as the flat prod canary so the only new
+        // variable vs pq_recall_at_5_prod is the probe set. Margin:
+        // probing nprobe/nlist lists can only lose neighbors whose
+        // true list went unprobed (and can also shed false ADC
+        // candidates), so the number must land within
+        // [prod - probe-loss, ~prod]; a collapse far below prod means
+        // the composed path breaks at 256 centroids where the toy
+        // geometry can't see it.
+        val ivfpqProd = {
+          val got = graft.ops.Similarity.ivfPqTopKBatch(e, pred, kNN = 5,
+              nlist = SparkEntry.IvfLists, nprobe = SparkEntry.IvfPqProbes,
+              trainIters = SparkEntry.IvfIters,
+              m = 8, k = 256, iters = SparkEntry.PqIters)
+            .select("qid", "vec_id")
+          if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+        }
+        if (ivfpqProd >= 0 && prod >= 0 && ivfpqProd < prod * 0.5)
+          System.err.println(f"[bench] ivfpq prod-geometry recall " +
+            f"$ivfpqProd%.3f is BELOW half the flat prod canary " +
+            f"$prod%.3f — investigate the composed k=256 path")
+        (base, wide, prod, ivfpq, ivfpqProd)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -613,6 +639,16 @@ object Bench {
     //    are SKIPPED AND LISTED — no silent truncation.
     var scaleJson = "null"
     var witness10xJson = "{}"
+    // ratio headline stats, hoisted so the compact trailing summary
+    // line (printed last; survives the driver's bounded tail capture)
+    // can report them without re-parsing scaleJson
+    var ratioLegs = -1
+    var ratioMedian = -1.0
+    var ratioWorst = -1.0
+    var ratioWorstLeg = ""
+    var ratioAbove3 = -1
+    var ratioAbove5 = -1
+    var scaleSkipped = -1
     var ccRounds10x = -1
     var psubDelivery10x = -1.0
     var ivfListMax10x = -1L
@@ -706,6 +742,17 @@ object Bench {
             rmap.getOrElse(n, 0.0) > 3.0 || sp > 0 || ld > loadBound }
           .sortBy { case (n, _) => -rmap.getOrElse(n, 0.0) }
           .take(24))
+        if (ratios.nonEmpty) {
+          val sorted = ratios.map(_._2).sorted
+          ratioLegs = ratios.size
+          ratioMedian = sorted(sorted.size / 2)
+          val (wl, wv) = ratios.maxBy(_._2)
+          ratioWorst = wv
+          ratioWorstLeg = wl
+          ratioAbove3 = sorted.count(_ > 3.0)
+          ratioAbove5 = sorted.count(_ > 5.0)
+          scaleSkipped = skipped.size
+        }
         def num(m: Seq[(String, Double)]) = m
           .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
         scaleJson = f"""{"factor":${graft.tools.ScaleGen.Factor}%d,""" +
@@ -747,6 +794,7 @@ object Bench {
       s""""pq_recall_at_5_wide":$pqRecallWide,""" +
       s""""pq_recall_at_5_prod":$pqRecallProd,""" +
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
+      s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
       s""""cc_rounds_base":$ccRoundsBase,"cc_rounds_10x":$ccRounds10x,""" +
@@ -778,6 +826,30 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench-out.json write failed: ${e.getMessage}")
     }
+    // compact trailing summary, printed LAST: the driver snapshots only
+    // the final 2000 chars of stdout, so the (single, ~7 KB) full line
+    // above always arrives head-truncated and unparseable. This line is
+    // self-contained, well under the capture bound, and carries the
+    // round's headline numbers; the full per-leg record is the line
+    // above / the committed bench-out.json.
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""legs":${results.size},""" +
+      f""""ratio_legs":$ratioLegs,"ratio_median":$ratioMedian%.3f,""" +
+      f""""ratio_worst":$ratioWorst%.3f,"ratio_worst_leg":"$ratioWorstLeg",""" +
+      s""""ratio_above_3":$ratioAbove3,"ratio_above_5":$ratioAbove5,""" +
+      s""""scale_skipped":$scaleSkipped,""" +
+      s""""hygiene_max_leftover_bytes":${
+        if (leftovers.isEmpty) 0L else leftovers.values.max},""" +
+      s""""ivf_recall_at_5":$ivfRecall,"pq_recall_at_5":$pqRecall,""" +
+      s""""pq_recall_at_5_prod":$pqRecallProd,""" +
+      s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
+      s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
+      s""""server_appends_per_sec":$serverAppendsPerSec,""" +
+      s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
+      f""""load_avg":$loadAvg%.1f,""" +
+      s""""record":"bench-out.json","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }
