@@ -47,6 +47,21 @@ object ProbeIvfPq {
         .select("qid", "vec_id")
       println(f"ivfpq nprobe=$np recall@5: ${exact.intersect(got).count() / tot}%.4f")
     }
+    // same sweep at PRODUCTION PQ geometry (m=8, k=256) — backs the
+    // ivfpq_recall_prod bench diagnostic and its stated margin vs the
+    // flat prod canary
+    val flatProd = graft.ops.Similarity.pqAdcTopKBatch(e, pred, kNN = 5,
+        m = 8, k = 256, iters = graft.SparkEntry.PqIters)
+      .select("qid", "vec_id")
+    println(f"flat ADC PROD recall@5: ${exact.intersect(flatProd).count() / tot}%.4f")
+    for (np <- Seq(2, 3, 4, 5, 6)) {
+      val got = graft.ops.Similarity.ivfPqTopKBatch(e, pred, kNN = 5,
+          nlist = graft.SparkEntry.IvfLists, nprobe = np,
+          trainIters = graft.SparkEntry.IvfIters,
+          m = 8, k = 256, iters = graft.SparkEntry.PqIters)
+        .select("qid", "vec_id")
+      println(f"ivfpq PROD nprobe=$np recall@5: ${exact.intersect(got).count() / tot}%.4f")
+    }
     spark.stop()
   }
 }
