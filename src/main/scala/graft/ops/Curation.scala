@@ -75,28 +75,51 @@ object Curation {
     * conf, default off) — the in-memory sort is the cheap part; the
     * exchange it removes is the one that dominates at scale.
     */
+  /** Per-JVM nonce appended to every bucketedJoin table name: two
+    * concurrent sessions sharing a warehouse dir (a bench overlapping
+    * a verify run) get disjoint physical names, so neither can drop or
+    * overwrite the other's layout — and a caller-supplied name can no
+    * longer collide with a REAL managed table, whose silent
+    * destruction was the failure mode of the fixed-name scheme.
+    */
+  private val bktNonce: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private val bktCreated = scala.collection.mutable.LinkedHashSet.empty[String]
+
   def bucketedJoin(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       buckets: Int, leftTable: String, rightTable: String): DataFrame = {
     val spark = left.sparkSession
-    // a prior SESSION may have left the managed location on disk with
-    // no entry in this session's in-memory catalog — saveAsTable then
-    // refuses even with overwrite, so drop both table AND location
-    Seq(leftTable, rightTable).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
+    val lt = s"${leftTable}__g$bktNonce"
+    val rt = s"${rightTable}__g$bktNonce"
+    val fs = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bktCreated.synchronized {
+      Seq(lt, rt).foreach { t =>
+        // same-session re-run (bench min-of-2) reuses the nonce'd name:
+        // dropping OUR OWN managed table (tracked in bktCreated) also
+        // removes its location. A location that exists without this
+        // helper having created it is someone else's data — refuse,
+        // never delete.
+        if (bktCreated.remove(t)) spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        require(!fs.exists(loc),
+          s"bucketedJoin: location $loc already exists but was not " +
+            "created by this helper in this session — refusing to " +
+            "delete it; remove it manually or pick another table name")
+      }
     }
     left.repartition(buckets, col(leftKey))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, leftKey).sortBy(leftKey).saveAsTable(leftTable)
+      .bucketBy(buckets, leftKey).sortBy(leftKey).saveAsTable(lt)
     right.repartition(buckets, col(rightKey))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, rightKey).sortBy(rightKey).saveAsTable(rightTable)
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+      .bucketBy(buckets, rightKey).sortBy(rightKey).saveAsTable(rt)
+    bktCreated.synchronized { bktCreated ++= Seq(lt, rt) }
+    spark.table(lt)
+      .join(spark.table(rt), col(leftKey) === col(rightKey))
   }
 
   /** Split assignment from per-mille thresholds, e.g.

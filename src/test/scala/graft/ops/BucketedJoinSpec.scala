@@ -44,4 +44,37 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucketedJoin: nonce'd physical names, refuses foreign locations") {
+    import spark.implicits._
+    val left = (0L until 8L).map(i => (i, s"l$i")).toDF("lid", "lv")
+    val right = (0L until 8L).map(i => (i, i * 10)).toDF("rid", "rv")
+    // same-session re-run with the same logical names must succeed
+    // (bench min-of-2 shape): the helper drops ITS OWN prior tables
+    Curation.bucketedJoin(left, "lid", right, "rid", 2,
+      leftTable = "bkt_rerun_l", rightTable = "bkt_rerun_r").count()
+    val again = Curation.bucketedJoin(left, "lid", right, "rid", 2,
+      leftTable = "bkt_rerun_l", rightTable = "bkt_rerun_r")
+    assert(again.count() == 8)
+    // physical names carry the session nonce — a concurrent session
+    // (different JVM, different nonce) cannot collide with these
+    val phys = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("bkt_rerun_l__g"))
+    assert(phys.length == 1 && phys.head.matches("bkt_rerun_l__g[0-9a-f]{8}"),
+      s"expected one nonce'd physical table, got ${phys.mkString(",")}")
+    // a location that exists but was NOT created by this helper is
+    // someone else's data: the helper must refuse, not delete it
+    val foreign = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      phys.head.replace("bkt_rerun_l", "bkt_foreign_l"))
+    assert(foreign.mkdirs())
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Curation.bucketedJoin(left, "lid", right, "rid", 2,
+          leftTable = "bkt_foreign_l", rightTable = "bkt_foreign_r")
+      }
+      assert(e.getMessage.contains("refusing"))
+      assert(foreign.exists(), "foreign location must not be deleted")
+    } finally foreign.delete()
+  }
 }
