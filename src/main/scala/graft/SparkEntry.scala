@@ -1547,10 +1547,10 @@ object SparkEntry {
       val es = StoreProvider.storeFor(s, d)
       import s.implicits._
       drainWithSentinel[(String, Long, Option[Long])](s, es,
-          Seq("click", "purchase")) { feed =>
+          Seq("click", "purchase")) { (feed, lateness) =>
           graft.streaming.EventTimeAggs
             .intervalJoinLeft(feed(), feed(), "click", "purchase",
-              reach = "1 hour", lateness = "45 days")
+              reach = "1 hour", lateness = lateness)
         } { r =>
           val sid = r.getAs[String]("stream_id")
           if (sid == "__sentinel__") None
@@ -1575,11 +1575,12 @@ object SparkEntry {
     "stream_sessions_native" -> ((s, d) => {
       val es = StoreProvider.storeFor(s, d)
       import s.implicits._
-      drainWithSentinel[(String, Long, Long, Long)](s, es, Seq("S")) { feed =>
+      drainWithSentinel[(String, Long, Long, Long)](s, es, Seq("S")) {
+          (feed, lateness) =>
           feed()
             .withColumn("event_time",
               timestamp_micros(expr("timestamp_ns div 1000")))
-            .withWatermark("event_time", "45 days")
+            .withWatermark("event_time", lateness)
             .groupBy(session_window(col("event_time"), "30 minutes"),
               col("stream_id"))
             .agg(count(lit(1)).as("n_events"))
@@ -1702,13 +1703,14 @@ object SparkEntry {
     *     processAllAvailable returns).
     *
     * `build` receives a () => DataFrame feed factory (fresh lineage
-    * per call — stream-stream joins need independent readers) and
-    * MUST set its watermark delay to `latenessDays` days: the
-    * sentinel sits at maxTs + 2·latenessDays, so the post-batch
-    * watermark lands at maxTs + latenessDays — past every real row's
-    * window, but only if build's delay matches (a larger delay in
-    * build would put the watermark BELOW the corpus frontier and
-    * nothing would ever flush).
+    * per call — stream-stream joins need independent readers) and the
+    * watermark delay STRING it must pass to `withWatermark` — derived
+    * from `latenessDays` here, so one value is the single source of
+    * truth: the sentinel sits at maxTs + 2·latenessDays, so the
+    * post-batch watermark lands at maxTs + latenessDays — past every
+    * real row's window, but only because build's delay matches by
+    * construction (a larger delay would put the watermark BELOW the
+    * corpus frontier and nothing would ever flush).
     * `extract` runs in the sink on materialized batch rows — sentinel
     * filtering belongs THERE (return None), never on the streaming
     * plan, where Catalyst pushes it below joins and stalls the
@@ -1716,52 +1718,59 @@ object SparkEntry {
     */
   private def drainWithSentinel[T](s: SparkSession, es: graft.api.EventStore,
       sentinelNames: Seq[String], latenessDays: Int = 45)(
-      build: (() => DataFrame) => DataFrame)(
+      build: (() => DataFrame, String) => DataFrame)(
       extract: org.apache.spark.sql.Row => Option[T]): Seq[T] = {
     import scala.jdk.CollectionConverters._
+    val lateness = s"$latenessDays days"
     val eventsPath = s"${es.root}/events"
     val maxNs = s.read.schema(graft.core.EventSchema.schema)
       .option("basePath", eventsPath).parquet(eventsPath)
       .agg(max(col("timestamp_ns"))).head.getLong(0)
     val farNs = maxNs + 2L * latenessDays * 24 * 3600 * 1000000000L
-    val sentinelDir =
-      java.nio.file.Files.createTempDirectory("verify-sentinel-")
-    def writeSentinels(ns: Long, suffix: String): Unit = {
-      val rows = sentinelNames.zipWithIndex.map { case (n, i) =>
-        org.apache.spark.sql.Row(s"sent-$suffix-$i", s"sent-$suffix-$i",
-          "sentinel", 0, -1L, -1L, "__sentinel__", n, ns, null, null)
-      }
-      s.createDataFrame(rows.asJava, graft.core.EventSchema.schema)
-        .coalesce(1).write.mode("append").parquet(sentinelDir.toString)
-    }
-    writeSentinels(farNs, "a")
-    // unionByName: the store's events dir is partition_id-partitioned,
-    // so its reader moves that column to the end — a positional union
-    // against the flat sentinel dir misaligns
-    def feed() = s.readStream
-      .schema(graft.core.EventSchema.schema)
-      .option("basePath", eventsPath).parquet(eventsPath)
-      .unionByName(s.readStream
-        .schema(graft.core.EventSchema.schema)
-        .parquet(sentinelDir.toString))
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
-    val ck = java.nio.file.Files.createTempDirectory("verify-sentinel-ck-")
-    val q = build(feed _).writeStream
-      .option("checkpointLocation", ck.toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => extract(r).foreach(got.add))
-      }
-      .start()
+    // both temp dirs are created inside the try: a failure anywhere
+    // before the query starts (sentinel write, build, start) must not
+    // leak them
+    var sentinelDir: java.nio.file.Path = null
+    var ck: java.nio.file.Path = null
     try {
-      q.processAllAvailable()
-      writeSentinels(farNs + 86400L * 1000000000L, "b")
-      q.processAllAvailable()
+      sentinelDir = java.nio.file.Files.createTempDirectory("verify-sentinel-")
+      def writeSentinels(ns: Long, suffix: String): Unit = {
+        val rows = sentinelNames.zipWithIndex.map { case (n, i) =>
+          org.apache.spark.sql.Row(s"sent-$suffix-$i", s"sent-$suffix-$i",
+            "sentinel", 0, -1L, -1L, "__sentinel__", n, ns, null, null)
+        }
+        s.createDataFrame(rows.asJava, graft.core.EventSchema.schema)
+          .coalesce(1).write.mode("append").parquet(sentinelDir.toString)
+      }
+      writeSentinels(farNs, "a")
+      // unionByName: the store's events dir is partition_id-partitioned,
+      // so its reader moves that column to the end — a positional union
+      // against the flat sentinel dir misaligns
+      def feed() = s.readStream
+        .schema(graft.core.EventSchema.schema)
+        .option("basePath", eventsPath).parquet(eventsPath)
+        .unionByName(s.readStream
+          .schema(graft.core.EventSchema.schema)
+          .parquet(sentinelDir.toString))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+      ck = java.nio.file.Files.createTempDirectory("verify-sentinel-ck-")
+      val q = build(feed _, lateness).writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => extract(r).foreach(got.add))
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        writeSentinels(farNs + 86400L * 1000000000L, "b")
+        q.processAllAvailable()
+      } finally q.stop()
+      got.asScala.toSeq
     } finally {
-      q.stop()
-      graft.core.Fs.deleteRecursively(ck.toFile)
-      graft.core.Fs.deleteRecursively(sentinelDir.toFile)
+      if (ck != null) graft.core.Fs.deleteRecursively(ck.toFile)
+      if (sentinelDir != null)
+        graft.core.Fs.deleteRecursively(sentinelDir.toFile)
     }
-    got.asScala.toSeq
   }
 
   /** Per-(sub, partition) delivery aggregate row for `es_psub_deliver`
@@ -1774,7 +1783,7 @@ object SparkEntry {
     * Long sums stay far from overflow at any bench scale (n²/2·10⁶ ≈
     * 5e18 even at 3M events/partition). Mirrored literally in the
     * es_psub_deliver oracle. */
-  private val ChecksumMod = 1000003L
+  private[graft] val ChecksumMod = 1000003L
 
   /** First 4 bytes of md5(s) as an unsigned big-endian int, mod
     * [[ChecksumMod]] — the DuckDB mirror is
@@ -3958,9 +3967,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // heavy hitters: exact top-5 recount; the Misra-Gries presence
-    // flag is pinned TRUE (no false negatives above support)
+    // flag is pinned TRUE (no false negatives above support), and so
+    // is its precondition above_support (every top-k item's exact
+    // frequency clears the support threshold) — a corpus where that
+    // slips fails on the NAMED column instead of a nondeterministic
+    // in_sketch flip
     "sketch_topk_items" ->
-      """SELECT user_id, count(*) AS n, TRUE AS in_sketch
+      """SELECT user_id, count(*) AS n, TRUE AS in_sketch,
+        |  TRUE AS above_support
         |FROM events GROUP BY user_id
         |ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
 

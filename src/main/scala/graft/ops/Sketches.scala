@@ -48,18 +48,35 @@ object Sketches {
     * is collected driver-side — bounded by construction.
     * Ties at the k boundary break on the value itself, so both
     * engines pick the same k rows.
+    *
+    * `above_support` makes the determinism PRECONDITION itself part of
+    * the gated output: in_sketch=TRUE is only guaranteed while every
+    * true top-k item's exact frequency clears `support` — on a corpus
+    * where one slips under, the sketch flag would flip
+    * nondeterministically with no signal about why. Emitting
+    * `n > support·total` per item (an exact quantity the oracle pins
+    * TRUE alongside in_sketch) turns that silent precondition breach
+    * into a named red column.
     */
   def topKItemsGate(df: DataFrame, valCol: String, k: Int,
       support: Double): DataFrame = {
     val items: Seq[Any] = df.stat.freqItems(Seq(valCol), support)
       .head.getSeq[Any](0)
-    df.groupBy(col(valCol))
+    val counts = df.groupBy(col(valCol))
       .agg(count(lit(1)).as("n"))
+    // total via an unpartitioned window over the GROUPED counts: one
+    // extra shuffle of the (vocab-bounded) distinct values, not a
+    // third corpus pass
+    counts
+      .withColumn("__tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .orderBy(col("n").desc, col(valCol).asc)
       .limit(k)
       .select(col(valCol), col("n"),
         (if (items.isEmpty) lit(false)
-         else col(valCol).isin(items: _*)).as("in_sketch"))
+         else col(valCol).isin(items: _*)).as("in_sketch"),
+        (col("n").cast("double") > lit(support) * col("__tot").cast("double"))
+          .as("above_support"))
   }
 
   /** Per-key exact median + sketch gate:

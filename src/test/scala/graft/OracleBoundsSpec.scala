@@ -41,6 +41,30 @@ class OracleBoundsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gate-corpus partition sequences stay distinct mod ChecksumMod") {
+    // es_psub_deliver's ord_sum pins delivery ORDER exactly only while
+    // every partition's sequences are DISTINCT mod ChecksumMod — i.e.
+    // max partition sequence (= events routed to that partition − 1)
+    // < 10⁶+3. The comment states the bound; this asserts the gate
+    // corpus actually satisfies it (the OracleTokenBound discipline).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val ev = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+      // same stream→partition routing as StoreProvider.storeFor
+      // (stream_id = "user-<user_id>"), folded per partition over the
+      // per-user counts (distinct users are bounded; the event table
+      // itself never leaves the executors)
+      val maxPerPartition = ev.groupBy(col("user_id")).count().collect()
+        .groupBy(r => graft.core.Ids.partitionIdForStream(
+          s"user-${r.get(0)}", StoreProvider.NumPartitions))
+        .values.map(_.map(_.getLong(1)).sum).max
+      assert(maxPerPartition <= SparkEntry.ChecksumMod,
+        s"$sf max events/partition $maxPerPartition exceeds ChecksumMod " +
+          s"${SparkEntry.ChecksumMod} — two sequences in one partition " +
+          "would alias mod the checksum modulus and the ord_sum order " +
+          "pin would stop being exact")
+    }
+  }
+
   test("gate-corpus documents stay under the oracle token bound") {
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val docs = Tables.documents(spark, s"/root/testdata/$sf")
