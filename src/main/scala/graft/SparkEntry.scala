@@ -1503,6 +1503,53 @@ object SparkEntry {
         .orderBy(col("stream_id"))
     }),
 
+    // Near-dup detection INSIDE the streaming ingest — the live-100 TB
+    // dedup shape, composing the store's append path with the banded
+    // simhash probe: NEW documents (the same deterministic ~10% bucket
+    // as dedup_simhash_incremental) are ingested as events through the
+    // real EAPPEND path, then live-tailed; each micro-batch
+    // fingerprints its documents, probes the persistent band index
+    // (seeded from the at-rest corpus, grown by every batch), verifies
+    // candidates by exact hamming, and appends its signatures. The
+    // union over batches is batch-division-invariant (each pair found
+    // exactly once, at the batch of its later member —
+    // StreamingDedupSpec pins it across splits), so the oracle is the
+    // SAME restricted recount as dedup_simhash_incremental.
+    // maxFilesPerTrigger forces a real multi-batch catch-up: the index
+    // genuinely grows mid-stream, which is what distinguishes this
+    // from the batch incremental form.
+    "stream_dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-sdx-")
+      try {
+        graft.streaming.StreamingDedup.seedSimhashIndex(
+          Tables.documents(s, d).where(!isNew), "text", "doc_id",
+          indexDir.toString)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${des.root}/events"),
+            "verify-sdx-ck-",
+            perBatch = b => graft.streaming.StreamingDedup
+              .simhashProbeBatch(
+                b.select(
+                  expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                    .as("doc_id"),
+                  col("payload").cast("string").as("text")),
+                "text", "doc_id", indexDir.toString)) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("hamming"))
+          }
+          .toDF("a", "b", "hamming")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     // Stream-stream event-time interval join: every click enriched
     // with ALL purchases of the same stream within the next hour —
     // the streaming counterpart of asof_join_forward (all matches in
@@ -3700,6 +3747,11 @@ object SparkEntry {
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_simhash_pairs_128" -> simhashPairs128Oracle,
     "dedup_simhash_incremental" -> simhashIncrementalOracle,
+
+    // the streaming probe emits exactly the batch incremental pair set
+    // (batch-division-invariant; see the query comment), so the oracle
+    // is the identical restricted recount
+    "stream_dedup_simhash" -> simhashIncrementalOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_winnow_pairs" -> winnowPairsOracle,
     "dedup_winnow_incremental" -> winnowIncrementalOracle,

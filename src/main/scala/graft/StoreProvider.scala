@@ -34,4 +34,31 @@ object StoreProvider {
       es.ingest(src, "arrival")
       es
     })
+
+  private val docCache =
+    scala.collection.concurrent.TrieMap.empty[String, EventStore]
+
+  /** A second store whose events ARE documents (stream_id =
+    * 'doc-<doc_id>', payload = text bytes), restricted by `pred` —
+    * the live-ingest feed for the streaming dedup gate. Built once
+    * per (sfDir, session) like [[storeFor]], through the same real
+    * append path.
+    */
+  def docStoreFor(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column): EventStore =
+    docCache.getOrElseUpdate(sfDir + "@" + System.identityHashCode(spark), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-docstore-").toString
+      val es = EventStore.open(spark, root, NumPartitions)
+      val src = Tables.documents(spark, sfDir)
+        .where(pred)
+        .select(
+          concat(lit("doc-"), col("doc_id")).as("stream_id"),
+          lit("doc").as("event_name"),
+          col("text").cast("binary").as("payload"),
+          col("doc_id").cast("long").as("timestamp_ms"),
+          col("doc_id").as("arrival"))
+      es.ingest(src, "arrival")
+      es
+    })
 }

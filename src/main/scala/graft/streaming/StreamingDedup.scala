@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection INSIDE a streaming ingest — the shape a
+  * live 100 TB pipeline actually runs: documents arrive as events,
+  * each micro-batch probes a persistent BAND INDEX (the signature
+  * store of everything ingested so far) for near-dup candidates,
+  * verifies the candidates exactly, and appends its own signatures to
+  * the index before the next batch.
+  *
+  * The state story is deliberately NOT Spark operator state: near-dup
+  * detection needs the full corpus's signatures forever (a duplicate
+  * can arrive years after its original), so no watermark can bound an
+  * in-operator state store. The index lives as a table on storage —
+  * here a parquet dir; in production a (band, bkey)-bucketed table so
+  * a probe prunes to the buckets its batch actually touches — and the
+  * streaming side stays STATELESS per batch: probe work is
+  * |batch bands| × |matching buckets| (the banded-LSH bound, same as
+  * the batch incremental form), never |corpus|², and a restart
+  * resumes from the index as-is because appends happen only after the
+  * batch's pairs are materialized.
+  *
+  * Batch-division invariance (pinned by StreamingDedupSpec): the union
+  * of emitted pairs over any micro-batching of the same new docs
+  * equals [[Dedup.simhashPairsIncremental]] on the same old/new split
+  * — a pair's batch finds it exactly once, at the batch of its LATER
+  * member (both-in-batch pairs via the batch probing itself,
+  * cross-batch pairs because the earlier member is already in the
+  * index, new-old pairs against the seed).
+  */
+object StreamingDedup {
+
+  /** Seed the band index with the at-rest corpus: one row per
+    * (id, band) — (id, simhash, band, bkey), the same fingerprint and
+    * banding as the probe side. Production builds this once from the
+    * signature store; Spark-side it is one linear pass + write.
+    */
+  def seedSimhashIndex(corpus: DataFrame, textCol: String, idCol: String,
+      indexDir: String, bits: Int = 64, bands: Int = 4,
+      shingleK: Int = 3): Unit = {
+    val fp = Dedup.simhash(corpus, textCol, idCol, bits, shingleK)
+    Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** One micro-batch of the streaming probe: fingerprint `batch`,
+    * probe the index AND the batch itself on (band, bkey), verify
+    * candidates by exact hamming distance, then append the batch's
+    * signatures to the index. Returns the verified pairs
+    * (a, b, hamming), a < b — already materialized (the append must
+    * not race the probe's lazy evaluation).
+    */
+  def simhashProbeBatch(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, bits: Int = 64, bands: Int = 4,
+      maxDistance: Int = 3, shingleK: Int = 3): DataFrame = {
+    require(maxDistance <= bands - 1,
+      s"banding into $bands bands is only exact up to distance ${bands - 1}")
+    val spark = batch.sparkSession
+    val fp = Dedup.simhash(batch, textCol, idCol, bits, shingleK)
+    val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+      .localCheckpoint()
+    val index = spark.read.parquet(indexDir)
+    // the batch must see ITSELF as well as the index, or within-batch
+    // near-dups silently vanish for coarse micro-batching (one giant
+    // catch-up batch would find nothing batch-internal)
+    val all = index.unionByName(probe)
+    val cand = probe.select(col("band"), col("bkey"), col("id").as("x"))
+      .join(all.select(col("band"), col("bkey"), col("id").as("y")),
+        Seq("band", "bkey"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    // id appears once per band in the index — collapse to one
+    // fingerprint row per id before the verify joins
+    val fps = all.select(col("id"), col("simhash")).distinct()
+    val pairs = cand
+      .join(fps.select(col("id").as("a"), col("simhash").as("sa")), "a")
+      .join(fps.select(col("id").as("b"), col("simhash").as("sb")), "b")
+      .withColumn("hamming",
+        Dedup.hammingDistance(col("sa"), col("sb"), bits).cast("long"))
+      .where(col("hamming") <= maxDistance)
+      .select(col("a"), col("b"), col("hamming"))
+      .localCheckpoint()
+    probe.write.mode("append").parquet(indexDir)
+    pairs
+  }
+}
