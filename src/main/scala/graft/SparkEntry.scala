@@ -1550,6 +1550,48 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
     }),
 
+    // The minhash-LSH counterpart of stream_dedup_simhash, over the
+    // SAME live doc-event feed (the doc store is session-cached, so
+    // the two gated queries share one ingest): per micro-batch,
+    // shingle + sign + band the arriving documents, probe the
+    // persistent minhash band index, verify candidates by exact
+    // Jaccard — shingled on demand, candidate-restricted, from the
+    // document store — and append the batch's band keys. Same
+    // batch-division invariance argument, so the oracle is the same
+    // restricted recount as dedup_minhash_incremental.
+    "stream_dedup_minhash" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-mdx-")
+      try {
+        graft.streaming.StreamingDedup.seedMinhashIndex(
+          Tables.documents(s, d).where(!isNew), "text", "doc_id",
+          indexDir.toString)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${des.root}/events"),
+            "verify-mdx-ck-",
+            perBatch = b => graft.streaming.StreamingDedup
+              .minhashProbeBatch(
+                b.select(
+                  expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                    .as("doc_id"),
+                  col("payload").cast("string").as("text")),
+                "text", "doc_id", indexDir.toString,
+                docSource = Tables.documents(s, d))) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Double]("jaccard"))
+          }
+          .toDF("a", "b", "jaccard")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     // Stream-stream event-time interval join: every click enriched
     // with ALL purchases of the same stream within the next hour —
     // the streaming counterpart of asof_join_forward (all matches in
@@ -3725,6 +3767,11 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_minhash_incremental" -> minhashIncrementalOracle,
+
+    // the streaming minhash probe emits exactly the batch incremental
+    // pair set (batch-division-invariant, same argument as
+    // stream_dedup_simhash)
+    "stream_dedup_minhash" -> minhashIncrementalOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "curation_quality_filter" -> qualityFilterOracle,

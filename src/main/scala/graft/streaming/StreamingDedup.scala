@@ -88,4 +88,66 @@ object StreamingDedup {
     probe.write.mode("append").parquet(indexDir)
     pairs
   }
+
+  /** Seed the MINHASH band index from the at-rest corpus: one row per
+    * (id, band) — (id, band, bkey), the same signature/banding as the
+    * probe side. Unlike simhash the index carries no per-doc
+    * fingerprint: minhash verification is exact Jaccard over shingle
+    * sets, which the probe re-derives candidate-restricted from the
+    * document store at verify time.
+    */
+  def seedMinhashIndex(corpus: DataFrame, textCol: String, idCol: String,
+      indexDir: String, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4): Unit = {
+    val sh = Dedup.wordShingles(corpus, textCol, idCol, k)
+    Dedup.bandKeys(Dedup.minhashSignatures(sh, numHashes),
+        bands, numHashes / bands)
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** One micro-batch of the streaming MINHASH probe — the
+    * [[simhashProbeBatch]] shape with LSH-over-minhash banding and a
+    * candidate-restricted exact-Jaccard verify: shingle + sign the
+    * batch, probe the index AND the batch on (band, bkey), then
+    * verify ONLY candidate-pair documents, shingled on demand from
+    * `docSource` (the document store covering everything ingested so
+    * far — at 100 TB the verify reads O(candidate docs), never the
+    * corpus; the r11 candidate-restricted discipline). Appends the
+    * batch's band keys to the index after the pairs are materialized.
+    * Returns (a, b, jaccard), a < b, jaccard ≥ `threshold`.
+    */
+  def minhashProbeBatch(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, docSource: DataFrame, k: Int = 3,
+      numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.0): DataFrame = {
+    val spark = batch.sparkSession
+    val sh = Dedup.wordShingles(batch, textCol, idCol, k)
+    val probe = Dedup.bandKeys(Dedup.minhashSignatures(sh, numHashes),
+        bands, numHashes / bands)
+      .localCheckpoint()
+    val index = spark.read.parquet(indexDir)
+    val all = index.unionByName(probe)
+    val cand = probe.as("x")
+      .join(all.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    // shingle only candidate-pair members: jaccardForCandidates
+    // semi-joins again internally, but restricting the SOURCE first
+    // keeps the explode itself off the non-candidate corpus
+    val candIds = cand.select(col("a").as("docsrc_id"))
+      .unionAll(cand.select(col("b").as("docsrc_id"))).distinct()
+    val candDocs = docSource
+      .join(candIds,
+        docSource(idCol) === candIds("docsrc_id"), "left_semi")
+    val candSh = Dedup.wordShingles(candDocs, textCol, idCol, k)
+    val pairs = Dedup.jaccardForCandidates(cand, candSh)
+      .where(col("jaccard") >= threshold)
+      .localCheckpoint()
+    probe.write.mode("append").parquet(indexDir)
+    pairs
+  }
 }

@@ -83,6 +83,69 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def expectedMinhash: Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    Dedup.minhashLshIncremental(docs.toDF("id", "text"), "text", "id",
+        col("id").isin(newIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def runMinhashSplit(
+      batches: Seq[Seq[Long]]): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    assert(batches.flatten.toSet == newIds, "splits must cover the new set")
+    val indexDir = java.nio.file.Files.createTempDirectory("mdx-spec-")
+    val ck = java.nio.file.Files.createTempDirectory("mdx-spec-ck-")
+    try {
+      StreamingDedup.seedMinhashIndex(
+        docs.filterNot(d => newIds(d._1)).toDF("id", "text"),
+        "text", "id", indexDir.toString)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+      val q = mem.toDF().toDF("id", "text").writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            StreamingDedup
+              .minhashProbeBatch(b, "text", "id", indexDir.toString,
+                docSource = docs.toDF("id", "text"))
+              .collect()
+              .foreach(r => got.synchronized {
+                got += ((r.getLong(0), r.getLong(1), r.getDouble(2)))
+              })
+        }
+        .start()
+      try {
+        val byId = docs.toMap
+        batches.foreach { ids =>
+          mem.addData(ids.map(i => (i, byId(i))))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      got.synchronized(got.toSet)
+    } finally {
+      graft.core.Fs.deleteRecursively(indexDir.toFile)
+      graft.core.Fs.deleteRecursively(ck.toFile)
+    }
+  }
+
+  test("minhash probe: every micro-batching emits the batch incremental set") {
+    val want = expectedMinhash
+    assert(want.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 },
+      s"fixture lost the old-new exact-dup pair: $want")
+    assert(want.exists { case (a, b, j) => a == 10L && b == 11L && j == 1.0 },
+      s"fixture lost the new-new exact-dup pair: $want")
+    val splits = Seq(
+      Seq(Seq(2L, 10L, 11L, 12L)),
+      Seq(Seq(2L, 10L), Seq(11L, 12L)),
+      Seq(Seq(2L), Seq(10L), Seq(11L), Seq(12L)))
+    splits.foreach { split =>
+      assert(runMinhashSplit(split) == want,
+        s"split $split diverged from the batch incremental answer")
+    }
+  }
+
   test("every micro-batching emits exactly the batch incremental pair set") {
     val want = expected
     // sanity on the fixture: an old-new pair AND a new-new pair exist
