@@ -1592,6 +1592,47 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
     }),
 
+    // The winnowing member of the streaming dedup family, same cached
+    // doc-event feed: per micro-batch, winnow-fingerprint the arriving
+    // documents, join the persistent fingerprint index on fp, count
+    // shared fingerprints per candidate pair, keep pairs at the
+    // minShared gate, append the batch's fingerprints. The shared
+    // count is complete at emission (the batch holds its member's full
+    // selection, the earlier member's is already indexed), so the
+    // minShared gate is batch-division-invariant too; oracle = the
+    // dedup_winnow_incremental restricted recount.
+    "stream_dedup_winnow" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-wdx-")
+      try {
+        graft.streaming.StreamingDedup.seedWinnowIndex(
+          Tables.documents(s, d).where(!isNew), "text", "doc_id",
+          indexDir.toString)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${des.root}/events"),
+            "verify-wdx-ck-",
+            perBatch = b => graft.streaming.StreamingDedup
+              .winnowProbeBatch(
+                b.select(
+                  expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                    .as("doc_id"),
+                  col("payload").cast("string").as("text")),
+                "text", "doc_id", indexDir.toString)) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("shared_fps"))
+          }
+          .toDF("a", "b", "shared_fps")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     // Stream-stream event-time interval join: every click enriched
     // with ALL purchases of the same stream within the next hour —
     // the streaming counterpart of asof_join_forward (all matches in
@@ -3802,6 +3843,11 @@ object SparkEntry {
     "dedup_winnow" -> winnowOracle,
     "dedup_winnow_pairs" -> winnowPairsOracle,
     "dedup_winnow_incremental" -> winnowIncrementalOracle,
+
+    // the streaming winnow probe emits exactly the batch incremental
+    // pair set with complete shared counts (batch-division-invariant,
+    // same argument as the other two streaming probes)
+    "stream_dedup_winnow" -> winnowIncrementalOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 

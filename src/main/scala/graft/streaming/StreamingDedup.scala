@@ -150,4 +150,48 @@ object StreamingDedup {
     probe.write.mode("append").parquet(indexDir)
     pairs
   }
+
+  /** Seed the WINNOW fingerprint index from the at-rest corpus: one
+    * row per (id, fp) — the distinct winnowed fingerprints, the same
+    * selection as the probe side. Overlap counting needs every
+    * retained fingerprint, so unlike the banded indexes this one keeps
+    * the full per-doc selection (still O(len/w) per document — the
+    * winnowing guarantee, not the shingle set).
+    */
+  def seedWinnowIndex(corpus: DataFrame, textCol: String, idCol: String,
+      indexDir: String, k: Int = 3, w: Int = 4): Unit =
+    Dedup.winnowFingerprints(corpus, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** One micro-batch of the streaming WINNOW probe: fingerprint the
+    * batch, join the index AND the batch on fp, count shared
+    * fingerprints per candidate pair, keep pairs at `minShared`+.
+    * The shared count is COMPLETE at emission time — the batch holds
+    * its member's full selection and the earlier member's full
+    * selection is already indexed — so the `minShared` gate and the
+    * emitted counts are batch-division-invariant like the other two
+    * probes. Returns (a, b, shared_fps), a < b.
+    */
+  def winnowProbeBatch(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L): DataFrame = {
+    val spark = batch.sparkSession
+    val fps = Dedup.winnowFingerprints(batch, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct().localCheckpoint()
+    val index = spark.read.parquet(indexDir)
+    val all = index.unionByName(fps)
+    val pairs = fps.select(col("id").as("x"), col("fp"))
+      .join(all.select(col("id").as("y"), col("fp")), "fp")
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("fp"))
+      .distinct()
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .localCheckpoint()
+    fps.write.mode("append").parquet(indexDir)
+    pairs
+  }
 }

@@ -146,6 +146,70 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def expectedWinnow: Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.winnowPairsIncremental(docs.toDF("id", "text"), "text", "id",
+        col("id").isin(newIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def runWinnowSplit(
+      batches: Seq[Seq[Long]]): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    assert(batches.flatten.toSet == newIds, "splits must cover the new set")
+    val indexDir = java.nio.file.Files.createTempDirectory("wdx-spec-")
+    val ck = java.nio.file.Files.createTempDirectory("wdx-spec-ck-")
+    try {
+      StreamingDedup.seedWinnowIndex(
+        docs.filterNot(d => newIds(d._1)).toDF("id", "text"),
+        "text", "id", indexDir.toString)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      val q = mem.toDF().toDF("id", "text").writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            StreamingDedup
+              .winnowProbeBatch(b, "text", "id", indexDir.toString)
+              .collect()
+              .foreach(r => got.synchronized {
+                got += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+              })
+        }
+        .start()
+      try {
+        val byId = docs.toMap
+        batches.foreach { ids =>
+          mem.addData(ids.map(i => (i, byId(i))))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      got.synchronized(got.toSet)
+    } finally {
+      graft.core.Fs.deleteRecursively(indexDir.toFile)
+      graft.core.Fs.deleteRecursively(ck.toFile)
+    }
+  }
+
+  test("winnow probe: every micro-batching emits the batch incremental set") {
+    val want = expectedWinnow
+    // exact dups share their ENTIRE fingerprint selection, so both
+    // fixture pairs clear minShared with their full (equal) counts
+    assert(want.exists { case (a, b, n) => a == 1L && b == 2L && n >= 2L },
+      s"fixture lost the old-new shared-passage pair: $want")
+    assert(want.exists { case (a, b, n) => a == 10L && b == 11L && n >= 2L },
+      s"fixture lost the new-new shared-passage pair: $want")
+    val splits = Seq(
+      Seq(Seq(2L, 10L, 11L, 12L)),
+      Seq(Seq(2L, 10L), Seq(11L, 12L)),
+      Seq(Seq(2L), Seq(10L), Seq(11L), Seq(12L)))
+    splits.foreach { split =>
+      assert(runWinnowSplit(split) == want,
+        s"split $split diverged from the batch incremental answer")
+    }
+  }
+
   test("every micro-batching emits exactly the batch incremental pair set") {
     val want = expected
     // sanity on the fixture: an old-new pair AND a new-new pair exist
