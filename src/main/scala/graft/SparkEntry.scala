@@ -1633,6 +1633,54 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
     }),
 
+    // The SEMANTIC member of the streaming dedup family: embedding
+    // ARRIVALS stream through the store (events carry vector ids —
+    // floats don't round-trip through text payloads; production
+    // events reference the vector store), and each micro-batch pulls
+    // its vectors, signs them into the multi-table hyperplane
+    // buckets, probes the persistent bucket index, and verifies
+    // candidates by exact rounded cosine, candidate-restricted from
+    // the vector store. A 50% split (StreamEmbNewBp) instead of the
+    // text family's 10%: the i.i.d. gate embeddings yield only ~2
+    // cosine pairs at sf0.01 and none touch a 10% bucket — at 50%
+    // both do, so the probe path is actually exercised. No
+    // maxBucket pruning (bucket size evolves mid-stream and a size
+    // cut would break batch-division invariance; production caps
+    // per-bucket probe fan-out instead). Oracle: the UNPRUNED
+    // multi-table recount restricted to pairs touching a new vec.
+    "stream_dedup_embedding" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(StreamEmbNewBp)
+      val ves = StoreProvider.embStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-cdx-")
+      try {
+        graft.streaming.StreamingDedup.seedCosineIndex(
+          Tables.embeddings(s, d).where(!isNew), "vec_id", "embedding",
+          indexDir.toString, NearDupPlanes, NearDupTables)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${ves.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${ves.root}/events"),
+            "verify-cdx-ck-",
+            perBatch = b => graft.streaming.StreamingDedup
+              .cosineProbeBatch(
+                b.select(
+                  expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                    .as("vec_id")),
+                Tables.embeddings(s, d), "vec_id", "embedding",
+                indexDir.toString, NearDupThreshold,
+                NearDupPlanes, NearDupTables)) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Double]("cosine"))
+          }
+          .toDF("a", "b", "cosine")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     // Stream-stream event-time interval join: every click enriched
     // with ALL purchases of the same stream within the next hour —
     // the streaming counterpart of asof_join_forward (all matches in
@@ -2259,6 +2307,13 @@ object SparkEntry {
   private val IncrementalSeed = "ingest"
   private val IncrementalNewBp = 1000
 
+  /** The streaming embedding-cosine gate's "new" fraction in basis
+    * points — 50%, not the text family's 10%: the i.i.d. gate
+    * embeddings produce only ~2 cosine pairs at sf0.01 and neither
+    * touches a 10% bucket, so a 10% split would gate an empty result.
+    */
+  private val StreamEmbNewBp = 5000
+
   /** Random-projection output dims (JL cut 64 → 16). */
   private val RpOutDims = 16
 
@@ -2819,6 +2874,32 @@ object SparkEntry {
        |  JOIN corp cb ON cb.vec_id = p.b)
        |SELECT a, b, cosine FROM scored WHERE cosine >= $NearDupThreshold
        |ORDER BY a, b""".stripMargin
+
+  /** stream_dedup_embedding: the UNPRUNED multi-table bucket recount
+    * (no maxBucket CTE — the streaming probe carries no size cut, see
+    * the query comment) restricted to pairs touching a new vec under
+    * the 50% StreamEmbNewBp split.
+    */
+  private def embeddingNearDupIncrementalOracle: String = {
+    val bucket =
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)"
+    s"""WITH ${lshBucketsMultiCte(NearDupPlanes, NearDupTables)},
+       |newids AS (SELECT vec_id FROM embeddings WHERE $bucket < $StreamEmbNewBp),
+       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM allbuckets x JOIN allbuckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE x.vec_id IN (SELECT vec_id FROM newids)
+       |     OR y.vec_id IN (SELECT vec_id FROM newids)),
+       |scored AS (
+       |  SELECT p.a, p.b, ${cosSql("ca.ve", "cb.ve")} AS cosine
+       |  FROM pairs p
+       |  JOIN corp ca ON ca.vec_id = p.a
+       |  JOIN corp cb ON cb.vec_id = p.b)
+       |SELECT a, b, cosine FROM scored WHERE cosine >= $NearDupThreshold
+       |ORDER BY a, b""".stripMargin
+  }
 
   private def annLshOracle: String = {
     s"""WITH $lshBucketsCte,
@@ -3602,6 +3683,11 @@ object SparkEntry {
     "ann_ivf_pq" -> ivfPqOracle,
 
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
+
+    // the streaming cosine probe: unpruned multi-table recount
+    // restricted to pairs touching a new vec (batch-division-
+    // invariant, same argument as the text probes)
+    "stream_dedup_embedding" -> embeddingNearDupIncrementalOracle,
     "dedup_semantic" -> semanticDedupOracle,
 
     "text_bpe_tokens" ->

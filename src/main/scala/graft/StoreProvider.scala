@@ -61,4 +61,30 @@ object StoreProvider {
       es.ingest(src, "arrival")
       es
     })
+
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[String, EventStore]
+
+  /** A store whose events announce EMBEDDING arrivals (stream_id =
+    * 'vec-<vec_id>', empty payload — production events reference the
+    * vector store rather than shipping floats through text payloads),
+    * restricted by `pred` — the live feed for the streaming
+    * embedding-cosine dedup gate. Built once per (sfDir, session).
+    */
+  def embStoreFor(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column): EventStore =
+    embCache.getOrElseUpdate(sfDir + "@" + System.identityHashCode(spark), {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-embstore-").toString
+      val es = EventStore.open(spark, root, NumPartitions)
+      val src = Tables.embeddings(spark, sfDir)
+        .where(pred)
+        .select(
+          concat(lit("vec-"), col("vec_id")).as("stream_id"),
+          lit("vec").as("event_name"),
+          col("vec_id").cast("long").as("timestamp_ms"),
+          col("vec_id").as("arrival"))
+      es.ingest(src, "arrival")
+      es
+    })
 }

@@ -194,4 +194,73 @@ object StreamingDedup {
     fps.write.mode("append").parquet(indexDir)
     pairs
   }
+
+  /** Seed the random-hyperplane COSINE bucket index from the at-rest
+    * corpus: one row per (id, tbl) — (id, tbl, bucket), the
+    * multi-table signature of [[graft.ops.Similarity.cosineNearDupPairs]].
+    * Vectors themselves stay in the vector store (`vecSource` at probe
+    * time); the index carries only bucket keys.
+    */
+  def seedCosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, planes: Int = 16, tables: Int = 3): Unit =
+    (0 until tables).map { t =>
+      corpus.select(col(idCol).as("id"), lit(t).as("tbl"),
+        graft.ops.Similarity.lshBucket(col(vecCol), planes, t).as("bucket"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** One micro-batch of the streaming EMBEDDING-COSINE probe — the
+    * semantic member of the family. The stream carries vector IDS
+    * (production events reference the vector store; floats round-trip
+    * badly through text payloads), so the batch first pulls its
+    * vectors from `vecSource` by semi-join, signs them into all
+    * `tables` hyperplane tables, probes the index AND itself on
+    * (tbl, bucket), and verifies candidates by exact rounded cosine —
+    * vectors again read candidate-restricted from `vecSource`. No
+    * bucket-size pruning here (unlike the batch form's `maxBucket`):
+    * bucket size evolves as the index grows, so a mid-stream size cut
+    * would break batch-division invariance; production guards
+    * over-dense buckets with a bounded per-bucket anchor cap instead
+    * (the semanticDedup discipline). Returns (a, b, cosine), a < b,
+    * cosine ≥ `threshold`; appends the batch's bucket rows after the
+    * pairs are materialized.
+    */
+  def cosineProbeBatch(batchIds: DataFrame, vecSource: DataFrame,
+      idCol: String, vecCol: String, indexDir: String, threshold: Double,
+      planes: Int = 16, tables: Int = 3): DataFrame = {
+    val spark = batchIds.sparkSession
+    val ids = batchIds.select(col(batchIds.columns.head).as("probe_id"))
+    val bvecs = vecSource
+      .join(ids, vecSource(idCol) === ids("probe_id"), "left_semi")
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val probe = (0 until tables).map { t =>
+      bvecs.select(col("id"), lit(t).as("tbl"),
+        graft.ops.Similarity.lshBucket(col("vec"), planes, t).as("bucket"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val index = spark.read.parquet(indexDir)
+    val all = index.unionByName(probe)
+    val cand = probe.select(col("tbl"), col("bucket"), col("id").as("x"))
+      .join(all.select(col("tbl"), col("bucket"), col("id").as("y")),
+        Seq("tbl", "bucket"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cand.select(col("a").as("cid"))
+      .unionAll(cand.select(col("b").as("cid"))).distinct()
+    val vecs = vecSource
+      .join(candIds, vecSource(idCol) === candIds("cid"), "left_semi")
+      .select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val pairs = cand
+      .join(vecs.select(col("vid").as("a"), col("vv").as("va")), "a")
+      .join(vecs.select(col("vid").as("b"), col("vv").as("vb")), "b")
+      .withColumn("cosine",
+        round(graft.ops.Similarity.cosine(col("va"), col("vb")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+      .localCheckpoint()
+    probe.write.mode("append").parquet(indexDir)
+    pairs
+  }
 }

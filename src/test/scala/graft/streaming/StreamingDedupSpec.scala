@@ -210,6 +210,85 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // 64-dim vectors (lshBucket's hyperplane weights are per dim 1..64):
+  // families 1≈2 and 10≈11 are identical (cosine 1.0); the others are
+  // distinct deterministic patterns far from the 0.9 spec threshold
+  private val vecs: Seq[(Long, Seq[Double])] = Seq(
+    1L -> (0 until 64).map(i => if (i % 2 == 0) 1.0 else -0.5),
+    2L -> (0 until 64).map(i => if (i % 2 == 0) 1.0 else -0.5),
+    3L -> (0 until 64).map(i => math.sin(i + 1).toDouble),
+    10L -> (0 until 64).map(i => (i % 7 - 3).toDouble),
+    11L -> (0 until 64).map(i => (i % 7 - 3).toDouble),
+    12L -> (0 until 64).map(i => if (i % 3 == 0) -1.0 else 0.25)
+  )
+  private val CosThreshold = 0.9
+
+  private def expectedCosine: Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    val touchesNew = (a: Long, b: Long) => newIds(a) || newIds(b)
+    graft.ops.Similarity.cosineNearDupPairs(
+        vecs.toDF("vec_id", "embedding"), CosThreshold,
+        planes = 16, tables = 3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => touchesNew(a, b) }.toSet
+  }
+
+  private def runCosineSplit(
+      batches: Seq[Seq[Long]]): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    assert(batches.flatten.toSet == newIds, "splits must cover the new set")
+    val indexDir = java.nio.file.Files.createTempDirectory("cdx-spec-")
+    val ck = java.nio.file.Files.createTempDirectory("cdx-spec-ck-")
+    try {
+      val vecSource = vecs.toDF("vec_id", "embedding")
+      StreamingDedup.seedCosineIndex(
+        vecSource.where(!col("vec_id").isin(newIds.toSeq: _*)),
+        "vec_id", "embedding", indexDir.toString)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[Long]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+      val q = mem.toDF().toDF("vec_id").writeStream
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            StreamingDedup
+              .cosineProbeBatch(b, vecSource, "vec_id", "embedding",
+                indexDir.toString, CosThreshold)
+              .collect()
+              .foreach(r => got.synchronized {
+                got += ((r.getLong(0), r.getLong(1), r.getDouble(2)))
+              })
+        }
+        .start()
+      try {
+        batches.foreach { ids =>
+          mem.addData(ids)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      got.synchronized(got.toSet)
+    } finally {
+      graft.core.Fs.deleteRecursively(indexDir.toFile)
+      graft.core.Fs.deleteRecursively(ck.toFile)
+    }
+  }
+
+  test("cosine probe: every micro-batching emits the batch incremental set") {
+    val want = expectedCosine
+    assert(want.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"fixture lost the old-new identical pair: $want")
+    assert(want.exists { case (a, b, c) => a == 10L && b == 11L && c == 1.0 },
+      s"fixture lost the new-new identical pair: $want")
+    val splits = Seq(
+      Seq(Seq(2L, 10L, 11L, 12L)),
+      Seq(Seq(2L, 10L), Seq(11L, 12L)),
+      Seq(Seq(2L), Seq(10L), Seq(11L), Seq(12L)))
+    splits.foreach { split =>
+      assert(runCosineSplit(split) == want,
+        s"split $split diverged from the batch incremental answer")
+    }
+  }
+
   test("every micro-batching emits exactly the batch incremental pair set") {
     val want = expected
     // sanity on the fixture: an old-new pair AND a new-new pair exist
