@@ -1529,19 +1529,30 @@ object SparkEntry {
         graft.streaming.StreamingDedup.seedSimhashIndex(
           Tables.documents(s, d).where(!isNew), "text", "doc_id",
           indexDir.toString)
+        // periodic in-stream compaction (every 3rd batch): exercises
+        // the small-files maintenance a long-running ingest needs,
+        // under the gate — compaction is content-preserving, so the
+        // oracle result is unchanged by construction
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
               .option("maxFilesPerTrigger", "4")
               .parquet(s"${des.root}/events"),
             "verify-sdx-ck-",
-            perBatch = b => graft.streaming.StreamingDedup
-              .simhashProbeBatch(
-                b.select(
-                  expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
-                    .as("doc_id"),
-                  col("payload").cast("string").as("text")),
-                "text", "doc_id", indexDir.toString)) { r =>
+            perBatch = { b =>
+              val pairs = graft.streaming.StreamingDedup
+                .simhashProbeBatch(
+                  b.select(
+                    expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                      .as("doc_id"),
+                    col("payload").cast("string").as("text")),
+                  "text", "doc_id", indexDir.toString)
+              if (batchNo.incrementAndGet() % 3 == 0)
+                graft.streaming.StreamingDedup.compactIndex(s,
+                  indexDir.toString, Seq("band", "bkey"))
+              pairs
+            }) { r =>
             (r.getAs[Long]("a"), r.getAs[Long]("b"),
               r.getAs[Long]("hamming"))
           }

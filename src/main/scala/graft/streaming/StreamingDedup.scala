@@ -89,6 +89,37 @@ object StreamingDedup {
     pairs
   }
 
+  /** Compact a probe index in place: every micro-batch append adds a
+    * file (per shuffle partition), so a long-running ingest
+    * accumulates O(batches) small files and directory listing + footer
+    * reads come to dominate each batch's index scan — the classic
+    * streaming small-files problem, same failure mode the event
+    * store's segment compaction exists for. Rewrites the index
+    * CLUSTERED on `clusterCols` (probe keys: band/bkey, tbl/bucket,
+    * fp) into `targetFiles` files, then swaps the new generation in.
+    * Content-preserving by construction (one read, one write, no
+    * filtering), so a compaction between any two batches cannot
+    * change any future batch's pairs — CompactIndexSpec pins both.
+    * The swap is not concurrent-reader-safe; call it BETWEEN batches
+    * (foreachBatch is sequential, so inside the sink is safe —
+    * production on object storage would write a new generation dir
+    * and flip a manifest pointer instead, the store's own manifest
+    * discipline).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, clusterCols: Seq[String],
+      targetFiles: Int = 8): Unit = {
+    val tmp = new java.io.File(indexDir + ".compact-tmp")
+    graft.core.Fs.deleteRecursively(tmp)
+    spark.read.parquet(indexDir)
+      .repartition(targetFiles, clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val live = new java.io.File(indexDir)
+    graft.core.Fs.deleteRecursively(live)
+    require(tmp.renameTo(live),
+      s"compactIndex: could not swap $tmp into place at $live")
+  }
+
   /** Seed the MINHASH band index from the at-rest corpus: one row per
     * (id, band) — (id, band, bkey), the same signature/banding as the
     * probe side. Unlike simhash the index carries no per-doc
