@@ -1561,6 +1561,59 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
     }),
 
+    // stream_dedup_simhash over the PRUNED index layout — the 100 TB
+    // form: the signature index is partitionBy(pfx = hash(band, bkey)
+    // mod parts), and each micro-batch's probe reads ONLY the
+    // directories its own band keys hash into (partition pruning at
+    // the scan; StreamingDedupPrunedSpec pins the PartitionFilters
+    // evidence and the strict file subset). Per-batch index I/O is
+    // bounded by the batch's keyspace instead of re-reading the
+    // corpus-sized index every batch — the dominant cost of the flat
+    // layout once the index dwarfs a batch. Pair semantics are
+    // identical by construction (shared verify core), so the oracle is
+    // the same restricted recount; in-stream compaction here exercises
+    // the PARTITION-AWARE rewrite (one file per directory, layout
+    // preserved).
+    "stream_dedup_simhash_pruned" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-pdx-")
+      try {
+        graft.streaming.StreamingDedup.seedSimhashIndexPruned(
+          Tables.documents(s, d).where(!isNew), "text", "doc_id",
+          indexDir.toString)
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${des.root}/events"),
+            "verify-pdx-ck-",
+            perBatch = { b =>
+              val pairs = graft.streaming.StreamingDedup
+                .simhashProbeBatchPruned(
+                  b.select(
+                    expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                      .as("doc_id"),
+                    col("payload").cast("string").as("text")),
+                  "text", "doc_id", indexDir.toString)
+              if (batchNo.incrementAndGet() % 3 == 0)
+                graft.streaming.StreamingDedup.compactIndex(s,
+                  indexDir.toString, Seq("pfx"),
+                  partitionCols = Seq("pfx"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("hamming"))
+          }
+          .toDF("a", "b", "hamming")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     // The minhash-LSH counterpart of stream_dedup_simhash, over the
     // SAME live doc-event feed (the doc store is session-cached, so
     // the two gated queries share one ingest): per micro-batch,
@@ -3937,6 +3990,9 @@ object SparkEntry {
     // (batch-division-invariant; see the query comment), so the oracle
     // is the identical restricted recount
     "stream_dedup_simhash" -> simhashIncrementalOracle,
+    // identical restricted recount: the pruned layout changes where
+    // index bytes live, never which pairs exist
+    "stream_dedup_simhash_pruned" -> simhashIncrementalOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_winnow_pairs" -> winnowPairsOracle,
     "dedup_winnow_incremental" -> winnowIncrementalOracle,

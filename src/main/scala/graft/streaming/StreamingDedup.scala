@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection INSIDE a streaming ingest — the shape a
@@ -62,30 +62,110 @@ object StreamingDedup {
     val fp = Dedup.simhash(batch, textCol, idCol, bits, shingleK)
     val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .localCheckpoint()
-    val index = spark.read.parquet(indexDir)
-    // the batch must see ITSELF as well as the index, or within-batch
-    // near-dups silently vanish for coarse micro-batching (one giant
-    // catch-up batch would find nothing batch-internal)
-    val all = index.unionByName(probe)
-    val cand = probe.select(col("band"), col("bkey"), col("id").as("x"))
-      .join(all.select(col("band"), col("bkey"), col("id").as("y")),
-        Seq("band", "bkey"))
+    val pairs = simhashPairsAgainst(probe,
+        spark.read.parquet(indexDir), bits, maxDistance)
+      .localCheckpoint()
+    probe.write.mode("append").parquet(indexDir)
+    pairs
+  }
+
+  /** Candidate generation + hamming verify of one banded probe against
+    * one index snapshot — the shared core of [[simhashProbeBatch]] and
+    * [[simhashProbeBatchPruned]]. Both sides carry
+    * (id, band, bkey, simhash). The probe joins the index AND itself
+    * (within-batch near-dups would silently vanish for coarse
+    * micro-batching otherwise); the fingerprint lookup for the verify
+    * is CANDIDATE-RESTRICTED (semi-join on the candidate ids, which
+    * broadcast at batch size) so the per-batch verify never
+    * re-shuffles the corpus-sized index on id — every candidate found
+    * through a band row has its fingerprint ON that row, so the
+    * restricted snapshot is always sufficient.
+    */
+  private def simhashPairsAgainst(probe: DataFrame, index: DataFrame,
+      bits: Int, maxDistance: Int): DataFrame = {
+    val px = probe.select(col("band"), col("bkey"), col("id").as("x"))
+    val cand = px.join(index.select(col("band"), col("bkey"),
+          col("id").as("y")), Seq("band", "bkey"))
+      .unionByName(px.join(probe.select(col("band"), col("bkey"),
+          col("id").as("y")), Seq("band", "bkey")))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    // id appears once per band in the index — collapse to one
-    // fingerprint row per id before the verify joins
-    val fps = all.select(col("id"), col("simhash")).distinct()
-    val pairs = cand
+    val candIds = cand.select(col("a").as("cid"))
+      .unionAll(cand.select(col("b").as("cid"))).distinct()
+    // id appears once per band — collapse to one fingerprint row per
+    // candidate id before the verify joins
+    val fps = index.unionByName(probe)
+      .join(broadcast(candIds), col("id") === col("cid"), "left_semi")
+      .select(col("id"), col("simhash")).distinct()
+    cand
       .join(fps.select(col("id").as("a"), col("simhash").as("sa")), "a")
       .join(fps.select(col("id").as("b"), col("simhash").as("sb")), "b")
       .withColumn("hamming",
         Dedup.hammingDistance(col("sa"), col("sb"), bits).cast("long"))
       .where(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Partition prefix of a band key: `pmod(xxhash64(band, bkey), parts)`
+    * — the key under which the PRUNED index layout directories its
+    * rows. Mixing `band` in keeps one band's keyspace from clumping
+    * into few prefixes when `bkey` entropy is low.
+    */
+  def bkeyPrefix(band: Column, bkey: Column, parts: Int): Column =
+    pmod(xxhash64(band, bkey), lit(parts.toLong))
+
+  /** Seed the PRUNED simhash band index: same rows as
+    * [[seedSimhashIndex]], laid out `partitionBy(pfx)` with
+    * `pfx = ` [[bkeyPrefix]] over `parts` directories. This is the
+    * layout the plain probe's Scaladoc promises for production: a
+    * micro-batch touches at most |batch| × bands distinct (band, bkey)
+    * keys, so a probe filtered to the batch's prefixes READS only
+    * those directories (partition pruning at the scan) — per-batch
+    * index I/O is bounded by the batch's keyspace, never the corpus.
+    * At 100 TB the index is the corpus-sized side and every micro-batch
+    * re-reading it is the dominant cost of the un-pruned layout.
+    */
+  def seedSimhashIndexPruned(corpus: DataFrame, textCol: String,
+      idCol: String, indexDir: String, parts: Int = 64, bits: Int = 64,
+      bands: Int = 4, shingleK: Int = 3): Unit = {
+    val fp = Dedup.simhash(corpus, textCol, idCol, bits, shingleK)
+    Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+      .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+  }
+
+  /** One micro-batch of the PRUNED streaming probe: identical pair
+    * semantics to [[simhashProbeBatch]] (same core, so
+    * batch-division invariance and replay idempotence carry over), but
+    * the index read is restricted to the batch's own partition
+    * prefixes — the distinct `pfx` values of the probe rows, at most
+    * min(`parts`, |batch| × bands) of them (collected to the driver as
+    * a bounded IN-list; the filter on the partition column prunes
+    * directories at the scan, PLANS.md records the PartitionFilters
+    * evidence). `parts` must match the seed's value — the prefix
+    * function is the layout's contract.
+    */
+  def simhashProbeBatchPruned(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, parts: Int = 64, bits: Int = 64,
+      bands: Int = 4, maxDistance: Int = 3, shingleK: Int = 3): DataFrame = {
+    require(maxDistance <= bands - 1,
+      s"banding into $bands bands is only exact up to distance ${bands - 1}")
+    val spark = batch.sparkSession
+    val fp = Dedup.simhash(batch, textCol, idCol, bits, shingleK)
+    val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+      .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .localCheckpoint()
-    probe.write.mode("append").parquet(indexDir)
+    val touched = probe.select(col("pfx")).distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(indexDir)
+      .where(col("pfx").isin(touched: _*))
+    val pairs = simhashPairsAgainst(probe.drop("pfx"), index.drop("pfx"),
+        bits, maxDistance)
+      .localCheckpoint()
+    probe.write.mode("append").partitionBy("pfx").parquet(indexDir)
     pairs
   }
 
@@ -108,12 +188,19 @@ object StreamingDedup {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, clusterCols: Seq[String],
-      targetFiles: Int = 8): Unit = {
+      targetFiles: Int = 8, partitionCols: Seq[String] = Nil): Unit = {
     val tmp = new java.io.File(indexDir + ".compact-tmp")
     graft.core.Fs.deleteRecursively(tmp)
-    spark.read.parquet(indexDir)
+    // a PRUNED layout ([[seedSimhashIndexPruned]]) must be rewritten
+    // partitionBy the same dirs or the pruning column degrades to a
+    // data column and every later probe loses partition pruning;
+    // clustering on the partition cols sends each dir's rows to one
+    // task, so the rewrite is one file per directory
+    val w = spark.read.parquet(indexDir)
       .repartition(targetFiles, clusterCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     val live = new java.io.File(indexDir)
     graft.core.Fs.deleteRecursively(live)
     require(tmp.renameTo(live),

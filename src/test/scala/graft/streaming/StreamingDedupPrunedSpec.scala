@@ -1,0 +1,140 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the PRUNED streaming simhash index layout
+  * ([[StreamingDedup.seedSimhashIndexPruned]] /
+  * [[StreamingDedup.simhashProbeBatchPruned]]):
+  *
+  *  - SAME ANSWER: any micro-batching over the pruned layout emits
+  *    exactly the batch incremental pair set — the layout changes
+  *    where bytes live, never which pairs exist.
+  *  - PRUNING IS REAL: the probe's index read carries a
+  *    PartitionFilters entry on pfx and touches a strict subset of
+  *    the index's files for a batch whose keyspace is small — the
+  *    property that bounds per-batch I/O by the batch, not the
+  *    corpus, at 100 TB.
+  *  - COMPACTION KEEPS THE LAYOUT: [[StreamingDedup.compactIndex]]
+  *    with partitionCols=pfx rewrites to one file per directory with
+  *    identical content, and probes after it still prune.
+  */
+class StreamingDedupPrunedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val docs: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+    2L -> "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+    3L -> "completely different text about distributed query engines and shuffle exchanges at scale",
+    10L -> "large language models train on deduplicated corpora for better generalization and efficiency",
+    11L -> "large language models train on deduplicated corpora for better generalization and efficiency",
+    12L -> "unrelated short note on parquet bloom filters and row group pruning strategies in columnar storage"
+  )
+  private val newIds = Set(2L, 10L, 11L, 12L)
+  private val Parts = 16
+
+  private def expected: Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.simhashPairsIncremental(docs.toDF("id", "text"), "text", "id",
+        col("id").isin(newIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def withPrunedIndex[A](f: String => A): A = {
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("pdx-spec-")
+    try {
+      StreamingDedup.seedSimhashIndexPruned(
+        docs.filterNot(d => newIds(d._1)).toDF("id", "text"),
+        "text", "id", indexDir.toString, parts = Parts)
+      f(indexDir.toString)
+    } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+  }
+
+  private def probe(ids: Seq[Long], dir: String): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    val byId = docs.toMap
+    StreamingDedup.simhashProbeBatchPruned(
+        ids.map(i => (i, byId(i))).toDF("id", "text"),
+        "text", "id", dir, parts = Parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("pruned probe: every micro-batching emits the batch incremental set") {
+    val want = expected
+    assert(want.exists { case (a, b, _) => a == 1L && b == 2L } &&
+      want.exists { case (a, b, _) => a == 10L && b == 11L },
+      s"fixture lost a near-dup pair: $want")
+    val splits = Seq(
+      Seq(Seq(2L, 10L, 11L, 12L)),
+      Seq(Seq(2L, 10L), Seq(11L, 12L)),
+      Seq(Seq(2L), Seq(10L), Seq(11L), Seq(12L)))
+    splits.foreach { split =>
+      val got = withPrunedIndex { dir =>
+        split.flatMap(ids => probe(ids, dir)).toSet
+      }
+      assert(got == want,
+        s"split $split diverged from the batch incremental answer")
+    }
+  }
+
+  test("the index read prunes: PartitionFilters on pfx, strict file subset") {
+    withPrunedIndex { dir =>
+      val populated = spark.read.parquet(dir)
+        .select(col("pfx")).distinct().collect().map(_.getInt(0)).sorted
+      assert(populated.length >= 2,
+        s"fixture too small to demonstrate pruning: ${populated.toSeq}")
+      val allFiles = spark.read.parquet(dir)
+        .select(input_file_name()).distinct().count()
+      // the shape of the probe's index read, restricted to ONE
+      // populated prefix — the plan must push it as a PARTITION filter
+      // (directory pruning), not a data filter
+      val one = spark.read.parquet(dir)
+        .where(col("pfx").isin(populated.head.toLong))
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("pfx"),
+        s"expected a partition filter on pfx:\n$plan")
+      val prunedFiles = one.select(input_file_name()).distinct().count()
+      assert(prunedFiles >= 1L && prunedFiles < allFiles,
+        s"pruned read touched $prunedFiles of $allFiles files — no pruning")
+    }
+  }
+
+  test("compaction preserves content, layout, and later probes") {
+    withPrunedIndex { dir =>
+      val got1 = probe(Seq(2L, 10L), dir)
+      val before = spark.read.parquet(dir)
+        .orderBy("id", "band").collect().toSeq
+      StreamingDedup.compactIndex(spark, dir, Seq("pfx"),
+        targetFiles = 4, partitionCols = Seq("pfx"))
+      val after = spark.read.parquet(dir)
+        .orderBy("id", "band").collect().toSeq
+      assert(after == before, "compaction changed the index content")
+      // layout survived: still partition-pruned, one file per directory
+      val plan = spark.read.parquet(dir).where(col("pfx") === 0L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["),
+        s"compaction lost the partitioned layout:\n$plan")
+      val filesPerDir = spark.read.parquet(dir)
+        .select(col("pfx"), input_file_name().as("f")).distinct()
+        .groupBy(col("pfx")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect().head.getLong(0)
+      assert(filesPerDir == 1L,
+        s"compaction left $filesPerDir files in a directory")
+      // the stream continues over the compacted index unchanged
+      val got2 = probe(Seq(11L, 12L), dir)
+      assert((got1 ++ got2) == expected,
+        "post-compaction probes diverged from the batch incremental answer")
+    }
+  }
+}
