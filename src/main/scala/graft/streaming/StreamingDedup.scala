@@ -159,13 +159,34 @@ object StreamingDedup {
       .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .localCheckpoint()
     val touched = probe.select(col("pfx")).distinct()
-      .collect().map(_.getLong(0))
-    val index = spark.read.parquet(indexDir)
-      .where(col("pfx").isin(touched: _*))
-    val pairs = simhashPairsAgainst(probe.drop("pfx"), index.drop("pfx"),
+      .collect().map(_.getLong(0)).toSet
+    // read ONLY the touched directories (intersected with what exists —
+    // ONE top-level listing), rather than filtering a full-tree read:
+    // partition discovery over all `parts` dirs is itself O(parts)
+    // listings, which dominates a small batch's probe once parts is
+    // sized for real pruning (thousands of dirs at 100 TB)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("pfx="))
+      .map(n => n.stripPrefix("pfx=").toLong).toSet
+    val hit = (touched & live).toSeq.sorted
+    // the verify core scans its index twice (candidate join +
+    // fingerprint lookup); the pruned slice is bounded by the batch's
+    // keyspace, so materialize it once instead of re-reading
+    val index =
+      if (hit.isEmpty) probe.limit(0).drop("pfx")
+      else spark.read.option("basePath", indexDir)
+        .parquet(hit.map(p => s"$indexDir/pfx=$p"): _*).drop("pfx")
+        .localCheckpoint()
+    val pairs = simhashPairsAgainst(probe.drop("pfx"), index,
         bits, maxDistance)
       .localCheckpoint()
-    probe.write.mode("append").partitionBy("pfx").parquet(indexDir)
+    // cluster the append by pfx so each batch adds ONE file per touched
+    // directory (not one per task × directory) — the small-files rate
+    // compactIndex has to absorb
+    probe.repartition(col("pfx"))
+      .write.mode("append").partitionBy("pfx").parquet(indexDir)
     pairs
   }
 
