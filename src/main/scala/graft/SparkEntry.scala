@@ -1566,25 +1566,29 @@ object SparkEntry {
     // mod parts), and each micro-batch's probe reads ONLY the
     // directories its own band keys hash into (partition pruning at
     // the scan; StreamingDedupPrunedSpec pins the PartitionFilters
-    // evidence and the strict file subset). Per-batch index I/O is
-    // bounded by the batch's keyspace instead of re-reading the
-    // corpus-sized index every batch — the dominant cost of the flat
-    // layout once the index dwarfs a batch. Pair semantics are
-    // identical by construction (shared verify core), so the oracle is
-    // the same restricted recount; in-stream compaction here exercises
-    // the PARTITION-AWARE rewrite (one file per directory, layout
-    // preserved).
+    // evidence and the strict file subset; tools/ProbePruned measures
+    // the crossover — 3× at a 20M-row index / 16-doc batch). Per-batch
+    // index I/O is bounded by the batch's keyspace instead of
+    // re-reading the corpus-sized index every batch. Pair semantics
+    // are identical by construction (shared verify core), so the
+    // oracle is the same restricted recount. The index here is
+    // GENERATION-ADDRESSED (GenIndex): probes resolve a MANIFEST
+    // pointer, and the every-3rd-batch in-stream compaction rewrites
+    // partition-aware into a NEW generation + atomically flips the
+    // pointer — the reader-safe maintenance form an object-store
+    // deployment runs, correctness-gated here.
     "stream_dedup_simhash_pruned" -> ((s, d) => {
       import s.implicits._
       val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
         IncrementalSeed) < lit(IncrementalNewBp)
       val des = StoreProvider.docStoreFor(s, d, isNew)
-      val indexDir =
+      val root =
         java.nio.file.Files.createTempDirectory("verify-pdx-")
       try {
-        graft.streaming.StreamingDedup.seedSimhashIndexPruned(
-          Tables.documents(s, d).where(!isNew), "text", "doc_id",
-          indexDir.toString)
+        graft.streaming.GenIndex.init(root.toString) { dir =>
+          graft.streaming.StreamingDedup.seedSimhashIndexPruned(
+            Tables.documents(s, d).where(!isNew), "text", "doc_id", dir)
+        }
         val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
@@ -1599,11 +1603,11 @@ object SparkEntry {
                     expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
                       .as("doc_id"),
                     col("payload").cast("string").as("text")),
-                  "text", "doc_id", indexDir.toString)
+                  "text", "doc_id",
+                  graft.streaming.GenIndex.currentGen(root.toString))
               if (batchNo.incrementAndGet() % 3 == 0)
-                graft.streaming.StreamingDedup.compactIndex(s,
-                  indexDir.toString, Seq("pfx"),
-                  partitionCols = Seq("pfx"))
+                graft.streaming.GenIndex.compact(s, root.toString,
+                  Seq("pfx"), partitionCols = Seq("pfx"))
               pairs
             }) { r =>
             (r.getAs[Long]("a"), r.getAs[Long]("b"),
@@ -1611,7 +1615,7 @@ object SparkEntry {
           }
           .toDF("a", "b", "hamming")
           .orderBy(col("a"), col("b"))
-      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
     // The minhash-LSH counterpart of stream_dedup_simhash, over the
