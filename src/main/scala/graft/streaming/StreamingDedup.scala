@@ -108,13 +108,54 @@ object StreamingDedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Partition prefix of a band key: `pmod(xxhash64(band, bkey), parts)`
-    * — the key under which the PRUNED index layout directories its
-    * rows. Mixing `band` in keeps one band's keyspace from clumping
-    * into few prefixes when `bkey` entropy is low.
+  /** Partition prefix of a probe key: `pmod(xxhash64(keys…), parts)` —
+    * the column under which the PRUNED index layout directories its
+    * rows. Each family member passes its own probe keys: simhash and
+    * minhash (band, bkey) — mixing `band` in keeps one band's keyspace
+    * from clumping when `bkey` entropy is low — winnow (fp), cosine
+    * (tbl, bucket).
     */
+  def keyPrefix(parts: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(parts.toLong))
+
+  /** Simhash/minhash member form of [[keyPrefix]]. */
   def bkeyPrefix(band: Column, bkey: Column, parts: Int): Column =
-    pmod(xxhash64(band, bkey), lit(parts.toLong))
+    keyPrefix(parts, band, bkey)
+
+  /** Read ONLY the touched pruned-index directories (touched ∩ live,
+    * ONE top-level listing instead of O(parts) partition-discovery
+    * listings), materialized once — the probe cores scan their index
+    * twice and the pruned slice is bounded by the batch's keyspace.
+    * Empty hit set → an empty frame with `schemaFrom`'s schema.
+    */
+  private def readTouchedPruned(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, touched: Set[Long],
+      schemaFrom: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("pfx="))
+      .map(n => n.stripPrefix("pfx=").toLong).toSet
+    val hit = (touched & live).toSeq.sorted
+    if (hit.isEmpty) schemaFrom.limit(0)
+    else spark.read.option("basePath", indexDir)
+      .parquet(hit.map(p => s"$indexDir/pfx=$p"): _*).drop("pfx")
+      .localCheckpoint()
+  }
+
+  /** Distinct prefixes of a (pfx-carrying) probe — a bounded
+    * driver-side set, ≤ min(parts, |batch keys|).
+    */
+  private def touchedOf(probe: DataFrame): Set[Long] =
+    probe.select(col("pfx")).distinct().collect().map(_.getLong(0)).toSet
+
+  /** Append a batch's (pfx-carrying) probe rows to a pruned index,
+    * clustered on pfx so each batch adds ONE file per touched
+    * directory — the small-files rate compaction has to absorb.
+    */
+  private def appendPruned(probe: DataFrame, indexDir: String): Unit =
+    probe.repartition(col("pfx"))
+      .write.mode("append").partitionBy("pfx").parquet(indexDir)
 
   /** Seed the PRUNED simhash band index: same rows as
     * [[seedSimhashIndex]], laid out `partitionBy(pfx)` with
@@ -158,35 +199,12 @@ object StreamingDedup {
     val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .localCheckpoint()
-    val touched = probe.select(col("pfx")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    // read ONLY the touched directories (intersected with what exists —
-    // ONE top-level listing), rather than filtering a full-tree read:
-    // partition discovery over all `parts` dirs is itself O(parts)
-    // listings, which dominates a small batch's probe once parts is
-    // sized for real pruning (thousands of dirs at 100 TB)
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("pfx="))
-      .map(n => n.stripPrefix("pfx=").toLong).toSet
-    val hit = (touched & live).toSeq.sorted
-    // the verify core scans its index twice (candidate join +
-    // fingerprint lookup); the pruned slice is bounded by the batch's
-    // keyspace, so materialize it once instead of re-reading
-    val index =
-      if (hit.isEmpty) probe.limit(0).drop("pfx")
-      else spark.read.option("basePath", indexDir)
-        .parquet(hit.map(p => s"$indexDir/pfx=$p"): _*).drop("pfx")
-        .localCheckpoint()
+    val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
+      schemaFrom = probe.drop("pfx"))
     val pairs = simhashPairsAgainst(probe.drop("pfx"), index,
         bits, maxDistance)
       .localCheckpoint()
-    // cluster the append by pfx so each batch adds ONE file per touched
-    // directory (not one per task × directory) — the small-files rate
-    // compactIndex has to absorb
-    probe.repartition(col("pfx"))
-      .write.mode("append").partitionBy("pfx").parquet(indexDir)
+    appendPruned(probe, indexDir)
     pairs
   }
 
@@ -264,7 +282,25 @@ object StreamingDedup {
     val probe = Dedup.bandKeys(Dedup.minhashSignatures(sh, numHashes),
         bands, numHashes / bands)
       .localCheckpoint()
-    val index = spark.read.parquet(indexDir)
+    val pairs = minhashPairsAgainst(probe, spark.read.parquet(indexDir),
+        docSource, textCol, idCol, k, threshold)
+      .localCheckpoint()
+    probe.write.mode("append").parquet(indexDir)
+    pairs
+  }
+
+  /** Candidate generation + exact-Jaccard verify of one minhash-banded
+    * probe against one index snapshot — the shared core of
+    * [[minhashProbeBatch]] and [[minhashProbeBatchPruned]]. Both sides
+    * carry (id, band, bkey); verification re-derives shingles
+    * candidate-restricted from `docSource` (the SOURCE is semi-joined
+    * down BEFORE the explode, so the explode never touches the
+    * non-candidate corpus — jaccardForCandidates semi-joins again
+    * internally).
+    */
+  private def minhashPairsAgainst(probe: DataFrame, index: DataFrame,
+      docSource: DataFrame, textCol: String, idCol: String, k: Int,
+      threshold: Double): DataFrame = {
     val all = index.unionByName(probe)
     val cand = probe.as("x")
       .join(all.as("y"),
@@ -274,19 +310,51 @@ object StreamingDedup {
         greatest(col("x.id"), col("y.id")).as("b"))
       .distinct()
       .localCheckpoint()
-    // shingle only candidate-pair members: jaccardForCandidates
-    // semi-joins again internally, but restricting the SOURCE first
-    // keeps the explode itself off the non-candidate corpus
     val candIds = cand.select(col("a").as("docsrc_id"))
       .unionAll(cand.select(col("b").as("docsrc_id"))).distinct()
     val candDocs = docSource
       .join(candIds,
         docSource(idCol) === candIds("docsrc_id"), "left_semi")
     val candSh = Dedup.wordShingles(candDocs, textCol, idCol, k)
-    val pairs = Dedup.jaccardForCandidates(cand, candSh)
+    Dedup.jaccardForCandidates(cand, candSh)
       .where(col("jaccard") >= threshold)
+  }
+
+  /** PRUNED-layout minhash index seed: [[seedMinhashIndex]] rows laid
+    * out `partitionBy(pfx = ` [[keyPrefix]] `(band, bkey))` — same
+    * layout contract as the simhash member.
+    */
+  def seedMinhashIndexPruned(corpus: DataFrame, textCol: String,
+      idCol: String, indexDir: String, parts: Int = 64, k: Int = 3,
+      numHashes: Int = 8, bands: Int = 4): Unit = {
+    val sh = Dedup.wordShingles(corpus, textCol, idCol, k)
+    Dedup.bandKeys(Dedup.minhashSignatures(sh, numHashes),
+        bands, numHashes / bands)
+      .withColumn("pfx", keyPrefix(parts, col("band"), col("bkey")))
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+  }
+
+  /** PRUNED-layout minhash probe: identical pair semantics to
+    * [[minhashProbeBatch]] (shared core), index read restricted to the
+    * batch's own partition prefixes.
+    */
+  def minhashProbeBatchPruned(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, docSource: DataFrame,
+      parts: Int = 64, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.0): DataFrame = {
+    val spark = batch.sparkSession
+    val sh = Dedup.wordShingles(batch, textCol, idCol, k)
+    val probe = Dedup.bandKeys(Dedup.minhashSignatures(sh, numHashes),
+        bands, numHashes / bands)
+      .withColumn("pfx", keyPrefix(parts, col("band"), col("bkey")))
       .localCheckpoint()
-    probe.write.mode("append").parquet(indexDir)
+    val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
+      schemaFrom = probe.drop("pfx"))
+    val pairs = minhashPairsAgainst(probe.drop("pfx"), index,
+        docSource, textCol, idCol, k, threshold)
+      .localCheckpoint()
+    appendPruned(probe, indexDir)
     pairs
   }
 
@@ -318,9 +386,24 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val fps = Dedup.winnowFingerprints(batch, textCol, idCol, k, w)
       .select(col("id"), col("fp")).distinct().localCheckpoint()
-    val index = spark.read.parquet(indexDir)
+    val pairs = winnowPairsAgainst(fps, spark.read.parquet(indexDir),
+        minShared)
+      .localCheckpoint()
+    fps.write.mode("append").parquet(indexDir)
+    pairs
+  }
+
+  /** Shared-fingerprint pair counting of one winnow selection against
+    * one index snapshot — the shared core of [[winnowProbeBatch]] and
+    * [[winnowProbeBatchPruned]]. Counts stay COMPLETE under pruning:
+    * every fingerprint two documents share is, by definition, in the
+    * batch member's own selection, so its directory is always among
+    * the probe's touched prefixes.
+    */
+  private def winnowPairsAgainst(fps: DataFrame, index: DataFrame,
+      minShared: Long): DataFrame = {
     val all = index.unionByName(fps)
-    val pairs = fps.select(col("id").as("x"), col("fp"))
+    fps.select(col("id").as("x"), col("fp"))
       .join(all.select(col("id").as("y"), col("fp")), "fp")
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
@@ -329,8 +412,38 @@ object StreamingDedup {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
+  }
+
+  /** PRUNED-layout winnow index seed: [[seedWinnowIndex]] rows laid
+    * out `partitionBy(pfx = ` [[keyPrefix]] `(fp))` — the fingerprint
+    * itself is the probe key.
+    */
+  def seedWinnowIndexPruned(corpus: DataFrame, textCol: String,
+      idCol: String, indexDir: String, parts: Int = 64, k: Int = 3,
+      w: Int = 4): Unit =
+    Dedup.winnowFingerprints(corpus, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+      .withColumn("pfx", keyPrefix(parts, col("fp")))
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+
+  /** PRUNED-layout winnow probe: identical pair/count semantics to
+    * [[winnowProbeBatch]] (shared core), index read restricted to the
+    * batch's own fingerprint prefixes.
+    */
+  def winnowProbeBatchPruned(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, parts: Int = 64, k: Int = 3,
+      w: Int = 4, minShared: Long = 2L): DataFrame = {
+    val spark = batch.sparkSession
+    val fps = Dedup.winnowFingerprints(batch, textCol, idCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+      .withColumn("pfx", keyPrefix(parts, col("fp")))
       .localCheckpoint()
-    fps.write.mode("append").parquet(indexDir)
+    val index = readTouchedPruned(spark, indexDir, touchedOf(fps),
+      schemaFrom = fps.drop("pfx"))
+    val pairs = winnowPairsAgainst(fps.drop("pfx"), index, minShared)
+      .localCheckpoint()
+    appendPruned(fps, indexDir)
     pairs
   }
 
@@ -368,15 +481,39 @@ object StreamingDedup {
       idCol: String, vecCol: String, indexDir: String, threshold: Double,
       planes: Int = 16, tables: Int = 3): DataFrame = {
     val spark = batchIds.sparkSession
+    val probe = cosineProbeBuckets(batchIds, vecSource, idCol, vecCol,
+      planes, tables).localCheckpoint()
+    val pairs = cosinePairsAgainst(probe, spark.read.parquet(indexDir),
+        vecSource, idCol, vecCol, threshold)
+      .localCheckpoint()
+    probe.write.mode("append").parquet(indexDir)
+    pairs
+  }
+
+  /** Multi-table hyperplane bucket rows (id, tbl, bucket) for a batch
+    * of arriving vector ids — the probe side shared by the flat and
+    * pruned cosine members.
+    */
+  private def cosineProbeBuckets(batchIds: DataFrame, vecSource: DataFrame,
+      idCol: String, vecCol: String, planes: Int, tables: Int): DataFrame = {
     val ids = batchIds.select(col(batchIds.columns.head).as("probe_id"))
     val bvecs = vecSource
       .join(ids, vecSource(idCol) === ids("probe_id"), "left_semi")
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val probe = (0 until tables).map { t =>
+    (0 until tables).map { t =>
       bvecs.select(col("id"), lit(t).as("tbl"),
         graft.ops.Similarity.lshBucket(col("vec"), planes, t).as("bucket"))
-    }.reduce(_ unionByName _).localCheckpoint()
-    val index = spark.read.parquet(indexDir)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Candidate generation + exact rounded-cosine verify of one bucket
+    * probe against one index snapshot — the shared core of
+    * [[cosineProbeBatch]] and [[cosineProbeBatchPruned]]. Vectors are
+    * read candidate-restricted from `vecSource`.
+    */
+  private def cosinePairsAgainst(probe: DataFrame, index: DataFrame,
+      vecSource: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val all = index.unionByName(probe)
     val cand = probe.select(col("tbl"), col("bucket"), col("id").as("x"))
       .join(all.select(col("tbl"), col("bucket"), col("id").as("y")),
@@ -391,15 +528,47 @@ object StreamingDedup {
     val vecs = vecSource
       .join(candIds, vecSource(idCol) === candIds("cid"), "left_semi")
       .select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    val pairs = cand
+    cand
       .join(vecs.select(col("vid").as("a"), col("vv").as("va")), "a")
       .join(vecs.select(col("vid").as("b"), col("vv").as("vb")), "b")
       .withColumn("cosine",
         round(graft.ops.Similarity.cosine(col("va"), col("vb")), 6))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** PRUNED-layout cosine bucket index seed: [[seedCosineIndex]] rows
+    * laid out `partitionBy(pfx = ` [[keyPrefix]] `(tbl, bucket))`.
+    */
+  def seedCosineIndexPruned(corpus: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, parts: Int = 64,
+      planes: Int = 16, tables: Int = 3): Unit =
+    (0 until tables).map { t =>
+      corpus.select(col(idCol).as("id"), lit(t).as("tbl"),
+        graft.ops.Similarity.lshBucket(col(vecCol), planes, t).as("bucket"))
+    }.reduce(_ unionByName _)
+      .withColumn("pfx", keyPrefix(parts, col("tbl"), col("bucket")))
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+
+  /** PRUNED-layout cosine probe: identical pair semantics to
+    * [[cosineProbeBatch]] (shared core), index read restricted to the
+    * batch's own (tbl, bucket) prefixes.
+    */
+  def cosineProbeBatchPruned(batchIds: DataFrame, vecSource: DataFrame,
+      idCol: String, vecCol: String, indexDir: String, threshold: Double,
+      parts: Int = 64, planes: Int = 16, tables: Int = 3): DataFrame = {
+    val spark = batchIds.sparkSession
+    val probe = cosineProbeBuckets(batchIds, vecSource, idCol, vecCol,
+        planes, tables)
+      .withColumn("pfx", keyPrefix(parts, col("tbl"), col("bucket")))
       .localCheckpoint()
-    probe.write.mode("append").parquet(indexDir)
+    val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
+      schemaFrom = probe.drop("pfx"))
+    val pairs = cosinePairsAgainst(probe.drop("pfx"), index,
+        vecSource, idCol, vecCol, threshold)
+      .localCheckpoint()
+    appendPruned(probe, indexDir)
     pairs
   }
 }

@@ -110,6 +110,88 @@ class StreamingDedupPrunedSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pruned minhash/winnow/cosine: every micro-batching emits the batch incremental set") {
+    import spark.implicits._
+    val byId = docs.toMap
+    def batchDf(ids: Seq[Long]) = ids.map(i => (i, byId(i))).toDF("id", "text")
+    val splits = Seq(
+      Seq(Seq(2L, 10L, 11L, 12L)),
+      Seq(Seq(2L, 10L), Seq(11L, 12L)),
+      Seq(Seq(2L), Seq(10L), Seq(11L), Seq(12L)))
+
+    // minhash member
+    val wantMh = Dedup.minhashLshIncremental(docs.toDF("id", "text"),
+        "text", "id", col("id").isin(newIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wantMh.nonEmpty, "minhash fixture lost its pairs")
+    splits.foreach { split =>
+      val dir = java.nio.file.Files.createTempDirectory("pmh-spec-")
+      try {
+        StreamingDedup.seedMinhashIndexPruned(
+          docs.filterNot(d => newIds(d._1)).toDF("id", "text"),
+          "text", "id", dir.toString, parts = Parts)
+        val got = split.flatMap { ids =>
+          StreamingDedup.minhashProbeBatchPruned(batchDf(ids), "text",
+              "id", dir.toString, docSource = docs.toDF("id", "text"),
+              parts = Parts)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }.toSet
+        assert(got == wantMh, s"pruned minhash split $split diverged")
+      } finally graft.core.Fs.deleteRecursively(dir.toFile)
+    }
+
+    // winnow member (counts must stay COMPLETE under pruning)
+    val wantWn = Dedup.winnowPairsIncremental(docs.toDF("id", "text"),
+        "text", "id", col("id").isin(newIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wantWn.exists { case (_, _, n) => n >= 2L },
+      "winnow fixture lost its counted pairs")
+    splits.foreach { split =>
+      val dir = java.nio.file.Files.createTempDirectory("pwn-spec-")
+      try {
+        StreamingDedup.seedWinnowIndexPruned(
+          docs.filterNot(d => newIds(d._1)).toDF("id", "text"),
+          "text", "id", dir.toString, parts = Parts)
+        val got = split.flatMap { ids =>
+          StreamingDedup.winnowProbeBatchPruned(batchDf(ids), "text",
+              "id", dir.toString, parts = Parts)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }.toSet
+        assert(got == wantWn, s"pruned winnow split $split diverged")
+      } finally graft.core.Fs.deleteRecursively(dir.toFile)
+    }
+
+    // cosine member (same 64-dim families as StreamingDedupSpec)
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> (0 until 64).map(i => if (i % 2 == 0) 1.0 else -0.5),
+      2L -> (0 until 64).map(i => if (i % 2 == 0) 1.0 else -0.5),
+      3L -> (0 until 64).map(i => math.sin(i + 1).toDouble),
+      10L -> (0 until 64).map(i => (i % 7 - 3).toDouble),
+      11L -> (0 until 64).map(i => (i % 7 - 3).toDouble),
+      12L -> (0 until 64).map(i => if (i % 3 == 0) -1.0 else 0.25))
+    val vecSource = vecs.toDF("vec_id", "embedding")
+    val wantCs = graft.ops.Similarity.cosineNearDupPairs(
+        vecSource, 0.9, planes = 16, tables = 3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => newIds(a) || newIds(b) }.toSet
+    assert(wantCs.nonEmpty, "cosine fixture lost its pairs")
+    splits.foreach { split =>
+      val dir = java.nio.file.Files.createTempDirectory("pcs-spec-")
+      try {
+        StreamingDedup.seedCosineIndexPruned(
+          vecSource.where(!col("vec_id").isin(newIds.toSeq: _*)),
+          "vec_id", "embedding", dir.toString, parts = Parts)
+        val got = split.flatMap { ids =>
+          StreamingDedup.cosineProbeBatchPruned(
+              ids.toDF("vec_id"), vecSource, "vec_id", "embedding",
+              dir.toString, 0.9, parts = Parts)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }.toSet
+        assert(got == wantCs, s"pruned cosine split $split diverged")
+      } finally graft.core.Fs.deleteRecursively(dir.toFile)
+    }
+  }
+
   test("compaction preserves content, layout, and later probes") {
     withPrunedIndex { dir =>
       val got1 = probe(Seq(2L, 10L), dir)
