@@ -2366,8 +2366,12 @@ object SparkEntry {
        |ORDER BY i.a, i.b""".stripMargin
   }
 
-  /** Posting-list cap shared by the Spark query and its oracle. */
-  private val NgramMaxDf = 64
+  /** Posting-list cap shared by the Spark query, its oracle, and the
+    * settle-probe's volume diagnostic (tools/ProbeContainment) —
+    * non-private so the diagnostic cannot drift from the leg it
+    * measures.
+    */
+  val NgramMaxDf = 64
 
   /** Incremental-dedup "new batch" membership: md5 bucket under 1000
     * bp = a deterministic ~10% of documents play the ingest batch.

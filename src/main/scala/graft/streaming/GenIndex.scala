@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Generation-addressed signature index: the reader-safe form of
   * [[StreamingDedup.compactIndex]]'s in-place swap, and the layout an
@@ -66,15 +65,17 @@ object GenIndex {
     val cur = currentGen(root)
     val n = new java.io.File(cur).getName.stripPrefix("gen-").toInt
     val next = f"gen-${n + 1}%05d"
-    val w = spark.read.parquet(cur)
-      .repartition(targetFiles, clusterCols.map(col): _*)
-      .write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(new java.io.File(root, next).toString)
+    StreamingDedup.rewriteClustered(spark, cur,
+      new java.io.File(root, next).toString, clusterCols, targetFiles,
+      partitionCols)
     flip(root, next)
+    // retention orders by the PARSED generation number: %05d names
+    // overflow five digits at gen-100000, where a lexicographic sort
+    // would place the freshly-flipped live generation FIRST and this
+    // pass would delete it
     new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .sortBy(_.getName)
+      .sortBy(_.getName.stripPrefix("gen-").toInt)
       .dropRight(retain + 1)
       .foreach(graft.core.Fs.deleteRecursively)
   }

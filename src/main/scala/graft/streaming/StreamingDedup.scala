@@ -75,11 +75,15 @@ object StreamingDedup {
     * (id, band, bkey, simhash). The probe joins the index AND itself
     * (within-batch near-dups would silently vanish for coarse
     * micro-batching otherwise); the fingerprint lookup for the verify
-    * is CANDIDATE-RESTRICTED (semi-join on the candidate ids, which
-    * broadcast at batch size) so the per-batch verify never
-    * re-shuffles the corpus-sized index on id — every candidate found
-    * through a band row has its fingerprint ON that row, so the
-    * restricted snapshot is always sufficient.
+    * is CANDIDATE-RESTRICTED (semi-join on the candidate ids) so the
+    * per-batch verify never re-shuffles the corpus-sized index on id —
+    * every candidate found through a band row has its fingerprint ON
+    * that row, so the restricted snapshot is always sufficient. The
+    * semi-join carries no broadcast hint: a normal micro-batch's
+    * candidate set broadcasts via AQE's runtime size check, while a
+    * corpus-scale catch-up batch (millions of candidates) must be free
+    * to degrade to a shuffle join instead of aborting on the broadcast
+    * size limit.
     */
   private def simhashPairsAgainst(probe: DataFrame, index: DataFrame,
       bits: Int, maxDistance: Int): DataFrame = {
@@ -97,7 +101,7 @@ object StreamingDedup {
     // id appears once per band — collapse to one fingerprint row per
     // candidate id before the verify joins
     val fps = index.unionByName(probe)
-      .join(broadcast(candIds), col("id") === col("cid"), "left_semi")
+      .join(candIds, col("id") === col("cid"), "left_semi")
       .select(col("id"), col("simhash")).distinct()
     cand
       .join(fps.select(col("id").as("a"), col("simhash").as("sa")), "a")
@@ -122,13 +126,56 @@ object StreamingDedup {
   def bkeyPrefix(band: Column, bkey: Column, parts: Int): Column =
     keyPrefix(parts, band, bkey)
 
+  /** Layout-contract marker: every pruned seed records its `parts`
+    * in `_graft_parts` (underscore-prefixed — parquet readers skip
+    * it), and every pruned probe require()s a match. A seed/probe
+    * modulus mismatch would otherwise intersect live directories
+    * NON-trivially (hash mod 64 values all exist among mod-1024
+    * dirs), silently reading a plausible slice and dropping the pairs
+    * whose rows live in unvisited directories.
+    */
+  private[streaming] def writePartsMarker(indexDir: String,
+      parts: Int): Unit =
+    java.nio.file.Files.write(
+      new java.io.File(indexDir, "_graft_parts").toPath,
+      parts.toString.getBytes("UTF-8"))
+
+  private def checkPartsMarker(indexDir: String, parts: Int): Unit = {
+    val m = new java.io.File(indexDir, "_graft_parts")
+    require(m.exists,
+      s"pruned index $indexDir has no _graft_parts layout marker — " +
+        "seed it with seed*IndexPruned (or restore the marker after " +
+        "an external rewrite)")
+    val seeded = new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toInt
+    require(seeded == parts,
+      s"pruned index $indexDir was seeded with parts=$seeded but the " +
+        s"probe was called with parts=$parts — prefixes would resolve " +
+        "to the wrong directories and pairs would be silently dropped")
+  }
+
+  /** Copy the layout marker (if any) from one index directory to a
+    * rewritten one — compaction must carry the contract forward.
+    */
+  private[streaming] def copyPartsMarker(srcDir: String,
+      destDir: String): Unit = {
+    val m = new java.io.File(srcDir, "_graft_parts")
+    if (m.exists)
+      java.nio.file.Files.copy(m.toPath,
+        new java.io.File(destDir, "_graft_parts").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Read ONLY the touched pruned-index directories (touched ∩ live,
     * ONE top-level listing instead of O(parts) partition-discovery
     * listings), materialized once — the probe cores scan their index
     * twice and the pruned slice is bounded by the batch's keyspace.
     * Empty hit set → an empty frame with `schemaFrom`'s schema.
+    * Exposed to the layout spec so the pruning evidence is measured on
+    * THIS read path, not a synthetic equivalent.
     */
-  private def readTouchedPruned(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def readTouchedPruned(
+      spark: org.apache.spark.sql.SparkSession,
       indexDir: String, touched: Set[Long],
       schemaFrom: DataFrame): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
@@ -176,6 +223,7 @@ object StreamingDedup {
       .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+    writePartsMarker(indexDir, parts)
   }
 
   /** One micro-batch of the PRUNED streaming probe: identical pair
@@ -183,11 +231,13 @@ object StreamingDedup {
     * batch-division invariance and replay idempotence carry over), but
     * the index read is restricted to the batch's own partition
     * prefixes — the distinct `pfx` values of the probe rows, at most
-    * min(`parts`, |batch| × bands) of them (collected to the driver as
-    * a bounded IN-list; the filter on the partition column prunes
-    * directories at the scan, PLANS.md records the PartitionFilters
-    * evidence). `parts` must match the seed's value — the prefix
-    * function is the layout's contract.
+    * min(`parts`, |batch| × bands) of them, collected to the driver as
+    * a bounded set and read as EXPLICIT touched-∩-live directory paths
+    * ([[readTouchedPruned]]; the spec pins the strict file subset on
+    * this read path). `parts` must match the seed's value — the prefix
+    * function is the layout's contract, enforced by the
+    * `_graft_parts` marker (a mismatch fails loudly instead of
+    * silently dropping pairs).
     */
   def simhashProbeBatchPruned(batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, parts: Int = 64, bits: Int = 64,
@@ -199,6 +249,7 @@ object StreamingDedup {
     val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .localCheckpoint()
+    checkPartsMarker(indexDir, parts)
     val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
       schemaFrom = probe.drop("pfx"))
     val pairs = simhashPairsAgainst(probe.drop("pfx"), index,
@@ -230,20 +281,34 @@ object StreamingDedup {
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil): Unit = {
     val tmp = new java.io.File(indexDir + ".compact-tmp")
     graft.core.Fs.deleteRecursively(tmp)
-    // a PRUNED layout ([[seedSimhashIndexPruned]]) must be rewritten
-    // partitionBy the same dirs or the pruning column degrades to a
-    // data column and every later probe loses partition pruning;
-    // clustering on the partition cols sends each dir's rows to one
-    // task, so the rewrite is one file per directory
-    val w = spark.read.parquet(indexDir)
-      .repartition(targetFiles, clusterCols.map(col): _*)
-      .write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
+    rewriteClustered(spark, indexDir, tmp.toString, clusterCols,
+      targetFiles, partitionCols)
     val live = new java.io.File(indexDir)
     graft.core.Fs.deleteRecursively(live)
     require(tmp.renameTo(live),
       s"compactIndex: could not swap $tmp into place at $live")
+  }
+
+  /** The clustered rewrite both compaction forms share
+    * ([[compactIndex]]'s in-place swap and [[GenIndex.compact]]'s
+    * generation flip): one read, one write — content-preserving by
+    * construction. A PRUNED layout must be rewritten partitionBy the
+    * same dirs or the pruning column degrades to a data column and
+    * every later probe loses directory pruning; clustering on the
+    * partition cols sends each dir's rows to one task, so the rewrite
+    * is one file per directory. The `_graft_parts` layout marker is
+    * carried forward.
+    */
+  private[streaming] def rewriteClustered(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, destDir: String, clusterCols: Seq[String],
+      targetFiles: Int, partitionCols: Seq[String]): Unit = {
+    val w = spark.read.parquet(srcDir)
+      .repartition(targetFiles, clusterCols.map(col): _*)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(destDir)
+    copyPartsMarker(srcDir, destDir)
   }
 
   /** Seed the MINHASH band index from the at-rest corpus: one row per
@@ -333,6 +398,7 @@ object StreamingDedup {
       .withColumn("pfx", keyPrefix(parts, col("band"), col("bkey")))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+    writePartsMarker(indexDir, parts)
   }
 
   /** PRUNED-layout minhash probe: identical pair semantics to
@@ -349,6 +415,7 @@ object StreamingDedup {
         bands, numHashes / bands)
       .withColumn("pfx", keyPrefix(parts, col("band"), col("bkey")))
       .localCheckpoint()
+    checkPartsMarker(indexDir, parts)
     val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
       schemaFrom = probe.drop("pfx"))
     val pairs = minhashPairsAgainst(probe.drop("pfx"), index,
@@ -420,12 +487,14 @@ object StreamingDedup {
     */
   def seedWinnowIndexPruned(corpus: DataFrame, textCol: String,
       idCol: String, indexDir: String, parts: Int = 64, k: Int = 3,
-      w: Int = 4): Unit =
+      w: Int = 4): Unit = {
     Dedup.winnowFingerprints(corpus, textCol, idCol, k, w)
       .select(col("id"), col("fp")).distinct()
       .withColumn("pfx", keyPrefix(parts, col("fp")))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+    writePartsMarker(indexDir, parts)
+  }
 
   /** PRUNED-layout winnow probe: identical pair/count semantics to
     * [[winnowProbeBatch]] (shared core), index read restricted to the
@@ -439,6 +508,7 @@ object StreamingDedup {
       .select(col("id"), col("fp")).distinct()
       .withColumn("pfx", keyPrefix(parts, col("fp")))
       .localCheckpoint()
+    checkPartsMarker(indexDir, parts)
     val index = readTouchedPruned(spark, indexDir, touchedOf(fps),
       schemaFrom = fps.drop("pfx"))
     val pairs = winnowPairsAgainst(fps.drop("pfx"), index, minShared)
@@ -542,7 +612,7 @@ object StreamingDedup {
     */
   def seedCosineIndexPruned(corpus: DataFrame, idCol: String,
       vecCol: String, indexDir: String, parts: Int = 64,
-      planes: Int = 16, tables: Int = 3): Unit =
+      planes: Int = 16, tables: Int = 3): Unit = {
     (0 until tables).map { t =>
       corpus.select(col(idCol).as("id"), lit(t).as("tbl"),
         graft.ops.Similarity.lshBucket(col(vecCol), planes, t).as("bucket"))
@@ -550,6 +620,8 @@ object StreamingDedup {
       .withColumn("pfx", keyPrefix(parts, col("tbl"), col("bucket")))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
+    writePartsMarker(indexDir, parts)
+  }
 
   /** PRUNED-layout cosine probe: identical pair semantics to
     * [[cosineProbeBatch]] (shared core), index read restricted to the
@@ -563,6 +635,7 @@ object StreamingDedup {
         planes, tables)
       .withColumn("pfx", keyPrefix(parts, col("tbl"), col("bucket")))
       .localCheckpoint()
+    checkPartsMarker(indexDir, parts)
     val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
       schemaFrom = probe.drop("pfx"))
     val pairs = cosinePairsAgainst(probe.drop("pfx"), index,

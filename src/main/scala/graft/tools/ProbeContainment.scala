@@ -40,7 +40,7 @@ object ProbeContainment {
         graft.Tables.documents(spark, dir), "text", "doc_id", 3)
       val capped = sh0.join(
         sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
-          .where(col("df_c") <= 64 /* = SparkEntry.NgramMaxDf */).select("sh"),
+          .where(col("df_c") <= graft.SparkEntry.NgramMaxDf).select("sh"),
         "sh").localCheckpoint()
       val pairs = capped.select(col("id").as("a"), col("sh"))
         .join(capped.select(col("id").as("b"), col("sh")), "sh")

@@ -88,25 +88,53 @@ class StreamingDedupPrunedSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("the index read prunes: PartitionFilters on pfx, strict file subset") {
+  test("the index read prunes: the probe's own read touches a strict file subset") {
     withPrunedIndex { dir =>
       val populated = spark.read.parquet(dir)
         .select(col("pfx")).distinct().collect().map(_.getInt(0)).sorted
       assert(populated.length >= 2,
         s"fixture too small to demonstrate pruning: ${populated.toSeq}")
-      val allFiles = spark.read.parquet(dir)
-        .select(input_file_name()).distinct().count()
-      // the shape of the probe's index read, restricted to ONE
-      // populated prefix — the plan must push it as a PARTITION filter
-      // (directory pruning), not a data filter
-      val one = spark.read.parquet(dir)
-        .where(col("pfx").isin(populated.head.toLong))
-      val plan = one.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters: [") && plan.contains("pfx"),
-        s"expected a partition filter on pfx:\n$plan")
-      val prunedFiles = one.select(input_file_name()).distinct().count()
-      assert(prunedFiles >= 1L && prunedFiles < allFiles,
-        s"pruned read touched $prunedFiles of $allFiles files — no pruning")
+      // THE probe's read path (readTouchedPruned — explicit
+      // touched-∩-live directory selection, not a filtered full-tree
+      // read; the returned frame is checkpointed, so pin the subset on
+      // ROWS): restricted to one populated prefix it must return
+      // exactly that directory's rows — a strict, non-empty subset of
+      // the index
+      val schemaFrom = spark.read.parquet(dir).drop("pfx")
+      val one = StreamingDedup.readTouchedPruned(spark, dir,
+        Set(populated.head.toLong), schemaFrom)
+      val prunedRows = one.count()
+      val fullRows = spark.read.parquet(dir).count()
+      val expectRows = spark.read.parquet(dir)
+        .where(col("pfx") === populated.head).count()
+      assert(prunedRows == expectRows,
+        s"pruned read returned $prunedRows rows, directory holds $expectRows")
+      assert(prunedRows >= 1L && prunedRows < fullRows,
+        s"pruned read returned $prunedRows of $fullRows rows — no pruning")
+      // and a prefix with no live directory yields an EMPTY frame with
+      // the index schema, not an error
+      val none = StreamingDedup.readTouchedPruned(spark, dir,
+        Set(-1L), schemaFrom)
+      assert(none.count() == 0L &&
+        none.schema.fieldNames.sameElements(schemaFrom.schema.fieldNames))
+    }
+  }
+
+  test("a seed/probe parts mismatch fails loudly, not by dropping pairs") {
+    import spark.implicits._
+    withPrunedIndex { dir =>
+      // index seeded with Parts = 16; probing with a different modulus
+      // would intersect live directories non-trivially and silently
+      // drop pairs — the layout marker turns it into a named error
+      val byId = docs.toMap
+      val e = intercept[IllegalArgumentException] {
+        StreamingDedup.simhashProbeBatchPruned(
+          Seq((2L, byId(2L))).toDF("id", "text"),
+          "text", "id", dir, parts = 1024)
+      }
+      assert(e.getMessage.contains("parts=16") &&
+        e.getMessage.contains("parts=1024"),
+        s"mismatch error did not name both moduli: ${e.getMessage}")
     }
   }
 
