@@ -96,6 +96,13 @@ class GenIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got1 = probe(Seq(2L, 10L))
       GenIndex.compact(spark, root, Seq("pfx"),
         partitionCols = Seq("pfx"))
+      // the layout-contract marker rode the rewrite into the new
+      // generation — without it the next probe would refuse to run
+      val marker = new java.io.File(GenIndex.currentGen(root),
+        "_graft_parts")
+      assert(marker.exists, "compaction dropped the _graft_parts marker")
+      assert(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim == "16", "marker value changed across the rewrite")
       val got2 = probe(Seq(11L, 12L))
       assert((got1 ++ got2) == expected,
         "probes across a generation flip diverged from the batch incremental answer")
