@@ -850,6 +850,19 @@ object Bench {
       f""""load_avg":$loadAvg%.1f,""" +
       s""""record":"bench-out.json","sf":"$sfDir"}"""
     println(summary)
+    // ALSO persist the summary at a fixed path: four consecutive
+    // driver rounds recorded "parsed": null because sbt prints its
+    // [success] trailer AFTER our last stdout line, defeating any
+    // last-line parse of the tail. bench-summary.json is the committed
+    // record a driver (or judge) can read without parsing stdout at
+    // all; bench-out.json stays the full per-leg record.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench-summary.json"),
+      (summary + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] bench-summary.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

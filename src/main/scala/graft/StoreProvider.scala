@@ -38,6 +38,17 @@ object StoreProvider {
   private val docCache =
     scala.collection.concurrent.TrieMap.empty[String, EventStore]
 
+  /** Cache key for the predicate-restricted stores: (sfDir, session,
+    * CANONICAL PREDICATE). The predicate's SQL form is part of the
+    * key — without it a second caller passing a different predicate
+    * would silently receive a store built with the first caller's,
+    * streaming wrong events with no error.
+    */
+  private def storeKey(spark: SparkSession, sfDir: String,
+      pred: org.apache.spark.sql.Column): String =
+    sfDir + "@" + System.identityHashCode(spark) + "#" +
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(pred).sql
+
   /** A second store whose events ARE documents (stream_id =
     * 'doc-<doc_id>', payload = text bytes), restricted by `pred` —
     * the live-ingest feed for the streaming dedup gate. Built once
@@ -46,7 +57,7 @@ object StoreProvider {
     */
   def docStoreFor(spark: SparkSession, sfDir: String,
       pred: org.apache.spark.sql.Column): EventStore =
-    docCache.getOrElseUpdate(sfDir + "@" + System.identityHashCode(spark), {
+    docCache.getOrElseUpdate(storeKey(spark, sfDir, pred), {
       val root = java.nio.file.Files
         .createTempDirectory("graft-docstore-").toString
       val es = EventStore.open(spark, root, NumPartitions)
@@ -73,7 +84,7 @@ object StoreProvider {
     */
   def embStoreFor(spark: SparkSession, sfDir: String,
       pred: org.apache.spark.sql.Column): EventStore =
-    embCache.getOrElseUpdate(sfDir + "@" + System.identityHashCode(spark), {
+    embCache.getOrElseUpdate(storeKey(spark, sfDir, pred), {
       val root = java.nio.file.Files
         .createTempDirectory("graft-embstore-").toString
       val es = EventStore.open(spark, root, NumPartitions)

@@ -79,6 +79,15 @@ final class Commands(es: EventStore) {
         if (extra.nonEmpty) Left("ERR unexpected arguments")
         else epsub(parts, from, w)
       }
+    // EACK is only MEANINGFUL on the RESP socket path, where the
+    // server tracks the per-connection delivered/acked gap and blocks
+    // delivery while gap > WINDOW (server/RespServer.scala — the
+    // ack-window flow control the reference's subscription protocol
+    // defines). This facade has no delivery loop to throttle — there
+    // is no in-flight window to shrink — so the ack is accepted for
+    // grammar compatibility and deliberately carries no state. A
+    // direct-API caller wanting flow control must consume
+    // subscriptions through the socket server.
     case "EACK" :: _ :: _ :: Nil => Right("OK")
     case "HELLO" :: v :: Nil =>
       v.toIntOption.toRight(s"ERR invalid protocol: $v").flatMap(hello)

@@ -96,19 +96,41 @@ object Curation {
       spark.conf.get("spark.sql.warehouse.dir"))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     bktCreated.synchronized {
-      Seq(lt, rt).foreach { t =>
+      Seq(lt -> leftTable, rt -> rightTable).foreach { case (t, logical) =>
         // same-session re-run (bench min-of-2) reuses the nonce'd name:
         // dropping OUR OWN managed table (tracked in bktCreated) also
-        // removes its location. A location that exists without this
-        // helper having created it is someone else's data — refuse,
-        // never delete.
+        // removes its location
         if (bktCreated.remove(t)) spark.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), t)
-        require(!fs.exists(loc),
-          s"bucketedJoin: location $loc already exists but was not " +
-            "created by this helper in this session — refusing to " +
-            "delete it; remove it manually or pick another table name")
+        if (fs.exists(loc)) {
+          // the name embeds THIS JVM's random nonce, so only this
+          // helper can have created the location — a surviving dir
+          // means the catalog and filesystem went out of sync (a new
+          // SparkSession in the same JVM made DROP TABLE a no-op, or a
+          // prior saveAsTable failed partway). Reclaim it; refusing
+          // here (the old behavior) aborted on a location we own.
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          fs.delete(loc, true)
+        }
+        // stale generations from PRIOR JVMs (`<logical>__g<nonce'>`)
+        // are unreachable — their nonce died with its JVM — and the
+        // old fixed-name scheme's implicit overwrite no longer clears
+        // them, so they accumulate across runs. Reclaim siblings older
+        // than an hour; the age gate keeps a genuinely CONCURRENT
+        // session's tables (created minutes ago) out of reach.
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        if (fs.exists(warehouse))
+          fs.listStatus(warehouse).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && n.startsWith(s"${logical}__g") &&
+                n != t && st.getModificationTime < cutoff) {
+              spark.sql(s"DROP TABLE IF EXISTS $n")
+              fs.delete(st.getPath, true)
+            }
+          }
       }
     }
     left.repartition(buckets, col(leftKey))

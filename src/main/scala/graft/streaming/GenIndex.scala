@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSession
   * here; on object storage it is a conditional PUT of the manifest
   * key.
   *
+  * All manifest and directory I/O goes through the Hadoop FS (same
+  * layer as the parquet data), so an hdfs:// or s3a:// index root
+  * works end-to-end — a java.io manifest read against a remote root
+  * would fail claiming no MANIFEST even though init() wrote one.
+  *
   * Micro-batch appends land INSIDE the current generation (the
   * foreachBatch sink is the only writer and is sequential, so append
   * vs compact never race each other); only maintenance creates
@@ -24,33 +29,36 @@ import org.apache.spark.sql.SparkSession
   */
 object GenIndex {
 
-  private def manifest(root: String) = new java.io.File(root, "MANIFEST")
+  private def manifestPath(root: String) = s"$root/MANIFEST"
 
   /** Absolute path of the live generation directory. */
   def currentGen(root: String): String = {
-    val m = manifest(root)
-    require(m.exists,
+    val m = manifestPath(root)
+    require(graft.core.Fs.hadoopExists(m),
       s"GenIndex: no MANIFEST under $root — init() first")
-    val gen = new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
-    new java.io.File(root, gen).toString
+    s"$root/${graft.core.Fs.readUtf8(m).trim}"
   }
 
   /** Create generation 0 via `seed` (given the directory to write)
     * and publish it.
     */
   def init(root: String)(seed: String => Unit): Unit = {
-    val dir = new java.io.File(root, "gen-00000")
-    seed(dir.toString)
+    seed(s"$root/gen-00000")
     flip(root, "gen-00000")
   }
 
   private def flip(root: String, gen: String): Unit = {
-    val tmp = new java.io.File(root, "MANIFEST.tmp")
-    java.nio.file.Files.write(tmp.toPath, gen.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val (fs, rootP) = graft.core.Fs.hadoop(root)
+    val tmp = new org.apache.hadoop.fs.Path(rootP, "MANIFEST.tmp")
+    graft.core.Fs.writeUtf8(tmp.toString, gen)
+    // rename-with-overwrite through FileContext: FileSystem.rename
+    // refuses an existing destination, and delete-then-rename would
+    // open a no-manifest window for concurrent readers
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootP, "MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Compact the live generation into a new one and flip the pointer:
@@ -63,20 +71,20 @@ object GenIndex {
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
       retain: Int = 1): Unit = {
     val cur = currentGen(root)
-    val n = new java.io.File(cur).getName.stripPrefix("gen-").toInt
+    val n = cur.substring(cur.lastIndexOf("gen-") + 4).toInt
     val next = f"gen-${n + 1}%05d"
-    StreamingDedup.rewriteClustered(spark, cur,
-      new java.io.File(root, next).toString, clusterCols, targetFiles,
-      partitionCols)
+    StreamingDedup.rewriteClustered(spark, cur, s"$root/$next",
+      clusterCols, targetFiles, partitionCols)
     flip(root, next)
     // retention orders by the PARSED generation number: %05d names
     // overflow five digits at gen-100000, where a lexicographic sort
     // would place the freshly-flipped live generation FIRST and this
     // pass would delete it
-    new java.io.File(root).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .sortBy(_.getName.stripPrefix("gen-").toInt)
+    val (fs, rootP) = graft.core.Fs.hadoop(root)
+    fs.listStatus(rootP)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .sortBy(_.getPath.getName.stripPrefix("gen-").toInt)
       .dropRight(retain + 1)
-      .foreach(graft.core.Fs.deleteRecursively)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 }

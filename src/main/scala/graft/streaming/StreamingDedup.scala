@@ -134,20 +134,22 @@ object StreamingDedup {
     * dirs), silently reading a plausible slice and dropping the pairs
     * whose rows live in unvisited directories.
     */
+  // marker I/O goes through the Hadoop FS like the index data itself
+  // (graft.core.Fs.writeUtf8/readUtf8) — a java.io.File marker against
+  // an hdfs:// or s3a:// index root would claim the marker is missing
+  // even though the seed wrote it, despite the data path supporting
+  // such URIs
   private[streaming] def writePartsMarker(indexDir: String,
       parts: Int): Unit =
-    java.nio.file.Files.write(
-      new java.io.File(indexDir, "_graft_parts").toPath,
-      parts.toString.getBytes("UTF-8"))
+    graft.core.Fs.writeUtf8(s"$indexDir/_graft_parts", parts.toString)
 
   private def checkPartsMarker(indexDir: String, parts: Int): Unit = {
-    val m = new java.io.File(indexDir, "_graft_parts")
-    require(m.exists,
+    val m = s"$indexDir/_graft_parts"
+    require(graft.core.Fs.hadoopExists(m),
       s"pruned index $indexDir has no _graft_parts layout marker — " +
         "seed it with seed*IndexPruned (or restore the marker after " +
         "an external rewrite)")
-    val seeded = new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toInt
+    val seeded = graft.core.Fs.readUtf8(m).trim.toInt
     require(seeded == parts,
       s"pruned index $indexDir was seeded with parts=$seeded but the " +
         s"probe was called with parts=$parts — prefixes would resolve " +
@@ -158,13 +160,10 @@ object StreamingDedup {
     * rewritten one — compaction must carry the contract forward.
     */
   private[streaming] def copyPartsMarker(srcDir: String,
-      destDir: String): Unit = {
-    val m = new java.io.File(srcDir, "_graft_parts")
-    if (m.exists)
-      java.nio.file.Files.copy(m.toPath,
-        new java.io.File(destDir, "_graft_parts").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      destDir: String): Unit =
+    if (graft.core.Fs.hadoopExists(s"$srcDir/_graft_parts"))
+      graft.core.Fs.writeUtf8(s"$destDir/_graft_parts",
+        graft.core.Fs.readUtf8(s"$srcDir/_graft_parts"))
 
   /** Read ONLY the touched pruned-index directories (touched ∩ live,
     * ONE top-level listing instead of O(parts) partition-discovery

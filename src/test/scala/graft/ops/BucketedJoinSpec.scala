@@ -45,7 +45,8 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("bucketedJoin: nonce'd physical names, refuses foreign locations") {
+  test("bucketedJoin: nonce'd physical names, reclaims owned orphans, " +
+      "GCs stale prior-JVM generations") {
     import spark.implicits._
     val left = (0L until 8L).map(i => (i, s"l$i")).toDF("lid", "lv")
     val right = (0L until 8L).map(i => (i, i * 10)).toDF("rid", "rv")
@@ -62,19 +63,32 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.startsWith("bkt_rerun_l__g"))
     assert(phys.length == 1 && phys.head.matches("bkt_rerun_l__g[0-9a-f]{8}"),
       s"expected one nonce'd physical table, got ${phys.mkString(",")}")
-    // a location that exists but was NOT created by this helper is
-    // someone else's data: the helper must refuse, not delete it
-    val foreign = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      phys.head.replace("bkt_rerun_l", "bkt_foreign_l"))
-    assert(foreign.mkdirs())
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    // a surviving location whose name embeds THIS JVM's nonce can only
+    // be ours — catalog and filesystem out of sync (new SparkSession in
+    // the same JVM, partially failed prior saveAsTable). The helper
+    // reclaims it and proceeds instead of aborting on data it owns.
+    val orphan = new java.io.File(wh,
+      phys.head.replace("bkt_rerun_l", "bkt_orphan_l"))
+    assert(orphan.mkdirs())
+    val j = Curation.bucketedJoin(left, "lid", right, "rid", 2,
+      leftTable = "bkt_orphan_l", rightTable = "bkt_orphan_r")
+    assert(j.count() == 8)
+    // stale generations from PRIOR JVMs accumulate (their nonce died
+    // with its JVM): siblings of the logical name older than an hour
+    // are GC'd; a RECENT foreign-nonce sibling (a live concurrent
+    // session's table) must survive
+    val stale = new java.io.File(wh, "bkt_rerun_l__g00000000")
+    val fresh = new java.io.File(wh, "bkt_rerun_l__gffffffff")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
     try {
-      val e = intercept[IllegalArgumentException] {
-        Curation.bucketedJoin(left, "lid", right, "rid", 2,
-          leftTable = "bkt_foreign_l", rightTable = "bkt_foreign_r")
-      }
-      assert(e.getMessage.contains("refusing"))
-      assert(foreign.exists(), "foreign location must not be deleted")
-    } finally foreign.delete()
+      Curation.bucketedJoin(left, "lid", right, "rid", 2,
+        leftTable = "bkt_rerun_l", rightTable = "bkt_rerun_r").count()
+      assert(!stale.exists(), "stale prior-JVM generation must be GC'd")
+      assert(fresh.exists(), "recent (possibly live) generation must survive")
+    } finally graft.core.Fs.deleteRecursively(fresh)
   }
 }
