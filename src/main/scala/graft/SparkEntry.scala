@@ -1660,6 +1660,56 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
     }),
 
+    // stream_dedup_minhash over the PRUNED, generation-addressed index
+    // layout — same pair semantics by construction (shared candidate/
+    // verify core; the layout changes where index bytes live, never
+    // which pairs exist), so the oracle is the same restricted recount.
+    // Gates the pruned READ path of the minhash member end-to-end:
+    // manifest-resolved generation, touched-∩-live directory read,
+    // per-directory clustered appends, every-3rd-batch generational
+    // compaction.
+    "stream_dedup_minhash_pruned" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-pmdx-")
+      try {
+        graft.streaming.GenIndex.init(root.toString) { dir =>
+          graft.streaming.StreamingDedup.seedMinhashIndexPruned(
+            Tables.documents(s, d).where(!isNew), "text", "doc_id", dir)
+        }
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${des.root}/events"),
+            "verify-pmdx-ck-",
+            perBatch = { b =>
+              val pairs = graft.streaming.StreamingDedup
+                .minhashProbeBatchPruned(
+                  b.select(
+                    expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                      .as("doc_id"),
+                    col("payload").cast("string").as("text")),
+                  "text", "doc_id",
+                  graft.streaming.GenIndex.currentGen(root.toString),
+                  docSource = Tables.documents(s, d))
+              if (batchNo.incrementAndGet() % 3 == 0)
+                graft.streaming.GenIndex.compact(s, root.toString,
+                  Seq("pfx"), partitionCols = Seq("pfx"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Double]("jaccard"))
+          }
+          .toDF("a", "b", "jaccard")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // The winnowing member of the streaming dedup family, same cached
     // doc-event feed: per micro-batch, winnow-fingerprint the arriving
     // documents, join the persistent fingerprint index on fp, count
@@ -1699,6 +1749,53 @@ object SparkEntry {
           .toDF("a", "b", "shared_fps")
           .orderBy(col("a"), col("b"))
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
+    // stream_dedup_winnow over the PRUNED, generation-addressed index
+    // layout (pfx = hash(fp) mod parts — the fingerprint itself is the
+    // probe key). Shared-count completeness survives pruning: every
+    // fingerprint two documents share is in the batch member's own
+    // selection, so its directory is always among the probe's touched
+    // prefixes. Oracle = the same restricted recount as the flat form.
+    "stream_dedup_winnow_pruned" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-pwdx-")
+      try {
+        graft.streaming.GenIndex.init(root.toString) { dir =>
+          graft.streaming.StreamingDedup.seedWinnowIndexPruned(
+            Tables.documents(s, d).where(!isNew), "text", "doc_id", dir)
+        }
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${des.root}/events"),
+            "verify-pwdx-ck-",
+            perBatch = { b =>
+              val pairs = graft.streaming.StreamingDedup
+                .winnowProbeBatchPruned(
+                  b.select(
+                    expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                      .as("doc_id"),
+                    col("payload").cast("string").as("text")),
+                  "text", "doc_id",
+                  graft.streaming.GenIndex.currentGen(root.toString))
+              if (batchNo.incrementAndGet() % 3 == 0)
+                graft.streaming.GenIndex.compact(s, root.toString,
+                  Seq("pfx"), partitionCols = Seq("pfx"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("shared_fps"))
+          }
+          .toDF("a", "b", "shared_fps")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
     // The SEMANTIC member of the streaming dedup family: embedding
@@ -1747,6 +1844,52 @@ object SparkEntry {
           .toDF("a", "b", "cosine")
           .orderBy(col("a"), col("b"))
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
+    // stream_dedup_embedding over the PRUNED, generation-addressed
+    // index layout (pfx = hash(tbl, bucket) mod parts). Same pair
+    // semantics (shared bucket-probe/cosine-verify core), same oracle.
+    "stream_dedup_embedding_pruned" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(StreamEmbNewBp)
+      val ves = StoreProvider.embStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-pcdx-")
+      try {
+        graft.streaming.GenIndex.init(root.toString) { dir =>
+          graft.streaming.StreamingDedup.seedCosineIndexPruned(
+            Tables.embeddings(s, d).where(!isNew), "vec_id", "embedding",
+            dir, planes = NearDupPlanes, tables = NearDupTables)
+        }
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${ves.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${ves.root}/events"),
+            "verify-pcdx-ck-",
+            perBatch = { b =>
+              val pairs = graft.streaming.StreamingDedup
+                .cosineProbeBatchPruned(
+                  b.select(
+                    expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                      .as("vec_id")),
+                  Tables.embeddings(s, d), "vec_id", "embedding",
+                  graft.streaming.GenIndex.currentGen(root.toString),
+                  NearDupThreshold, planes = NearDupPlanes,
+                  tables = NearDupTables)
+              if (batchNo.incrementAndGet() % 3 == 0)
+                graft.streaming.GenIndex.compact(s, root.toString,
+                  Seq("pfx"), partitionCols = Seq("pfx"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Double]("cosine"))
+          }
+          .toDF("a", "b", "cosine")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
     // Stream-stream event-time interval join: every click enriched
@@ -3760,6 +3903,7 @@ object SparkEntry {
     // restricted to pairs touching a new vec (batch-division-
     // invariant, same argument as the text probes)
     "stream_dedup_embedding" -> embeddingNearDupIncrementalOracle,
+    "stream_dedup_embedding_pruned" -> embeddingNearDupIncrementalOracle,
     "dedup_semantic" -> semanticDedupOracle,
 
     "text_bpe_tokens" ->
@@ -3971,6 +4115,9 @@ object SparkEntry {
     // pair set (batch-division-invariant, same argument as
     // stream_dedup_simhash)
     "stream_dedup_minhash" -> minhashIncrementalOracle,
+    // identical restricted recount: the pruned layout changes where
+    // index bytes live, never which pairs exist (shared probe core)
+    "stream_dedup_minhash_pruned" -> minhashIncrementalOracle,
     "dedup_clusters" -> dedupClustersOracle,
     "dedup_pipeline" -> dedupPipelineOracle,
     "curation_quality_filter" -> qualityFilterOracle,
@@ -4009,6 +4156,7 @@ object SparkEntry {
     // pair set with complete shared counts (batch-division-invariant,
     // same argument as the other two streaming probes)
     "stream_dedup_winnow" -> winnowIncrementalOracle,
+    "stream_dedup_winnow_pruned" -> winnowIncrementalOracle,
     "text_langid" -> langIdOracle,
     "ann_lsh_bucketed" -> annLshOracle,
 
