@@ -458,7 +458,8 @@ object Bench {
     //     OR ABOVE the wide canary (more centroids = strictly finer
     //     quantization); below it means the path breaks somewhere the
     //     coarse geometries can't see.
-    val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd): (Double, Double, Double, Double, Double) =
+    val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd,
+        annixRecall): (Double, Double, Double, Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -538,10 +539,41 @@ object Bench {
           System.err.println(f"[bench] ivfpq prod-geometry recall " +
             f"$ivfpqProd%.3f is BELOW half the flat prod canary " +
             f"$prod%.3f — investigate the composed k=256 path")
-        (base, wide, prod, ivfpq, ivfpqProd)
+        // PERSISTED-index canary (graft.ops.AnnIndex): seed a
+        // GenIndex-rooted IVF-PQ index from the same corpus at the
+        // same geometry and serve the same query batch from the
+        // manifest-resolved generation's pruned codes read. The frozen
+        // constants are the same training, so this must EQUAL
+        // ivfpq_recall_at_5 exactly — any divergence means the
+        // persistence layer (model round-trip, per-list codes read) is
+        // wrong, not the algorithm.
+        val annix = {
+          val root =
+            java.nio.file.Files.createTempDirectory("bench-annix-")
+          try {
+            graft.ops.AnnIndex.seed(e, root.toString,
+              nlist = SparkEntry.IvfLists, trainIters = SparkEntry.IvfIters,
+              m = SparkEntry.PqM, k = SparkEntry.PqK,
+              pqIters = SparkEntry.PqIters)
+            val qv = e.where(pred)
+              .select(col("vec_id"), col("embedding")).collect().toSeq
+              .map(r => (r.getLong(0),
+                r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+              .sortBy(_._1)
+            val got = graft.ops.AnnIndex.queryBatch(spark, root.toString,
+                qv, kNN = 5, nprobe = SparkEntry.IvfPqProbes)
+              .select("qid", "vec_id")
+            if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+          } finally graft.core.Fs.deleteRecursively(root.toFile)
+        }
+        if (annix >= 0 && ivfpq >= 0 && math.abs(annix - ivfpq) > 1e-9)
+          System.err.println(f"[bench] persisted-index recall $annix%.3f " +
+            f"!= in-session ivfpq recall $ivfpq%.3f — persistence layer " +
+            "diverged from the algorithm")
+        (base, wide, prod, ivfpq, ivfpqProd, annix)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -795,6 +827,7 @@ object Bench {
       s""""pq_recall_at_5_prod":$pqRecallProd,""" +
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
+      s""""annix_recall_at_5":$annixRecall,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
       s""""cc_rounds_base":$ccRoundsBase,"cc_rounds_10x":$ccRounds10x,""" +
@@ -845,6 +878,7 @@ object Bench {
       s""""pq_recall_at_5_prod":$pqRecallProd,""" +
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
+      s""""annix_recall_at_5":$annixRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       f""""load_avg":$loadAvg%.1f,""" +

@@ -822,6 +822,52 @@ object SparkEntry {
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // PERSISTENT IVF-PQ: the index is seeded once from the at-rest
+    // (old-split) corpus — quantizers trained and FROZEN, codes laid
+    // out one directory per inverted list under a GenIndex root — then
+    // the new split arrives as three frozen-model appends with a
+    // reader-safe generational compaction in between, and the query
+    // batch is served from the MANIFEST-RESOLVED generation reading
+    // ONLY its probed list directories. This is the ANN counterpart of
+    // the streaming dedup family's persistent signature index (the
+    // reference's build-index-on-segment-seal shape,
+    // writer_thread_pool.rs:698-793): in-session retrain-per-query is
+    // the scale-killer this removes at 100 TB. Oracle: the composed
+    // IVF-PQ chain with the training sample restricted to the seed
+    // corpus (assignment/codes still over the full corpus — exactly
+    // the frozen-model append semantics).
+    "ann_ivfpq_persistent" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annix-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = e.where(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id"), col("embedding"))
+          .collect().toSeq
+          .map(r => (r.getLong(0),
+            r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+          .sortBy(_._1)
+        // materialize BEFORE the finally deletes the index dirs — the
+        // lazy plan reads the persisted generation
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // Embedding-cosine near-duplicate pairs (banded multi-table LSH +
     // exact verify), the semantic-dedup counterpart of minhash:
     // 16-plane signatures (65k buckets/table), 3 tables for recall,
@@ -3811,7 +3857,22 @@ object SparkEntry {
     * cell sum. The one new clause is the probes join — everything
     * upstream is the two proven CTE families composed.
     */
-  private def ivfPqOracle: String = {
+  private def ivfPqOracle: String = ivfPqOracleFor("TRUE")
+
+  /** ann_ivfpq_persistent: the SAME composed chain with the training
+    * sample restricted to the seed-time (old-split) corpus — the
+    * frozen-model contract of graft.ops.AnnIndex (quantizers train
+    * once at seed; arrivals are encoded, never retrained on). The
+    * assignment and code CTEs still run over the FULL corpus: seed
+    * encodes the old split, appends encode the new with the frozen
+    * books, and the union is exactly "every vector encoded with the
+    * final constants".
+    */
+  private def ivfPqPersistentOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp")
+
+  private def ivfPqOracleFor(sampPred: String): String = {
     require(IvfSample == PqSample,
       "composed oracle shares one samp CTE — keep the sample caps equal")
     val sub = PqDims / PqM
@@ -3828,7 +3889,7 @@ object SparkEntry {
       s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid" +
         (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
     val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
-    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+    s"""WITH ${ivfTrainAssignCtes(sampPred)},
        |$pqCodebookBodyCtes,
        |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
        |probes AS (
@@ -3896,6 +3957,7 @@ object SparkEntry {
     "ann_ivf" -> ivfOracle,
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_pq" -> ivfPqOracle,
+    "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
 
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
 

@@ -1,0 +1,236 @@
+package graft.ops
+
+import graft.streaming.GenIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, generation-addressed IVF-PQ index — the ANN
+  * counterpart of the streaming dedup family's signature store, and
+  * the missing piece of the in-session [[Similarity.ivfPqTopKBatch]]:
+  * at 100 TB the codes table is corpus-sized, so retraining and
+  * re-encoding it for every query batch (what every gated in-session
+  * ANN leg does) is a scale-killer. The reference builds its indexes
+  * once, at segment seal, and serves reads from the built artifact
+  * (`/root/reference/crates/sierradb/src/writer_thread_pool.rs:698-793`,
+  * `database.rs:815-854`); this is that shape on Spark storage.
+  *
+  * Layout, inside a [[graft.streaming.GenIndex]] generation dir:
+  * {{{
+  *   <root>/MANIFEST            -> "gen-00001"     (atomic pointer)
+  *   <root>/gen-00001/cents/    parquet (cid long, ce array<double>)
+  *   <root>/gen-00001/books/    parquet (s int, ci int, ce array<double>)
+  *   <root>/gen-00001/codes/ivf_cid=<cid>/  parquet
+  *       (vec_id, code0..code{m-1}, recon_err)
+  * }}}
+  *
+  * The quantizers (coarse centroids + PQ codebooks) are TRAINED ONCE
+  * at seed time and FROZEN — the standard IVF discipline: arrivals
+  * are encoded with the frozen model (a pure, codegen'd projection,
+  * zero shuffle beyond the per-list clustering write), and the model
+  * only changes at a full rebuild into a new generation. That is what
+  * makes appends cheap and results reproducible: the same vector
+  * encodes to the same codes no matter when it arrives.
+  *
+  * Scale shape of a query batch: the probe set is nprobe lists per
+  * query, so the codes READ is partition-pruned to the probed
+  * `ivf_cid=` directories (explicit path list — one manifest resolve,
+  * one directory listing, never a corpus scan), scoring is the ADC
+  * constant-array lookup, and per-query top-k runs on bounded heaps.
+  * Per-batch I/O is bounded by the probed lists' size — the defining
+  * IVF-PQ candidate mass — not the corpus.
+  *
+  * Maintenance: [[compact]] rewrites the codes clustered per list
+  * into a NEW generation and atomically flips the manifest
+  * ([[GenIndex]] semantics — readers that resolved before the flip
+  * finish against their own generation), absorbing the one-file-per-
+  * append-per-touched-list accumulation.
+  */
+object AnnIndex {
+
+  /** The frozen model: coarse centroids (cid → centroid) and PQ
+    * codebooks (subspace → code id → centroid). Both are bounded
+    * trained constants (nlist and m×k entries).
+    */
+  final case class Model(cents: Seq[(Any, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]]) {
+    def m: Int = books.length
+    def k: Int = books.head.length
+    def sub: Int = books.head.head.length
+  }
+
+  /** Train the quantizers from `corpus` and publish generation 0:
+    * model tables + the corpus encoded into per-list directories.
+    * Training matches [[Similarity.ivfPqTopKBatch]] exactly (same
+    * rounded Lloyd's loops, same ordered-prefix/hash sample), so a
+    * from-scratch in-session build and a seed+append+query through
+    * this index produce identical results — which is what the
+    * correctness gate pins.
+    */
+  def seed(corpus: DataFrame, root: String, nlist: Int, trainIters: Int,
+      m: Int, k: Int, pqIters: Int, maxSample: Int = 10000,
+      sampleMode: String = "prefix", idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.kmeansCentroids(corpus, nlist, trainIters,
+      maxSample, sampleMode, idCol, vecCol)
+    val books = Similarity.pqTrain(corpus, m, k, pqIters, maxSample,
+      sampleMode, idCol, vecCol)
+    val model = Model(cents, books)
+    GenIndex.init(root) { dir =>
+      writeModel(spark, dir, model)
+      encode(corpus, model, idCol, vecCol)
+        .repartition(col("ivf_cid"))
+        .write.mode("overwrite").partitionBy("ivf_cid")
+        .parquet(s"$dir/codes")
+    }
+  }
+
+  /** Encode a batch of NEW vectors with the live generation's frozen
+    * model and append them into its per-list directories — one file
+    * per touched list per batch (the small-files rate [[compact]]
+    * absorbs). The projection is the exact [[Similarity.pqCodesWith]]
+    * + nearest-centroid expression the seed used, so append order and
+    * batching never change a vector's codes.
+    */
+  def append(vecs: DataFrame, root: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val gen = GenIndex.currentGen(root)
+    val model = readModel(vecs.sparkSession, gen)
+    encode(vecs, model, idCol, vecCol)
+      .repartition(col("ivf_cid"))
+      .write.mode("append").partitionBy("ivf_cid")
+      .parquet(s"$gen/codes")
+  }
+
+  /** ADC top-k for a driver-side query batch against the PERSISTED
+    * index: resolve the manifest, load the frozen model, rank each
+    * query's nprobe nearest lists driver-side (nlist-bounded), then
+    * read ONLY the probed `ivf_cid=` directories and score by the
+    * per-query lookup cube — the same literal-cube / explode /
+    * bounded-heap plan as [[Similarity.ivfPqTopKBatch]], with the
+    * trained constants and codes coming from storage instead of being
+    * recomputed. Returns (qid, `idCol`, adist, rk), rk ≤ `kNN`.
+    */
+  def queryBatch(spark: SparkSession, root: String,
+      qVecs: Seq[(Long, Seq[Double])], kNN: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(qVecs.nonEmpty, "empty query batch")
+    val gen = GenIndex.currentGen(root)
+    val model = readModel(spark, gen)
+    val m = model.m
+    val k = model.k
+    val sub = model.sub
+    // per-query probe set by 6-dp-rounded cosine (ties to the smaller
+    // cid) — identical ranking to the in-session path
+    val probes: Seq[(Long, Seq[Long])] = qVecs.map { case (qid, qv) =>
+      qid -> model.cents.map { case (cid, ce) =>
+          (1.0 - Similarity.cos6(qv, ce),
+            cid.asInstanceOf[Number].longValue())
+        }.sorted.take(nprobe).map(_._2)
+    }
+    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
+      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    // partition-pruned codes read: explicit probed-∩-live directory
+    // paths under one listing — per-batch I/O is the probed lists,
+    // never the corpus (readTouchedPruned discipline)
+    val (fs, codesRoot) = graft.core.Fs.hadoop(s"$gen/codes")
+    val live = fs.listStatus(codesRoot).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("ivf_cid="))
+      .map(_.stripPrefix("ivf_cid=").toLong).toSet
+    val hit = cidToQpos.keySet.intersect(live).toSeq.sorted
+    val empty = spark.range(0).select(
+      col("id").as("qid"), col("id").as(idCol),
+      col("id").cast("double").as("adist"), col("id").as("rk"))
+    if (hit.isEmpty) return empty
+    val codes = spark.read.option("basePath", s"$gen/codes")
+      .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
+    val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
+      (0 until m).flatMap(s =>
+        model.books(s).map(c =>
+          Similarity.l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
+    }
+    val cube = typedLit(cubeVals)
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val emptyProbe = typedLit(Seq.empty[Int])
+    val exploded = codes.select(
+      col(idCol) +: (0 until m).map(s => col(s"code$s")) :+
+        explode(coalesce(
+          element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
+          emptyProbe)).as("qpos"): _*)
+    val qtab = element_at(cube, col("qpos") + 1)
+    val dist = round((0 until m).map(s =>
+      element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
+      .reduce(_ + _), 6)
+    val scored = exploded
+      .withColumn("qid", element_at(qids, col("qpos") + 1))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), dist.as("adist"))
+    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
+        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("adist"), col("rk"))
+  }
+
+  /** Rewrite the live generation's codes clustered one-file-per-list
+    * into a NEW generation and flip the manifest — reader-safe
+    * compaction, model tables carried forward verbatim.
+    */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
+      retain: Int = 1): Unit = {
+    val cur = GenIndex.currentGen(root)
+    val model = readModel(spark, cur)
+    val n = cur.substring(cur.lastIndexOf("gen-") + 4).toInt
+    val next = s"$root/gen-" + f"${n + 1}%05d"
+    writeModel(spark, next, model)
+    spark.read.parquet(s"$cur/codes")
+      .repartition(targetFiles, col("ivf_cid"))
+      .write.mode("overwrite").partitionBy("ivf_cid")
+      .parquet(s"$next/codes")
+    GenIndex.publish(spark, root, "gen-" + f"${n + 1}%05d", retain)
+  }
+
+  /** The frozen-model encode projection shared by seed and append:
+    * nearest coarse centroid (6-dp-rounded cosine ranking, ties to
+    * the smaller cid) carried through the PQ code assignment — all
+    * plan literals, zero shuffle, stays in whole-stage codegen.
+    */
+  private def encode(vecs: DataFrame, model: Model, idCol: String,
+      vecCol: String): DataFrame =
+    Similarity.pqCodesWith(
+      vecs.withColumn("ivf_cid",
+        element_at(Similarity.centroidRanking(col(vecCol), model.cents), 1)
+          .getField("cid").cast("long")),
+      model.books, idCol = idCol, vecCol = vecCol, keep = Seq("ivf_cid"))
+
+  private def writeModel(spark: SparkSession, dir: String,
+      model: Model): Unit = {
+    import spark.implicits._
+    model.cents
+      .map { case (cid, ce) => (cid.asInstanceOf[Number].longValue(), ce) }
+      .toDF("cid", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+    model.books.zipWithIndex
+      .flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (ce, ci) => (s, ci, ce) }
+      }
+      .toDF("s", "ci", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+  }
+
+  /** Read the frozen model back. Codebook centroid ids are POSITIONS
+    * (`books(s)(ci)`), so both tables re-sort on their ids — parquet
+    * row order is not a contract.
+    */
+  private def readModel(spark: SparkSession, dir: String): Model = {
+    val cents = spark.read.parquet(s"$dir/cents")
+      .collect().toSeq
+      .map(r => (r.getLong(0): Any, r.getSeq[Double](1)))
+      .sortBy(_._1.asInstanceOf[Long])
+    val books = spark.read.parquet(s"$dir/books")
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    Model(cents, books)
+  }
+}

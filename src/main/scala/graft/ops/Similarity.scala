@@ -115,7 +115,7 @@ object Similarity {
     * ROUNDED cosine) so ordering matches an `ORDER BY cosine DESC, cid`
     * oracle exactly, including the -0.0/0.0 collapse.
     */
-  private def centroidRanking(vec: Column, cents: Seq[(Any, Seq[Double])]): Column =
+  private[ops] def centroidRanking(vec: Column, cents: Seq[(Any, Seq[Double])]): Column =
     array_sort(array(cents.map { case (cid, ce) =>
       // dot against the centroid literal is codegen'd; the centroid's
       // own norm is a driver-side constant (same left-to-right fold as
@@ -130,17 +130,17 @@ object Similarity {
     * side k-means below must reproduce the engine's rounded cosines
     * bit-for-bit or training diverges from its SQL oracle mirror.
     */
-  private def round6(x: Double): Double =
+  private[ops] def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+  private[ops] def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  private def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+  private[ops] def cos6(a: Seq[Double], b: Seq[Double]): Double = {
     // zero-norm vectors define cosine as 0.0 — the unguarded quotient
     // is NaN and BigDecimal(NaN) throws, which would crash the whole
     // training loop on one degenerate embedding
@@ -225,7 +225,7 @@ object Similarity {
     * the PQ trainer, the Spark encoding expressions, and the SQL
     * oracle all share, so the three compute identical doubles.
     */
-  private def l2r6(x: Seq[Double], c: Seq[Double]): Double =
+  private[ops] def l2r6(x: Seq[Double], c: Seq[Double]): Double =
     round6(dotSeq(x, x) - 2 * dotSeq(x, c) + dotSeq(c, c))
 
   /** Product-quantization codebooks: split the vector into `m`

@@ -75,7 +75,19 @@ object GenIndex {
     val next = f"gen-${n + 1}%05d"
     StreamingDedup.rewriteClustered(spark, cur, s"$root/$next",
       clusterCols, targetFiles, partitionCols)
-    flip(root, next)
+    publish(spark, root, next, retain)
+  }
+
+  /** Publish an externally-built generation: flip the manifest to
+    * `gen`, then apply retention. For indexes whose rewrite is not
+    * the single clustered-parquet shape [[compact]] assumes — e.g.
+    * the model + codes composite of [[graft.ops.AnnIndex]] — the
+    * caller builds `root/<gen>` itself and hands the flip here so
+    * the pointer/retention discipline stays in one place.
+    */
+  def publish(spark: SparkSession, root: String, gen: String,
+      retain: Int = 1): Unit = {
+    flip(root, gen)
     // retention orders by the PARSED generation number: %05d names
     // overflow five digits at gen-100000, where a lexicographic sort
     // would place the freshly-flipped live generation FIRST and this
