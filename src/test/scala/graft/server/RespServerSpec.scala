@@ -247,6 +247,61 @@ class RespServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("consumer killed mid-live-tail: reconnect FROM the resume point " +
+      "is exactly-once and ordered across the restart") {
+    // the reference's crash-recovery flow (`subscription.rs:402-439`):
+    // a subscription's server-side state dies with its connection, and
+    // the CLIENT's durable position (its last processed version) is
+    // what resumes it — re-subscribe FROM position+1 and every event
+    // from there redelivers exactly once, in order, across the
+    // history→live seam. The kill is an abrupt socket close with a
+    // delivered-but-unacked event in flight.
+    val p = new Client
+    (1 to 6).foreach(i => asMap(p.call("EAPPEND", "res-s", s"H$i")))
+
+    val a = new Client
+    val subA = a.call("ESUB", "res-s", "FROM", "0", "WINDOW", "4") match {
+      case SimpleStr(s) => s
+      case other        => fail(s"expected subscription id, got $other")
+    }
+    def push(f: Frame): (Long, String, Long) = f match {
+      case PushF(Seq(SimpleStr("message"), SimpleStr(_), Num(cur), ev)) =>
+        val m = asMap(ev)
+        val Num(v) = m("stream_version")
+        (cur, m("event_name") match { case b: Blob => b.utf8; case o => o.toString }, v)
+      case other => fail(s"expected push, got $other")
+    }
+    // consume 4 of the 6 history events, ack only 2 — then die with
+    // in-flight unacked deliveries (the crash shape, not a clean stop)
+    val seenA = (1 to 4).map(_ => push(a.read()))
+    assert(seenA.map(_._2) == Seq("H1", "H2", "H3", "H4"))
+    assert(seenA.map(_._3) == (0L to 3L))
+    a.send("EACK", subA, "1")
+    a.close() // abrupt: no unsubscribe, OK reply possibly unread
+
+    // more events arrive while the consumer is down
+    (7 to 8).foreach(i => asMap(p.call("EAPPEND", "res-s", s"L$i")))
+
+    // reconnect and resume FROM last-processed + 1 (version 4): the
+    // unread H5/H6 redeliver exactly once, then the missed live tail
+    val b = new Client
+    b.call("ESUB", "res-s", "FROM", "4", "WINDOW", "8") match {
+      case SimpleStr(_) => ()
+      case other        => fail(s"expected subscription id, got $other")
+    }
+    val seenB = (1 to 4).map(_ =>
+      push(b.readWithin(20000).getOrElse(fail("resume push timed out"))))
+    assert(seenB.map(_._2) == Seq("H5", "H6", "L7", "L8"),
+      s"resume diverged: ${seenB.map(_._2)}")
+    assert(seenB.map(_._3) == (4L to 7L))
+    // exactly-once across the restart: union covers every version once
+    assert((seenA.map(_._3) ++ seenB.map(_._3)) == (0L to 7L))
+    // per-subscription cursors are gapless within each incarnation
+    assert(seenA.map(_._1) == (0L to 3L) && seenB.map(_._1) == (0L to 3L))
+    b.close()
+    p.close()
+  }
+
   test("EACK window: delivery blocks at WINDOW unacked, resumes on ack") {
     val c = new Client
     (1 to 5).foreach(i => asMap(c.call("EAPPEND", "ack-s", s"E$i")))

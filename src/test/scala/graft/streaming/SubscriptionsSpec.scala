@@ -157,6 +157,49 @@ class SubscriptionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.asScala.toSeq == Seq(5L, 6L, 7L))
   }
 
+  test("crash mid-delivery: restart on the same checkpoint redelivers " +
+      "exactly the nacked batch, never acked ones (exactly-once resume)") {
+    // the subscription analog of StreamingDedupRecoverySpec, and the
+    // reference's ack-cursor redelivery semantic
+    // (`subscription.rs:402-439`): the checkpoint commit after each
+    // callback IS the ack, so a consumer that dies AFTER a batch was
+    // pushed but BEFORE acking it must see that batch again on
+    // restart — and only that batch, then the tail.
+    val es = freshStore()
+    (1 to 8).foreach(i => es.append(in("crash", s"h$i")))
+    val ck = Files.createTempDirectory("graft-crash-ck-").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    // WINDOW=3 bounds every micro-batch to 3 events, so the 8-event
+    // history spans 3 batches; the consumer dies at the start of the
+    // second (nothing of it processed, nothing acked)
+    val q1 = deliver(
+      subscribe(es, Matcher(streams = Seq("crash")), From.Value(0),
+        window = 3), ck, byStream = true) { rows =>
+      if (batches.incrementAndGet() == 2)
+        throw new RuntimeException("consumer died mid-tail")
+      rows.foreach(r => seen.add(r.getAs[Long]("stream_version")))
+    }
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq == (0L to 2L),
+      s"first batch only before the crash: ${seen.asScala.toSeq}")
+
+    // restart from the SAME checkpoint, live appends included: the
+    // nacked batch redelivers once, acked history never, order holds
+    (9 to 10).foreach(i => es.append(in("crash", s"l$i")))
+    val q2 = deliver(
+      subscribe(es, Matcher(streams = Seq("crash")), From.Value(0),
+        window = 3), ck, byStream = true) { rows =>
+      rows.foreach(r => seen.add(r.getAs[Long]("stream_version")))
+    }
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.asScala.toSeq == (0L to 9L),
+      "restart must resume exactly-once, in order, across the crash: " +
+        seen.asScala.toSeq.mkString(","))
+  }
+
   test("WINDOW bounds every micro-batch in events (real backpressure)") {
     val es = freshStore()
     (1 to 7).foreach(i => es.append(in("w", s"e$i")))
