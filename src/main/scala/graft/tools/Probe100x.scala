@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Probe: the headline dedup/ANN legs at 100× — the one measured
+  * point that converts the "would survive 100×" design argument from
+  * prose into numbers. Builds a documents+embeddings-only 100×
+  * replica of the bench corpus (same token-mutation discipline as
+  * [[ScaleGen]], 100 replicas — cross-replica shingle overlap dies,
+  * intra-replica near-dup structure survives 1:1, so a 100× corpus
+  * carries 100× the dedup workload), then times each leg at base,
+  * 10× and 100× (min-of-2 warm). A linear operator lands near ≤100
+  * at 100× — usually far below, fixed overheads amortize; anything
+  * superlinear is named here before a cluster ever sees it.
+  *
+  * Only documents/embeddings replicate (the three legs below touch
+  * nothing else), so the replica stays ~140 MB and the probe runs on
+  * the bench box.
+  */
+object Probe100x {
+
+  val Factor100 = 100
+
+  def ensure100x(spark: SparkSession, srcDir: String): String = {
+    val dst = s"/tmp/graft-scale100x-${new java.io.File(srcDir).getName}" +
+      s"-v${ScaleGen.GenVersion}"
+    val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
+    if (java.nio.file.Files.exists(marker)) return dst
+    graft.core.Fs.deleteRecursively(new java.io.File(dst))
+    Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+      .foreach { case (t, keys) =>
+        val base = spark.read.parquet(s"$srcDir/$t.parquet")
+        ScaleGen.replicate(base, keys,
+            mutateText = ScaleGen.MutatedText.get(t), factor = Factor100)
+          .write.option("compression", "zstd").parquet(s"$dst/$t.parquet")
+      }
+    java.nio.file.Files.createFile(marker)
+    dst
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = ScaleGen.ensure10x(spark, sf)
+    val t0g = System.nanoTime()
+    val huge = ensure100x(spark, sf)
+    println(f"100x replica at $huge (gen ${(System.nanoTime() - t0g) / 1e9}%.1f s)")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def leg(name: String, dir: String): Double = time {
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    def load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val legs = Seq("dedup_minhash_incremental", "dedup_simhash_pairs",
+      "ann_ivf_pq")
+    legs.foreach { n =>
+      def minOf2(dir: String): Double = math.min(leg(n, dir), leg(n, dir))
+      val b = minOf2(sf); val x10 = minOf2(big); val x100 = minOf2(huge)
+      println(f"$n%-28s base $b%7.2f s | 10x $x10%7.2f (r ${x10 / b}%5.2f) " +
+        f"| 100x $x100%7.2f (r ${x100 / b}%6.2f) | load $load%.1f")
+    }
+    spark.stop()
+  }
+}

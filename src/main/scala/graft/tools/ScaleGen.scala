@@ -191,8 +191,9 @@ object ScaleGen {
   val MutatedText: Map[String, String] = Map("documents" -> "text")
 
   def replicate(base: DataFrame, keys: Seq[String],
-      mutateText: Option[String] = None): DataFrame =
-    (0 until Factor).map { i =>
+      mutateText: Option[String] = None,
+      factor: Int = Factor): DataFrame =
+    (0 until factor).map { i =>
       val keyed = keys.foldLeft(base)((df, k) =>
         df.withColumn(k, (col(k) + lit(i.toLong * KeyOffset)).cast("long")))
       mutateText match {
