@@ -868,6 +868,61 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // STREAMING ANN ingest: the index-maintenance shape a live vector
+    // store runs — new embeddings arrive as EVENTS through the real
+    // append path (vector ids in the payload, the vector store holds
+    // the floats), each micro-batch pulls its vectors and appends
+    // their frozen-model codes into the persistent AnnIndex (one file
+    // per touched inverted list), with a reader-safe generational
+    // compaction every 3rd batch; the query batch is then served from
+    // the manifest-resolved generation. Because the frozen-model
+    // encode is batching-invariant (AnnIndexSpec), the final index is
+    // bit-identical to ann_ivfpq_persistent's three-append build, so
+    // the ORACLE IS THE SAME — what this leg adds to the gate is the
+    // composition: GraftEventSource streaming + store append path +
+    // AnnIndex maintenance, end-to-end.
+    "stream_ann_ingest" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val ves = StoreProvider.embStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-sannix-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${ves.root}/events")
+              .option("maxFilesPerTrigger", "4")
+              .parquet(s"${ves.root}/events"),
+            "verify-sannix-ck-",
+            perBatch = { b =>
+              val ids = b.select(
+                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                  .as("arr_id"))
+              graft.ops.AnnIndex.append(
+                e.join(ids, e("vec_id") === ids("arr_id"), "left_semi"),
+                root.toString)
+              if (batchNo.incrementAndGet() % 3 == 0)
+                graft.ops.AnnIndex.compact(s, root.toString)
+              ids.groupBy().count()
+            }) { r => r.getAs[Long](0) }
+        val qVecs = e.where(col("vec_id").isin(0, 1, 2))
+          .select(col("vec_id"), col("embedding"))
+          .collect().toSeq
+          .map(r => (r.getLong(0),
+            r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+          .sortBy(_._1)
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // Embedding-cosine near-duplicate pairs (banded multi-table LSH +
     // exact verify), the semantic-dedup counterpart of minhash:
     // 16-plane signatures (65k buckets/table), 3 tables for recall,
@@ -3958,6 +4013,10 @@ object SparkEntry {
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_pq" -> ivfPqOracle,
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
+    // identical oracle: the frozen-model encode is batching-invariant,
+    // so streaming the arrivals through the event store produces the
+    // same index as the three-append build
+    "stream_ann_ingest" -> ivfPqPersistentOracle,
 
     "dedup_embedding_cosine" -> embeddingNearDupOracle,
 
