@@ -143,8 +143,16 @@ object AnnIndex {
       col("id").as("qid"), col("id").as(idCol),
       col("id").cast("double").as("adist"), col("id").as("rk"))
     if (hit.isEmpty) return empty
+    // dropDuplicates on vec_id: an at-least-once ingest that replays
+    // an append batch leaves bit-identical duplicate code rows (the
+    // frozen model maps a vector to one code row forever), and a
+    // duplicate surviving into a top-k would occupy two of the k
+    // slots. The dedup runs on the PROBED slice only — bounded by the
+    // probe set, never the corpus; compact() absorbs duplicates
+    // globally.
     val codes = spark.read.option("basePath", s"$gen/codes")
       .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
+      .dropDuplicates("vec_id")
     val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
       (0 until m).flatMap(s =>
         model.books(s).map(c =>
@@ -173,7 +181,10 @@ object AnnIndex {
 
   /** Rewrite the live generation's codes clustered one-file-per-list
     * into a NEW generation and flip the manifest — reader-safe
-    * compaction, model tables carried forward verbatim.
+    * compaction, model tables carried forward verbatim. SET-preserving
+    * rather than row-preserving: bit-identical duplicate code rows
+    * left by an at-least-once ingest replay are absorbed here (the
+    * global half of [[queryBatch]]'s probed-slice dedup).
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       retain: Int = 1): Unit = {
@@ -183,6 +194,7 @@ object AnnIndex {
     val next = s"$root/gen-" + f"${n + 1}%05d"
     writeModel(spark, next, model)
     spark.read.parquet(s"$cur/codes")
+      .dropDuplicates("vec_id")
       .repartition(targetFiles, col("ivf_cid"))
       .write.mode("overwrite").partitionBy("ivf_cid")
       .parquet(s"$next/codes")

@@ -139,6 +139,40 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("at-least-once replay: a double-appended batch changes nothing, " +
+      "and compaction absorbs the duplicate rows") {
+    val (nlist, ti, m, k, pi) = Geom
+    import spark.implicits._
+    val old = corpus.where(!col("vec_id").isin(NewIds.toSeq: _*))
+    val nw = corpus.where(col("vec_id").isin(NewIds.toSeq: _*))
+    val root = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(old, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi)
+      AnnIndex.append(nw, root.toString)
+      val want = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      // the replay: the same batch appended AGAIN (a foreachBatch
+      // retry after a crash between the append and its checkpoint
+      // commit) — queries must not let the duplicate rows double-fill
+      // a top-k
+      AnnIndex.append(nw, root.toString)
+      val replay = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(replay == want, "replayed append changed query results")
+      // compaction absorbs the duplicates globally: row count drops to
+      // the distinct vector count, results still unchanged
+      AnnIndex.compact(spark, root.toString, targetFiles = 4)
+      val gen = GenIndex.currentGen(root.toString)
+      val n = spark.read.parquet(s"$gen/codes").count()
+      assert(n == ids.size.toLong,
+        s"compaction left $n code rows for ${ids.size} vectors")
+      val after = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(after == want, "compaction after replay changed results")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("the probe bounds the read: unprobed lists' vectors never score") {
     val (nlist, ti, m, k, pi) = Geom
     val root = java.nio.file.Files.createTempDirectory("annix-spec-")
