@@ -459,7 +459,8 @@ object Bench {
     //     quantization); below it means the path breaks somewhere the
     //     coarse geometries can't see.
     val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd,
-        annixRecall): (Double, Double, Double, Double, Double, Double) =
+        annixRecall, residRecall): (Double, Double, Double, Double, Double,
+        Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -570,10 +571,29 @@ object Bench {
           System.err.println(f"[bench] persisted-index recall $annix%.3f " +
             f"!= in-session ivfpq recall $ivfpq%.3f — persistence layer " +
             "diverged from the algorithm")
-        (base, wide, prod, ivfpq, ivfpqProd, annix)
+        // RESIDUAL IVFADC canary at the same gated geometry: residuals
+        // concentrate near the origin, so the same m×k codebook budget
+        // should recall AT OR ABOVE the non-residual composed form —
+        // below it means the residual path (per-list ADC tables,
+        // residual encode) broke somewhere recall can see.
+        val resid = {
+          val got = graft.ops.Similarity.ivfPqResidualTopKBatch(e, pred,
+              kNN = 5, nlist = SparkEntry.IvfLists,
+              nprobe = SparkEntry.IvfPqProbes,
+              trainIters = SparkEntry.IvfIters,
+              m = SparkEntry.PqM, k = SparkEntry.PqK,
+              iters = SparkEntry.PqIters)
+            .select("qid", "vec_id")
+          if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+        }
+        if (resid >= 0 && ivfpq >= 0 && resid < ivfpq * 0.8)
+          System.err.println(f"[bench] residual IVFADC recall $resid%.3f " +
+            f"well below non-residual $ivfpq%.3f — investigate the " +
+            "residual encode path")
+        (base, wide, prod, ivfpq, ivfpqProd, annix, resid)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -828,6 +848,7 @@ object Bench {
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""annix_recall_at_5":$annixRecall,""" +
+      s""""ivfpq_residual_recall":$residRecall,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
       s""""cc_rounds_base":$ccRoundsBase,"cc_rounds_10x":$ccRounds10x,""" +
@@ -879,6 +900,7 @@ object Bench {
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""annix_recall_at_5":$annixRecall,""" +
+      s""""ivfpq_residual_recall":$residRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       f""""load_avg":$loadAvg%.1f,""" +

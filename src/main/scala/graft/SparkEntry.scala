@@ -822,6 +822,22 @@ object SparkEntry {
           m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // RESIDUAL IVF-PQ (classical IVFADC): the PQ books quantize
+    // x − centroid(list(x)) instead of raw x — residuals concentrate
+    // near the origin so the same m×k budget quantizes a smaller cell
+    // of the space; this is the variant production vector stores run.
+    // Encoding subtracts each row's own list centroid via zip_with
+    // against a cid→centroid map literal (still zero-shuffle); the ADC
+    // tables are per (query, probed list) since the query residual
+    // differs per list. Oracle: the shared coarse chain + residual
+    // relations feeding the same PQ codebook CTEs.
+    "ann_ivf_pq_residual" -> ((s, d) =>
+      graft.ops.Similarity.ivfPqResidualTopKBatch(Tables.embeddings(s, d),
+          queryPred = col("vec_id").isin(0, 1, 2), kNN = 5,
+          nlist = IvfLists, nprobe = IvfPqProbes, trainIters = IvfIters,
+          m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("qid"), col("rk"))),
+
     // PERSISTENT IVF-PQ: the index is seeded once from the at-rest
     // (old-split) corpus — quantizers trained and FROZEN, codes laid
     // out one directory per inverted list under a GenIndex root — then
@@ -3804,7 +3820,15 @@ object SparkEntry {
     * samples are the ordered id prefix, so the two prefixes are the
     * same relation). Ends in `code0..code{m-1}(vec_id, cid, d)`.
     */
-  private def pqCodebookBodyCtes: String = {
+  private def pqCodebookBodyCtes: String = pqCodebookBodyCtesOver()
+
+  /** [[pqCodebookBodyCtes]] with the training-sample / encode-corpus
+    * CTE names as parameters — the residual IVF-PQ oracle trains and
+    * encodes over RESIDUAL relations (`sampr`/`residc`) instead of
+    * the raw `samp`/`corp`; everything else is byte-identical.
+    */
+  private def pqCodebookBodyCtesOver(sampName: String = "samp",
+      corpName: String = "corp"): String = {
     val sub = PqDims / PqM
     val perSubspace = (0 until PqM).map { s =>
       val lo = s * sub + 1
@@ -3827,7 +3851,7 @@ object SparkEntry {
            |    SELECT cid, list(mv ORDER BY j) AS ce FROM m${s}_$r GROUP BY cid) n
            |    ON n.cid = p.cid)""".stripMargin
       }.mkString(",\n")
-      s"""sv$s AS (SELECT vec_id, ve[$lo:$hi] AS xs FROM samp),
+      s"""sv$s AS (SELECT vec_id, ve[$lo:$hi] AS xs FROM $sampName),
          |flat$s AS (SELECT vec_id, j, xs[j] AS v
          |  FROM sv$s, generate_series(1, $sub) t$s(j)),
          |c${s}_0 AS (
@@ -3840,7 +3864,7 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
          |    FROM (SELECT v.vec_id, c.cid,
          |            ${pqDistSql(s"v.ve[$lo:$hi]", "c.ce")} AS d
-         |          FROM corp v, c${s}_$PqIters c)) WHERE rn = 1)""".stripMargin
+         |          FROM $corpName v, c${s}_$PqIters c)) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     perSubspace
   }
@@ -3927,6 +3951,76 @@ object SparkEntry {
     s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
       s" >= $IncrementalNewBp")
 
+  /** Mirror of Similarity.ivfPqResidualTopKBatch — the classical
+    * IVFADC oracle: the coarse chain is shared verbatim with ann_ivf,
+    * then residual relations (`residc` for the corpus, `sampr` for the
+    * training sample — elementwise `ve[i] - ce[i]` against each row's
+    * assigned final centroid, plain IEEE doubles both engines compute
+    * identically) feed the SAME PQ codebook chain via
+    * [[pqCodebookBodyCtesOver]], and the ADC cells are PER
+    * (query, probed list) because the query residual differs per list.
+    */
+  private def ivfPqResidualOracle: String = {
+    require(IvfSample == PqSample,
+      "composed oracle shares one samp CTE — keep the sample caps equal")
+    val sub = PqDims / PqM
+    val cf = s"c$IvfIters"
+    val cellCtes = (0 until PqM).map { s =>
+      val lo = s * sub + 1
+      val hi = s * sub + sub
+      s"""cell$s AS (
+         |  SELECT qr.qid, qr.lcid, c.cid,
+         |    ${pqDistSql(s"qr.rv[$lo:$hi]", "c.ce")} AS cell
+         |  FROM qres qr, c${s}_$PqIters c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(s =>
+      s"JOIN code$s k$s ON k$s.vec_id = k0.vec_id").mkString("\n  ")
+    val cellJoins = (0 until PqM).map(s =>
+      s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid AND ce$s.lcid = av.cid" +
+        (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
+    val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
+    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+       |residc AS (
+       |  SELECT a.vec_id,
+       |    list_transform(generate_series(1, $PqDims),
+       |      i -> corp.ve[i] - cf.ce[i]) AS ve
+       |  FROM assigned a
+       |  JOIN corp ON corp.vec_id = a.vec_id
+       |  JOIN $cf cf ON cf.cid = a.cid),
+       |sampr AS (
+       |  SELECT r.vec_id, r.ve FROM residc r
+       |  JOIN samp s ON s.vec_id = r.vec_id),
+       |${pqCodebookBodyCtesOver(sampName = "sampr", corpName = "residc")},
+       |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("q.ve", "c.ce")} DESC, c.cid) AS rn
+       |    FROM qv q, $cf c) WHERE rn <= $IvfPqProbes),
+       |qres AS (
+       |  SELECT p.qid, p.cid AS lcid,
+       |    list_transform(generate_series(1, $PqDims),
+       |      i -> q.ve[i] - cf.ce[i]) AS rv
+       |  FROM probes p
+       |  JOIN qv q ON q.qid = p.qid
+       |  JOIN $cf cf ON cf.cid = p.cid),
+       |$cellCtes,
+       |scored AS (
+       |  SELECT ce0.qid, k0.vec_id, round($cellSum, 6) AS adist
+       |  FROM code0 k0
+       |  $codeJoins
+       |  JOIN assigned av ON av.vec_id = k0.vec_id
+       |  $cellJoins
+       |  WHERE k0.vec_id != ce0.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   private def ivfPqOracleFor(sampPred: String): String = {
     require(IvfSample == PqSample,
       "composed oracle shares one samp CTE — keep the sample caps equal")
@@ -4012,6 +4106,7 @@ object SparkEntry {
     "ann_ivf" -> ivfOracle,
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_pq" -> ivfPqOracle,
+    "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
     // identical oracle: the frozen-model encode is batching-invariant,
     // so streaming the arrivals through the event store produces the

@@ -242,10 +242,19 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int,
       maxSample: Int = 10000, sampleMode: String = "prefix",
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
-    val sample = trainingSample(corpus, maxSample, sampleMode, idCol)
-      .select(col(vecCol)).collect().toSeq
-      .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() })
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] =
+    pqTrainFrom(
+      trainingSample(corpus, maxSample, sampleMode, idCol)
+        .select(col(vecCol)).collect().toSeq
+        .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() }),
+      m, k, iters)
+
+  /** [[pqTrain]]'s Lloyd's core over an already-collected (ordered)
+    * training sample — the residual IVF-PQ path trains on driver-side
+    * residual vectors that never exist as a corpus column.
+    */
+  private[ops] def pqTrainFrom(sample: Seq[Seq[Double]], m: Int, k: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
     require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
     val dims = sample.head.length
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
@@ -491,6 +500,115 @@ object Similarity {
           element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
           emptyProbe)).as("qpos"): _*)
     val qtab = element_at(cube, col("qpos") + 1)
+    val dist = round((0 until m).map(s =>
+      element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
+      .reduce(_ + _), 6)
+    val scored = exploded
+      .withColumn("qid", element_at(qids, col("qpos") + 1))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), dist.as("adist"))
+    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
+        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("adist"), col("rk"))
+  }
+
+  /** RESIDUAL IVF-PQ (classical IVFADC, Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the PQ
+    * codebooks quantize the RESIDUAL `x − centroid(list(x))` instead
+    * of the raw vector — residuals concentrate near the origin, so the
+    * same m×k codebook budget spends its centroids on a much smaller
+    * cell of the space and quantization error drops; this is the
+    * variant production vector stores actually run. Differences from
+    * [[ivfPqTopKBatch]] (everything else is shared shape):
+    *
+    *  - PQ training runs on the residuals of the training sample
+    *    (driver-side: same rounded-cosine assignment as the engine's
+    *    projection, then elementwise subtraction — IEEE doubles, so an
+    *    external engine reproduces them bit-for-bit);
+    *  - corpus encoding subtracts each row's OWN list centroid (a
+    *    `zip_with` against a cid→centroid map literal — still a pure
+    *    zero-shuffle projection) before the code assignment;
+    *  - the ADC tables are PER (query, probed list): the query's
+    *    residual differs per list, so the lookup cube is keyed by
+    *    (query position, list id) — nprobe tables per query instead of
+    *    one, the classical IVFADC bookkeeping. Still a bounded driver
+    *    constant: Q × nprobe × m × k cells.
+    */
+  def ivfPqResidualTopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
+      nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
+      m: Int = 4, k: Int = 8, iters: Int = 2,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
+    val centOf: Map[Long, Seq[Double]] = cents.map { case (cid, ce) =>
+      cid.asInstanceOf[Number].longValue() -> ce
+    }.toMap
+    def nearestCid(x: Seq[Double]): Long = cents.map { case (cid, ce) =>
+      (1.0 - cos6(x, ce), cid.asInstanceOf[Number].longValue())
+    }.min._2
+    def residOf(x: Seq[Double]): Seq[Double] = {
+      val c = centOf(nearestCid(x))
+      x.indices.map(i => x(i) - c(i))
+    }
+    // PQ books trained on the SAMPLE's residuals (assignment by the
+    // same rounded-cosine ranking the engine projection uses)
+    val sample: Seq[Seq[Double]] =
+      trainingSample(corpus, maxSample, sampleMode, idCol)
+        .select(col(vecCol)).collect().toSeq
+        .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() })
+    val books = pqTrainFrom(sample.map(residOf), m, k, iters)
+    val sub = books.head.head.length
+    // engine-side residual: x − centroid(ivf_cid), elementwise — a
+    // zip_with against the cid→centroid map literal, zero shuffle
+    val centMap = typedLit(centOf)
+    val assigned = corpus
+      .withColumn("ivf_cid",
+        element_at(centroidRanking(col(vecCol), cents), 1).getField("cid")
+          .cast("long"))
+      .withColumn("rv", zip_with(col(vecCol).cast("array<double>"),
+        element_at(centMap, col("ivf_cid")), (a, b) => a - b))
+    val codes = pqCodesWith(assigned, books, idCol = idCol, vecCol = "rv",
+      keep = Seq("ivf_cid"))
+    val qVecs: Seq[(Long, Seq[Double])] = corpus
+      .where(queryPred)
+      .select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+      .sortBy(_._1)
+    require(qVecs.nonEmpty, "empty query batch")
+    val probes: Seq[(Long, Seq[Long])] = qVecs.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, ce) =>
+          (1.0 - cos6(qv, ce), cid.asInstanceOf[Number].longValue())
+        }.sorted.take(nprobe).map(_._2)
+    }
+    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
+      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    // per-(query, probed list) ADC tables: the query residual differs
+    // per list, so the cube is keyed "qpos:cid" — Q × nprobe entries
+    val cube: Map[String, Seq[Double]] = probes.zipWithIndex.flatMap {
+      case ((_, cids), qpos) =>
+        val qv = qVecs(qpos)._2
+        cids.map { cid =>
+          val c = centOf(cid)
+          val qr = qv.indices.map(i => qv(i) - c(i))
+          s"$qpos:$cid" -> (0 until m).flatMap(s =>
+            books(s).map(b => l2r6(qr.slice(s * sub, s * sub + sub), b)))
+            .toSeq
+        }
+    }.toMap
+    val cubeLit = typedLit(cube)
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val emptyProbe = typedLit(Seq.empty[Int])
+    val exploded = codes.select(
+      col(idCol) +: col("ivf_cid") +: (0 until m).map(s => col(s"code$s")) :+
+        explode(coalesce(
+          element_at(typedLit(cidToQpos), col("ivf_cid")),
+          emptyProbe)).as("qpos"): _*)
+    val qtab = element_at(cubeLit,
+      concat(col("qpos").cast("string"), lit(":"),
+        col("ivf_cid").cast("string")))
     val dist = round((0 until m).map(s =>
       element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
       .reduce(_ + _), 6)
