@@ -39,15 +39,20 @@ object StoreProvider {
     scala.collection.concurrent.TrieMap.empty[String, EventStore]
 
   /** Cache key for the predicate-restricted stores: (sfDir, session,
-    * CANONICAL PREDICATE). The predicate's SQL form is part of the
+    * CANONICAL PREDICATE). The predicate's printed form is part of the
     * key — without it a second caller passing a different predicate
     * would silently receive a store built with the first caller's,
-    * streaming wrong events with no error.
+    * streaming wrong events with no error. `Column.toString` is the
+    * canonical text of the column node (literals included); the
+    * Expression bridge's `.sql` is NOT usable here — an unresolved
+    * Spark 4 column renders as the placeholder `columnnodeexpression()`
+    * for EVERY predicate, which collapsed distinct predicates onto one
+    * key (two gated queries with 10%/50% splits shared one store and
+    * the second returned zero pairs).
     */
   private def storeKey(spark: SparkSession, sfDir: String,
       pred: org.apache.spark.sql.Column): String =
-    sfDir + "@" + System.identityHashCode(spark) + "#" +
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(pred).sql
+    sfDir + "@" + System.identityHashCode(spark) + "#" + pred.toString
 
   /** A second store whose events ARE documents (stream_id =
     * 'doc-<doc_id>', payload = text bytes), restricted by `pred` —
