@@ -556,11 +556,7 @@ object Bench {
               nlist = SparkEntry.IvfLists, trainIters = SparkEntry.IvfIters,
               m = SparkEntry.PqM, k = SparkEntry.PqK,
               pqIters = SparkEntry.PqIters)
-            val qv = e.where(pred)
-              .select(col("vec_id"), col("embedding")).collect().toSeq
-              .map(r => (r.getLong(0),
-                r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
-              .sortBy(_._1)
+            val qv = graft.ops.AnnIndex.collectQueryVecs(e.where(pred))
             val got = graft.ops.AnnIndex.queryBatch(spark, root.toString,
                 qv, kNN = 5, nprobe = SparkEntry.IvfPqProbes)
               .select("qid", "vec_id")

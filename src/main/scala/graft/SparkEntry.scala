@@ -869,12 +869,8 @@ object SparkEntry {
           if (c == 1)
             graft.ops.AnnIndex.compact(s, root.toString)
         }
-        val qVecs = e.where(col("vec_id").isin(0, 1, 2))
-          .select(col("vec_id"), col("embedding"))
-          .collect().toSeq
-          .map(r => (r.getLong(0),
-            r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
-          .sortBy(_._1)
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
         // materialize BEFORE the finally deletes the index dirs — the
         // lazy plan reads the persisted generation
         graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
@@ -926,12 +922,8 @@ object SparkEntry {
                 graft.ops.AnnIndex.compact(s, root.toString)
               ids.groupBy().count()
             }) { r => r.getAs[Long](0) }
-        val qVecs = e.where(col("vec_id").isin(0, 1, 2))
-          .select(col("vec_id"), col("embedding"))
-          .collect().toSeq
-          .map(r => (r.getLong(0),
-            r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
-          .sortBy(_._1)
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
         graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
             kNN = 5, nprobe = IvfPqProbes)
           .orderBy(col("qid"), col("rk"))

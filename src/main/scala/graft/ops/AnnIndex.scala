@@ -188,18 +188,29 @@ object AnnIndex {
     */
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       retain: Int = 1): Unit = {
-    val cur = GenIndex.currentGen(root)
+    val (cur, next) = GenIndex.nextGen(root)
     val model = readModel(spark, cur)
-    val n = cur.substring(cur.lastIndexOf("gen-") + 4).toInt
-    val next = s"$root/gen-" + f"${n + 1}%05d"
-    writeModel(spark, next, model)
+    writeModel(spark, s"$root/$next", model)
     spark.read.parquet(s"$cur/codes")
       .dropDuplicates("vec_id")
       .repartition(targetFiles, col("ivf_cid"))
       .write.mode("overwrite").partitionBy("ivf_cid")
-      .parquet(s"$next/codes")
-    GenIndex.publish(spark, root, "gen-" + f"${n + 1}%05d", retain)
+      .parquet(s"$root/$next/codes")
+    GenIndex.publish(root, next, retain)
   }
+
+  /** Collect a bounded query batch as the driver-side
+    * `(id, vector)` seq [[queryBatch]] takes — ordered by id so the
+    * probe sets and the lookup cube are deterministic. One helper so
+    * every call site (gated queries, bench canaries, plan tools)
+    * builds the batch identically.
+    */
+  def collectQueryVecs(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Long, Seq[Double])] =
+    df.select(col(idCol), col(vecCol)).collect().toSeq
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+      .sortBy(_._1)
 
   /** The frozen-model encode projection shared by seed and append:
     * nearest coarse centroid (6-dp-rounded cosine ranking, ties to

@@ -96,7 +96,7 @@ object Curation {
       spark.conf.get("spark.sql.warehouse.dir"))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     bktCreated.synchronized {
-      Seq(lt -> leftTable, rt -> rightTable).foreach { case (t, logical) =>
+      Seq(lt, rt).foreach { t =>
         // same-session re-run (bench min-of-2) reuses the nonce'd name:
         // dropping OUR OWN managed table (tracked in bktCreated) also
         // removes its location
@@ -113,25 +113,42 @@ object Curation {
           spark.sql(s"DROP TABLE IF EXISTS $t")
           fs.delete(loc, true)
         }
-        // stale generations from PRIOR JVMs (`<logical>__g<nonce'>`)
-        // are unreachable — their nonce died with its JVM — and the
-        // old fixed-name scheme's implicit overwrite no longer clears
-        // them, so they accumulate across runs. Reclaim siblings older
-        // than an hour; the age gate keeps a genuinely CONCURRENT
-        // session's tables (created minutes ago) out of reach.
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-        if (fs.exists(warehouse))
-          fs.listStatus(warehouse).foreach { st =>
-            val n = st.getPath.getName
-            if (st.isDirectory && n.startsWith(s"${logical}__g") &&
-                n != t && st.getModificationTime < cutoff) {
+      }
+      // stale generations from OTHER JVMs (`<logical>__g<nonce'>`) are
+      // unreachable once their JVM exits — their nonce died with it —
+      // and the old fixed-name scheme's implicit overwrite no longer
+      // clears them, so they would accumulate across runs. Ownership
+      // is decided by the `_graft_owner` pid marker each generation
+      // carries: a LIVE owner pid (same host — /proc probe) means a
+      // concurrent session's table, never touched regardless of age;
+      // a dead pid means reclaimable; a missing marker (pre-marker
+      // layout or a write that died before marking) falls back to an
+      // age gate. One warehouse listing covers both logical names.
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      if (fs.exists(warehouse))
+        fs.listStatus(warehouse).foreach { st =>
+          val n = st.getPath.getName
+          val mine = Seq(leftTable, rightTable)
+            .exists(l => n.startsWith(s"${l}__g"))
+          if (st.isDirectory && mine && n != lt && n != rt) {
+            val marker = new org.apache.hadoop.fs.Path(st.getPath,
+              "_graft_owner")
+            val reclaimable =
+              if (fs.exists(marker)) {
+                val pid = try scala.io.Source.fromInputStream(
+                    fs.open(marker), "UTF-8").mkString.trim.toLong
+                  catch { case _: Exception => -1L }
+                pid > 0 && !java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(s"/proc/$pid"))
+              } else st.getModificationTime < cutoff
+            if (reclaimable) {
               spark.sql(s"DROP TABLE IF EXISTS $n")
               fs.delete(st.getPath, true)
             }
           }
-      }
+        }
     }
     left.repartition(buckets, col(leftKey))
       .write.mode("overwrite").format("parquet")
@@ -139,6 +156,18 @@ object Curation {
     right.repartition(buckets, col(rightKey))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, rightKey).sortBy(rightKey).saveAsTable(rt)
+    // ownership marker (underscore-prefixed — parquet readers skip it):
+    // the pid lets a LATER session distinguish a live concurrent
+    // owner from a dead one instead of guessing by age
+    Seq(lt, rt).foreach { t =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t), "_graft_owner"),
+        true)
+      try out.write(java.lang.ProcessHandle.current().pid().toString
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
     bktCreated.synchronized { bktCreated ++= Seq(lt, rt) }
     spark.table(lt)
       .join(spark.table(rt), col(leftKey) === col(rightKey))

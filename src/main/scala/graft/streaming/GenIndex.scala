@@ -61,6 +61,18 @@ object GenIndex {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** The live generation and the name its successor must take —
+    * the ONE place that knows the `gen-%05d` naming/parsing contract
+    * (including the five-digit overflow subtlety retention guards
+    * against). External rewriters ([[graft.ops.AnnIndex.compact]])
+    * resolve both here, build `root/<next>`, then [[publish]].
+    */
+  def nextGen(root: String): (String, String) = {
+    val cur = currentGen(root)
+    val n = cur.substring(cur.lastIndexOf("gen-") + 4).toInt
+    (cur, f"gen-${n + 1}%05d")
+  }
+
   /** Compact the live generation into a new one and flip the pointer:
     * the same clustered rewrite as [[StreamingDedup.compactIndex]]
     * (content-preserving by construction — one read, one write), but
@@ -70,12 +82,10 @@ object GenIndex {
   def compact(spark: SparkSession, root: String, clusterCols: Seq[String],
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
       retain: Int = 1): Unit = {
-    val cur = currentGen(root)
-    val n = cur.substring(cur.lastIndexOf("gen-") + 4).toInt
-    val next = f"gen-${n + 1}%05d"
+    val (cur, next) = nextGen(root)
     StreamingDedup.rewriteClustered(spark, cur, s"$root/$next",
       clusterCols, targetFiles, partitionCols)
-    publish(spark, root, next, retain)
+    publish(root, next, retain)
   }
 
   /** Publish an externally-built generation: flip the manifest to
@@ -83,9 +93,11 @@ object GenIndex {
     * the single clustered-parquet shape [[compact]] assumes — e.g.
     * the model + codes composite of [[graft.ops.AnnIndex]] — the
     * caller builds `root/<gen>` itself and hands the flip here so
-    * the pointer/retention discipline stays in one place.
+    * the pointer/retention discipline stays in one place. (All I/O
+    * resolves the Hadoop conf from the ACTIVE session, so there is
+    * deliberately no SparkSession parameter to mislead callers.)
     */
-  def publish(spark: SparkSession, root: String, gen: String,
+  def publish(root: String, gen: String,
       retain: Int = 1): Unit = {
     flip(root, gen)
     // retention orders by the PARSED generation number: %05d names

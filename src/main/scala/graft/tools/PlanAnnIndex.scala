@@ -26,11 +26,8 @@ object PlanAnnIndex {
         trainIters = graft.SparkEntry.IvfIters,
         m = graft.SparkEntry.PqM, k = graft.SparkEntry.PqK,
         pqIters = graft.SparkEntry.PqIters)
-      val qVecs = e.where(col("vec_id").isin(0, 1, 2))
-        .select(col("vec_id"), col("embedding")).collect().toSeq
-        .map(r => (r.getLong(0),
-          r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
-        .sortBy(_._1)
+      val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+        e.where(col("vec_id").isin(0, 1, 2)))
       val df = graft.ops.AnnIndex.queryBatch(spark, root.toString, qVecs,
         kNN = 5, nprobe = graft.SparkEntry.IvfPqProbes)
       println(df.queryExecution.explainString(

@@ -22,10 +22,19 @@ object Probe100x {
   val Factor100 = 100
 
   def ensure100x(spark: SparkSession, srcDir: String): String = {
-    val dst = s"/tmp/graft-scale100x-${new java.io.File(srcDir).getName}" +
-      s"-v${ScaleGen.GenVersion}"
+    // cache key mirrors ensure10x: generator version + source
+    // fingerprint — a regenerated source corpus at the same path must
+    // invalidate the replica, or the 100x leg would silently measure
+    // old data against new base/10x legs
+    val prefix = s"graft-scale100x-${new java.io.File(srcDir).getName}"
+    val dst =
+      s"/tmp/$prefix-v${ScaleGen.GenVersion}-${ScaleGen.srcFingerprint(srcDir)}"
     val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
     if (java.nio.file.Files.exists(marker)) return dst
+    // superseded siblings (other fingerprints/versions) are dead weight
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith(prefix) && f.toString != dst)
+      .foreach(graft.core.Fs.deleteRecursively)
     graft.core.Fs.deleteRecursively(new java.io.File(dst))
     Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
       .foreach { case (t, keys) =>

@@ -95,7 +95,7 @@ object ScaleGen {
     * lengths), so a regenerated source dir gets a fresh replica
     * instead of silently benching stale data
     */
-  private def srcFingerprint(srcDir: String): String = {
+  private[tools] def srcFingerprint(srcDir: String): String = {
     val files = Option(new java.io.File(srcDir).listFiles()).getOrElse(Array())
       .flatMap { f =>
         if (f.isDirectory)

@@ -81,14 +81,39 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // session's table) must survive
     val stale = new java.io.File(wh, "bkt_rerun_l__g00000000")
     val fresh = new java.io.File(wh, "bkt_rerun_l__gffffffff")
-    assert(stale.mkdirs() && fresh.mkdirs())
-    assert(stale.setLastModified(
-      System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    // ownership markers decide precisely when present: a LIVE owner
+    // pid protects a table at ANY age; a DEAD owner pid releases it at
+    // any age
+    val liveOwned = new java.io.File(wh, "bkt_rerun_l__g11111111")
+    val deadOwned = new java.io.File(wh, "bkt_rerun_l__g22222222")
+    assert(stale.mkdirs() && fresh.mkdirs() &&
+      liveOwned.mkdirs() && deadOwned.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(liveOwned, "_graft_owner").toPath,
+      java.lang.ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(deadOwned, "_graft_owner").toPath,
+      "999999999".getBytes("UTF-8"))
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    assert(stale.setLastModified(old) && liveOwned.setLastModified(old))
     try {
       Curation.bucketedJoin(left, "lid", right, "rid", 2,
         leftTable = "bkt_rerun_l", rightTable = "bkt_rerun_r").count()
-      assert(!stale.exists(), "stale prior-JVM generation must be GC'd")
-      assert(fresh.exists(), "recent (possibly live) generation must survive")
-    } finally graft.core.Fs.deleteRecursively(fresh)
+      assert(!stale.exists(), "unmarked stale generation must be GC'd")
+      assert(fresh.exists(), "unmarked recent generation must survive")
+      assert(liveOwned.exists(),
+        "a LIVE owner's table must survive at any age")
+      assert(!deadOwned.exists(),
+        "a DEAD owner's table must be reclaimed at any age")
+      // the tables this session just (re)created carry its own pid
+      val marker = new java.io.File(wh,
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith("bkt_rerun_l__g")).head)
+      assert(new java.io.File(marker, "_graft_owner").exists(),
+        "created tables must carry the ownership marker")
+    } finally {
+      graft.core.Fs.deleteRecursively(fresh)
+      graft.core.Fs.deleteRecursively(liveOwned)
+    }
   }
 }
