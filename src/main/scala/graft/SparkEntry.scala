@@ -880,6 +880,39 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // PERSISTENT RESIDUAL IVF-PQ: the persisted index running the
+    // classical IVFADC encoding — PQ books trained on the seed
+    // corpus's residuals, every append encoding x − centroid(list(x))
+    // with the frozen model, queries building per-(query, probed list)
+    // ADC tables against the manifest-resolved generation. The
+    // production composition: generational persistence AND residual
+    // quantization in one index.
+    "ann_ivfpq_persistent_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annxr-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters, residual = true)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // STREAMING ANN ingest: the index-maintenance shape a live vector
     // store runs — new embeddings arrive as EVENTS through the real
     // append path (vector ids in the payload, the vector store holds
@@ -3952,7 +3985,34 @@ object SparkEntry {
     * [[pqCodebookBodyCtesOver]], and the ADC cells are PER
     * (query, probed list) because the query residual differs per list.
     */
-  private def ivfPqResidualOracle: String = {
+  private def ivfPqResidualOracle: String =
+    materializeResidualCtes(ivfPqResidualOracleFor("TRUE"))
+
+  /** ann_ivfpq_persistent_residual: the residual chain with the
+    * training sample restricted to the seed-time corpus — the
+    * persisted IVFADC's frozen-model contract (same parameterization
+    * as [[ivfPqPersistentOracle]]).
+    */
+  private def ivfPqPersistentResidualOracle: String =
+    materializeResidualCtes(ivfPqResidualOracleFor(
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+        s" >= $IncrementalNewBp"))
+
+  /** DuckDB-only MATERIALIZED hints on the residual oracles' heavy
+    * shared relations: DuckDB inlines CTEs, so `code0..code3` each
+    * re-derive `residc` — which re-runs the whole unrolled k-means
+    * chain — and the oracle goes from ~1 s to unbounded-minutes.
+    * Materializing residc/sampr/qres/assigned pins each to one
+    * evaluation (measured: 120 s+ → 1.1-1.8 s at sf0.01). The hint is
+    * valid DuckDB 1.0 syntax and the oracles never run on Spark.
+    */
+  private def materializeResidualCtes(sql: String): String = sql
+    .replace("residc AS (", "residc AS MATERIALIZED (")
+    .replace("sampr AS (", "sampr AS MATERIALIZED (")
+    .replace("qres AS (", "qres AS MATERIALIZED (")
+    .replace("assigned AS (", "assigned AS MATERIALIZED (")
+
+  private def ivfPqResidualOracleFor(sampPred: String): String = {
     require(IvfSample == PqSample,
       "composed oracle shares one samp CTE — keep the sample caps equal")
     val sub = PqDims / PqM
@@ -3971,7 +4031,7 @@ object SparkEntry {
       s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid AND ce$s.lcid = av.cid" +
         (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
     val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
-    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+    s"""WITH ${ivfTrainAssignCtes(sampPred)},
        |residc AS (
        |  SELECT a.vec_id,
        |    list_transform(generate_series(1, $PqDims),
@@ -4099,6 +4159,7 @@ object SparkEntry {
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_pq" -> ivfPqOracle,
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
+    "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
     // identical oracle: the frozen-model encode is batching-invariant,
     // so streaming the arrivals through the event store produces the

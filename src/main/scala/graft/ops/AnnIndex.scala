@@ -52,10 +52,24 @@ object AnnIndex {
     * trained constants (nlist and m×k entries).
     */
   final case class Model(cents: Seq[(Any, Seq[Double])],
-      books: Seq[Seq[Seq[Double]]]) {
+      books: Seq[Seq[Seq[Double]]], residual: Boolean = false) {
     def m: Int = books.length
     def k: Int = books.head.length
     def sub: Int = books.head.head.length
+    def centOf: Map[Long, Seq[Double]] = cents.map { case (cid, ce) =>
+      cid.asInstanceOf[Number].longValue() -> ce
+    }.toMap
+    /** nearest-list residual of a driver-side vector — the same
+      * rounded-cosine ranking (ties to the smaller cid) as the
+      * engine's assignment projection
+      */
+    def residOf(x: Seq[Double]): Seq[Double] = {
+      val cid = cents.map { case (c, ce) =>
+        (1.0 - Similarity.cos6(x, ce), c.asInstanceOf[Number].longValue())
+      }.min._2
+      val c = centOf(cid)
+      x.indices.map(i => x(i) - c(i))
+    }
   }
 
   /** Train the quantizers from `corpus` and publish generation 0:
@@ -69,13 +83,24 @@ object AnnIndex {
   def seed(corpus: DataFrame, root: String, nlist: Int, trainIters: Int,
       m: Int, k: Int, pqIters: Int, maxSample: Int = 10000,
       sampleMode: String = "prefix", idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.kmeansCentroids(corpus, nlist, trainIters,
       maxSample, sampleMode, idCol, vecCol)
-    val books = Similarity.pqTrain(corpus, m, k, pqIters, maxSample,
-      sampleMode, idCol, vecCol)
-    val model = Model(cents, books)
+    // residual=true is the classical IVFADC composition: the PQ books
+    // train on the SAMPLE's residuals (x minus its nearest final
+    // centroid) and every encode/query below follows the flag — the
+    // persisted counterpart of Similarity.ivfPqResidualTopKBatch
+    val books =
+      if (residual) {
+        val sample = collectQueryVecs(
+          Similarity.trainingSample(corpus, maxSample,
+            sampleMode, idCol), idCol, vecCol).map(_._2)
+        val pre = Model(cents, Nil, residual = true)
+        Similarity.pqTrainFrom(sample.map(pre.residOf), m, k, pqIters)
+      } else Similarity.pqTrain(corpus, m, k, pqIters, maxSample,
+        sampleMode, idCol, vecCol)
+    val model = Model(cents, books, residual)
     GenIndex.init(root) { dir =>
       writeModel(spark, dir, model)
       encode(corpus, model, idCol, vecCol)
@@ -153,20 +178,42 @@ object AnnIndex {
     val codes = spark.read.option("basePath", s"$gen/codes")
       .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
       .dropDuplicates("vec_id")
-    val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
-      (0 until m).flatMap(s =>
-        model.books(s).map(c =>
-          Similarity.l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
-    }
-    val cube = typedLit(cubeVals)
     val qids = typedLit(qVecs.map(_._1): Seq[Long])
     val emptyProbe = typedLit(Seq.empty[Int])
     val exploded = codes.select(
-      col(idCol) +: (0 until m).map(s => col(s"code$s")) :+
+      col(idCol) +: col("ivf_cid") +: (0 until m).map(s => col(s"code$s")) :+
         explode(coalesce(
           element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
           emptyProbe)).as("qpos"): _*)
-    val qtab = element_at(cube, col("qpos") + 1)
+    // residual models need a table PER (query, probed list) — the
+    // query residual differs per list (the classical IVFADC
+    // bookkeeping); non-residual models use one table per query.
+    // Either way a bounded driver constant.
+    val qtab =
+      if (model.residual) {
+        val cube: Map[String, Seq[Double]] = probes.zipWithIndex.flatMap {
+          case ((_, cids), qpos) =>
+            val qv = qVecs(qpos)._2
+            cids.map { cid =>
+              val c = model.centOf(cid)
+              val qr = qv.indices.map(i => qv(i) - c(i))
+              s"$qpos:$cid" -> (0 until m).flatMap(s =>
+                model.books(s).map(b =>
+                  Similarity.l2r6(qr.slice(s * sub, s * sub + sub), b)))
+                .toSeq
+            }
+        }.toMap
+        element_at(typedLit(cube),
+          concat(col("qpos").cast("string"), lit(":"),
+            col("ivf_cid").cast("string")))
+      } else {
+        val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
+          (0 until m).flatMap(s =>
+            model.books(s).map(c =>
+              Similarity.l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
+        }
+        element_at(typedLit(cubeVals), col("qpos") + 1)
+      }
     val dist = round((0 until m).map(s =>
       element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
       .reduce(_ + _), 6)
@@ -218,16 +265,31 @@ object AnnIndex {
     * plan literals, zero shuffle, stays in whole-stage codegen.
     */
   private def encode(vecs: DataFrame, model: Model, idCol: String,
-      vecCol: String): DataFrame =
-    Similarity.pqCodesWith(
-      vecs.withColumn("ivf_cid",
-        element_at(Similarity.centroidRanking(col(vecCol), model.cents), 1)
-          .getField("cid").cast("long")),
-      model.books, idCol = idCol, vecCol = vecCol, keep = Seq("ivf_cid"))
+      vecCol: String): DataFrame = {
+    val assigned = vecs.withColumn("ivf_cid",
+      element_at(Similarity.centroidRanking(col(vecCol), model.cents), 1)
+        .getField("cid").cast("long"))
+    if (model.residual)
+      // classical IVFADC: codes quantize x - centroid(list(x)) — the
+      // residual is a zip_with against the cid->centroid map literal,
+      // still a zero-shuffle codegen projection
+      Similarity.pqCodesWith(
+        assigned.withColumn("rv",
+          zip_with(col(vecCol).cast("array<double>"),
+            element_at(typedLit(model.centOf), col("ivf_cid")),
+            (a, b) => a - b)),
+        model.books, idCol = idCol, vecCol = "rv", keep = Seq("ivf_cid"))
+    else
+      Similarity.pqCodesWith(assigned, model.books, idCol = idCol,
+        vecCol = vecCol, keep = Seq("ivf_cid"))
+  }
 
   private def writeModel(spark: SparkSession, dir: String,
       model: Model): Unit = {
     import spark.implicits._
+    // the residual flag is part of the model contract: a probe must
+    // build the encode-matching cube or every distance is wrong
+    graft.core.Fs.writeUtf8(s"$dir/_residual", model.residual.toString)
     model.cents
       .map { case (cid, ce) => (cid.asInstanceOf[Number].longValue(), ce) }
       .toDF("cid", "ce")
@@ -254,6 +316,8 @@ object AnnIndex {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
-    Model(cents, books)
+    val residual = graft.core.Fs.hadoopExists(s"$dir/_residual") &&
+      graft.core.Fs.readUtf8(s"$dir/_residual").trim.toBoolean
+    Model(cents, books, residual)
   }
 }

@@ -181,7 +181,7 @@ object Similarity {
     * sample order, and therefore the whole trained constant, is
     * engine-independent.
     */
-  private def trainingSample(corpus: DataFrame, maxSample: Int,
+  private[ops] def trainingSample(corpus: DataFrame, maxSample: Int,
       sampleMode: String, idCol: String): DataFrame = sampleMode match {
     case "prefix" => corpus.orderBy(col(idCol)).limit(maxSample)
     case "hash" => corpus

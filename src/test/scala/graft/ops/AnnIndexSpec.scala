@@ -173,6 +173,40 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("residual model: persisted IVFADC reproduces the in-session " +
+      "residual batch, appends included") {
+    val (nlist, ti, m, k, pi) = Geom
+    import spark.implicits._
+    val want = rows(Similarity.ivfPqResidualTopKBatch(corpus,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, nlist = nlist,
+      nprobe = 2, trainIters = ti, m = m, k = k, iters = pi))
+    val old = corpus.where(!col("vec_id").isin(NewIds.toSeq: _*))
+    val nw = corpus.where(col("vec_id").isin(NewIds.toSeq: _*))
+    // full-corpus seed must equal the in-session residual batch
+    val root1 = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(corpus, root1.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, residual = true)
+      val got = rows(AnnIndex.queryBatch(spark, root1.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(got == want,
+        s"persisted residual query diverged from in-session:\n$got\nvs\n$want")
+    } finally graft.core.Fs.deleteRecursively(root1.toFile)
+    // and the frozen residual model is append/compaction-invariant
+    val root2 = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(old, root2.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, residual = true)
+      AnnIndex.append(nw, root2.toString)
+      val one = rows(AnnIndex.queryBatch(spark, root2.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      AnnIndex.compact(spark, root2.toString, targetFiles = 4)
+      val after = rows(AnnIndex.queryBatch(spark, root2.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(after == one, "compaction changed residual results")
+    } finally graft.core.Fs.deleteRecursively(root2.toFile)
+  }
+
   test("the probe bounds the read: unprobed lists' vectors never score") {
     val (nlist, ti, m, k, pi) = Geom
     val root = java.nio.file.Files.createTempDirectory("annix-spec-")
