@@ -459,8 +459,8 @@ object Bench {
     //     quantization); below it means the path breaks somewhere the
     //     coarse geometries can't see.
     val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd,
-        annixRecall, residRecall): (Double, Double, Double, Double, Double,
-        Double, Double) =
+        annixRecall, annixRecallProd, residRecall): (Double, Double, Double,
+        Double, Double, Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -567,6 +567,32 @@ object Bench {
           System.err.println(f"[bench] persisted-index recall $annix%.3f " +
             f"!= in-session ivfpq recall $ivfpq%.3f — persistence layer " +
             "diverged from the algorithm")
+        // PERSISTED-index canary at PRODUCTION PQ geometry (m=8,
+        // k=256): same frozen-training contract as `annix`, at the
+        // geometry a 100 TB deployment actually serves — the r13
+        // record had the persistence equality only at the toy gated
+        // geometry, so a k=256-only storage bug (code column width,
+        // cube indexing) had no canary. Must EQUAL ivfpq_recall_prod
+        // exactly; a gap is the storage layer, not the algorithm.
+        val annixProd = {
+          val root =
+            java.nio.file.Files.createTempDirectory("bench-annixp-")
+          try {
+            graft.ops.AnnIndex.seed(e, root.toString,
+              nlist = SparkEntry.IvfLists, trainIters = SparkEntry.IvfIters,
+              m = 8, k = 256, pqIters = SparkEntry.PqIters)
+            val qv = graft.ops.AnnIndex.collectQueryVecs(e.where(pred))
+            val got = graft.ops.AnnIndex.queryBatch(spark, root.toString,
+                qv, kNN = 5, nprobe = SparkEntry.IvfPqProbes)
+              .select("qid", "vec_id")
+            if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+          } finally graft.core.Fs.deleteRecursively(root.toFile)
+        }
+        if (annixProd >= 0 && ivfpqProd >= 0 &&
+            math.abs(annixProd - ivfpqProd) > 1e-9)
+          System.err.println(f"[bench] persisted-index PROD recall " +
+            f"$annixProd%.3f != in-session ivfpq prod recall " +
+            f"$ivfpqProd%.3f — k=256 persistence path diverged")
         // RESIDUAL IVFADC canary at the same gated geometry: residuals
         // concentrate near the origin, so the same m×k codebook budget
         // should recall AT OR ABOVE the non-residual composed form —
@@ -586,10 +612,10 @@ object Bench {
           System.err.println(f"[bench] residual IVFADC recall $resid%.3f " +
             f"well below non-residual $ivfpq%.3f — investigate the " +
             "residual encode path")
-        (base, wide, prod, ivfpq, ivfpqProd, annix, resid)
+        (base, wide, prod, ivfpq, ivfpqProd, annix, annixProd, resid)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -703,8 +729,12 @@ object Bench {
     var ivfListP5010x = -1L
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_LEG", "1") == "1") {
       try {
+        // default raised 1200 → 1800 for r14: the r13 driver run hit
+        // the 1200 s ceiling and skipped 24 legs — the budget must fit
+        // the measured worst case (~131 legs, min-of-2, load ~8), not
+        // the optimistic one
         val budgetSec =
-          sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1200").toDouble
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1800").toDouble
         val genT0 = System.nanoTime()
         val bigDir = graft.tools.ScaleGen.ensure10x(spark, sfDir)
         val genSec = (System.nanoTime() - genT0) / 1e9
@@ -719,7 +749,17 @@ object Bench {
           sq("ingest") = w._1
           witness10x("ingest") = (w._2, w._3, w._4, w._5, w._6)
         }
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // RANDOMIZED leg order (fresh seed per run): the sweep through
+        // r13 ran alphabetically, so any budget overrun starved the
+        // SAME alphabetically-late legs every round — the whole text_*
+        // family had zero 10× coverage in BENCH_r13. With a per-run
+        // shuffle an overrun skips a different subset each time, so no
+        // family can silently lose its scale record round after round.
+        // (Per-leg times are order-independent: each leg is min-of-2
+        // with a hygiene sweep between passes.)
+        val scaleOrder = new scala.util.Random(System.nanoTime())
+          .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+        scaleOrder.foreach { case (name, fn) =>
           if (spent > budgetSec) skipped += name
           else {
             def onePass() = witnessedPass(s"scale10x $name", s"10x:$name") {
@@ -844,6 +884,7 @@ object Bench {
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""annix_recall_at_5":$annixRecall,""" +
+      s""""annix_recall_prod":$annixRecallProd,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
@@ -896,6 +937,7 @@ object Bench {
       s""""ivfpq_recall_at_5":$ivfPqRecall,""" +
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""annix_recall_at_5":$annixRecall,""" +
+      s""""annix_recall_prod":$annixRecallProd,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
@@ -916,5 +958,13 @@ object Bench {
         s"[bench] bench-summary.json write failed: ${e.getMessage}")
     }
     spark.stop()
+    // the summary AGAIN, on STDERR, as the process's final act: sbt
+    // decorates stdout ([info] prefixes, a [success] trailer AFTER our
+    // last line) which has defeated the driver's tail parse for five
+    // consecutive rounds ("parsed": null) — stderr passes through sbt
+    // undecorated, and printing after spark.stop() puts it past the
+    // executor shutdown chatter. The committed bench-summary.json stays
+    // the durable record either way.
+    System.err.println(summary)
   }
 }

@@ -659,6 +659,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // SQ8 scalar-quantized top-k: the corpus as per-vector symmetric
+    // int8 codes (curation_quantize_int8's exact quantizer), scored by
+    // full-precision-vs-dequantized cosine — the per-vector scale
+    // cancels, so scoring runs directly on the codes and the scan
+    // reads 1/8th the float64 bytes. The compression tier between the
+    // flat baseline (ann_cosine_topk) and PQ.
+    "ann_sq8_topk" -> ((s, d) =>
+      graft.ops.Similarity.sq8TopKBatch(Tables.embeddings(s, d),
+          col("vec_id").isin(0, 1, 2), 5)
+        .orderBy(col("qid"), col("rk"))),
+
     // MinHash + LSH near-duplicate detection (full pipeline: word
     // 3-shingles → 8 minhashes → 4 bands → candidate join → exact
     // Jaccard verify). md5-based hashes so the oracle can mirror them.
@@ -669,13 +680,28 @@ object SparkEntry {
     // Incremental MinHash-LSH: a ~10% "new batch" (deterministic md5
     // bucket) probes the corpus band index — pairs touching a new doc
     // only, the per-ingest shape of production dedup (no corpus
-    // self-join).
+    // self-join). The band index comes from the session-cached
+    // SIGNATURE STORE (StoreProvider.minhashBandIndexFor — production
+    // builds it once, probes read it), and verification re-shingles
+    // only candidate documents; result identical to the self-contained
+    // minhashLshIncremental (OpsSpec pins it), same oracle.
     "dedup_minhash_incremental" -> ((s, d) =>
-      graft.ops.Dedup.minhashLshIncremental(Tables.documents(s, d),
+      graft.ops.Dedup.minhashLshIncrementalIndexed(Tables.documents(s, d),
+          StoreProvider.minhashBandIndexFor(s, d),
           "text", "doc_id",
           graft.ops.Curation.hashBucket(col("doc_id"), IncrementalSeed)
             < lit(IncrementalNewBp))
         .orderBy(col("a"), col("b"))),
+
+    // Duplicated-substring spans — the exact-substring dedup tier
+    // (suffix-array semantics, distributed via positional word k-gram
+    // anchors): maximal runs of consecutive 8-grams each occurring in
+    // ≥2 distinct documents, i.e. the boilerplate spans an
+    // exact-substring pass would cut from otherwise-unique documents.
+    "dedup_substring_spans" -> ((s, d) =>
+      graft.ops.Dedup.substringDupSpans(Tables.documents(s, d),
+          "text", "doc_id", k = SubstrK, minRun = SubstrMinRun)
+        .orderBy(col("doc_id"), col("start_pos"))),
 
     // Exact n-gram Jaccard ≥ 0.8 — the VERIFICATION path, gated by a
     // posting-list cap (maxDf) so the self-join has a candidate-pair
@@ -913,13 +939,58 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // TOMBSTONE DELETES on the persistent index — the LSM delete
+    // discipline (deletes are writes; queries mask, compaction
+    // applies): a deterministic ~5% victim set is deleted in two
+    // waves, seed-side victims BEFORE a compaction (so the gate pins
+    // physical removal — their rows are gone from the new
+    // generation's codes) and append-side victims AFTER it (so the
+    // gate pins the query-time tombstone mask on the probed slice).
+    // Oracle: the persistent chain with deleted ids excluded from the
+    // candidate set — frozen-model training is UNCHANGED by deletes
+    // (quantizers never retrain on delete, like every real IVF store).
+    "ann_ivfpq_persistent_delete" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val isDel = graft.ops.Curation.hashBucket(col("vec_id"),
+        DeleteSeed) < lit(DeleteBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annixdel-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        graft.ops.AnnIndex.append(
+          e.where(isNew && pmod(col("vec_id"), lit(3)) === 0),
+          root.toString)
+        graft.ops.AnnIndex.delete(
+          e.where(isDel && !isNew).select("vec_id"), root.toString)
+        graft.ops.AnnIndex.compact(s, root.toString)
+        graft.ops.AnnIndex.append(
+          e.where(isNew && pmod(col("vec_id"), lit(3)) === 1),
+          root.toString)
+        graft.ops.AnnIndex.append(
+          e.where(isNew && pmod(col("vec_id"), lit(3)) === 2),
+          root.toString)
+        graft.ops.AnnIndex.delete(
+          e.where(isDel && isNew).select("vec_id"), root.toString)
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // STREAMING ANN ingest: the index-maintenance shape a live vector
     // store runs — new embeddings arrive as EVENTS through the real
     // append path (vector ids in the payload, the vector store holds
     // the floats), each micro-batch pulls its vectors and appends
     // their frozen-model codes into the persistent AnnIndex (one file
     // per touched inverted list), with a reader-safe generational
-    // compaction every 3rd batch; the query batch is then served from
+    // compaction mid-stream (StreamCompactEvery); the query batch is then served from
     // the manifest-resolved generation. Because the frozen-model
     // encode is batching-invariant (AnnIndexSpec), the final index is
     // bit-identical to ann_ivfpq_persistent's three-append build, so
@@ -941,7 +1012,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${ves.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${ves.root}/events"),
             "verify-sannix-ck-",
             perBatch = { b =>
@@ -951,7 +1022,7 @@ object SparkEntry {
               graft.ops.AnnIndex.append(
                 e.join(ids, e("vec_id") === ids("arr_id"), "left_semi"),
                 root.toString)
-              if (batchNo.incrementAndGet() % 3 == 0)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
                 graft.ops.AnnIndex.compact(s, root.toString)
               ids.groupBy().count()
             }) { r => r.getAs[Long](0) }
@@ -1671,7 +1742,7 @@ object SparkEntry {
         graft.streaming.StreamingDedup.seedSimhashIndex(
           Tables.documents(s, d).where(!isNew), "text", "doc_id",
           indexDir.toString)
-        // periodic in-stream compaction (every 3rd batch): exercises
+        // periodic in-stream compaction (StreamCompactEvery): exercises
         // the small-files maintenance a long-running ingest needs,
         // under the gate — compaction is content-preserving, so the
         // oracle result is unchanged by construction
@@ -1679,7 +1750,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${des.root}/events"),
             "verify-sdx-ck-",
             perBatch = { b =>
@@ -1690,7 +1761,7 @@ object SparkEntry {
                       .as("doc_id"),
                     col("payload").cast("string").as("text")),
                   "text", "doc_id", indexDir.toString)
-              if (batchNo.incrementAndGet() % 3 == 0)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
                 graft.streaming.StreamingDedup.compactIndex(s,
                   indexDir.toString, Seq("band", "bkey"))
               pairs
@@ -1715,7 +1786,7 @@ object SparkEntry {
     // are identical by construction (shared verify core), so the
     // oracle is the same restricted recount. The index here is
     // GENERATION-ADDRESSED (GenIndex): probes resolve a MANIFEST
-    // pointer, and the every-3rd-batch in-stream compaction rewrites
+    // pointer, and the periodic in-stream compaction rewrites
     // partition-aware into a NEW generation + atomically flips the
     // pointer — the reader-safe maintenance form an object-store
     // deployment runs, correctness-gated here.
@@ -1735,7 +1806,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${des.root}/events"),
             "verify-pdx-ck-",
             perBatch = { b =>
@@ -1747,7 +1818,7 @@ object SparkEntry {
                     col("payload").cast("string").as("text")),
                   "text", "doc_id",
                   graft.streaming.GenIndex.currentGen(root.toString))
-              if (batchNo.incrementAndGet() % 3 == 0)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
                 graft.streaming.GenIndex.compact(s, root.toString,
                   Seq("pfx"), partitionCols = Seq("pfx"))
               pairs
@@ -1783,7 +1854,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${des.root}/events"),
             "verify-mdx-ck-",
             perBatch = b => graft.streaming.StreamingDedup
@@ -1808,7 +1879,7 @@ object SparkEntry {
     // which pairs exist), so the oracle is the same restricted recount.
     // Gates the pruned READ path of the minhash member end-to-end:
     // manifest-resolved generation, touched-∩-live directory read,
-    // per-directory clustered appends, every-3rd-batch generational
+    // per-directory clustered appends, periodic generational
     // compaction.
     "stream_dedup_minhash_pruned" -> ((s, d) => {
       import s.implicits._
@@ -1826,7 +1897,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${des.root}/events"),
             "verify-pmdx-ck-",
             perBatch = { b =>
@@ -1839,7 +1910,7 @@ object SparkEntry {
                   "text", "doc_id",
                   graft.streaming.GenIndex.currentGen(root.toString),
                   docSource = Tables.documents(s, d))
-              if (batchNo.incrementAndGet() % 3 == 0)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
                 graft.streaming.GenIndex.compact(s, root.toString,
                   Seq("pfx"), partitionCols = Seq("pfx"))
               pairs
@@ -1875,7 +1946,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${des.root}/events"),
             "verify-wdx-ck-",
             perBatch = b => graft.streaming.StreamingDedup
@@ -1915,7 +1986,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${des.root}/events"),
             "verify-pwdx-ck-",
             perBatch = { b =>
@@ -1927,7 +1998,7 @@ object SparkEntry {
                     col("payload").cast("string").as("text")),
                   "text", "doc_id",
                   graft.streaming.GenIndex.currentGen(root.toString))
-              if (batchNo.incrementAndGet() % 3 == 0)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
                 graft.streaming.GenIndex.compact(s, root.toString,
                   Seq("pfx"), partitionCols = Seq("pfx"))
               pairs
@@ -1969,7 +2040,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${ves.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${ves.root}/events"),
             "verify-cdx-ck-",
             perBatch = b => graft.streaming.StreamingDedup
@@ -2008,7 +2079,7 @@ object SparkEntry {
         drainStream(
             s.readStream.schema(graft.core.EventSchema.schema)
               .option("basePath", s"${ves.root}/events")
-              .option("maxFilesPerTrigger", "4")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
               .parquet(s"${ves.root}/events"),
             "verify-pcdx-ck-",
             perBatch = { b =>
@@ -2021,7 +2092,7 @@ object SparkEntry {
                   graft.streaming.GenIndex.currentGen(root.toString),
                   NearDupThreshold, planes = NearDupPlanes,
                   tables = NearDupTables)
-              if (batchNo.incrementAndGet() % 3 == 0)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
                 graft.streaming.GenIndex.compact(s, root.toString,
                   Seq("pfx"), partitionCols = Seq("pfx"))
               pairs
@@ -2664,12 +2735,52 @@ object SparkEntry {
   private val IncrementalSeed = "ingest"
   private val IncrementalNewBp = 1000
 
+  /** Tombstone-delete victim set for ann_ivfpq_persistent_delete: md5
+    * bucket under 500 bp = a deterministic ~5% of vectors get deleted,
+    * drawn independently of the seed/append split so victims land on
+    * BOTH sides (seed-side deletes exercise compaction's physical
+    * removal, append-side deletes the query-time tombstone mask).
+    */
+  private val DeleteSeed = "del"
+  private val DeleteBp = 500
+
+  /** dedup_substring_spans geometry: 8-token gram anchors (spans are
+    * ≥ minRun + k − 1 = 9 tokens — long enough that the synthetic
+    * corpus's planted near-dup mutations break most spans, short
+    * enough that some survive), runs of ≥ 2 consecutive duplicated
+    * grams.
+    */
+  private val SubstrK = 8
+  private val SubstrMinRun = 2
+
   /** The streaming embedding-cosine gate's "new" fraction in basis
     * points — 50%, not the text family's 10%: the i.i.d. gate
     * embeddings produce only ~2 cosine pairs at sf0.01 and neither
     * touches a 10% bucket, so a 10% split would gate an empty result.
     */
   private val StreamEmbNewBp = 5000
+
+  /** Catch-up granularity of the gated streaming-ingest legs. The
+    * store writes one event file per partition (32), so 11 files per
+    * trigger gives THREE micro-batches — the minimum that still
+    * exercises everything the gate is for (cross-batch pair discovery
+    * through a genuinely growing index, one mid-stream compaction, a
+    * post-compaction probe against the new generation) without paying
+    * per-batch fixed cost eight times over. Correctness is
+    * batch-division-invariant by construction (StreamingDedupSpec pins
+    * it across splits), so the batch count is a COST knob, not a
+    * semantics knob: at 4 files/trigger the four pruned legs alone
+    * cost ~107 s of base scaffold, which is what starved BENCH_r13's
+    * scale budget into skipping 24 legs.
+    */
+  private val StreamFilesPerTrigger = "11"
+
+  /** In-stream index-compaction cadence for the same legs: every 2nd
+    * micro-batch (was every 3rd at the old 8-batch granularity), so a
+    * 3-batch catch-up still runs compact-then-probe across a
+    * generation flip exactly once.
+    */
+  private val StreamCompactEvery = 2
 
   /** Random-projection output dims (JL cut 64 → 16). */
   private val RpOutDims = 16
@@ -3976,6 +4087,18 @@ object SparkEntry {
     s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
       s" >= $IncrementalNewBp")
 
+  /** ann_ivfpq_persistent_delete: the persistent chain with the
+    * ~5% tombstoned victim set excluded from the CANDIDATE relation —
+    * and from nothing else: deletes never retrain a frozen-model
+    * index, so training/assignment are identical to the non-delete
+    * persistent leg.
+    */
+  private def ivfPqPersistentDeleteOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    s"(${sqlHexBucket(s"md5('$DeleteSeed:' || k0.vec_id)")} % 10000)" +
+      s" < $DeleteBp")
+
   /** Mirror of Similarity.ivfPqResidualTopKBatch — the classical
     * IVFADC oracle: the coarse chain is shared verbatim with ann_ivf,
     * then residual relations (`residc` for the corpus, `sampr` for the
@@ -4073,7 +4196,13 @@ object SparkEntry {
        |ORDER BY qid, rk""".stripMargin
   }
 
-  private def ivfPqOracleFor(sampPred: String): String = {
+  /** `sampPred` restricts the TRAINING sample (frozen-model legs);
+    * `delPred` (over `k0.vec_id`) excludes tombstone-deleted ids from
+    * the CANDIDATE set only — deletes never retrain the quantizers,
+    * so training/assignment CTEs are untouched by it.
+    */
+  private def ivfPqOracleFor(sampPred: String,
+      delPred: String = "FALSE"): String = {
     require(IvfSample == PqSample,
       "composed oracle shares one samp CTE — keep the sample caps equal")
     val sub = PqDims / PqM
@@ -4107,7 +4236,7 @@ object SparkEntry {
        |  JOIN assigned av ON av.vec_id = k0.vec_id
        |  $cellJoins
        |  JOIN probes pr ON pr.qid = ce0.qid AND pr.cid = av.cid
-       |  WHERE k0.vec_id != ce0.qid),
+       |  WHERE k0.vec_id != ce0.qid AND NOT ($delPred)),
        |ranked AS (
        |  SELECT qid, vec_id, adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
@@ -4161,6 +4290,34 @@ object SparkEntry {
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
+    "ann_ivfpq_persistent_delete" -> ivfPqPersistentDeleteOracle,
+
+    // duplicated-substring spans: positional 8-gram anchors (the
+    // shinglesCteFor construction, positions kept), grams in ≥2
+    // distinct docs, gaps-and-islands per doc (i − row_number() is
+    // constant on a run), runs ≥ 2
+    "dedup_substring_spans" -> {
+      val terms = (0 until SubstrK).map(j => s"t[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i, $terms AS g
+         |  FROM tk, generate_series(1, 65536) sp(i)
+         |  WHERE i <= len(t) - ${SubstrK - 1}),
+         |dup AS (
+         |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pos)
+         |  GROUP BY g HAVING count(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |  FROM pos JOIN dup USING (g))
+         |SELECT doc_id, CAST(min(i) AS BIGINT) AS start_pos,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(*) + ${SubstrK - 1} AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, isl HAVING count(*) >= $SubstrMinRun
+         |ORDER BY doc_id, start_pos""".stripMargin
+    },
     // identical oracle: the frozen-model encode is batching-invariant,
     // so streaming the arrivals through the event store produces the
     // same index as the three-append build
@@ -4820,6 +4977,36 @@ object SparkEntry {
     "text_entropy" -> entropyOracle,
     "text_classifier" -> classifierOracle,
     "embedding_random_projection" -> randomProjectionOracle,
+
+    // SQ8: the quantizeOracle's exact code derivation (same flat/mx
+    // CTEs), codes assembled per vector in dimension order, then the
+    // ann_cosine_topk scoring chain over the code lists — the
+    // per-vector scale cancels in the cosine, exactly like the engine
+    "ann_sq8_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |mx AS (SELECT vec_id, max(abs(v)) AS abs_max FROM flat GROUP BY vec_id),
+        |cd AS (
+        |  SELECT f.vec_id,
+        |    list(CASE WHEN abs_max > 0
+        |      THEN greatest(-127.0, least(127.0, floor(v / (abs_max / 127.0) + 0.5)))
+        |      ELSE 0.0 END ORDER BY i) AS c
+        |  FROM flat f JOIN mx USING (vec_id) GROUP BY f.vec_id),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.qid, cd.vec_id,
+        |    round(list_dot_product(qe, c) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(c, c))), 6) AS cosine
+        |  FROM cd, q WHERE cd.vec_id != q.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

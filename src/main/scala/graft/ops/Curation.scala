@@ -86,23 +86,70 @@ object Curation {
     java.util.UUID.randomUUID().toString.replace("-", "").take(8)
   private val bktCreated = scala.collection.mutable.LinkedHashSet.empty[String]
 
+  /** This host's name, recorded in every ownership marker: a pid is
+    * only meaningful on the machine that assigned it, so reclaim
+    * decisions must never probe /proc for another host's pid (on a
+    * shared HDFS/s3a warehouse a foreign live session would read as a
+    * dead local pid and its tables would be dropped mid-query).
+    */
+  private val bktHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown-host" }
+
+  /** Ownership marker body: `pid@host@startMillis`. The host gates the
+    * /proc liveness probe to this machine; the start time is forensic
+    * (pid-reuse window). Legacy bare-pid markers (pre-r14) parse with
+    * an empty host.
+    */
+  private def ownerMarkerBody(): String =
+    s"${java.lang.ProcessHandle.current().pid()}@$bktHost@" +
+      s"${System.currentTimeMillis()}"
+
+  /** Whether a marker body releases its table for reclaim: only a
+    * SAME-HOST dead pid does. A foreign host's marker never releases
+    * (its liveness is unknowable from here); a legacy host-less marker
+    * releases only on a local-scheme warehouse (where same-host is
+    * implied by construction).
+    */
+  private def ownerReclaimable(body: String, localFs: Boolean): Boolean = {
+    val parts = body.trim.split("@")
+    val pid = try parts(0).toLong catch { case _: Exception => -1L }
+    val host = if (parts.length > 1) parts(1) else ""
+    if (pid <= 0) false
+    else if (host.nonEmpty && host != bktHost) false
+    else if (host.isEmpty && !localFs) false
+    else !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"/proc/$pid"))
+  }
+
   def bucketedJoin(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       buckets: Int, leftTable: String, rightTable: String): DataFrame = {
     val spark = left.sparkSession
     val lt = s"${leftTable}__g$bktNonce"
     val rt = s"${rightTable}__g$bktNonce"
-    val fs = new org.apache.hadoop.fs.Path(
+    val warehouse = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val localFs = {
+      val s = fs.getUri.getScheme
+      s == null || s == "file"
+    }
+    // the ownership marker is a warehouse-level SIBLING file
+    // (`<phys>._graft_owner`), not (only) a file inside the table dir:
+    // it must exist BEFORE saveAsTable starts (CTAS refuses a
+    // non-empty location, so an in-dir marker can only be written
+    // after the data — leaving every in-progress write markerless,
+    // exactly the window the mtime fallback then misjudges)
+    def siblingMarker(t: String) =
+      new org.apache.hadoop.fs.Path(warehouse, s"$t._graft_owner")
     bktCreated.synchronized {
       Seq(lt, rt).foreach { t =>
         // same-session re-run (bench min-of-2) reuses the nonce'd name:
         // dropping OUR OWN managed table (tracked in bktCreated) also
         // removes its location
         if (bktCreated.remove(t)) spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), t)
+        val loc = new org.apache.hadoop.fs.Path(warehouse, t)
         if (fs.exists(loc)) {
           // the name embeds THIS JVM's random nonce, so only this
           // helper can have created the location — a surviving dir
@@ -118,14 +165,17 @@ object Curation {
       // unreachable once their JVM exits — their nonce died with it —
       // and the old fixed-name scheme's implicit overwrite no longer
       // clears them, so they would accumulate across runs. Ownership
-      // is decided by the `_graft_owner` pid marker each generation
-      // carries: a LIVE owner pid (same host — /proc probe) means a
-      // concurrent session's table, never touched regardless of age;
-      // a dead pid means reclaimable; a missing marker (pre-marker
-      // layout or a write that died before marking) falls back to an
-      // age gate. One warehouse listing covers both logical names.
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
+      // is decided by the `_graft_owner` marker each generation
+      // carries (sibling file first — present from before the data
+      // write — then the legacy in-dir marker): a LIVE same-host owner
+      // pid means a concurrent session's table, never touched
+      // regardless of age; a same-host dead pid means reclaimable; a
+      // FOREIGN host's marker is never touched (its pid is not ours to
+      // probe); a missing marker falls back to an age gate on a LOCAL
+      // warehouse only — on a shared warehouse an unmarked dir may be
+      // another host's in-progress write, and "refuse, never delete"
+      // is the contract there. One warehouse listing covers both
+      // logical names.
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
       if (fs.exists(warehouse))
         fs.listStatus(warehouse).foreach { st =>
@@ -133,22 +183,32 @@ object Curation {
           val mine = Seq(leftTable, rightTable)
             .exists(l => n.startsWith(s"${l}__g"))
           if (st.isDirectory && mine && n != lt && n != rt) {
-            val marker = new org.apache.hadoop.fs.Path(st.getPath,
-              "_graft_owner")
-            val reclaimable =
-              if (fs.exists(marker)) {
-                val pid = try scala.io.Source.fromInputStream(
-                    fs.open(marker), "UTF-8").mkString.trim.toLong
-                  catch { case _: Exception => -1L }
-                pid > 0 && !java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(s"/proc/$pid"))
-              } else st.getModificationTime < cutoff
+            val markers = Seq(siblingMarker(n),
+              new org.apache.hadoop.fs.Path(st.getPath, "_graft_owner"))
+            val body = markers.collectFirst {
+              case m if fs.exists(m) =>
+                try scala.io.Source.fromInputStream(
+                    fs.open(m), "UTF-8").mkString
+                catch { case _: Exception => "" }
+            }
+            val reclaimable = body match {
+              case Some(b) => ownerReclaimable(b, localFs)
+              case None => localFs && st.getModificationTime < cutoff
+            }
             if (reclaimable) {
               spark.sql(s"DROP TABLE IF EXISTS $n")
               fs.delete(st.getPath, true)
+              fs.delete(siblingMarker(n), false)
             }
           }
         }
+    }
+    // claim BEFORE writing: from here on an observer sees an owned
+    // in-progress generation, never a markerless directory
+    Seq(lt, rt).foreach { t =>
+      val out = fs.create(siblingMarker(t), true)
+      try out.write(ownerMarkerBody().getBytes("UTF-8"))
+      finally out.close()
     }
     left.repartition(buckets, col(leftKey))
       .write.mode("overwrite").format("parquet")
@@ -156,16 +216,14 @@ object Curation {
     right.repartition(buckets, col(rightKey))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, rightKey).sortBy(rightKey).saveAsTable(rt)
-    // ownership marker (underscore-prefixed — parquet readers skip it):
-    // the pid lets a LATER session distinguish a live concurrent
-    // owner from a dead one instead of guessing by age
+    // in-dir marker too (underscore-prefixed — parquet readers skip
+    // it): survives a sibling-marker loss and keeps the pre-r14
+    // reclaim path of older sessions working against our tables
     Seq(lt, rt).foreach { t =>
       val out = fs.create(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), t), "_graft_owner"),
+        new org.apache.hadoop.fs.Path(warehouse, t), "_graft_owner"),
         true)
-      try out.write(java.lang.ProcessHandle.current().pid().toString
-        .getBytes("UTF-8"))
+      try out.write(ownerMarkerBody().getBytes("UTF-8"))
       finally out.close()
     }
     bktCreated.synchronized { bktCreated ++= Seq(lt, rt) }

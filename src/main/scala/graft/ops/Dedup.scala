@@ -218,6 +218,100 @@ object Dedup {
     jaccardForCandidates(cand, sh).where(col("jaccard") >= threshold)
   }
 
+  /** [[minhashLshIncremental]] against a PRECOMPUTED banded signature
+    * index — the form an ingest pipeline actually runs. The
+    * self-contained variant above re-derives the corpus's band keys
+    * from scratch, so every invocation pays a corpus-wide
+    * shingle + signature pass before the probe even starts; production
+    * pays that pass ONCE (at signature-store build / per ingest batch,
+    * amortized) and every probe reads the store. `banded` is that
+    * store: (id, band, bkey) rows for the FULL corpus (old AND new —
+    * the probe side selects the new ids out of it), exactly
+    * [[bandKeys]] over [[minhashSignatures]], e.g. as persisted by
+    * [[graft.streaming.StreamingDedup.seedMinhashIndex]].
+    *
+    * Verification is candidate-restricted like the streaming probes:
+    * only candidate-pair documents are re-shingled from `df` (the
+    * semi-join runs BEFORE the explode, so the explode never touches
+    * the non-candidate corpus). Result is IDENTICAL to
+    * [[minhashLshIncremental]] (same band keys → same candidates; same
+    * shingle function → same Jaccard values) — OpsSpec pins the
+    * equality.
+    */
+  def minhashLshIncrementalIndexed(df: DataFrame, banded: DataFrame,
+      textCol: String, idCol: String, isNewCol: Column, k: Int = 3,
+      threshold: Double = 0.0): DataFrame = {
+    val newIds = df.where(isNewCol).select(col(idCol).as("id"))
+    val probe = banded.join(newIds, "id")
+    val cand = probe.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cand.select(col("a").as("cid"))
+      .unionAll(cand.select(col("b").as("cid"))).distinct()
+    val candDocs = df.join(candIds, df(idCol) === candIds("cid"), "left_semi")
+    val candSh = wordShingles(candDocs, textCol, idCol, k)
+    jaccardForCandidates(cand, candSh).where(col("jaccard") >= threshold)
+  }
+
+  /** Cross-document duplicated-substring spans — the distributed
+    * analogue of suffix-array exact-substring dedup (the
+    * "deduplicate-text-datasets" tier: find text shared VERBATIM
+    * across documents and cut the span, not the document — catches
+    * boilerplate headers/footers/licenses that near-dup scoring
+    * dilutes away on long documents). A suffix array is a
+    * single-machine construct; the distributed shape anchors on
+    * positional word k-grams instead — a maximal run of consecutive
+    * k-grams each of which occurs in ≥ 2 distinct documents marks a
+    * duplicated span of ≥ `minRun + k − 1` tokens:
+    *
+    *   1. positional k-grams: posexplode-style projection — corpus
+    *      token mass, linear, zero shuffle until the aggregate;
+    *   2. duplicated grams: (gram, doc) distinct (map-side combinable)
+    *      → distinct-doc count ≥ 2 — shuffles on the 128-bit gram key,
+    *      never on doc ids, so hot boilerplate grams spread by hash;
+    *   3. hash semi-join of positions against the duplicated-gram set;
+    *   4. gaps-and-islands per document (pos − row_number() is
+    *      constant exactly on a run of consecutive duplicated
+    *      positions) → spans, filtered to runs ≥ `minRun`.
+    *
+    * Output: (doc_id, start_pos, n_grams, span_tokens), 1-based token
+    * positions. The gram key is md5 so an external SQL oracle mirrors
+    * it exactly; collisions (2⁻⁶⁴-scale) would only ever ADD a span.
+    */
+  def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minRun: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val gram = md5(concat_ws(" ",
+      (0 until k).map(j => element_at(col("t"), col("i") + j)): _*)
+      .cast("binary"))
+    val pos = df.select(col(idCol).as("id"), toks.as("t"))
+      // sequence(1, n) with n < 1 yields a DESCENDING array — guard
+      // short documents with an empty array (wordShinglesAll contract)
+      .withColumn("i", explode(
+        when(size(col("t")) >= k, sequence(lit(1), size(col("t")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("id"), col("i"), gram.as("g"))
+    val dup = pos.select("g", "id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("g")
+    val w = Window.partitionBy("id").orderBy("i")
+    pos.join(dup, "g")
+      .select("id", "i")
+      .withColumn("isl", col("i") - row_number().over(w))
+      .groupBy("id", "isl")
+      .agg(min(col("i")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_grams"))
+      .where(col("n_grams") >= minRun)
+      .select(col("id").as("doc_id"), col("start_pos"), col("n_grams"),
+        (col("n_grams") + lit(k - 1)).as("span_tokens"))
+  }
+
   /** END-TO-END dedup pipeline — the composition a production corpus
     * run actually executes, in tier order:
     *   1. EXACT dedup: md5(content) groups collapse to their min-id

@@ -60,6 +60,45 @@ object Similarity {
         .withColumn("cosine", round(cosine(col("qe"), col(vecCol)), 6)),
       k, idCol)
 
+  /** Scalar-quantized (SQ8) top-k — the compression tier BETWEEN raw
+    * floats and PQ that production vector stores offer (faiss
+    * `SQ8`/Milvus `SQ8` flavor): the corpus is stored as per-vector
+    * symmetric int8 codes under [[Curation.quantizeInt8]]'s exact
+    * quantizer (scale = max|x|/127, floor(x/scale + 0.5) clamped to
+    * ±127) and queries score full-precision-against-dequantized
+    * cosine. The per-vector scale is a POSITIVE SCALAR, so it cancels
+    * in the cosine — scoring runs directly on the codes, and the
+    * asymmetric distance needs no dequantize multiply at all.
+    *
+    * Scale shape: one projection to quantize (zero shuffle, stays in
+    * codegen), then the flat-scan batch form of [[pqAdcTopKBatch]] —
+    * every code row explodes into the Q query positions, distance is
+    * one codegen'd dot over the int8 codes, survivors feed the
+    * two-phase bounded heaps. At 100 TB the win is the SCAN: int8
+    * codes are 1/8th the bytes of float64 embeddings, and recall is
+    * bounded only by 8-bit component rounding (≈1.0 in practice, vs
+    * PQ's subspace quantization loss) — SQ8 is what you run when PQ
+    * recall is not acceptable but raw floats don't fit the I/O budget.
+    */
+  def sq8TopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = Curation.quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol), col("codes").cast("array<double>").as("cd"))
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
+    require(qVecs.nonEmpty, "empty query batch")
+    val qcube = typedLit(qVecs.map(_._2))
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val exploded = codes.select(col(idCol), col("cd"),
+      posexplode(qids).as(Seq("qpos", "qid")))
+    val qv = element_at(qcube, col("qpos") + 1)
+    val scored = exploded
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosine(qv, col("cd")), 6).as("cosine"))
+    topKByCosine(scored, kNN, idCol)
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1. Distinct
     * `table` seeds give independent hash tables. The weights depend
@@ -639,11 +678,11 @@ object Similarity {
     * share — nlist is small by construction: collecting it to the
     * driver is the IVF contract, not a scale hazard.
     */
-  private def coarseCentroids(corpus: DataFrame, nlist: Int, trainIters: Int,
-      sampleMode: String, idCol: String,
-      vecCol: String): Seq[(Any, Seq[Double])] =
+  private[ops] def coarseCentroids(corpus: DataFrame, nlist: Int,
+      trainIters: Int, sampleMode: String, idCol: String,
+      vecCol: String, maxSample: Int = 10000): Seq[(Any, Seq[Double])] =
     if (trainIters > 0) kmeansCentroids(corpus, nlist, trainIters,
-      sampleMode = sampleMode, idCol = idCol, vecCol = vecCol)
+      maxSample, sampleMode = sampleMode, idCol = idCol, vecCol = vecCol)
     else corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol), col(vecCol)).collect().toSeq
       .map(r => (r.get(0),

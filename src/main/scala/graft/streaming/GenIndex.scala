@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   * retained for `retain` flips (a reader that resolved before the
   * flip finishes against its own generation), then deleted — the
   * store's manifest-watermark discipline applied to the dedup
-  * signature store. The pointer flip is write-tmp + atomic rename
-  * here; on object storage it is a conditional PUT of the manifest
-  * key.
+  * signature store. The pointer flip is write-tmp + atomic rename on
+  * HDFS/local; on object-store schemes it is a direct overwrite
+  * create of the manifest key (a single PUT is atomic there, while
+  * rename is copy+delete and would expose a missing-manifest window).
   *
   * All manifest and directory I/O goes through the Hadoop FS (same
   * layer as the parquet data), so an hdfs:// or s3a:// index root
@@ -47,18 +48,38 @@ object GenIndex {
     flip(root, "gen-00000")
   }
 
+  /** Filesystem schemes where `rename` is NOT an atomic metadata
+    * operation but a copy+delete emulation — on these, the tmp+rename
+    * flip would open a window where concurrent `currentGen` readers
+    * see a missing MANIFEST mid-copy. A single-object overwrite PUT
+    * IS atomic there (readers see the old or the new manifest body,
+    * never absence), so the flip writes the manifest key directly.
+    */
+  private val ObjectStoreSchemes =
+    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "wasb", "wasbs",
+      "abfs", "abfss")
+
   private def flip(root: String, gen: String): Unit = {
     val (fs, rootP) = graft.core.Fs.hadoop(root)
-    val tmp = new org.apache.hadoop.fs.Path(rootP, "MANIFEST.tmp")
-    graft.core.Fs.writeUtf8(tmp.toString, gen)
-    // rename-with-overwrite through FileContext: FileSystem.rename
-    // refuses an existing destination, and delete-then-rename would
-    // open a no-manifest window for concurrent readers
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, org.apache.spark.sql.SparkSession.active
-        .sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootP, "MANIFEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val manifest = new org.apache.hadoop.fs.Path(rootP, "MANIFEST")
+    if (ObjectStoreSchemes.contains(fs.getUri.getScheme)) {
+      // object store: direct overwrite create — one atomic PUT of the
+      // manifest object (rename there is copy+delete, the one thing
+      // this flip must never rely on)
+      graft.core.Fs.writeUtf8(manifest.toString, gen)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(rootP, "MANIFEST.tmp")
+      graft.core.Fs.writeUtf8(tmp.toString, gen)
+      // rename-with-overwrite through FileContext: FileSystem.rename
+      // refuses an existing destination, and delete-then-rename would
+      // open a no-manifest window for concurrent readers. Atomic on
+      // HDFS/local (a metadata op), which is what this branch serves.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration)
+      fc.rename(tmp, manifest,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** The live generation and the name its successor must take —

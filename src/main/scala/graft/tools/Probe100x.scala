@@ -31,9 +31,13 @@ object Probe100x {
       s"/tmp/$prefix-v${ScaleGen.GenVersion}-${ScaleGen.srcFingerprint(srcDir)}"
     val marker = java.nio.file.Paths.get(dst, "_COMPLETE")
     if (java.nio.file.Files.exists(marker)) return dst
-    // superseded siblings (other fingerprints/versions) are dead weight
+    // superseded siblings (other fingerprints/versions) are dead
+    // weight. Match the "-v" delimiter, not the bare prefix: a replica
+    // for a DIFFERENT source dir whose name extends this one (sf0.1 vs
+    // sf0.1b → graft-scale100x-sf0.1b-…) starts with the bare prefix
+    // and would be deleted as a sibling of sf0.1.
     Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
-      .filter(f => f.getName.startsWith(prefix) && f.toString != dst)
+      .filter(f => f.getName.startsWith(s"$prefix-v") && f.toString != dst)
       .foreach(graft.core.Fs.deleteRecursively)
     graft.core.Fs.deleteRecursively(new java.io.File(dst))
     Seq("documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
@@ -69,8 +73,12 @@ object Probe100x {
     }
     def load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // ann_ivfpq_persistent: the index whose whole point is
+    // corpus-size-independent query I/O gets its own measured 100×
+    // point (seed + append + compact + query, the full gated leg) —
+    // the r13 verdict's missing number
     val legs = Seq("dedup_minhash_incremental", "dedup_simhash_pairs",
-      "ann_ivf_pq")
+      "ann_ivf_pq", "ann_ivfpq_persistent")
     legs.foreach { n =>
       def minOf2(dir: String): Double = math.min(leg(n, dir), leg(n, dir))
       val b = minOf2(sf); val x10 = minOf2(big); val x100 = minOf2(huge)

@@ -207,6 +207,70 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root2.toFile)
   }
 
+  test("tombstone deletes: queries mask, compaction applies physically, " +
+      "delete wins within a generation, re-insert after compaction works") {
+    val (nlist, ti, m, k, pi) = Geom
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi)
+      val before = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      // victims: two ids that actually appear in the results, so the
+      // mask is observable (never a query id — those self-exclude)
+      val victims = before.map(_._2)
+        .filter(v => !Set(0L, 1L, 2L).contains(v)).toSeq.sorted.take(2)
+      assert(victims.size == 2, s"fixture: need 2 result ids, got $victims")
+      AnnIndex.delete(victims.toDF("vec_id"), root.toString)
+      val masked = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(!masked.exists(r => victims.contains(r._2)),
+        s"tombstoned ids still appear: $masked")
+      // removing candidates only PROMOTES the rest: every surviving
+      // pre-delete pair must still be present
+      val surviving = before.filter(r => !victims.contains(r._2))
+        .map(r => (r._1, r._2))
+      assert(surviving.subsetOf(masked.map(r => (r._1, r._2))),
+        "masking dropped a non-victim result")
+      // compaction applies tombstones physically and clears them
+      AnnIndex.compact(spark, root.toString)
+      val gen = GenIndex.currentGen(root.toString)
+      assert(!graft.core.Fs.hadoopExists(s"$gen/tombs"),
+        "compaction must not carry tombstones into the new generation")
+      assert(spark.read.parquet(s"$gen/codes")
+        .where(col("vec_id").isin(victims: _*)).count() == 0,
+        "compaction must physically remove tombstoned rows")
+      val after = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(after == masked, "physical removal changed the answer")
+      // delete-wins: an append AFTER the delete is still masked until
+      // a compaction separates them
+      val resId = victims.head
+      AnnIndex.delete(Seq(resId).toDF("vec_id"), root.toString)
+      AnnIndex.append(corpus.where(col("vec_id") === resId), root.toString)
+      val stillMasked = rows(AnnIndex.queryBatch(spark, root.toString,
+        qVecs, kNN = 3, nprobe = 2))
+      assert(!stillMasked.exists(_._2 == resId),
+        "delete must win over a later append within a generation")
+      // re-insert AFTER compaction behaves as a fresh id: resId was in
+      // the pre-delete results (victims were drawn from them) and the
+      // frozen model encodes it identically, so it must reappear; the
+      // other victim stays gone
+      AnnIndex.compact(spark, root.toString)
+      AnnIndex.append(corpus.where(col("vec_id") === resId), root.toString)
+      val resurrected = rows(AnnIndex.queryBatch(spark, root.toString,
+        qVecs, kNN = 3, nprobe = 2))
+      assert(resurrected.exists(_._2 == resId),
+        "re-insert after compaction must restore the id's candidacy")
+      assert(!resurrected.exists(_._2 == victims(1)),
+        "the undeleted victim must stay gone")
+      assert(before.filter(_._2 == resId).map(r => (r._1, r._2))
+          .subsetOf(resurrected.map(r => (r._1, r._2))),
+        "re-inserted id must recover its pre-delete pairings")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("the probe bounds the read: unprobed lists' vectors never score") {
     val (nlist, ti, m, k, pi) = Geom
     val root = java.nio.file.Files.createTempDirectory("annix-spec-")

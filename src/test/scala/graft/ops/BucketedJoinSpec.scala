@@ -86,16 +86,26 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // any age
     val liveOwned = new java.io.File(wh, "bkt_rerun_l__g11111111")
     val deadOwned = new java.io.File(wh, "bkt_rerun_l__g22222222")
+    // FOREIGN-HOST marker: dead-looking pid, ancient mtime — but the
+    // host in the marker is not ours, so its liveness is unknowable
+    // from here and the table must NEVER be reclaimed (the shared-
+    // warehouse case: another machine's live session would read as a
+    // dead local pid)
+    val foreignOwned = new java.io.File(wh, "bkt_rerun_l__g33333333")
     assert(stale.mkdirs() && fresh.mkdirs() &&
-      liveOwned.mkdirs() && deadOwned.mkdirs())
+      liveOwned.mkdirs() && deadOwned.mkdirs() && foreignOwned.mkdirs())
     java.nio.file.Files.write(
       new java.io.File(liveOwned, "_graft_owner").toPath,
       java.lang.ProcessHandle.current().pid().toString.getBytes("UTF-8"))
     java.nio.file.Files.write(
       new java.io.File(deadOwned, "_graft_owner").toPath,
       "999999999".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(foreignOwned, "_graft_owner").toPath,
+      "999999999@some-other-host@12345".getBytes("UTF-8"))
     val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
-    assert(stale.setLastModified(old) && liveOwned.setLastModified(old))
+    assert(stale.setLastModified(old) && liveOwned.setLastModified(old) &&
+      foreignOwned.setLastModified(old))
     try {
       Curation.bucketedJoin(left, "lid", right, "rid", 2,
         leftTable = "bkt_rerun_l", rightTable = "bkt_rerun_r").count()
@@ -105,15 +115,29 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a LIVE owner's table must survive at any age")
       assert(!deadOwned.exists(),
         "a DEAD owner's table must be reclaimed at any age")
-      // the tables this session just (re)created carry its own pid
-      val marker = new java.io.File(wh,
-        spark.catalog.listTables().collect().map(_.name)
-          .filter(_.startsWith("bkt_rerun_l__g")).head)
-      assert(new java.io.File(marker, "_graft_owner").exists(),
-        "created tables must carry the ownership marker")
+      assert(foreignOwned.exists(),
+        "a FOREIGN host's table must survive regardless of pid or age")
+      // the tables this session just (re)created carry its own marker
+      // — both the in-dir copy and the warehouse-level sibling that
+      // existed from BEFORE the data write (the in-progress claim)
+      val physName = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("bkt_rerun_l__g")).head
+      assert(new java.io.File(new java.io.File(wh, physName),
+          "_graft_owner").exists(),
+        "created tables must carry the in-dir ownership marker")
+      val sibling = new java.io.File(wh, s"$physName._graft_owner")
+      assert(sibling.exists(),
+        "created tables must carry the sibling ownership marker")
+      val body = new String(java.nio.file.Files.readAllBytes(
+        sibling.toPath), "UTF-8")
+      assert(body.split("@").length == 3 &&
+        body.startsWith(java.lang.ProcessHandle.current().pid().toString + "@"),
+        s"marker must be pid@host@startMillis, got: $body")
     } finally {
       graft.core.Fs.deleteRecursively(fresh)
       graft.core.Fs.deleteRecursively(liveOwned)
+      graft.core.Fs.deleteRecursively(foreignOwned)
+      new java.io.File(wh, "bkt_rerun_l__g33333333._graft_owner").delete()
     }
   }
 }

@@ -50,6 +50,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the 10% batch should touch at least one planted near-dup pair")
   }
 
+  test("indexed incremental minhash (precomputed signature store) == " +
+      "self-contained incremental minhash") {
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
+    val direct = Dedup.minhashLshIncremental(docs, "text", "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the signature store the gated leg probes: seedMinhashIndex over
+    // the FULL corpus (same default geometry on both sides)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("ops-mh-idx-").toString
+    try {
+      graft.streaming.StreamingDedup.seedMinhashIndex(
+        docs, "text", "doc_id", idxDir)
+      val indexed = Dedup.minhashLshIncrementalIndexed(docs,
+          spark.read.parquet(idxDir), "text", "doc_id", isNew)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(indexed == direct, s"indexed=$indexed direct=$direct")
+      assert(direct.nonEmpty,
+        "the 10% batch should touch at least one planted near-dup pair")
+    } finally graft.core.Fs.deleteRecursively(new java.io.File(idxDir))
+  }
+
+  test("substring spans: cross-doc verbatim runs found, positions exact, " +
+      "within-doc repetition alone never spans") {
+    import spark.implicits._
+    // A and B share tokens 3..10 verbatim (8 tokens = 5 consecutive
+    // 4-grams at positions 3..7); C repeats its own 4-gram twice but
+    // shares nothing cross-doc; D is unique
+    val a = "a1 a2 x1 x2 x3 x4 x5 x6 x7 x8 a3 a4"
+    val b = "b1 x1 x2 x3 x4 x5 x6 x7 x8 b2 b3 b4"
+    val c = "r1 r2 r3 r4 c1 c2 r1 r2 r3 r4 c3 c4"
+    val dd = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, dd)).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(df, "text", "doc_id",
+        k = 4, minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // shared x1..x8: in A grams at positions 3..7, in B at 2..6 —
+    // one span each of 5 grams / 8 tokens
+    assert(got == Set((1L, 3L, 5L, 8L), (2L, 2L, 5L, 8L)),
+      s"got=$got")
+  }
+
+  test("sq8 top-k matches the exact baseline on well-separated vectors " +
+      "and stays self-consistent") {
+    import spark.implicits._
+    val dims = 8
+    def vec(i: Long): Seq[Double] =
+      (0 until dims).map(j => ((i * 7 + j * 3) % 11 - 5).toDouble)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val q = corpus.where(col("vec_id").isin(0, 1, 2))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopKBatch(corpus,
+        col("vec_id").isin(0, 1, 2), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 rounding perturbs each cosine by < 1% — far inside this
+    // corpus's ranking margins, so the top-3 SETS agree exactly
+    // (distances differ; the oracle gate pins those cross-engine)
+    assert(sq8 == exact, s"sq8=$sq8 exact=$exact")
+  }
+
   test("incremental simhash == batch pairs restricted to pairs touching a new doc") {
     val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
     val newIds = docs.where(isNew).select("doc_id")
