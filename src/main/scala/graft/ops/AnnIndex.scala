@@ -187,20 +187,11 @@ object AnnIndex {
     require(qVecs.nonEmpty, "empty query batch")
     val gen = GenIndex.currentGen(root)
     val model = readModel(spark, gen)
-    val m = model.m
-    val k = model.k
-    val sub = model.sub
     // per-query probe set by 6-dp-rounded cosine (ties to the smaller
-    // cid) — identical ranking to the in-session path
-    val probes: Seq[(Long, Seq[Long])] = qVecs.map { case (qid, qv) =>
-      qid -> model.cents.map { case (cid, ce) =>
-          (1.0 - Similarity.cos6(qv, ce),
-            cid.asInstanceOf[Number].longValue())
-        }.sorted.take(nprobe).map(_._2)
-    }
-    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
-      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
-      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    // cid) — Similarity.probeSets, the identical ranking to the
+    // in-session path
+    val probes = Similarity.probeSets(qVecs, model.cents, nprobe)
+    val probedCids = probes.flatMap(_._2).toSet
     // partition-pruned codes read: explicit probed-∩-live directory
     // paths under one listing — per-batch I/O is the probed lists,
     // never the corpus (readTouchedPruned discipline)
@@ -208,7 +199,7 @@ object AnnIndex {
     val live = fs.listStatus(codesRoot).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("ivf_cid="))
       .map(_.stripPrefix("ivf_cid=").toLong).toSet
-    val hit = cidToQpos.keySet.intersect(live).toSeq.sorted
+    val hit = probedCids.intersect(live).toSeq.sorted
     val empty = spark.range(0).select(
       col("id").as("qid"), col("id").as(idCol),
       col("id").cast("double").as("adist"), col("id").as("rk"))
@@ -227,52 +218,11 @@ object AnnIndex {
       .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
       .dropDuplicates("vec_id")
       .join(tombsOf(spark, gen, idCol), Seq(idCol), "left_anti")
-    val qids = typedLit(qVecs.map(_._1): Seq[Long])
-    val emptyProbe = typedLit(Seq.empty[Int])
-    val exploded = codes.select(
-      col(idCol) +: col("ivf_cid") +: (0 until m).map(s => col(s"code$s")) :+
-        explode(coalesce(
-          element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
-          emptyProbe)).as("qpos"): _*)
-    // residual models need a table PER (query, probed list) — the
-    // query residual differs per list (the classical IVFADC
-    // bookkeeping); non-residual models use one table per query.
-    // Either way a bounded driver constant.
-    val qtab =
-      if (model.residual) {
-        val cube: Map[String, Seq[Double]] = probes.zipWithIndex.flatMap {
-          case ((_, cids), qpos) =>
-            val qv = qVecs(qpos)._2
-            cids.map { cid =>
-              val c = model.centOf(cid)
-              val qr = qv.indices.map(i => qv(i) - c(i))
-              s"$qpos:$cid" -> (0 until m).flatMap(s =>
-                model.books(s).map(b =>
-                  Similarity.l2r6(qr.slice(s * sub, s * sub + sub), b)))
-                .toSeq
-            }
-        }.toMap
-        element_at(typedLit(cube),
-          concat(col("qpos").cast("string"), lit(":"),
-            col("ivf_cid").cast("string")))
-      } else {
-        val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
-          (0 until m).flatMap(s =>
-            model.books(s).map(c =>
-              Similarity.l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
-        }
-        element_at(typedLit(cubeVals), col("qpos") + 1)
-      }
-    val dist = round((0 until m).map(s =>
-      element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
-      .reduce(_ + _), 6)
-    val scored = exploded
-      .withColumn("qid", element_at(qids, col("qpos") + 1))
-      .where(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), dist.as("adist"))
-    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
-        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
-      .select(col("qid"), col(idCol), col("adist"), col("rk"))
+    // the ADC cube / explode / bounded-heap tail is the SHARED
+    // implementation behind the in-session paths — the plan this
+    // index's bit-equality contract is pinned against
+    Similarity.adcProbeScoreTopK(codes, qVecs, probes, model.books,
+      model.centOf, model.residual, kNN, idCol)
   }
 
   /** Rewrite the live generation's codes clustered one-file-per-list

@@ -489,56 +489,84 @@ object Similarity {
     * at the same PQ geometry — the gap IS the probe cost, and it
     * shrinks as nprobe→nlist.
     */
-  def ivfPqTopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
-      nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
-      m: Int = 4, k: Int = 8, iters: Int = 2,
-      maxSample: Int = 10000, sampleMode: String = "prefix",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
-      idCol, vecCol)
-    val books = pqTrain(corpus, m, k, iters, maxSample, sampleMode,
-      idCol = idCol, vecCol = vecCol)
-    val sub = books.head.head.length
-    // nearest coarse centroid per corpus vector: shuffle-free
-    // projection (same expression as ivfTopK), carried through the
-    // code projection
-    val assigned = corpus.withColumn("ivf_cid",
-      element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
-    val codes = pqCodesWith(assigned, books, idCol = idCol, vecCol = vecCol,
-      keep = Seq("ivf_cid"))
-    val qVecs: Seq[(Long, Seq[Double])] = corpus
-      .where(queryPred)
-      .select(col(idCol), col(vecCol)).collect().toSeq
-      .map(r => (r.getLong(0),
-        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
-      .sortBy(_._1)
-    require(qVecs.nonEmpty, "empty query batch")
-    // per-query probe set, ranked by the same rounded cosine (ties to
-    // the smaller cid) as centroidRanking — computed on the driver
-    // like every other trained constant, nlist × Q cells
-    val probes: Seq[(Long, Seq[Long])] = qVecs.map { case (qid, qv) =>
+  /** Per-query probe sets, ranked by the same 6-dp-rounded cosine
+    * (ties to the smaller cid) as `centroidRanking` — computed on the
+    * driver like every other trained constant, nlist × Q cells. ONE
+    * implementation shared by the in-session IVF-PQ paths and the
+    * persisted [[AnnIndex.queryBatch]] so the probe ranking can never
+    * drift between them.
+    */
+  private[ops] def probeSets(qVecs: Seq[(Long, Seq[Double])],
+      cents: Seq[(Any, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Long])] =
+    qVecs.map { case (qid, qv) =>
       qid -> cents.map { case (cid, ce) =>
           (1.0 - cos6(qv, ce), cid.asInstanceOf[Number].longValue())
         }.sorted.take(nprobe).map(_._2)
     }
+
+  /** The shared IVF-ADC scoring tail: given the per-list codes frame
+    * (`idCol`, `ivf_cid`, `code0..code{m-1}`), the driver-side query
+    * batch, each query's probe set, and the frozen quantizer
+    * constants, build the literal lookup cube — one table per query,
+    * or per (query, probed list) when `residual` (the query residual
+    * differs per list: classical IVFADC bookkeeping) — explode each
+    * code row into exactly its probing queries, sum the m
+    * constant-array lookups, and rank per query on the two-phase
+    * bounded heaps. Returns (qid, idCol, adist, rk), rk ≤ kNN.
+    *
+    * ONE implementation behind [[ivfPqTopKBatch]],
+    * [[ivfPqResidualTopKBatch]], and the persisted
+    * [[AnnIndex.queryBatch]]: the ADC plan (cube keying, explode
+    * shape, rounding, tie order) is the part of these paths that must
+    * never drift — the persisted index's whole correctness contract
+    * is bit-equality with the in-session build.
+    */
+  private[ops] def adcProbeScoreTopK(codes: DataFrame,
+      qVecs: Seq[(Long, Seq[Double])], probes: Seq[(Long, Seq[Long])],
+      books: Seq[Seq[Seq[Double]]], centOf: Map[Long, Seq[Double]],
+      residual: Boolean, kNN: Int, idCol: String): DataFrame = {
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
     // invert to cid -> positions of the queries probing that list; a
     // codes row explodes into exactly its probing queries
     val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
       .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
       .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
-    val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
-      (0 until m).flatMap(s =>
-        books(s).map(c => l2r6(qv.slice(s * sub, s * sub + sub), c))).toSeq
-    }
-    val cube = typedLit(cubeVals)
     val qids = typedLit(qVecs.map(_._1): Seq[Long])
     val emptyProbe = typedLit(Seq.empty[Int])
     val exploded = codes.select(
-      col(idCol) +: (0 until m).map(s => col(s"code$s")) :+
+      col(idCol) +: col("ivf_cid").cast("long").as("ivf_cid") +:
+        (0 until m).map(s => col(s"code$s")) :+
         explode(coalesce(
           element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
           emptyProbe)).as("qpos"): _*)
-    val qtab = element_at(cube, col("qpos") + 1)
+    val qtab =
+      if (residual) {
+        // per-(query, probed list) tables, keyed "qpos:cid" —
+        // Q × nprobe × m × k cells, still a bounded driver constant
+        val cube: Map[String, Seq[Double]] = probes.zipWithIndex.flatMap {
+          case ((_, cids), qpos) =>
+            val qv = qVecs(qpos)._2
+            cids.map { cid =>
+              val c = centOf(cid)
+              val qr = qv.indices.map(i => qv(i) - c(i))
+              s"$qpos:$cid" -> (0 until m).flatMap(s =>
+                books(s).map(b => l2r6(qr.slice(s * sub, s * sub + sub), b)))
+                .toSeq
+            }
+        }.toMap
+        element_at(typedLit(cube),
+          concat(col("qpos").cast("string"), lit(":"),
+            col("ivf_cid").cast("string")))
+      } else {
+        val cubeVals: Seq[Seq[Double]] = qVecs.map { case (_, qv) =>
+          (0 until m).flatMap(s =>
+            books(s).map(c => l2r6(qv.slice(s * sub, s * sub + sub), c)))
+            .toSeq
+        }
+        element_at(typedLit(cubeVals), col("qpos") + 1)
+      }
     val dist = round((0 until m).map(s =>
       element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
       .reduce(_ + _), 6)
@@ -549,6 +577,29 @@ object Similarity {
     graft.plans.TopK.topKPerKey(scored, Seq("qid"),
         Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
       .select(col("qid"), col(idCol), col("adist"), col("rk"))
+  }
+
+  def ivfPqTopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
+      nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
+      m: Int = 4, k: Int = 8, iters: Int = 2,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
+    val books = pqTrain(corpus, m, k, iters, maxSample, sampleMode,
+      idCol = idCol, vecCol = vecCol)
+    // nearest coarse centroid per corpus vector: shuffle-free
+    // projection (same expression as ivfTopK), carried through the
+    // code projection
+    val assigned = corpus.withColumn("ivf_cid",
+      element_at(centroidRanking(col(vecCol), cents), 1).getField("cid"))
+    val codes = pqCodesWith(assigned, books, idCol = idCol, vecCol = vecCol,
+      keep = Seq("ivf_cid"))
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
+    require(qVecs.nonEmpty, "empty query batch")
+    adcProbeScoreTopK(codes, qVecs, probeSets(qVecs, cents, nprobe),
+      books, centOf = Map.empty, residual = false, kNN, idCol)
   }
 
   /** RESIDUAL IVF-PQ (classical IVFADC, Jégou et al., "Product
@@ -597,7 +648,6 @@ object Similarity {
         .select(col(vecCol)).collect().toSeq
         .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() })
     val books = pqTrainFrom(sample.map(residOf), m, k, iters)
-    val sub = books.head.head.length
     // engine-side residual: x − centroid(ivf_cid), elementwise — a
     // zip_with against the cid→centroid map literal, zero shuffle
     val centMap = typedLit(centOf)
@@ -609,55 +659,11 @@ object Similarity {
         element_at(centMap, col("ivf_cid")), (a, b) => a - b))
     val codes = pqCodesWith(assigned, books, idCol = idCol, vecCol = "rv",
       keep = Seq("ivf_cid"))
-    val qVecs: Seq[(Long, Seq[Double])] = corpus
-      .where(queryPred)
-      .select(col(idCol), col(vecCol)).collect().toSeq
-      .map(r => (r.getLong(0),
-        r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
-      .sortBy(_._1)
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
     require(qVecs.nonEmpty, "empty query batch")
-    val probes: Seq[(Long, Seq[Long])] = qVecs.map { case (qid, qv) =>
-      qid -> cents.map { case (cid, ce) =>
-          (1.0 - cos6(qv, ce), cid.asInstanceOf[Number].longValue())
-        }.sorted.take(nprobe).map(_._2)
-    }
-    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
-      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
-      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
-    // per-(query, probed list) ADC tables: the query residual differs
-    // per list, so the cube is keyed "qpos:cid" — Q × nprobe entries
-    val cube: Map[String, Seq[Double]] = probes.zipWithIndex.flatMap {
-      case ((_, cids), qpos) =>
-        val qv = qVecs(qpos)._2
-        cids.map { cid =>
-          val c = centOf(cid)
-          val qr = qv.indices.map(i => qv(i) - c(i))
-          s"$qpos:$cid" -> (0 until m).flatMap(s =>
-            books(s).map(b => l2r6(qr.slice(s * sub, s * sub + sub), b)))
-            .toSeq
-        }
-    }.toMap
-    val cubeLit = typedLit(cube)
-    val qids = typedLit(qVecs.map(_._1): Seq[Long])
-    val emptyProbe = typedLit(Seq.empty[Int])
-    val exploded = codes.select(
-      col(idCol) +: col("ivf_cid") +: (0 until m).map(s => col(s"code$s")) :+
-        explode(coalesce(
-          element_at(typedLit(cidToQpos), col("ivf_cid")),
-          emptyProbe)).as("qpos"): _*)
-    val qtab = element_at(cubeLit,
-      concat(col("qpos").cast("string"), lit(":"),
-        col("ivf_cid").cast("string")))
-    val dist = round((0 until m).map(s =>
-      element_at(qtab, lit(s * k) + col(s"code$s").cast("int") + 1))
-      .reduce(_ + _), 6)
-    val scored = exploded
-      .withColumn("qid", element_at(qids, col("qpos") + 1))
-      .where(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol), dist.as("adist"))
-    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
-        Seq(col("adist").asc, col(idCol).asc), kNN, rankCol = Some("rk"))
-      .select(col("qid"), col(idCol), col("adist"), col("rk"))
+    adcProbeScoreTopK(codes, qVecs, probeSets(qVecs, cents, nprobe),
+      books, centOf, residual = true, kNN, idCol)
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `nlist`
