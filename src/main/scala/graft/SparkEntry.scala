@@ -670,6 +670,22 @@ object SparkEntry {
           col("vec_id").isin(0, 1, 2), 5)
         .orderBy(col("qid"), col("rk"))),
 
+    // OPQ-lite: a deterministic Givens rotation (exact-rational
+    // angles) mixes coordinates across PQ subspace boundaries before
+    // the standard train/encode/ADC chain — the Ge et al. 2013
+    // pre-rotation as a zero-shuffle projection, composed entirely
+    // in-engine. Oracle: the same chained rotation CTEs feeding the
+    // proven PQ codebook chain.
+    "ann_opq_pq" -> ((s, d) => {
+      val rot = graft.ops.Similarity.opqRotate(
+          Tables.embeddings(s, d), "embedding", "rve", OpqSteps)
+        .select(col("vec_id"), col("rve").as("embedding"))
+      graft.ops.Similarity.pqAdcTopKBatch(rot,
+          col("vec_id").isin(0, 1, 2), 5,
+          m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // MinHash + LSH near-duplicate detection (full pipeline: word
     // 3-shingles → 8 minhashes → 4 bands → candidate join → exact
     // Jaccard verify). md5-based hashes so the oracle can mirror them.
@@ -3931,6 +3947,13 @@ object SparkEntry {
   private val PqSample = 10000
   private val PqDims = 64
 
+  /** OPQ-lite Givens steps: 16 rotations over 64 dims — each
+    * dimension touched ~0.5× in expectation, enough to mix
+    * coordinates across all four PQ subspace boundaries while keeping
+    * the per-dimension expression accumulation shallow.
+    */
+  private val OpqSteps = 16
+
   /** Mirror of Similarity.pqTrain + pqCodes: per subspace, the k-means
     * iterations UNROLLED in SQL with the identical rounded L2²
     * expansion (`x·x - 2·x·c + c·c`, all sequential list dots) and
@@ -4032,7 +4055,42 @@ object SparkEntry {
   private def pqAdcBatchOracle: String =
     pqAdcOracleFor("vec_id % 7 = 3 AND vec_id < 2000")
 
-  private def pqAdcOracleFor(qidPred: String): String = {
+  /** ann_opq_pq: the [[Similarity.opqSchedule]] Givens chain applied
+    * step-by-step as CTEs (each step rewrites two coordinates with
+    * the exact-rational cos/sin — the same IEEE multiply/add sequence
+    * the engine's per-dimension expression accumulation performs),
+    * then the UNCHANGED PQ codebook chain and ADC scoring tail over
+    * the rotated `corp`. `corp` is MATERIALIZED (DuckDB-only hint, as
+    * in the residual oracles) so the multi-consumer rotation chain
+    * evaluates once.
+    */
+  private def opqPqOracle: String = {
+    val steps = graft.ops.Similarity.opqSchedule(OpqSteps, PqDims)
+    val chain = steps.zipWithIndex.map { case ((i, j, c, s), t) =>
+      s"""r${t + 1} AS (
+         |  SELECT vec_id, list_transform(generate_series(1, $PqDims),
+         |    p -> CASE
+         |      WHEN p = ${i + 1} THEN ve[${i + 1}] * ($c) - ve[${j + 1}] * ($s)
+         |      WHEN p = ${j + 1} THEN ve[${i + 1}] * ($s) + ve[${j + 1}] * ($c)
+         |      ELSE ve[p] END) AS ve
+         |  FROM r$t)""".stripMargin
+    }.mkString(",\n")
+    val prelude =
+      s"""r0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |$chain,
+         |corp AS MATERIALIZED (SELECT vec_id, ve FROM r${steps.size}),
+         |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
+         |$pqCodebookBodyCtes""".stripMargin
+    pqAdcOracleFor("vec_id IN (0, 1, 2)", prelude)
+  }
+
+  /** `prelude` supplies everything through `code0..code{m-1}` —
+    * default is the raw-corpus codebook chain; the OPQ leg swaps in a
+    * rotation prefix ahead of the same chain. The scoring tail is
+    * shared verbatim.
+    */
+  private def pqAdcOracleFor(qidPred: String,
+      prelude: String = pqCodebookCtes): String = {
     val sub = PqDims / PqM
     val cellCtes = (0 until PqM).map { s =>
       val lo = s * sub + 1
@@ -4047,7 +4105,7 @@ object SparkEntry {
       s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid" +
         (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
     val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
-    s"""WITH $pqCodebookCtes,
+    s"""WITH $prelude,
        |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE $qidPred),
        |$cellCtes,
        |scored AS (
@@ -4273,6 +4331,7 @@ object SparkEntry {
     "embedding_pq" -> pqOracle,
     "ann_pq_adc" -> pqAdcOracle,
     "ann_pq_adc_batch" -> pqAdcBatchOracle,
+    "ann_opq_pq" -> opqPqOracle,
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,

