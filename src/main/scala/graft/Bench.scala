@@ -459,8 +459,9 @@ object Bench {
     //     quantization); below it means the path breaks somewhere the
     //     coarse geometries can't see.
     val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd,
-        annixRecall, annixRecallProd, residRecall): (Double, Double, Double,
-        Double, Double, Double, Double, Double) =
+        annixRecall, annixRecallProd, residRecall,
+        opqRecall): (Double, Double, Double,
+        Double, Double, Double, Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -612,10 +613,31 @@ object Bench {
           System.err.println(f"[bench] residual IVFADC recall $resid%.3f " +
             f"well below non-residual $ivfpq%.3f — investigate the " +
             "residual encode path")
-        (base, wide, prod, ivfpq, ivfpqProd, annix, annixProd, resid)
+        // OPQ-lite canary at the base geometry: the exact ground truth
+        // is rotation-invariant (a rotation preserves L2), so recall
+        // of the rotated-space ADC against the UNROTATED exact top-5
+        // is well-defined. On i.i.d. synthetic embeddings the rotation
+        // buys nothing (like the residual form — there is no subspace
+        // correlation to redistribute), so the number should sit NEAR
+        // pq_recall_at_5; a collapse means the rotation projection or
+        // the rotated-query plumbing broke.
+        val opq = {
+          val rot = graft.ops.Similarity.opqRotate(e, "embedding", "rve",
+              SparkEntry.OpqSteps)
+            .select(col("vec_id"), col("rve").as("embedding"))
+          val got = graft.ops.Similarity.pqAdcTopKBatch(rot, pred, kNN = 5,
+              m = SparkEntry.PqM, k = SparkEntry.PqK,
+              iters = SparkEntry.PqIters)
+            .select("qid", "vec_id")
+          if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+        }
+        if (opq >= 0 && base >= 0 && opq < base * 0.5)
+          System.err.println(f"[bench] OPQ recall $opq%.3f collapsed vs " +
+            f"flat PQ $base%.3f — investigate the rotation path")
+        (base, wide, prod, ivfpq, ivfpqProd, annix, annixProd, resid, opq)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -885,6 +907,7 @@ object Bench {
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""annix_recall_at_5":$annixRecall,""" +
       s""""annix_recall_prod":$annixRecallProd,""" +
+      s""""opq_recall_at_5":$opqRecall,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
@@ -938,6 +961,7 @@ object Bench {
       s""""ivfpq_recall_prod":$ivfPqRecallProd,""" +
       s""""annix_recall_at_5":$annixRecall,""" +
       s""""annix_recall_prod":$annixRecallProd,""" +
+      s""""opq_recall_at_5":$opqRecall,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +

@@ -670,6 +670,18 @@ object SparkEntry {
           col("vec_id").isin(0, 1, 2), 5)
         .orderBy(col("qid"), col("rk"))),
 
+    // IVF + SQ8 composed ANN (the faiss `IVF…,SQ8` flavor): the
+    // trained coarse quantizer prunes to nprobe lists per query, and
+    // WITHIN the probed lists scoring is full-precision-query vs int8
+    // codes (the per-vector scale cancels in the cosine) — PQ's
+    // candidate-mass bound with SQ8's near-lossless recall. Oracle:
+    // the shared IVF train/assign CTEs feeding the sq8 code chain.
+    "ann_ivf_sq8" -> ((s, d) =>
+      graft.ops.Similarity.ivfSq8TopKBatch(Tables.embeddings(s, d),
+          col("vec_id").isin(0, 1, 2), 5,
+          nlist = IvfLists, nprobe = IvfProbes, trainIters = IvfIters)
+        .orderBy(col("qid"), col("rk"))),
+
     // OPQ-lite: a deterministic Givens rotation (exact-rational
     // angles) mixes coordinates across PQ subspace boundaries before
     // the standard train/encode/ADC chain — the Ge et al. 2013
@@ -718,6 +730,16 @@ object SparkEntry {
       graft.ops.Dedup.substringDupSpans(Tables.documents(s, d),
           "text", "doc_id", k = SubstrK, minRun = SubstrMinRun)
         .orderBy(col("doc_id"), col("start_pos"))),
+
+    // Boilerplate strip — the CONSUMPTION side of the span pass: cut
+    // every duplicated-substring span from the text itself (headers /
+    // licenses shared verbatim go everywhere they appear), keep every
+    // document (a fully-boilerplate doc keeps empty text and
+    // kept_tokens 0 for a downstream quality filter to drop).
+    "dedup_substring_strip" -> ((s, d) =>
+      graft.ops.Dedup.substringStrip(Tables.documents(s, d),
+          "text", "doc_id", k = SubstrK, minRun = SubstrMinRun)
+        .orderBy(col("doc_id"))),
 
     // Exact n-gram Jaccard ≥ 0.8 — the VERIFICATION path, gated by a
     // posting-list cap (maxDf) so the self-join has a candidate-pair
@@ -3557,6 +3579,47 @@ object SparkEntry {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** ann_ivf_sq8: the shared IVF train/assign CTE prefix (identical
+    * to ann_ivf — same trained quantizer, same probe ranking) with the
+    * ann_sq8_topk code chain swapped in for the raw-float scoring:
+    * candidates come from the probed lists, distance is
+    * full-precision-query vs int8-code cosine (the per-vector scale
+    * cancels — the oracle scores the bare codes exactly like the
+    * engine). CTE names prefixed s- to avoid the prefix's `flat`.
+    */
+  private def ivfSq8Oracle: String = {
+    val cf = s"c$IvfIters"
+    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+       |sflat AS (SELECT vec_id, i, ve[i] AS v
+       |  FROM corp, generate_series(1, 64) t(i)),
+       |smx AS (SELECT vec_id, max(abs(v)) AS abs_max
+       |  FROM sflat GROUP BY vec_id),
+       |cd AS (
+       |  SELECT f.vec_id,
+       |    list(CASE WHEN abs_max > 0
+       |      THEN greatest(-127.0, least(127.0, floor(v / (abs_max / 127.0) + 0.5)))
+       |      ELSE 0.0 END ORDER BY i) AS c
+       |  FROM sflat f JOIN smx USING (vec_id) GROUP BY f.vec_id),
+       |q AS (SELECT vec_id AS qid, ve AS qe FROM corp WHERE vec_id IN (0, 1, 2)),
+       |probes AS (
+       |  SELECT qid, cid, qe FROM (
+       |    SELECT q.qid, c.cid, q.qe,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("qe", "c.ce")} DESC, c.cid) AS rn
+       |    FROM q, $cf c) WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id, ${cosSql("p.qe", "cd.c")} AS cosine
+       |  FROM probes p
+       |  JOIN assigned a ON a.cid = p.cid AND a.vec_id != p.qid
+       |  JOIN cd ON cd.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   /** dedup_semantic: the same trained quantizer + assignment as
     * ann_ivf (shared CTEs), then the anchor-bounded SemDeDup verdict —
     * duplicate iff an earlier same-cluster anchor (rank-by-id <=
@@ -3952,7 +4015,7 @@ object SparkEntry {
     * coordinates across all four PQ subspace boundaries while keeping
     * the per-dimension expression accumulation shallow.
     */
-  private val OpqSteps = 16
+  private[graft] val OpqSteps = 16
 
   /** Mirror of Similarity.pqTrain + pqCodes: per subspace, the k-means
     * iterations UNROLLED in SQL with the identical rounded L2²
@@ -4345,6 +4408,7 @@ object SparkEntry {
 
     "ann_ivf" -> ivfOracle,
     "ann_ivf_hash" -> ivfHashOracle,
+    "ann_ivf_sq8" -> ivfSq8Oracle,
     "ann_ivf_pq" -> ivfPqOracle,
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,
@@ -4376,6 +4440,48 @@ object SparkEntry {
          |  CAST(count(*) + ${SubstrK - 1} AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, isl HAVING count(*) >= $SubstrMinRun
          |ORDER BY doc_id, start_pos""".stripMargin
+    },
+    // boilerplate strip: the same span derivation, then covered token
+    // positions exploded FROM the spans, anti-joined against the
+    // per-doc token positions, reassembled in position order; every
+    // document survives (empty text + 0 kept when fully covered)
+    "dedup_substring_strip" -> {
+      val terms = (0 until SubstrK).map(j => s"t[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i, $terms AS g
+         |  FROM tk, generate_series(1, 65536) sp(i)
+         |  WHERE i <= len(t) - ${SubstrK - 1}),
+         |dup AS (
+         |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pos)
+         |  GROUP BY g HAVING count(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |  FROM pos JOIN dup USING (g)),
+         |spans AS (
+         |  SELECT doc_id, min(i) AS start_pos,
+         |    count(*) + ${SubstrK - 1} AS span_tokens
+         |  FROM isl GROUP BY doc_id, isl
+         |  HAVING count(*) >= $SubstrMinRun),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, start_pos + j AS p
+         |  FROM spans, generate_series(0, 65536) g(j)
+         |  WHERE j < span_tokens),
+         |toks AS (
+         |  SELECT doc_id, i AS p, t[i] AS tok
+         |  FROM tk, generate_series(1, 65536) g(i) WHERE i <= len(t)),
+         |kept AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY t.p) AS text_stripped
+         |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+         |  WHERE c.p IS NULL GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+         |  coalesce(text_stripped, '') AS text_stripped
+         |FROM documents d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
     // identical oracle: the frozen-model encode is batching-invariant,
     // so streaming the arrivals through the event store produces the

@@ -502,6 +502,73 @@ object Curation {
       .withColumn("keep", col("reason") === "")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, Data Selection via
+    * Importance Resampling): score every document by how much more
+    * likely its hashed n-gram features are under a TARGET (in-domain)
+    * distribution than under the RAW corpus — the data-selection pass
+    * a pretraining pipeline runs to tilt a web-scale corpus toward a
+    * small high-quality domain before sampling. Features are lowercase
+    * word unigrams + bigrams hashed into `buckets` md5 buckets
+    * (buckets divides 65536 so the 4-hex-digit derivation is exactly
+    * uniform); both distributions are Laplace-smoothed bucket
+    * frequencies, and a document's weight is Σ_gram ln p_t(b) / p_r(b).
+    *
+    * Engine portability: each bucket's log-ratio is ONE ln of an
+    * exactly-computed rational — (c_t+1)(R+B) / (c_r+1)(T+B), integer
+    * products well under 2^53 so the double quotient is correctly
+    * rounded and identical on any engine — rounded to 8 dp and summed
+    * as DECIMAL (exact, order-independent), with the final weight
+    * rounded to 4 dp like the LM log-prob legs.
+    *
+    * Scale shape: one token-mass explode feeding a (doc, bucket)
+    * map-side-combined aggregation, a buckets-bounded global rollup,
+    * a BROADCAST log-ratio join back, and a per-doc sum — no
+    * corpus-wide shuffle beyond the doc-keyed aggregations, and the
+    * model itself (the log-ratio table) is `buckets` rows at any
+    * corpus size. Selection composes downstream: feed `dsir_logw`
+    * into [[weightedSample]] / a top-k sampler.
+    *
+    * Output: (doc_id, n_feats, dsir_logw) — one row per document
+    * (a document with no tokens keeps n_feats 0, weight 0).
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, buckets: Int = 4096,
+      seed: String = "dsir"): DataFrame = {
+    require(65536 % buckets == 0, "buckets must divide 65536")
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val bigrams = when(size(words) >= 2,
+      zip_with(slice(words, 1, size(words) - 1),
+        slice(words, 2, size(words) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(words, bigrams)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"$seed:"), col("gram")).cast("binary")),
+        1, 4), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val feats = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+        explode(grams).as("gram"))
+      .select(col("doc_id"), col("is_t"), bucket.as("b"))
+    val docBuck = feats.groupBy("doc_id", "is_t", "b")
+      .agg(count(lit(1)).as("c"))
+    val glob = docBuck.groupBy("b").agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("ct"))
+    val tots = glob.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+    // single ln of an exact integer rational (see scaladoc)
+    val lr = glob.crossJoin(broadcast(tots)).select(col("b"),
+      round(log(((col("ct") + 1) * (col("r_tot") + buckets)).cast("double") /
+        ((col("cr") + 1) * (col("t_tot") + buckets)).cast("double")), 8)
+        .cast("decimal(18,8)").as("lr"))
+    val w = docBuck.join(broadcast(lr), "b").groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * col("lr")), 4).cast("double").as("dsir_logw"))
+    df.select(col(idCol).as("doc_id")).join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x| / 127, codes = floor(x/scale + 0.5) clamped to
     * [-127, 127]. floor(x + 0.5) — not round() — because engines

@@ -312,6 +312,44 @@ object Dedup {
         (col("n_grams") + lit(k - 1)).as("span_tokens"))
   }
 
+  /** BOILERPLATE STRIP: remove the [[substringDupSpans]] spans from
+    * the text itself — the consumption side of exact-substring dedup
+    * (headers/footers/licenses shared verbatim across documents are
+    * cut EVERYWHERE; a span covers its run's tokens through the last
+    * gram's tail, `start .. start + span_tokens − 1`). Every document
+    * survives — a fully-boilerplate document keeps an empty text and
+    * `kept_tokens` 0, the row a downstream quality filter then drops.
+    *
+    * Scale shape on top of the span pass: covered positions explode
+    * from the SPANS (span mass, not corpus mass), the keep-filter is
+    * one anti-join on (doc, position), and reassembly is a per-doc
+    * sort_array aggregation — collect_list carries no ordering
+    * guarantee, so tokens ride in (pos, tok) structs and sort before
+    * the join. Output: (doc_id, kept_tokens, text_stripped).
+    */
+  def substringStrip(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minRun: Int = 2): DataFrame = {
+    val spans = substringDupSpans(df, textCol, idCol, k, minRun)
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("start_pos"),
+        col("start_pos") + col("span_tokens") - 1)).as("p"))
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_stripped"))
+    df.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
+
   /** END-TO-END dedup pipeline — the composition a production corpus
     * run actually executes, in tier order:
     *   1. EXACT dedup: md5(content) groups collapse to their min-id

@@ -99,6 +99,56 @@ object Similarity {
     topKByCosine(scored, kNN, idCol)
   }
 
+  /** IVF + SQ8 composed ANN — the coarse quantizer routes each query
+    * to its `nprobe` nearest inverted lists, and WITHIN the probed
+    * lists distance is full-precision-query-vs-int8-codes cosine (the
+    * [[sq8TopKBatch]] scoring, whose per-vector scale cancels). The
+    * faiss `IVF…,SQ8` index flavor: PQ's candidate-mass bound with
+    * SQ8's near-lossless recall — what you run when the I/O budget
+    * rules out raw floats but PQ's subspace loss is unacceptable.
+    *
+    * Scale shape: quantization and list assignment are one zero-
+    * shuffle projection over the corpus scan; each code row explodes
+    * only into the queries probing ITS list (candidate rows =
+    * Σ_q |probed lists of q|, never Q × N); survivors feed the
+    * two-phase bounded heaps.
+    */
+  def ivfSq8TopKBatch(corpus: DataFrame, queryPred: Column, kNN: Int,
+      nlist: Int = 10, nprobe: Int = 2, trainIters: Int = 0,
+      sampleMode: String = "prefix", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+      idCol, vecCol)
+    val codes = Curation.quantizeInt8(
+        corpus.withColumn("ivf_cid",
+          element_at(centroidRanking(col(vecCol), cents), 1)
+            .getField("cid").cast("long")),
+        idCol, vecCol)
+      .select(col(idCol), col("ivf_cid"),
+        col("codes").cast("array<double>").as("cd"))
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
+    require(qVecs.nonEmpty, "empty query batch")
+    val probes = probeSets(qVecs, cents, nprobe)
+    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
+      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    val qcube = typedLit(qVecs.map(_._2))
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val emptyProbe = typedLit(Seq.empty[Int])
+    val exploded = codes.select(col(idCol), col("cd"),
+      explode(coalesce(
+        element_at(typedLit(cidToQpos), col("ivf_cid")),
+        emptyProbe)).as("qpos"))
+    val qv = element_at(qcube, col("qpos") + 1)
+    val scored = exploded
+      .withColumn("qid", element_at(qids, col("qpos") + 1))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosine(qv, col("cd")), 6).as("cosine"))
+    topKByCosine(scored, kNN, idCol)
+  }
+
   /** OPQ-lite rotation schedule: `t` Givens rotations, each touching
     * one (i, j) coordinate pair with an EXACT-RATIONAL angle — cosine
     * and sine are legs of a Pythagorean triple divided by its

@@ -93,6 +93,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got=$got")
   }
 
+  test("substring strip: spans cut everywhere they appear, unique docs " +
+      "untouched, fully-boilerplate docs survive with empty text") {
+    import spark.implicits._
+    // A and B share tokens 3..10 / 2..9 (the spans test's corpus);
+    // E and F are verbatim copies of each other — fully boilerplate
+    val a = "a1 a2 x1 x2 x3 x4 x5 x6 x7 x8 a3 a4"
+    val b = "b1 x1 x2 x3 x4 x5 x6 x7 x8 b2 b3 b4"
+    val dd = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"
+    val e = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val df = Seq((1L, a), (2L, b), (4L, dd), (5L, e), (6L, e))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringStrip(df, "text", "doc_id", k = 4, minRun = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((4L, "a1 a2 a3 a4")), s"got=${got(1L)}")
+    assert(got(2L) == ((4L, "b1 b2 b3 b4")), s"got=${got(2L)}")
+    assert(got(4L) == ((12L, dd)), "unique doc must pass through intact")
+    assert(got(5L) == ((0L, "")) && got(6L) == ((0L, "")),
+      "fully-boilerplate docs survive as empty rows, never dropped")
+    assert(got.size == 5)
+  }
+
+  test("ivf+sq8: probing every list equals flat sq8 exactly; narrow " +
+      "probe returns full top-k per query") {
+    import spark.implicits._
+    val dims = 8
+    def vec(i: Long): Seq[Double] =
+      (0 until dims).map(j => ((i * 7 + j * 3) % 11 - 5).toDouble)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val pred = col("vec_id").isin(0, 1, 2)
+    // nprobe == nlist degenerates to flat SQ8: identical scoring over
+    // the identical (whole-corpus) candidate set — tuples must match
+    // bit-for-bit, rank included
+    val flat = Similarity.sq8TopKBatch(corpus, pred, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val all = Similarity.ivfSq8TopKBatch(corpus, pred, 3,
+        nlist = 4, nprobe = 4, trainIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(all == flat, s"all=$all flat=$flat")
+    // a narrow probe still fills k ranks per query (lists here hold
+    // far more than k candidates), and scores stay properly ordered
+    val narrow = Similarity.ivfSq8TopKBatch(corpus, pred, 3,
+        nlist = 4, nprobe = 2, trainIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(narrow.map(_._1).distinct.sorted.sameElements(Seq(0L, 1L, 2L)))
+    narrow.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(Seq(1L, 2L, 3L)), s"q$qid ranks")
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y },
+        s"q$qid scores must be non-increasing in rank")
+    }
+  }
+
   test("sq8 top-k matches the exact baseline on well-separated vectors " +
       "and stays self-consistent") {
     import spark.implicits._
