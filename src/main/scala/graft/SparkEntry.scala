@@ -1392,6 +1392,15 @@ object SparkEntry {
           col("max_abs_err"))
         .orderBy(col("vec_id"))),
 
+    // DSIR importance weights: hashed unigram+bigram log-likelihood
+    // ratio of a target (in-domain) distribution vs the raw corpus —
+    // the data-selection score a pretraining pipeline computes before
+    // sampling. Target here: the src0 source as the in-domain set.
+    "curation_dsir_weights" -> ((s, d) =>
+      graft.ops.Curation.dsirWeights(Tables.documents(s, d), "text",
+          "doc_id", col("source") === "src0", buckets = DsirBuckets)
+        .orderBy(col("doc_id"))),
+
     // Near-dup pairs → dedup CLUSTERS: connected components over the
     // verified MinHash-LSH pair graph (alternating large-star /
     // small-star, O(log² n) shuffle rounds); cluster id = min doc id =
@@ -2790,6 +2799,13 @@ object SparkEntry {
     */
   private val SubstrK = 8
   private val SubstrMinRun = 2
+
+  /** curation_dsir_weights hashed-feature bucket count: divides 65536
+    * so the 4-hex-digit md5 derivation is exactly uniform, and small
+    * enough that the log-ratio model broadcast is trivial at any
+    * corpus size.
+    */
+  private val DsirBuckets = 4096
 
   /** The streaming embedding-cosine gate's "new" fraction in basis
     * points — 50%, not the text family's 10%: the i.i.d. gate
@@ -4398,6 +4414,39 @@ object SparkEntry {
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,
+    // DSIR: hashed unigram+bigram buckets, Laplace-smoothed target/raw
+    // log-ratio as ONE ln of an exact integer rational per bucket,
+    // raw doubles summed per doc, final weight rounded 4dp — the
+    // text_lm_logprob discipline (+ 0 kills DuckDB's -0.0)
+    "curation_dsir_weights" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, (source = 'src0') AS is_t,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+         |  FROM documents),
+         |uni AS (SELECT doc_id, is_t, unnest(w) AS gram FROM words),
+         |bi AS (SELECT doc_id, is_t, w[i] || ' ' || w[i+1] AS gram
+         |  FROM words, generate_series(1, 65536) g(i) WHERE i < len(w)),
+         |feats AS (SELECT doc_id, is_t,
+         |    ${sqlHexBucket("md5('dsir:' || gram)")} % $DsirBuckets AS b
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |db AS (SELECT doc_id, is_t, b, count(*) AS c
+         |  FROM feats GROUP BY 1, 2, 3),
+         |gb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS ct
+         |  FROM db GROUP BY b),
+         |tots AS (SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+         |    CAST(sum(ct) AS BIGINT) AS t_tot FROM gb),
+         |lr AS (SELECT b,
+         |    ln(CAST((ct + 1) * (r_tot + $DsirBuckets) AS DOUBLE) /
+         |      CAST((cr + 1) * (t_tot + $DsirBuckets) AS DOUBLE)) AS lr
+         |  FROM gb, tots),
+         |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    round(sum(CAST(c AS DOUBLE) * lr), 4) + 0 AS dsir_logw
+         |  FROM db JOIN lr USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_feats, CAST(0 AS BIGINT)) AS n_feats,
+         |  coalesce(dsir_logw, 0.0) AS dsir_logw
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_chunks" -> chunkDedupOracle,
     "curation_temperature_mix" -> temperatureMixOracle,
     "embedding_source_cosine" -> sourceCosineOracle,

@@ -516,9 +516,12 @@ object Curation {
     * Engine portability: each bucket's log-ratio is ONE ln of an
     * exactly-computed rational — (c_t+1)(R+B) / (c_r+1)(T+B), integer
     * products well under 2^53 so the double quotient is correctly
-    * rounded and identical on any engine — rounded to 8 dp and summed
-    * as DECIMAL (exact, order-independent), with the final weight
-    * rounded to 4 dp like the LM log-prob legs.
+    * rounded and identical on any engine — and the raw doubles are
+    * summed per doc with the final weight rounded to 4 dp, the
+    * text_lm_logprob discipline (ln's last-ulp spread and the sum
+    * order perturb the total by ~1e-14, six orders below the rounding
+    * grid; rounding per-BUCKET instead would manufacture knife-edges
+    * exactly ON the grid).
     *
     * Scale shape: one token-mass explode feeding a (doc, bucket)
     * map-side-combined aggregation, a buckets-bounded global rollup,
@@ -537,8 +540,8 @@ object Curation {
     require(65536 % buckets == 0, "buckets must divide 65536")
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
     val bigrams = when(size(words) >= 2,
-      zip_with(slice(words, 1, size(words) - 1),
-        slice(words, 2, size(words) - 1),
+      zip_with(slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val grams = concat(words, bigrams)
@@ -557,12 +560,11 @@ object Curation {
     val tots = glob.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
     // single ln of an exact integer rational (see scaladoc)
     val lr = glob.crossJoin(broadcast(tots)).select(col("b"),
-      round(log(((col("ct") + 1) * (col("r_tot") + buckets)).cast("double") /
-        ((col("cr") + 1) * (col("t_tot") + buckets)).cast("double")), 8)
-        .cast("decimal(18,8)").as("lr"))
+      log(((col("ct") + 1) * (col("r_tot") + buckets)).cast("double") /
+        ((col("cr") + 1) * (col("t_tot") + buckets)).cast("double")).as("lr"))
     val w = docBuck.join(broadcast(lr), "b").groupBy("doc_id")
       .agg(sum(col("c")).as("n_feats"),
-        round(sum(col("c") * col("lr")), 4).cast("double").as("dsir_logw"))
+        round(sum(col("c").cast("double") * col("lr")), 4).as("dsir_logw"))
     df.select(col(idCol).as("doc_id")).join(w, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -201,6 +201,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.opqSchedule(6, dims) == Similarity.opqSchedule(6, dims))
   }
 
+  test("dsir weights: target-like docs score higher, feature counts " +
+      "are unigrams+bigrams, empty-vocab docs survive at zero") {
+    import spark.implicits._
+    // target = docs 1,2 (the "medical" domain); doc 3 shares their
+    // vocabulary, doc 4 is disjoint "legal" text — DSIR must rank 3
+    // above 4
+    val df = Seq(
+      (1L, "dose patient trial dose patient", true),
+      (2L, "patient dose outcome trial", true),
+      (3L, "trial patient dose", false),
+      (4L, "court judge appeal verdict ruling", false),
+      (5L, "", false)).toDF("doc_id", "text", "is_t")
+    val got = Curation.dsirWeights(df, "text", "doc_id", col("is_t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // n_feats = words + (words-1) bigrams
+    assert(got(1L)._1 == 9L && got(3L)._1 == 5L && got(4L)._1 == 9L)
+    assert(got(5L) == ((0L, 0.0)), "no-token doc survives at zero")
+    val perFeat3 = got(3L)._2 / got(3L)._1
+    val perFeat4 = got(4L)._2 / got(4L)._1
+    assert(perFeat3 > perFeat4,
+      s"in-domain doc must outscore out-of-domain per feature: " +
+        s"$perFeat3 vs $perFeat4")
+    assert(got(4L)._2 < 0.0, "out-of-domain weight is negative")
+  }
+
   test("incremental simhash == batch pairs restricted to pairs touching a new doc") {
     val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
     val newIds = docs.where(isNew).select("doc_id")
