@@ -524,12 +524,15 @@ object Curation {
     * exactly ON the grid).
     *
     * Scale shape: one token-mass explode feeding a (doc, bucket)
-    * map-side-combined aggregation, a buckets-bounded global rollup,
-    * a BROADCAST log-ratio join back, and a per-doc sum — no
-    * corpus-wide shuffle beyond the doc-keyed aggregations, and the
-    * model itself (the log-ratio table) is `buckets` rows at any
-    * corpus size. Selection composes downstream: feed `dsir_logw`
-    * into [[weightedSample]] / a top-k sampler.
+    * map-side-combined aggregation; the MODEL is that aggregation
+    * rolled up to `buckets` rows and collected — the trained-constant
+    * discipline every quantizer leg uses (production trains the DSIR
+    * model once and scores corpora with it; here both happen in the
+    * call, two corpus passes total) — and scoring is a literal-map
+    * lookup PROJECTION plus the per-doc sum: no join anywhere in the
+    * scoring plan, no shuffle beyond the doc-keyed aggregations.
+    * Selection composes downstream: feed `dsir_logw` into
+    * [[weightedSample]] / a top-k sampler.
     *
     * Output: (doc_id, n_feats, dsir_logw) — one row per document
     * (a document with no tokens keeps n_feats 0, weight 0).
@@ -554,15 +557,27 @@ object Curation {
       .select(col("doc_id"), col("is_t"), bucket.as("b"))
     val docBuck = feats.groupBy("doc_id", "is_t", "b")
       .agg(count(lit(1)).as("c"))
-    val glob = docBuck.groupBy("b").agg(
-      sum(col("c")).as("cr"),
-      sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("ct"))
-    val tots = glob.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+    // the model: ≤ buckets rows by construction — collect like every
+    // trained constant, so the scoring plan re-reads the corpus once
+    // (not three times for glob/totals/score) and joins nothing
+    val gb = docBuck.groupBy("b").agg(
+        sum(col("c")).as("cr"),
+        sum(when(col("is_t"), col("c")).otherwise(lit(0L))).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rTot = gb.map(_._2).sum
+    val tTot = gb.map(_._3).sum
     // single ln of an exact integer rational (see scaladoc)
-    val lr = glob.crossJoin(broadcast(tots)).select(col("b"),
-      log(((col("ct") + 1) * (col("r_tot") + buckets)).cast("double") /
-        ((col("cr") + 1) * (col("t_tot") + buckets)).cast("double")).as("lr"))
-    val w = docBuck.join(broadcast(lr), "b").groupBy("doc_id")
+    val lrMap: Map[Long, Double] = gb.map { case (b, cr, ct) =>
+      b -> math.log(((ct + 1) * (rTot + buckets)).toDouble /
+        ((cr + 1) * (tTot + buckets)).toDouble)
+    }.toMap
+    // unseen-bucket smoothing floor — unreachable when scoring the
+    // training corpus itself, the contract for NEW documents
+    val dflt = math.log((rTot + buckets).toDouble / (tTot + buckets).toDouble)
+    val w = docBuck
+      .withColumn("lr",
+        coalesce(element_at(typedLit(lrMap), col("b")), lit(dflt)))
+      .groupBy("doc_id")
       .agg(sum(col("c")).as("n_feats"),
         round(sum(col("c").cast("double") * col("lr")), 4).as("dsir_logw"))
     df.select(col(idCol).as("doc_id")).join(w, Seq("doc_id"), "left")
