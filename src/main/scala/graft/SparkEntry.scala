@@ -682,6 +682,38 @@ object SparkEntry {
           nlist = IvfLists, nprobe = IvfProbes, trainIters = IvfIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // PERSISTENT IVF+SQ8: the persisted index running the sq8 codec —
+    // frozen seed-time centroids are the ONLY trained state (the int8
+    // quantizer is per-vector and stateless), appends encode with the
+    // frozen model, compaction and the probed-directory-only read are
+    // the shared AnnIndex machinery. Oracle: the in-session sq8 chain
+    // with the coarse training sample restricted to the seed corpus.
+    "ann_ivfsq8_persistent" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annsq8-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters, codec = "sq8")
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // OPQ-lite: a deterministic Givens rotation (exact-rational
     // angles) mixes coordinates across PQ subspace boundaries before
     // the standard train/encode/ADC chain — the Ge et al. 2013
@@ -3603,9 +3635,22 @@ object SparkEntry {
     * cancels — the oracle scores the bare codes exactly like the
     * engine). CTE names prefixed s- to avoid the prefix's `flat`.
     */
-  private def ivfSq8Oracle: String = {
+  private def ivfSq8Oracle: String = ivfSq8OracleFor("TRUE")
+
+  /** ann_ivfsq8_persistent: the same composed chain with the coarse
+    * training sample restricted to the seed-time corpus — the frozen
+    * centroids are the ONLY trained state an sq8 index carries (the
+    * int8 quantizer is per-vector and stateless), so the persistent
+    * oracle differs from the in-session one in exactly the samp
+    * predicate, like the PQ persistent family.
+    */
+  private def ivfSq8PersistentOracle: String = ivfSq8OracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp")
+
+  private def ivfSq8OracleFor(sampPred: String): String = {
     val cf = s"c$IvfIters"
-    s"""WITH ${ivfTrainAssignCtes("TRUE")},
+    s"""WITH ${ivfTrainAssignCtes(sampPred)},
        |sflat AS (SELECT vec_id, i, ve[i] AS v
        |  FROM corp, generate_series(1, 64) t(i)),
        |smx AS (SELECT vec_id, max(abs(v)) AS abs_max
@@ -4458,6 +4503,7 @@ object SparkEntry {
     "ann_ivf" -> ivfOracle,
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_sq8" -> ivfSq8Oracle,
+    "ann_ivfsq8_persistent" -> ivfSq8PersistentOracle,
     "ann_ivf_pq" -> ivfPqOracle,
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,

@@ -49,10 +49,16 @@ object AnnIndex {
 
   /** The frozen model: coarse centroids (cid → centroid) and PQ
     * codebooks (subspace → code id → centroid). Both are bounded
-    * trained constants (nlist and m×k entries).
+    * trained constants (nlist and m×k entries). `codec` selects the
+    * within-list code format: "pq" (codebook ADC, optionally
+    * residual/IVFADC) or "sq8" (per-vector symmetric int8 — the faiss
+    * `IVF…,SQ8` flavor: no codebooks, books is empty, scoring is the
+    * full-precision-query-vs-codes cosine whose per-vector scale
+    * cancels).
     */
   final case class Model(cents: Seq[(Any, Seq[Double])],
-      books: Seq[Seq[Seq[Double]]], residual: Boolean = false) {
+      books: Seq[Seq[Seq[Double]]], residual: Boolean = false,
+      codec: String = "pq") {
     def m: Int = books.length
     def k: Int = books.head.length
     def sub: Int = books.head.head.length
@@ -86,7 +92,11 @@ object AnnIndex {
   def seed(corpus: DataFrame, root: String, nlist: Int, trainIters: Int,
       m: Int, k: Int, pqIters: Int, maxSample: Int = 10000,
       sampleMode: String = "prefix", idCol: String = "vec_id",
-      vecCol: String = "embedding", residual: Boolean = false): Unit = {
+      vecCol: String = "embedding", residual: Boolean = false,
+      codec: String = "pq"): Unit = {
+    require(codec == "pq" || codec == "sq8", s"unknown codec $codec")
+    require(codec == "pq" || !residual,
+      "residual encoding is a PQ concept — sq8 has no codebooks")
     val spark = corpus.sparkSession
     // coarseCentroids, not kmeansCentroids: the in-session paths
     // (ivfTopK / ivfPqTopKBatch) fall back to the raw corpus id-prefix
@@ -101,7 +111,8 @@ object AnnIndex {
     // centroid) and every encode/query below follows the flag — the
     // persisted counterpart of Similarity.ivfPqResidualTopKBatch
     val books =
-      if (residual) {
+      if (codec == "sq8") Nil // per-vector quantizer: nothing to train
+      else if (residual) {
         val sample = collectQueryVecs(
           Similarity.trainingSample(corpus, maxSample,
             sampleMode, idCol), idCol, vecCol).map(_._2)
@@ -109,7 +120,7 @@ object AnnIndex {
         Similarity.pqTrainFrom(sample.map(pre.residOf), m, k, pqIters)
       } else Similarity.pqTrain(corpus, m, k, pqIters, maxSample,
         sampleMode, idCol, vecCol)
-    val model = Model(cents, books, residual)
+    val model = Model(cents, books, residual, codec)
     GenIndex.init(root) { dir =>
       writeModel(spark, dir, model)
       encode(corpus, model, idCol, vecCol)
@@ -200,9 +211,10 @@ object AnnIndex {
       .map(_.getPath.getName).filter(_.startsWith("ivf_cid="))
       .map(_.stripPrefix("ivf_cid=").toLong).toSet
     val hit = probedCids.intersect(live).toSeq.sorted
+    val scoreCol = if (model.codec == "sq8") "cosine" else "adist"
     val empty = spark.range(0).select(
       col("id").as("qid"), col("id").as(idCol),
-      col("id").cast("double").as("adist"), col("id").as("rk"))
+      col("id").cast("double").as(scoreCol), col("id").as("rk"))
     if (hit.isEmpty) return empty
     // dropDuplicates on vec_id: an at-least-once ingest that replays
     // an append batch leaves bit-identical duplicate code rows (the
@@ -218,11 +230,14 @@ object AnnIndex {
       .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
       .dropDuplicates("vec_id")
       .join(tombsOf(spark, gen, idCol), Seq(idCol), "left_anti")
-    // the ADC cube / explode / bounded-heap tail is the SHARED
-    // implementation behind the in-session paths — the plan this
-    // index's bit-equality contract is pinned against
-    Similarity.adcProbeScoreTopK(codes, qVecs, probes, model.books,
-      model.centOf, model.residual, kNN, idCol)
+    // the scoring tail is the SHARED implementation behind the
+    // in-session paths (adcProbeScoreTopK / sq8ProbeScoreTopK) — the
+    // plan this index's bit-equality contract is pinned against
+    if (model.codec == "sq8")
+      Similarity.sq8ProbeScoreTopK(codes, qVecs, probes, kNN, idCol)
+    else
+      Similarity.adcProbeScoreTopK(codes, qVecs, probes, model.books,
+        model.centOf, model.residual, kNN, idCol)
   }
 
   /** Rewrite the live generation's codes clustered one-file-per-list
@@ -273,7 +288,12 @@ object AnnIndex {
     val assigned = vecs.withColumn("ivf_cid",
       element_at(Similarity.centroidRanking(col(vecCol), model.cents), 1)
         .getField("cid").cast("long"))
-    if (model.residual)
+    if (model.codec == "sq8")
+      // per-vector symmetric int8 — the exact quantizeInt8 projection
+      // the in-session ivfSq8TopKBatch encodes with, still zero-shuffle
+      Curation.quantizeInt8(assigned, idCol, vecCol)
+        .select(col(idCol), col("ivf_cid"), col("codes").as("cd"))
+    else if (model.residual)
       // classical IVFADC: codes quantize x - centroid(list(x)) — the
       // residual is a zip_with against the cid->centroid map literal,
       // still a zero-shuffle codegen projection
@@ -291,9 +311,11 @@ object AnnIndex {
   private def writeModel(spark: SparkSession, dir: String,
       model: Model): Unit = {
     import spark.implicits._
-    // the residual flag is part of the model contract: a probe must
-    // build the encode-matching cube or every distance is wrong
+    // the residual flag and the codec are part of the model contract:
+    // a probe must build the encode-matching scoring or every distance
+    // is wrong
     graft.core.Fs.writeUtf8(s"$dir/_residual", model.residual.toString)
+    graft.core.Fs.writeUtf8(s"$dir/_codec", model.codec)
     model.cents
       .map { case (cid, ce) => (cid.asInstanceOf[Number].longValue(), ce) }
       .toDF("cid", "ce")
@@ -322,6 +344,10 @@ object AnnIndex {
       .map(_._2.sortBy(_._2).map(_._3))
     val residual = graft.core.Fs.hadoopExists(s"$dir/_residual") &&
       graft.core.Fs.readUtf8(s"$dir/_residual").trim.toBoolean
-    Model(cents, books, residual)
+    val codec =
+      if (graft.core.Fs.hadoopExists(s"$dir/_codec"))
+        graft.core.Fs.readUtf8(s"$dir/_codec").trim
+      else "pq" // pre-codec generations are all PQ
+    Model(cents, books, residual, codec)
   }
 }

@@ -124,28 +124,45 @@ object Similarity {
           element_at(centroidRanking(col(vecCol), cents), 1)
             .getField("cid").cast("long")),
         idCol, vecCol)
-      .select(col(idCol), col("ivf_cid"),
-        col("codes").cast("array<double>").as("cd"))
+      .select(col(idCol), col("ivf_cid"), col("codes").as("cd"))
     val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
       idCol, vecCol)
     require(qVecs.nonEmpty, "empty query batch")
     val probes = probeSets(qVecs, cents, nprobe)
+    sq8ProbeScoreTopK(codes, qVecs, probes, kNN, idCol)
+  }
+
+  /** The shared IVF-SQ8 scoring tail: given the per-list int8 codes
+    * frame (`idCol`, `ivf_cid`, `cd`), the driver-side query batch and
+    * each query's probe set, explode each code row into exactly its
+    * probing queries, score the full-precision query against the bare
+    * codes (the per-vector SQ8 scale is a positive scalar — it cancels
+    * in the cosine), and rank per query on the two-phase bounded
+    * heaps. ONE implementation behind [[ivfSq8TopKBatch]] and the
+    * persisted [[AnnIndex.queryBatch]] sq8 codec — the same
+    * never-drift discipline as [[adcProbeScoreTopK]]. Returns
+    * (qid, idCol, cosine, rk), rk ≤ kNN.
+    */
+  private[ops] def sq8ProbeScoreTopK(codes: DataFrame,
+      qVecs: Seq[(Long, Seq[Double])], probes: Seq[(Long, Seq[Long])],
+      kNN: Int, idCol: String): DataFrame = {
     val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
       .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
       .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
     val qcube = typedLit(qVecs.map(_._2))
     val qids = typedLit(qVecs.map(_._1): Seq[Long])
     val emptyProbe = typedLit(Seq.empty[Int])
-    val exploded = codes.select(col(idCol), col("cd"),
-      explode(coalesce(
-        element_at(typedLit(cidToQpos), col("ivf_cid")),
-        emptyProbe)).as("qpos"))
+    val exploded = codes
+      .select(col(idCol), col("cd").cast("array<double>").as("cdv"),
+        explode(coalesce(
+          element_at(typedLit(cidToQpos), col("ivf_cid")),
+          emptyProbe)).as("qpos"))
     val qv = element_at(qcube, col("qpos") + 1)
     val scored = exploded
       .withColumn("qid", element_at(qids, col("qpos") + 1))
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        round(cosine(qv, col("cd")), 6).as("cosine"))
+        round(cosine(qv, col("cdv")), 6).as("cosine"))
     topKByCosine(scored, kNN, idCol)
   }
 

@@ -71,6 +71,37 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("sq8 codec: persisted index reproduces the in-session IVF+SQ8 " +
+      "batch, survives append+compact, and persists its codec") {
+    val (nlist, ti, m, k, pi) = Geom
+    val want = rows(Similarity.ivfSq8TopKBatch(corpus,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, nlist = nlist,
+      nprobe = 2, trainIters = ti))
+    val root = java.nio.file.Files.createTempDirectory("annsq8-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, codec = "sq8")
+      val got = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(got == want,
+        s"persisted sq8 query diverged from in-session:\n$got\nvs\n$want")
+      // a compaction rewrites the generation — codec marker and answer
+      // must carry over
+      AnnIndex.compact(spark, root.toString)
+      val after = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(after == want, "compaction changed the sq8 answer")
+      // and appends encode with the frozen per-vector quantizer
+      import spark.implicits._
+      val extra = Seq((100L, vec(100L))).toDF("vec_id", "embedding")
+      AnnIndex.append(extra, root.toString)
+      val withNew = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 40, nprobe = nlist))
+      assert(withNew.exists(_._2 == 100L),
+        "appended vector must be queryable under the sq8 codec")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("append batching + generational compaction never change the answer") {
     val (nlist, ti, m, k, pi) = Geom
     import spark.implicits._
