@@ -1413,6 +1413,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // FUZZY decontamination: corpus docs that are MinHash-LSH
+    // near-duplicates (exact-Jaccard-verified >= 0.8) of a benchmark
+    // doc (doc_id < 100 here) — catches the lightly-edited leaks the
+    // exact 8-gram test misses. Benchmark bands broadcast; corpus
+    // probes in place.
+    "curation_decontaminate_fuzzy" -> ((s, d) =>
+      graft.ops.Curation.contaminatedFuzzy(Tables.documents(s, d),
+          "text", "doc_id", col("doc_id") < 100, threshold = 0.8)
+        .orderBy(col("doc_id"))),
+
     // Symmetric int8 embedding quantization: per-vector scale + code
     // sum + reconstruction-error profile (floor-based rounding so both
     // engines agree bit-for-bit).
@@ -4459,6 +4469,41 @@ object SparkEntry {
     "curation_hash_split" -> hashSplitOracle,
     "curation_decontaminate" -> decontaminateOracle,
     "curation_quantize_int8" -> quantizeOracle,
+    // fuzzy decontamination: the proven minhash sig/band CTEs, corpus
+    // bands joined to benchmark bands (ids < 100), exact-Jaccard
+    // verify >= 0.8, then the per-corpus-doc rollup (best = max
+    // jaccard, ties to the smaller bench id)
+    "curation_decontaminate_fuzzy" ->
+      s"""WITH $shinglesCte,
+         |$minhashSigBandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.id >= 100 AND y.id < 100),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sh sa ON sa.id = c.a
+         |  JOIN sh sb ON sb.id = c.b AND sa.sh = sb.sh
+         |  GROUP BY c.a, c.b),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |verf AS (
+         |  SELECT i.a, i.b,
+         |    round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS j
+         |  FROM inter i
+         |  JOIN sizes na ON na.id = i.a
+         |  JOIN sizes nb ON nb.id = i.b
+         |  WHERE round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) >= 0.8),
+         |agg AS (
+         |  SELECT a, CAST(count(*) AS BIGINT) AS n_bench_dups,
+         |    max(j) AS best_jaccard
+         |  FROM verf GROUP BY a)
+         |SELECT g.a AS doc_id, g.n_bench_dups, g.best_jaccard,
+         |  min(v.b) AS best_bench
+         |FROM agg g JOIN verf v ON v.a = g.a AND v.j = g.best_jaccard
+         |GROUP BY g.a, g.n_bench_dups, g.best_jaccard
+         |ORDER BY doc_id""".stripMargin,
     // DSIR: hashed unigram+bigram buckets, Laplace-smoothed target/raw
     // log-ratio as ONE ln of an exact integer rational per bucket,
     // raw doubles summed per doc, final weight rounded 4dp — the

@@ -409,6 +409,51 @@ object Curation {
       .agg(countDistinct(col("sh")).as("n_hits"), min(col("sh")).as("first_hit"))
   }
 
+  /** FUZZY benchmark decontamination: corpus documents that are
+    * MinHash-LSH near-duplicates of a benchmark document — the
+    * contamination an exact n-gram test ([[contaminated]]) misses when
+    * the leaked copy was lightly edited (reworded answer, shuffled
+    * options, inserted whitespace). Same discovery geometry as the
+    * dedup family (word 3-shingles, 8 derived minhashes, 4 bands) with
+    * exact-Jaccard verification at `threshold`.
+    *
+    * Scale shape: the benchmark side is tiny by definition, so its
+    * band rows BROADCAST and the corpus band stream is probed in place
+    * — no corpus self-join, no corpus shuffle beyond the signature
+    * aggregation; the verify re-reads shingles only for candidate
+    * documents ([[Dedup.jaccardForCandidates]]'s semi-join
+    * restriction).
+    *
+    * Output: one row per contaminated corpus doc —
+    * (doc_id, n_bench_dups, best_jaccard, best_bench), best = the
+    * highest-Jaccard benchmark match (ties to the smaller bench id).
+    */
+  def contaminatedFuzzy(df: DataFrame, textCol: String, idCol: String,
+      isBench: Column, threshold: Double = 0.8, k: Int = 3,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    // materialized for the multi-consumer reason minhashLsh documents
+    val sh = Dedup.wordShingles(df, textCol, idCol, k).localCheckpoint()
+    val sig = Dedup.minhashSignatures(sh, numHashes)
+    val banded = Dedup.bandKeys(sig, bands, numHashes / bands)
+    val benchIds = df.where(isBench).select(col(idCol).as("id"))
+    val benchBands = banded.join(broadcast(benchIds), "id")
+    val cand = banded.join(broadcast(benchIds), Seq("id"), "left_anti")
+      .as("c")
+      .join(broadcast(benchBands).as("q"),
+        col("c.band") === col("q.band") && col("c.bkey") === col("q.bkey"))
+      .select(col("c.id").as("a"), col("q.id").as("b")).distinct()
+    val ver = Dedup.jaccardForCandidates(cand, sh)
+      .where(col("jaccard") >= threshold)
+    ver.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_bench_dups"),
+        max(col("jaccard")).as("best_jaccard"),
+        // highest jaccard, ties to the smaller bench id
+        min(struct((-col("jaccard")).as("nj"), col("b").as("bb")))
+          .getField("bb").as("best_bench"))
+      .select(col("a").as("doc_id"), col("n_bench_dups"),
+        col("best_jaccard"), col("best_bench"))
+  }
+
   /** The Gopher stop-word list (Rae et al. 2021 §A1.1 verbatim: a doc
     * must contain stop words from this exact 8-word set). Counted on
     * TOKEN boundaries via [[TextAnalysis.tokenSetOccurrences]] —

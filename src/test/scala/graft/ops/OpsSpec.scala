@@ -201,6 +201,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.opqSchedule(6, dims) == Similarity.opqSchedule(6, dims))
   }
 
+  test("fuzzy decontamination: edited near-copies of benchmark docs " +
+      "flagged with best match, unrelated docs clean, ties to the " +
+      "smaller bench id") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 30).map(i => s"w$i").updated(14, "CHANGED"))
+      .mkString(" ")
+    val unrelated = (1 to 30).map(i => s"z$i").mkString(" ")
+    // bench: 1 and 2 (identical), corpus: 10 = verbatim copy,
+    // 11 = one-token edit, 12 = unrelated
+    val df = Seq((1L, base), (2L, base), (10L, base), (11L, edited),
+      (12L, unrelated)).toDF("doc_id", "text")
+    val got = Curation.contaminatedFuzzy(df, "text", "doc_id",
+        col("doc_id") < 10, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // verbatim copy: matches BOTH bench docs at 1.0, best = smaller id
+    assert(got(10L) == ((2L, 1.0, 1L)), s"got=${got.get(10L)}")
+    // the one-token edit: 3 of 28 shingles broken -> high jaccard,
+    // still flagged against both
+    assert(got.contains(11L) && got(11L)._2 > 0.8 && got(11L)._3 == 1L,
+      s"edited near-copy must be flagged: ${got.get(11L)}")
+    assert(!got.contains(12L), "unrelated doc must stay clean")
+  }
+
   test("dsir weights: target-like docs score higher, feature counts " +
       "are unigrams+bigrams, empty-vocab docs survive at zero") {
     import spark.implicits._
