@@ -682,6 +682,17 @@ object SparkEntry {
           nlist = IvfLists, nprobe = IvfProbes, trainIters = IvfIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // Exact re-ranking refinement over IVF-PQ (the faiss RFlat
+    // two-stage shape): ADC retrieves RefineR candidates per query,
+    // exact cosine re-ranks ONLY those survivors — PQ's recall gap
+    // closed at a rerank×Q raw-vector cost, never a flat scan.
+    "ann_ivfpq_refine" -> ((s, d) =>
+      graft.ops.Similarity.ivfPqRefineTopKBatch(Tables.embeddings(s, d),
+          queryPred = col("vec_id").isin(0, 1, 2), kNN = 5,
+          rerank = RefineR, nlist = IvfLists, nprobe = IvfPqProbes,
+          trainIters = IvfIters, m = PqM, k = PqK, iters = PqIters)
+        .orderBy(col("qid"), col("rk"))),
+
     // PERSISTENT IVF+SQ8: the persisted index running the sq8 codec —
     // frozen seed-time centroids are the ONLY trained state (the int8
     // quantizer is per-vector and stateless), appends encode with the
@@ -2842,6 +2853,13 @@ object SparkEntry {
   private val SubstrK = 8
   private val SubstrMinRun = 2
 
+  /** ann_ivfpq_refine re-rank depth: the ADC pass hands the exact
+    * re-ranker 50 candidates per query — 10× the final k, the
+    * standard refine ratio; the refine read is RefineR × Q raw
+    * vectors, a query-batch constant.
+    */
+  private val RefineR = 50
+
   /** curation_dsir_weights hashed-feature bucket count: divides 65536
     * so the 4-hex-digit md5 derivation is exactly uniform, and small
     * enough that the log-ratio model broadcast is trivial at any
@@ -4393,8 +4411,16 @@ object SparkEntry {
     * the CANDIDATE set only — deletes never retrain the quantizers,
     * so training/assignment CTEs are untouched by it.
     */
+  /** Default final select of the composed IVF-PQ oracle; [[ivfPqOracleFor]]
+    * callers may swap it (the refine leg re-ranks `ranked` instead).
+    */
+  private def ivfPqOracleTail: String =
+    """SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   private def ivfPqOracleFor(sampPred: String,
-      delPred: String = "FALSE"): String = {
+      delPred: String = "FALSE",
+      tail: String = ivfPqOracleTail): String = {
     require(IvfSample == PqSample,
       "composed oracle shares one samp CTE — keep the sample caps equal")
     val sub = PqDims / PqM
@@ -4432,10 +4458,28 @@ object SparkEntry {
        |ranked AS (
        |  SELECT qid, vec_id, adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
-       |  FROM scored)
-       |SELECT qid, vec_id, adist, rk FROM ranked WHERE rk <= 5
-       |ORDER BY qid, rk""".stripMargin
+       |  FROM scored)""".stripMargin + "\n" + tail
   }
+
+  /** ann_ivfpq_refine: the composed IVF-PQ chain retrieves the top
+    * RefineR candidates per query by ADC, then exact cosine against
+    * the raw vectors re-ranks ONLY those survivors — the faiss RFlat
+    * refinement. The tail swaps the default rk<=5 select for the
+    * re-rank CTEs; everything upstream is the proven chain verbatim.
+    */
+  private def ivfPqRefineOracle: String = ivfPqOracleFor("TRUE", tail =
+    s""",refine AS (
+       |  SELECT r.qid, r.vec_id, ${cosSql("q.ve", "cv.ve")} AS cosine
+       |  FROM ranked r
+       |  JOIN corp cv ON cv.vec_id = r.vec_id
+       |  JOIN qv q ON q.qid = r.qid
+       |  WHERE r.rk <= $RefineR),
+       |rranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM refine)
+       |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin)
 
   /** Mirror of Curation.zValue: the same 16-bit Morton interleave as
     * explicit shift/mask arithmetic.
@@ -4549,6 +4593,7 @@ object SparkEntry {
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_sq8" -> ivfSq8Oracle,
     "ann_ivfsq8_persistent" -> ivfSq8PersistentOracle,
+    "ann_ivfpq_refine" -> ivfPqRefineOracle,
     "ann_ivf_pq" -> ivfPqOracle,
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,

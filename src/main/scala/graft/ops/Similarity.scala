@@ -132,6 +132,43 @@ object Similarity {
     sq8ProbeScoreTopK(codes, qVecs, probes, kNN, idCol)
   }
 
+  /** Exact re-ranking REFINEMENT over IVF-PQ (the faiss
+    * `IVF…,PQ…,RFlat` two-stage shape, Jégou et al.'s re-ranking): the
+    * ADC pass retrieves `rerank` candidates per query from the probed
+    * lists, then ONLY those survivors are scored by exact cosine
+    * against their raw vectors and the top `kNN` re-ranked. This is
+    * how production closes PQ's quantization-loss recall gap without
+    * paying the flat-scan cost: the refine step reads `rerank × Q`
+    * raw vectors — a query-batch constant — never the corpus.
+    *
+    * Scale shape: the survivor set (rerank × Q rows of ids) BROADCASTS
+    * back onto the corpus scan (one equi-join probe — the corpus is
+    * read once more but only the id+vector columns, and only survivor
+    * rows leave the scan), exact scoring is the [[bruteForceTopK]]
+    * formula against the driver-side query map, and the final top-k
+    * runs the same bounded heaps.
+    */
+  def ivfPqRefineTopKBatch(corpus: DataFrame, queryPred: Column,
+      kNN: Int, rerank: Int, nlist: Int = 10, nprobe: Int = 2,
+      trainIters: Int = 0, m: Int = 4, k: Int = 16, iters: Int = 2,
+      sampleMode: String = "prefix", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNN, "rerank depth must cover the final top-k")
+    val survivors = ivfPqTopKBatch(corpus, queryPred, rerank, nlist,
+        nprobe, trainIters, m, k, iters, sampleMode = sampleMode,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("qid"), col(idCol))
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
+    val qMap = typedLit(qVecs.toMap)
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(survivors), idCol)
+      .select(col("qid"), col(idCol),
+        round(cosine(element_at(qMap, col("qid")), col(vecCol)), 6)
+          .as("cosine"))
+    topKByCosine(scored, kNN, idCol)
+  }
+
   /** The shared IVF-SQ8 scoring tail: given the per-list int8 codes
     * frame (`idCol`, `ivf_cid`, `cd`), the driver-side query batch and
     * each query's probe set, explode each code row into exactly its

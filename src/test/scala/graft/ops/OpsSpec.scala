@@ -169,6 +169,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sq8 == exact, s"sq8=$sq8 exact=$exact")
   }
 
+  test("ivfpq refine: full-depth re-rank over all lists equals the " +
+      "exact baseline; shallow refine ranks by true cosine") {
+    import spark.implicits._
+    val dims = 8
+    def vec(i: Long): Seq[Double] =
+      (0 until dims).map(j => ((i * 7 + j * 3) % 11 - 5).toDouble)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val pred = col("vec_id").isin(0, 1, 2)
+    val q = corpus.where(pred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // rerank deep enough to cover every probed candidate + probe all
+    // lists -> the ADC stage merely forwards the corpus and the exact
+    // re-rank must reproduce the brute-force answer bit-for-bit
+    val exact = Similarity.bruteForceTopK(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val deep = Similarity.ivfPqRefineTopKBatch(corpus, pred, kNN = 3,
+        rerank = 40, nlist = 4, nprobe = 4, trainIters = 2,
+        m = 4, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(deep == exact, s"deep=$deep exact=$exact")
+    // shallow refine: scores are TRUE cosines (not ADC distances) and
+    // properly ordered per query
+    val shallow = Similarity.ivfPqRefineTopKBatch(corpus, pred, kNN = 3,
+        rerank = 10, nlist = 4, nprobe = 2, trainIters = 2,
+        m = 4, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val trueCos = exact ++ Similarity.bruteForceTopK(corpus, q, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val cosOf = trueCos.map(t => (t._1, t._2) -> t._3).toMap
+    shallow.foreach { case (qid, vid, c, _) =>
+      assert(cosOf((qid, vid)) == c,
+        s"refined score must be the true cosine for ($qid,$vid)")
+    }
+  }
+
   test("opq rotation is near-orthonormal: norms preserved, " +
       "inverse schedule recovers the input, angles cancel in ranking") {
     import spark.implicits._
