@@ -431,9 +431,13 @@ object Curation {
   def contaminatedFuzzy(df: DataFrame, textCol: String, idCol: String,
       isBench: Column, threshold: Double = 0.8, k: Int = 3,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    // materialized for the multi-consumer reason minhashLsh documents
+    // materialized for the multi-consumer reason minhashLsh documents;
+    // sig too — bandKeys' per-band union re-derives its input once per
+    // band per SIDE here (corpus probe + benchmark build = 8
+    // recomputes of the 8-column min aggregation), and a signature row
+    // is 9 longs per document, far cheaper to hold than to recompute
     val sh = Dedup.wordShingles(df, textCol, idCol, k).localCheckpoint()
-    val sig = Dedup.minhashSignatures(sh, numHashes)
+    val sig = Dedup.minhashSignatures(sh, numHashes).localCheckpoint()
     val banded = Dedup.bandKeys(sig, bands, numHashes / bands)
     val benchIds = df.where(isBench).select(col(idCol).as("id"))
     val benchBands = banded.join(broadcast(benchIds), "id")
