@@ -693,6 +693,16 @@ object SparkEntry {
           trainIters = IvfIters, m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // Matryoshka two-stage retrieval: search in the 16 leading dims
+    // (1/4 the arithmetic and, with a prefix column, 1/4 the scan
+    // bytes), exact full-dim re-rank of the RefineR survivors — the
+    // MRL retrieval shape, sharing the refine tail with ann_ivfpq_refine.
+    "ann_matryoshka_refine" -> ((s, d) =>
+      graft.ops.Similarity.matryoshkaRefineTopKBatch(
+          Tables.embeddings(s, d), col("vec_id").isin(0, 1, 2),
+          kNN = 5, rerank = RefineR, dims = MrlDims)
+        .orderBy(col("qid"), col("rk"))),
+
     // PERSISTENT IVF+SQ8: the persisted index running the sq8 codec —
     // frozen seed-time centroids are the ONLY trained state (the int8
     // quantizer is per-vector and stateless), appends encode with the
@@ -2860,6 +2870,15 @@ object SparkEntry {
     */
   private val RefineR = 50
 
+  /** ann_matryoshka_refine truncation width: the 16 leading of 64
+    * dims — the 4× compute/byte saving the MRL two-stage claim is
+    * about (on these i.i.d. synthetic embeddings the prefix carries
+    * no privileged semantics, so stage-1 ranking quality is the
+    * random-projection baseline; the LEG pins the two-stage plan and
+    * arithmetic, the recall claim belongs to MRL-trained models).
+    */
+  private val MrlDims = 16
+
   /** curation_dsir_weights hashed-feature bucket count: divides 65536
     * so the 4-hex-digit md5 derivation is exactly uniform, and small
     * enough that the log-ratio model broadcast is trivial at any
@@ -4594,6 +4613,32 @@ object SparkEntry {
     "ann_ivf_sq8" -> ivfSq8Oracle,
     "ann_ivfsq8_persistent" -> ivfSq8PersistentOracle,
     "ann_ivfpq_refine" -> ivfPqRefineOracle,
+    // matryoshka: truncated-prefix cosine top-RefineR (1-based
+    // inclusive list slice = Spark's slice), exact full-dim re-rank
+    "ann_matryoshka_refine" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |q AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
+         |tsc AS (
+         |  SELECT q.qid, c.vec_id,
+         |    ${cosSql(s"q.ve[1:$MrlDims]", s"c.ve[1:$MrlDims]")} AS tcos
+         |  FROM corp c, q WHERE c.vec_id != q.qid),
+         |tr AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY tcos DESC, vec_id) AS rk
+         |  FROM tsc),
+         |surv AS (SELECT qid, vec_id FROM tr WHERE rk <= $RefineR),
+         |refine AS (
+         |  SELECT s.qid, s.vec_id, ${cosSql("q.ve", "c.ve")} AS cosine
+         |  FROM surv s
+         |  JOIN corp c ON c.vec_id = s.vec_id
+         |  JOIN q ON q.qid = s.qid),
+         |rranked AS (
+         |  SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM refine)
+         |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin,
     "ann_ivf_pq" -> ivfPqOracle,
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,

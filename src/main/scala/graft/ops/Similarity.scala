@@ -160,6 +160,18 @@ object Similarity {
       .select(col("qid"), col(idCol))
     val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
       idCol, vecCol)
+    exactRefineTopK(corpus, survivors, qVecs, kNN, idCol, vecCol)
+  }
+
+  /** The shared exact-re-rank tail: broadcast the (qid, id) survivor
+    * set back onto the corpus scan (one equi-join probe), score the
+    * full-precision cosine against the driver-side query map, rank on
+    * the bounded heaps. ONE implementation behind
+    * [[ivfPqRefineTopKBatch]] and [[matryoshkaRefineTopKBatch]].
+    */
+  private def exactRefineTopK(corpus: DataFrame, survivors: DataFrame,
+      qVecs: Seq[(Long, Seq[Double])], kNN: Int, idCol: String,
+      vecCol: String): DataFrame = {
     val qMap = typedLit(qVecs.toMap)
     val scored = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(survivors), idCol)
@@ -167,6 +179,43 @@ object Similarity {
         round(cosine(element_at(qMap, col("qid")), col(vecCol)), 6)
           .as("cosine"))
     topKByCosine(scored, kNN, idCol)
+  }
+
+  /** Matryoshka (MRL) two-stage retrieval (Kusupati et al. 2022):
+    * stage 1 searches in the PREFIX-TRUNCATED embedding space (`dims`
+    * leading coordinates — a Matryoshka-trained model packs coarse
+    * semantics there, so truncated cosine is a cheap, surprisingly
+    * faithful ranking at 1/dims the arithmetic and scan bytes), and
+    * stage 2 re-ranks the `rerank` survivors by exact full-dimension
+    * cosine — the same refine tail as [[ivfPqRefineTopKBatch]].
+    *
+    * Scale shape: stage 1 is the brute-force explode at truncated
+    * width (at 100 TB you'd store the truncated prefix as its own
+    * column/index — the scan then reads dims/D of the bytes); stage 2
+    * reads rerank × Q raw vectors, a query-batch constant.
+    */
+  def matryoshkaRefineTopKBatch(corpus: DataFrame, queryPred: Column,
+      kNN: Int, rerank: Int, dims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNN, "rerank depth must cover the final top-k")
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
+    require(qVecs.nonEmpty, "empty query batch")
+    val qTrunc = typedLit(qVecs.map(_._2.take(dims)))
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val scored = corpus
+      .select(col(idCol),
+        slice(col(vecCol), 1, dims).cast("array<double>").as("tv"))
+      .select(col(idCol), col("tv"),
+        explode(typedLit(qVecs.indices.toList)).as("qpos"))
+      .withColumn("qid", element_at(qids, col("qpos") + 1))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosine(element_at(qTrunc, col("qpos") + 1), col("tv")), 6)
+          .as("cosine"))
+    val survivors = topKByCosine(scored, rerank, idCol)
+      .select(col("qid"), col(idCol))
+    exactRefineTopK(corpus, survivors, qVecs, kNN, idCol, vecCol)
   }
 
   /** The shared IVF-SQ8 scoring tail: given the per-list int8 codes

@@ -77,8 +77,14 @@ object Probe100x {
     // corpus-size-independent query I/O gets its own measured 100×
     // point (seed + append + compact + query, the full gated leg) —
     // the r13 verdict's missing number
+    // r14 additions: the sq8-codec persistent index and the exact
+    // re-rank refinement (survivor read is a query-batch constant —
+    // the 100× point is the measured form of that claim), plus DSIR
+    // (model is 4096 rows at any corpus size; what should grow is the
+    // two linear passes)
     val legs = Seq("dedup_minhash_incremental", "dedup_simhash_pairs",
-      "ann_ivf_pq", "ann_ivfpq_persistent")
+      "ann_ivf_pq", "ann_ivfpq_persistent", "ann_ivfsq8_persistent",
+      "ann_ivfpq_refine", "curation_dsir_weights")
     legs.foreach { n =>
       def minOf2(dir: String): Double = math.min(leg(n, dir), leg(n, dir))
       val b = minOf2(sf); val x10 = minOf2(big); val x100 = minOf2(huge)

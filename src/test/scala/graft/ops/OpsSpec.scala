@@ -208,6 +208,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("matryoshka two-stage: full-width truncation degenerates to " +
+      "brute force; truncated stage-1 still yields true-cosine ranks") {
+    import spark.implicits._
+    val dims = 8
+    def vec(i: Long): Seq[Double] =
+      (0 until dims).map(j => ((i * 7 + j * 3) % 11 - 5).toDouble)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val pred = col("vec_id").isin(0, 1, 2)
+    val q = corpus.where(pred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    // dims = full width + rerank = corpus: both stages are exact
+    val full = Similarity.matryoshkaRefineTopKBatch(corpus, pred,
+        kNN = 3, rerank = 40, dims = dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(full == exact, s"full=$full exact=$exact")
+    // truncated stage 1: final scores must still be TRUE full-dim
+    // cosines (the refine stage's contract)
+    val allCos = Similarity.bruteForceTopK(corpus, q, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val trunc = Similarity.matryoshkaRefineTopKBatch(corpus, pred,
+        kNN = 3, rerank = 10, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    trunc.foreach { case (qid, vid, c) =>
+      assert(allCos((qid, vid)) == c,
+        s"refined score must be the true full-dim cosine ($qid,$vid)")
+    }
+  }
+
   test("opq rotation is near-orthonormal: norms preserved, " +
       "inverse schedule recovers the input, angles cancel in ranking") {
     import spark.implicits._
