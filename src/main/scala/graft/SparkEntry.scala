@@ -693,6 +693,38 @@ object SparkEntry {
           trainIters = IvfIters, m = PqM, k = PqK, iters = PqIters)
         .orderBy(col("qid"), col("rk"))),
 
+    // PERSISTENT OPQ IVF-PQ: the persisted index with the Givens
+    // pre-rotation as frozen model state (_opq marker) — training,
+    // encode, and the driver-side query rotation all happen in the
+    // rotated space; raw vectors enter the index API unrotated and
+    // are rotated exactly once. Completes the persistence matrix:
+    // every in-session ANN variant (pq/residual/sq8/opq) persists.
+    "ann_ivfpq_persistent_opq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annopq-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters, opqSteps = OpqSteps)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // Matryoshka two-stage retrieval: search in the 16 leading dims
     // (1/4 the arithmetic and, with a prefix column, 1/4 the scan
     // bytes), exact full-dim re-rank of the RefineR survivors — the
@@ -3616,7 +3648,10 @@ object SparkEntry {
     * `ann_ivf_hash`, `dedup_semantic`): ends with
     * `assigned(vec_id, cid)` over `corp(vec_id, ve)`.
     */
-  private def ivfTrainAssignCtes(sampPred: String): String = {
+  private def ivfTrainAssignCtes(sampPred: String,
+      corpSrc: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings",
+      corpMat: Boolean = false): String = {
     val iterCtes = (1 to IvfIters).map { r =>
       val prev = s"c${r - 1}"
       s"""a$r AS (
@@ -3636,7 +3671,8 @@ object SparkEntry {
          |    ON n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
     val cf = s"c$IvfIters"
-    s"""corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    val mat = if (corpMat) " MATERIALIZED" else ""
+    s"""corp AS$mat ($corpSrc),
        |samp AS (SELECT vec_id, ve FROM corp WHERE $sampPred
        |  ORDER BY vec_id LIMIT $IvfSample),
        |flat AS (SELECT vec_id, i, ve[i] AS v
@@ -4235,7 +4271,11 @@ object SparkEntry {
     * in the residual oracles) so the multi-consumer rotation chain
     * evaluates once.
     */
-  private def opqPqOracle: String = {
+  /** The r0..rN Givens-chain CTEs shared by every OPQ oracle —
+    * generated from the SAME schedule the engine rotates with.
+    * Ends at relation `r${OpqSteps}(vec_id, ve)`.
+    */
+  private def opqChainCtes: String = {
     val steps = graft.ops.Similarity.opqSchedule(OpqSteps, PqDims)
     val chain = steps.zipWithIndex.map { case ((i, j, c, s), t) =>
       s"""r${t + 1} AS (
@@ -4246,10 +4286,14 @@ object SparkEntry {
          |      ELSE ve[p] END) AS ve
          |  FROM r$t)""".stripMargin
     }.mkString(",\n")
+    s"""r0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$chain""".stripMargin
+  }
+
+  private def opqPqOracle: String = {
     val prelude =
-      s"""r0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         |$chain,
-         |corp AS MATERIALIZED (SELECT vec_id, ve FROM r${steps.size}),
+      s"""$opqChainCtes,
+         |corp AS MATERIALIZED (SELECT vec_id, ve FROM r$OpqSteps),
          |samp AS (SELECT vec_id, ve FROM corp ORDER BY vec_id LIMIT $PqSample),
          |$pqCodebookBodyCtes""".stripMargin
     pqAdcOracleFor("vec_id IN (0, 1, 2)", prelude)
@@ -4439,7 +4483,11 @@ object SparkEntry {
 
   private def ivfPqOracleFor(sampPred: String,
       delPred: String = "FALSE",
-      tail: String = ivfPqOracleTail): String = {
+      tail: String = ivfPqOracleTail,
+      prefix: String = "",
+      corpSrc: String =
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings",
+      corpMat: Boolean = false): String = {
     require(IvfSample == PqSample,
       "composed oracle shares one samp CTE — keep the sample caps equal")
     val sub = PqDims / PqM
@@ -4456,7 +4504,7 @@ object SparkEntry {
       s"JOIN cell$s ce$s ON ce$s.cid = k$s.cid" +
         (if (s == 0) "" else " AND ce" + s + ".qid = ce0.qid")).mkString("\n  ")
     val cellSum = (0 until PqM).map(s => s"ce$s.cell").mkString(" + ")
-    s"""WITH ${ivfTrainAssignCtes(sampPred)},
+    s"""WITH $prefix${ivfTrainAssignCtes(sampPred, corpSrc, corpMat)},
        |$pqCodebookBodyCtes,
        |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN (0, 1, 2)),
        |probes AS (
@@ -4479,6 +4527,20 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
        |  FROM scored)""".stripMargin + "\n" + tail
   }
+
+  /** ann_ivfpq_persistent_opq: the persistent chain with the OPQ
+    * Givens pre-rotation folded in — the rotation CTEs rewrite `corp`
+    * to the rotated space (MATERIALIZED: every downstream CTE family
+    * re-references corp), the training sample restricts to the
+    * seed-time corpus, and queries rank/score in the rotated space
+    * exactly as AnnIndex.queryBatch's driver-side opqRotateVec does.
+    */
+  private def ivfPqPersistentOpqOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    prefix = opqChainCtes + ",\n",
+    corpSrc = s"SELECT vec_id, ve FROM r$OpqSteps",
+    corpMat = true)
 
   /** ann_ivfpq_refine: the composed IVF-PQ chain retrieves the top
     * RefineR candidates per query by ADC, then exact cosine against
@@ -4613,6 +4675,7 @@ object SparkEntry {
     "ann_ivf_sq8" -> ivfSq8Oracle,
     "ann_ivfsq8_persistent" -> ivfSq8PersistentOracle,
     "ann_ivfpq_refine" -> ivfPqRefineOracle,
+    "ann_ivfpq_persistent_opq" -> ivfPqPersistentOpqOracle,
     // matryoshka: truncated-prefix cosine top-RefineR (1-based
     // inclusive list slice = Spark's slice), exact full-dim re-rank
     "ann_matryoshka_refine" ->

@@ -58,7 +58,7 @@ object AnnIndex {
     */
   final case class Model(cents: Seq[(Any, Seq[Double])],
       books: Seq[Seq[Seq[Double]]], residual: Boolean = false,
-      codec: String = "pq") {
+      codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64) {
     def m: Int = books.length
     def k: Int = books.head.length
     def sub: Int = books.head.head.length
@@ -93,18 +93,26 @@ object AnnIndex {
       m: Int, k: Int, pqIters: Int, maxSample: Int = 10000,
       sampleMode: String = "prefix", idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = false,
-      codec: String = "pq"): Unit = {
+      codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64): Unit = {
     require(codec == "pq" || codec == "sq8", s"unknown codec $codec")
     require(codec == "pq" || !residual,
       "residual encoding is a PQ concept — sq8 has no codebooks")
     val spark = corpus.sparkSession
+    // OPQ pre-rotation: the quantizers TRAIN in the rotated space (the
+    // rotation is part of the frozen model — encode() and queryBatch()
+    // apply it from the _opq marker, so the raw corpus passes through
+    // encode unrotated here and encode rotates exactly once)
+    val trainCorpus =
+      if (opqSteps > 0)
+        Similarity.opqRotate(corpus, vecCol, vecCol, opqSteps, opqDims)
+      else corpus
     // coarseCentroids, not kmeansCentroids: the in-session paths
     // (ivfTopK / ivfPqTopKBatch) fall back to the raw corpus id-prefix
     // when trainIters == 0, while kmeansCentroids at 0 iters returns
     // the TRAINING SAMPLE's prefix — for sampleMode="hash" those
     // differ, silently breaking the "training matches the in-session
     // build exactly" contract for that configuration
-    val cents = Similarity.coarseCentroids(corpus, nlist, trainIters,
+    val cents = Similarity.coarseCentroids(trainCorpus, nlist, trainIters,
       sampleMode, idCol, vecCol, maxSample)
     // residual=true is the classical IVFADC composition: the PQ books
     // train on the SAMPLE's residuals (x minus its nearest final
@@ -114,13 +122,13 @@ object AnnIndex {
       if (codec == "sq8") Nil // per-vector quantizer: nothing to train
       else if (residual) {
         val sample = collectQueryVecs(
-          Similarity.trainingSample(corpus, maxSample,
+          Similarity.trainingSample(trainCorpus, maxSample,
             sampleMode, idCol), idCol, vecCol).map(_._2)
         val pre = Model(cents, Nil, residual = true)
         Similarity.pqTrainFrom(sample.map(pre.residOf), m, k, pqIters)
-      } else Similarity.pqTrain(corpus, m, k, pqIters, maxSample,
+      } else Similarity.pqTrain(trainCorpus, m, k, pqIters, maxSample,
         sampleMode, idCol, vecCol)
-    val model = Model(cents, books, residual, codec)
+    val model = Model(cents, books, residual, codec, opqSteps, opqDims)
     GenIndex.init(root) { dir =>
       writeModel(spark, dir, model)
       encode(corpus, model, idCol, vecCol)
@@ -198,10 +206,18 @@ object AnnIndex {
     require(qVecs.nonEmpty, "empty query batch")
     val gen = GenIndex.currentGen(root)
     val model = readModel(spark, gen)
+    // OPQ models rank probes and build cubes in the ROTATED space —
+    // the driver-side rotation is the bit-identical mirror of the
+    // encode projection (Similarity.opqRotateVec)
+    val qv = if (model.opqSteps > 0)
+      qVecs.map { case (id, v) =>
+        (id, Similarity.opqRotateVec(v, model.opqSteps, model.opqDims))
+      }
+    else qVecs
     // per-query probe set by 6-dp-rounded cosine (ties to the smaller
     // cid) — Similarity.probeSets, the identical ranking to the
     // in-session path
-    val probes = Similarity.probeSets(qVecs, model.cents, nprobe)
+    val probes = Similarity.probeSets(qv, model.cents, nprobe)
     val probedCids = probes.flatMap(_._2).toSet
     // partition-pruned codes read: explicit probed-∩-live directory
     // paths under one listing — per-batch I/O is the probed lists,
@@ -234,9 +250,9 @@ object AnnIndex {
     // in-session paths (adcProbeScoreTopK / sq8ProbeScoreTopK) — the
     // plan this index's bit-equality contract is pinned against
     if (model.codec == "sq8")
-      Similarity.sq8ProbeScoreTopK(codes, qVecs, probes, kNN, idCol)
+      Similarity.sq8ProbeScoreTopK(codes, qv, probes, kNN, idCol)
     else
-      Similarity.adcProbeScoreTopK(codes, qVecs, probes, model.books,
+      Similarity.adcProbeScoreTopK(codes, qv, probes, model.books,
         model.centOf, model.residual, kNN, idCol)
   }
 
@@ -285,7 +301,14 @@ object AnnIndex {
     */
   private def encode(vecs: DataFrame, model: Model, idCol: String,
       vecCol: String): DataFrame = {
-    val assigned = vecs.withColumn("ivf_cid",
+    // the rotation is model state: every vector entering the index is
+    // rotated exactly once, no matter which batch or codec
+    val rvecs =
+      if (model.opqSteps > 0)
+        Similarity.opqRotate(vecs, vecCol, vecCol, model.opqSteps,
+          model.opqDims)
+      else vecs
+    val assigned = rvecs.withColumn("ivf_cid",
       element_at(Similarity.centroidRanking(col(vecCol), model.cents), 1)
         .getField("cid").cast("long"))
     if (model.codec == "sq8")
@@ -316,6 +339,8 @@ object AnnIndex {
     // is wrong
     graft.core.Fs.writeUtf8(s"$dir/_residual", model.residual.toString)
     graft.core.Fs.writeUtf8(s"$dir/_codec", model.codec)
+    graft.core.Fs.writeUtf8(s"$dir/_opq",
+      s"${model.opqSteps}:${model.opqDims}")
     model.cents
       .map { case (cid, ce) => (cid.asInstanceOf[Number].longValue(), ce) }
       .toDF("cid", "ce")
@@ -348,6 +373,12 @@ object AnnIndex {
       if (graft.core.Fs.hadoopExists(s"$dir/_codec"))
         graft.core.Fs.readUtf8(s"$dir/_codec").trim
       else "pq" // pre-codec generations are all PQ
-    Model(cents, books, residual, codec)
+    val (opqSteps, opqDims) =
+      if (graft.core.Fs.hadoopExists(s"$dir/_opq")) {
+        val Array(st, dm) =
+          graft.core.Fs.readUtf8(s"$dir/_opq").trim.split(":")
+        (st.toInt, dm.toInt)
+      } else (0, 64) // pre-OPQ generations are unrotated
+    Model(cents, books, residual, codec, opqSteps, opqDims)
   }
 }

@@ -293,6 +293,24 @@ object Similarity {
     }
   }
 
+  /** Driver-side mirror of [[opqRotate]] for a single vector — the
+    * SAME step-by-step Givens sequence in the same IEEE order, so a
+    * query vector rotated here lands bit-identical to a corpus vector
+    * rotated by the column projection (the persistent index's
+    * encode/probe consistency depends on it).
+    */
+  private[ops] def opqRotateVec(v: Seq[Double], t: Int,
+      dims: Int = 64): Seq[Double] = {
+    val a = v.toArray
+    opqSchedule(t, dims).foreach { case (i, j, c, s) =>
+      val vi = a(i)
+      val vj = a(j)
+      a(i) = vi * c - vj * s
+      a(j) = vi * s + vj * c
+    }
+    a.toSeq
+  }
+
   /** Apply the [[opqSchedule]] rotation to a vector column — a single
     * zero-shuffle projection. Built by PER-DIMENSION expression
     * accumulation (each Givens step rewrites only its two touched

@@ -102,6 +102,33 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("opq model: persisted index reproduces the in-session rotated " +
+      "IVF-PQ chain; raw queries are rotated by the index itself") {
+    val (nlist, ti, m, k, pi) = Geom
+    val t = 6
+    // in-session equivalent: rotate the corpus, run the standard
+    // chain — its query batch comes out of the ROTATED corpus
+    val rot = Similarity.opqRotate(corpus, "embedding", "embedding", t, Dims)
+    val want = rows(Similarity.ivfPqTopKBatch(rot,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, nlist = nlist,
+      nprobe = 2, trainIters = ti, m = m, k = k, iters = pi))
+    val root = java.nio.file.Files.createTempDirectory("annopq-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, opqSteps = t, opqDims = Dims)
+      // queryBatch takes RAW vectors — the _opq marker makes the index
+      // rotate them with the bit-identical driver-side mirror
+      val got = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(got == want,
+        s"persisted opq query diverged from in-session:\n$got\nvs\n$want")
+      AnnIndex.compact(spark, root.toString)
+      val after = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(after == want, "compaction changed the opq answer")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("append batching + generational compaction never change the answer") {
     val (nlist, ti, m, k, pi) = Geom
     import spark.implicits._
