@@ -460,8 +460,8 @@ object Bench {
     //     coarse geometries can't see.
     val (pqRecall, pqRecallWide, pqRecallProd, ivfPqRecall, ivfPqRecallProd,
         annixRecall, annixRecallProd, residRecall,
-        opqRecall): (Double, Double, Double,
-        Double, Double, Double, Double, Double, Double) =
+        opqRecall, refineRecall): (Double, Double, Double,
+        Double, Double, Double, Double, Double, Double, Double) =
       try {
         import org.apache.spark.sql.functions.{broadcast, col, lit, pmod, row_number}
         import org.apache.spark.sql.expressions.Window
@@ -634,10 +634,33 @@ object Bench {
         if (opq >= 0 && base >= 0 && opq < base * 0.5)
           System.err.println(f"[bench] OPQ recall $opq%.3f collapsed vs " +
             f"flat PQ $base%.3f — investigate the rotation path")
-        (base, wide, prod, ivfpq, ivfpqProd, annix, annixProd, resid, opq)
+        // Exact-refine canary: same toy geometry as ivfpq_recall_at_5
+        // with a rerank-50 exact re-rank on top. INVARIANT, not just a
+        // trend: the refine stage re-orders the SAME top-50 ADC
+        // candidate set by true cosine, so every global-top-5 member
+        // that survived the probe+ADC cut is ranked into the final
+        // top-5 — refine recall can never be BELOW the ivfpq recall
+        // at the same geometry. A violation is a bug in the refine
+        // join or the survivor handoff, not noise.
+        val refine = {
+          val got = graft.ops.Similarity.ivfPqRefineTopKBatch(e, pred,
+              kNN = 5, rerank = 50, nlist = SparkEntry.IvfLists,
+              nprobe = SparkEntry.IvfPqProbes,
+              trainIters = SparkEntry.IvfIters,
+              m = SparkEntry.PqM, k = SparkEntry.PqK,
+              iters = SparkEntry.PqIters)
+            .select("qid", "vec_id")
+          if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+        }
+        if (refine >= 0 && ivfpq >= 0 && refine < ivfpq - 1e-12)
+          System.err.println(f"[bench] refine recall $refine%.3f BELOW " +
+            f"ivfpq $ivfpq%.3f — the exact re-rank can only add recall; " +
+            "investigate the survivor handoff")
+        (base, wide, prod, ivfpq, ivfpqProd, annix, annixProd, resid, opq,
+          refine)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq recall diagnostic failed: ${e.getMessage}")
-        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
+        (-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0)
       }
     hygiene("diag_pq_recall")
 
@@ -908,6 +931,7 @@ object Bench {
       s""""annix_recall_at_5":$annixRecall,""" +
       s""""annix_recall_prod":$annixRecallProd,""" +
       s""""opq_recall_at_5":$opqRecall,""" +
+      s""""refine_recall_at_5":$refineRecall,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""ivf_list_max":$ivfListMax,"ivf_list_p50":$ivfListP50,""" +
       s""""ivf_list_max_10x":$ivfListMax10x,"ivf_list_p50_10x":$ivfListP5010x,""" +
@@ -962,6 +986,7 @@ object Bench {
       s""""annix_recall_at_5":$annixRecall,""" +
       s""""annix_recall_prod":$annixRecallProd,""" +
       s""""opq_recall_at_5":$opqRecall,""" +
+      s""""refine_recall_at_5":$refineRecall,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
