@@ -129,6 +129,39 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("model-state composition: opq composes with the sq8 codec and " +
+      "with residual encoding — persisted == in-session-rotated") {
+    val (nlist, ti, m, k, pi) = Geom
+    val t = 6
+    val rot = Similarity.opqRotate(corpus, "embedding", "embedding", t, Dims)
+    // sq8 × opq
+    val wantSq8 = rows(Similarity.ivfSq8TopKBatch(rot,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, nlist = nlist,
+      nprobe = 2, trainIters = ti))
+    val r1 = java.nio.file.Files.createTempDirectory("annsq8opq-spec-")
+    try {
+      AnnIndex.seed(corpus, r1.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, codec = "sq8", opqSteps = t,
+        opqDims = Dims)
+      val got = rows(AnnIndex.queryBatch(spark, r1.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(got == wantSq8, s"sq8×opq diverged:\n$got\nvs\n$wantSq8")
+    } finally graft.core.Fs.deleteRecursively(r1.toFile)
+    // residual × opq
+    val wantRes = rows(Similarity.ivfPqResidualTopKBatch(rot,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, nlist = nlist,
+      nprobe = 2, trainIters = ti, m = m, k = k, iters = pi))
+    val r2 = java.nio.file.Files.createTempDirectory("annresopq-spec-")
+    try {
+      AnnIndex.seed(corpus, r2.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, residual = true, opqSteps = t,
+        opqDims = Dims)
+      val got = rows(AnnIndex.queryBatch(spark, r2.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(got == wantRes, s"residual×opq diverged:\n$got\nvs\n$wantRes")
+    } finally graft.core.Fs.deleteRecursively(r2.toFile)
+  }
+
   test("append batching + generational compaction never change the answer") {
     val (nlist, ti, m, k, pi) = Geom
     import spark.implicits._
