@@ -1676,6 +1676,26 @@ object SparkEntry {
           Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy(col("rk"))),
 
+    // HYBRID retrieval via reciprocal-rank fusion (k=60): the BM25
+    // lexical arm (same 3-term query) fused with the embedding-cosine
+    // semantic arm (query = vec 0; vec_id aligns 1:1 with doc_id) over
+    // the UNION of the two top-50 lists — rank-based fusion, no score
+    // normalization across incomparable arms. The arms carry the scale
+    // cost; the fusion join is retriever-depth-bounded.
+    "rank_rrf_hybrid" -> ((s, d) => {
+      val lex = graft.ops.Ranking.bm25TopK(Tables.documents(s, d),
+        "text", "doc_id", Bm25Terms, k1 = Bm25K1, b = Bm25B,
+        topK = RrfDepth)
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val sem = graft.ops.Similarity.bruteForceTopK(e, q, RrfDepth)
+        .select(col("vec_id").as("doc_id"), col("rk"))
+      graft.ops.Ranking.rrfFusion(lex, sem, "doc_id",
+          kRrf = RrfK, topK = Bm25TopK)
+        .orderBy(col("rk"))
+    }),
+
     // --- engine-backed queries: the EAPPEND/ingest write path and the
     // --- command read surface running through the real EventStore
     // --- (partitioned parquet log + manifest watermark), oracle-checked
@@ -2911,6 +2931,13 @@ object SparkEntry {
     */
   private val MrlDims = 16
 
+  /** rank_rrf_hybrid fusion constants: the published RRF k=60 and a
+    * 50-deep candidate list per arm (2.5× the final top-20 so the
+    * union genuinely reorders — docs one arm missed still compete).
+    */
+  private val RrfK = 60
+  private val RrfDepth = 50
+
   /** curation_dsir_weights hashed-feature bucket count: divides 65536
     * so the 4-hex-digit md5 derivation is exactly uniform, and small
     * enough that the log-ratio model broadcast is trivial at any
@@ -4100,7 +4127,11 @@ object SparkEntry {
     * 6-dp rounding BEFORE the top-k ordering, exactly as the Spark
     * side computes them.
     */
-  private def bm25Oracle: String = {
+  /** The BM25 CTE chain through `scored(doc_id, score)` — shared by
+    * the rank_bm25 oracle and the RRF hybrid oracle (same constants,
+    * same formula text, different list depths downstream).
+    */
+  private def bm25ScoredCtes: String = {
     val terms = Bm25Terms
     val tfs = terms.indices.map(i => s"${sqlTokenCount(terms(i))} AS tf$i")
       .mkString(",\n    ")
@@ -4113,7 +4144,7 @@ object SparkEntry {
       s"$idf * $tf * ${Bm25K1 + 1} / ($tf + $Bm25K1 * ((1.0 - $Bm25B) + " +
         s"($Bm25B * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
     }.mkString("(", " + ", ")")
-    s"""WITH raw AS (
+    s"""raw AS (
        |  SELECT doc_id,
        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS dl,
        |    regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
@@ -4124,12 +4155,43 @@ object SparkEntry {
        |  FROM raw),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM tf),
        |scored AS (
-       |  SELECT doc_id, round($score, 6) AS score FROM tf, stats),
+       |  SELECT doc_id, round($score, 6) AS score FROM tf, stats)""".stripMargin
+  }
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25ScoredCtes,
        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK)
        |SELECT doc_id, score,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
        |FROM top ORDER BY rk""".stripMargin
-  }
+
+  /** rank_rrf_hybrid: the BM25 chain and the exact-cosine chain each
+    * ranked to RrfDepth, full-outer-joined on doc_id, fused by
+    * Σ 1/(RrfK + rank) (missing arm contributes 0), top Bm25TopK by
+    * (rrf desc, doc_id). 1/(k+rank) is one correctly-rounded division
+    * of exact integers — bit-identical cross-engine; rounded 9 dp.
+    */
+  private def rrfHybridOracle: String =
+    s"""WITH $bm25ScoredCtes,
+       |lexr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk_lex
+       |  FROM scored ORDER BY rk_lex LIMIT $RrfDepth),
+       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |qv AS (SELECT ve AS qe FROM corp WHERE vec_id = 0),
+       |csc AS (
+       |  SELECT c.vec_id AS doc_id, ${cosSql("q.qe", "c.ve")} AS cosine
+       |  FROM corp c, qv q WHERE c.vec_id != 0),
+       |semr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rk_sem
+       |  FROM csc ORDER BY rk_sem LIMIT $RrfDepth),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+       |    round(coalesce(1.0 / ($RrfK + l.rk_lex), 0.0) +
+       |      coalesce(1.0 / ($RrfK + s.rk_sem), 0.0), 9) AS rrf
+       |  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id)
+       |SELECT doc_id, rk_lex, rk_sem, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |FROM fused ORDER BY rk LIMIT $Bm25TopK""".stripMargin
 
   /** PQ constants shared by the Spark query and its oracle. */
   /** Quality-filter thresholds, shared verbatim by the Spark operator
@@ -4587,6 +4649,7 @@ object SparkEntry {
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,
+    "rank_rrf_hybrid" -> rrfHybridOracle,
     "embedding_pq" -> pqOracle,
     "ann_pq_adc" -> pqAdcOracle,
     "ann_pq_adc_batch" -> pqAdcBatchOracle,

@@ -82,6 +82,43 @@ object Ranking {
     * multiply, rounded to 6 dp; ties break on the term string.
     * Output: (id, term, tfidf, rk), rk ≤ topK.
     */
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists — the standard hybrid-search combiner: each doc's
+    * fused score is Σ_arms 1/(k + rank_arm), summed over the arms that
+    * retrieved it (the union, not the intersection — a doc one arm
+    * missed still competes on its other rank). k=60 is the published
+    * default; rank-based fusion needs no score normalization across
+    * arms, which is the whole point (BM25 scores and cosines are not
+    * comparable).
+    *
+    * Engine portability: 1/(k + rank) is one correctly-rounded double
+    * division of exact integers and the fusion is one addition —
+    * bit-identical on any engine; rounded 9 dp for the oracle hash.
+    *
+    * Scale shape: both inputs are top-R lists (bounded by retriever
+    * depth, never corpus-sized), so the full-outer fusion join and the
+    * final sort are driver-trivial at any corpus size; the heavy
+    * lifting lives in the arms (bm25TopK's single-scan heaps, the ANN
+    * family's probe-bounded reads).
+    *
+    * Output: (idCol, rk_lex, rk_sem nullable, rrf, rk), rk ≤ topK.
+    */
+  def rrfFusion(lex: DataFrame, sem: DataFrame, idCol: String,
+      kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    val fused = lex.select(col(idCol), col("rk").as("rk_lex"))
+      .join(sem.select(col(idCol), col("rk").as("rk_sem")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol), col("rk_lex"), col("rk_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("rk_sem")), lit(0.0)),
+          9).as("rrf"))
+    fused
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col(idCol))).cast("long"))
+      .where(col("rk") <= topK)
+  }
+
   def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
       topK: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("id"),

@@ -273,6 +273,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.opqSchedule(6, dims) == Similarity.opqSchedule(6, dims))
   }
 
+  test("rrf fusion: union semantics, missing-arm zero, exact " +
+      "reciprocal-rank arithmetic, deterministic tie-break") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rk")
+    val sem = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rk")
+    val got = Ranking.rrfFusion(lex, sem, "doc_id", kRrf = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(4)))
+    val byId = got.map(t => t._1 -> t._2).toMap
+    def rr(r: Long) = 1.0 / (60 + r)
+    assert(byId(11L) == math.rint((rr(2) + rr(1)) * 1e9) / 1e9)
+    assert(byId(10L) == math.rint(rr(1) * 1e9) / 1e9,
+      "doc missing from one arm competes on the other alone")
+    assert(byId.keySet == Set(10L, 11L, 12L, 13L), "union, not intersection")
+    // 11 leads (two arms beat any single rank-1 here), then 10 (lex#1),
+    // then 13 (sem#2 = 1/62) ahead of 12 (lex#3 = 1/63)
+    assert(got.sortBy(_._3).map(_._1).toSeq == Seq(11L, 10L, 13L, 12L),
+      s"got=${got.toSeq}")
+  }
+
   test("fuzzy decontamination: edited near-copies of benchmark docs " +
       "flagged with best match, unrelated docs clean, ties to the " +
       "smaller bench id") {
