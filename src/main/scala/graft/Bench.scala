@@ -644,7 +644,8 @@ object Bench {
         // join or the survivor handoff, not noise.
         val refine = {
           val got = graft.ops.Similarity.ivfPqRefineTopKBatch(e, pred,
-              kNN = 5, rerank = 50, nlist = SparkEntry.IvfLists,
+              kNN = 5, rerank = SparkEntry.RefineR,
+              nlist = SparkEntry.IvfLists,
               nprobe = SparkEntry.IvfPqProbes,
               trainIters = SparkEntry.IvfIters,
               m = SparkEntry.PqM, k = SparkEntry.PqK,

@@ -2920,7 +2920,7 @@ object SparkEntry {
     * standard refine ratio; the refine read is RefineR × Q raw
     * vectors, a query-batch constant.
     */
-  private val RefineR = 50
+  private[graft] val RefineR = 50
 
   /** ann_matryoshka_refine truncation width: the 16 leading of 64
     * dims — the 4× compute/byte saving the MRL two-stage claim is
