@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` output goes STRAIGHT to sbt's stdout/stderr, not
+// through the logger: six rounds of bench records came back
+// "parsed": null because the logger decorates every line ([info] on
+// stdout, [error] on stderr) and no emitted line survived as pure
+// JSON. With StdoutOutput the program's own lines pass through
+// verbatim; pair with `sbt -error` (see README) to also silence the
+// [success] trailer that otherwise prints after the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// full failure capture for every test run: the one HeadStateSpec
+// flake (r13) lost its failure-queue message because nothing
+// persisted it — the file reporter makes any recurrence
+// self-diagnosing without a re-run. -fW: plain-text file, no colors.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-fW", "target/scalatest-run.txt")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

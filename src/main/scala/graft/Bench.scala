@@ -803,7 +803,14 @@ object Bench {
         // family can silently lose its scale record round after round.
         // (Per-leg times are order-independent: each leg is min-of-2
         // with a hygiene sweep between passes.)
-        val scaleOrder = new scala.util.Random(System.nanoTime())
+        // the seed is PART OF THE RECORD (scale_seed in scaleJson):
+        // an unseeded shuffle made the committed record's leg order
+        // and any skipped set unreproducible — at odds with the
+        // record-is-the-record discipline. Override for exact replay
+        // via SPARK_GRAFT_SCALE_SEED.
+        val scaleSeed = sys.env.get("SPARK_GRAFT_SCALE_SEED")
+          .map(_.toLong).getOrElse(System.nanoTime())
+        val scaleOrder = new scala.util.Random(scaleSeed)
           .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
         scaleOrder.foreach { case (name, fn) =>
           if (spent > budgetSec) skipped += name
@@ -890,7 +897,7 @@ object Bench {
         def num(m: Seq[(String, Double)]) = m
           .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
         scaleJson = f"""{"factor":${graft.tools.ScaleGen.Factor}%d,""" +
-          f""""gen_sec":$genSec%.1f,""" +
+          f""""gen_sec":$genSec%.1f,"scale_seed":$scaleSeed,""" +
           s""""queries":${num(sq.toSeq)},"ratios":${num(ratios)},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       } catch { case e: Throwable =>

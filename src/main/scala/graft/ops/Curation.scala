@@ -91,10 +91,25 @@ object Curation {
     * decisions must never probe /proc for another host's pid (on a
     * shared HDFS/s3a warehouse a foreign live session would read as a
     * dead local pid and its tables would be dropped mid-query).
+    *
+    * CANONICALIZED (`getCanonicalHostName`): two JVMs on one machine
+    * can disagree between short name, FQDN, and container hostname if
+    * each reads the raw `getHostName` — a same-host marker then reads
+    * as foreign and dead sessions' tables are never reclaimed
+    * (fail-safe, but warehouse dirs accumulate silently). The
+    * canonical form resolves through DNS/hosts to one stable spelling
+    * on both the write and the compare path. If resolution itself
+    * drifts between sessions (e.g. a container whose /etc/hosts
+    * changed), the mismatch still fails SAFE: the marker reads as
+    * foreign and the table is merely retained, never dropped.
     */
   private val bktHost: String =
-    try java.net.InetAddress.getLocalHost.getHostName
-    catch { case _: Exception => "unknown-host" }
+    try java.net.InetAddress.getLocalHost.getCanonicalHostName
+    catch {
+      case _: Exception =>
+        try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Exception => "unknown-host" }
+    }
 
   /** Ownership marker body: `pid@host@startMillis`. The host gates the
     * /proc liveness probe to this machine; the start time is forensic

@@ -238,10 +238,14 @@ object Similarity {
     val qcube = typedLit(qVecs.map(_._2))
     val qids = typedLit(qVecs.map(_._1): Seq[Long])
     val emptyProbe = typedLit(Seq.empty[Int])
+    // ivf_cid cast to long EXPLICITLY (mirror of adcProbeScoreTopK):
+    // the persisted AnnIndex path feeds a partition-inferred
+    // IntegerType ivf_cid, and the map literal is keyed bigint —
+    // relying on ElementAt's implicit coercion works but is fragile
     val exploded = codes
       .select(col(idCol), col("cd").cast("array<double>").as("cdv"),
         explode(coalesce(
-          element_at(typedLit(cidToQpos), col("ivf_cid")),
+          element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
           emptyProbe)).as("qpos"))
     val qv = element_at(qcube, col("qpos") + 1)
     val scored = exploded

@@ -48,16 +48,23 @@ object GenIndex {
     flip(root, "gen-00000")
   }
 
-  /** Filesystem schemes where `rename` is NOT an atomic metadata
-    * operation but a copy+delete emulation — on these, the tmp+rename
-    * flip would open a window where concurrent `currentGen` readers
-    * see a missing MANIFEST mid-copy. A single-object overwrite PUT
-    * IS atomic there (readers see the old or the new manifest body,
-    * never absence), so the flip writes the manifest key directly.
+  /** FLAT-object-store schemes where `rename` is NOT an atomic
+    * metadata operation but a copy+delete emulation — on these, the
+    * tmp+rename flip would open a window where concurrent
+    * `currentGen` readers see a missing MANIFEST mid-copy. A
+    * single-object overwrite PUT IS atomic there (readers see the old
+    * or the new manifest body, never absence), so the flip writes the
+    * manifest key directly.
+    *
+    * Azure schemes (abfs/abfss, wasb/wasbs) are deliberately ABSENT:
+    * on ADLS Gen2's hierarchical namespace rename IS an atomic
+    * metadata op while create+write+close is not a single PUT —
+    * `create()` exposes a zero-byte MANIFEST before the flush, the
+    * exact partial-manifest window the rename branch avoids. Azure
+    * therefore takes the tmp+rename branch below.
     */
   private val ObjectStoreSchemes =
-    Set("s3a", "s3", "s3n", "gs", "oss", "cos", "wasb", "wasbs",
-      "abfs", "abfss")
+    Set("s3a", "s3", "s3n", "gs", "oss", "cos")
 
   private def flip(root: String, gen: String): Unit = {
     val (fs, rootP) = graft.core.Fs.hadoop(root)
