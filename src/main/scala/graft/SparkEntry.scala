@@ -843,6 +843,18 @@ object SparkEntry {
           "doc_id", threshold = 0.5, maxDf = NgramMaxDf)
         .orderBy(col("a"), col("b"))),
 
+    // LSH-FIRST containment — the 100 TB tier: candidates from the
+    // SAME minhash band geometry as dedup_minhash_lsh (one band index
+    // serves every measure), exact |A∩B|/min verified on the
+    // candidate-restricted shingles only. Never a posting self-join;
+    // the exact tier above stays the subset-duplicate catcher at
+    // posting-cap cost (band agreement tracks Jaccard, so
+    // high-containment/low-Jaccard extremes need the exact pass).
+    "dedup_containment_lsh" -> ((s, d) =>
+      graft.ops.Dedup.ngramContainmentLsh(Tables.documents(s, d), "text",
+          "doc_id", threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
     // SimHash 16-bit fingerprints per document.
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
@@ -1694,6 +1706,66 @@ object SparkEntry {
       graft.ops.Ranking.rrfFusion(lex, sem, "doc_id",
           kRrf = RrfK, topK = Bm25TopK)
         .orderBy(col("rk"))
+    }),
+
+    // PRODUCTION hybrid retrieval: the semantic arm served from the
+    // PERSISTENT ANN index (seed/append/compact — the same store shape
+    // as ann_ivfpq_persistent) with the exact re-rank tail
+    // (refine_recall_at_5 says refine is the right arm), fused with
+    // the BM25 arm by the same RRF. Three proven components composed;
+    // the hybrid leg's scale story becomes the index's probe-bounded
+    // story — the brute-force cosine scan above stays as the
+    // small-corpus / recall-oracle form.
+    "rank_rrf_hybrid_ann" -> ((s, d) => {
+      val lex = graft.ops.Ranking.bm25TopK(Tables.documents(s, d),
+        "text", "doc_id", Bm25Terms, k1 = Bm25K1, b = Bm25B,
+        topK = RrfDepth)
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annrrf-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id") === 0))
+        val sem = graft.ops.AnnIndex.queryBatchRefined(s, root.toString,
+            e, qVecs, kNN = RrfDepth, rerank = RefineR,
+            nprobe = IvfPqProbes)
+          .select(col("vec_id").as("doc_id"), col("rk"))
+        graft.ops.Ranking.rrfFusion(lex, sem, "doc_id",
+            kRrf = RrfK, topK = Bm25TopK)
+          .orderBy(col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
+    // Multi-query RRF — the retrieval-eval batch: Q lexical arms from
+    // ONE corpus text scan (bm25TopKBatch's union-term tf columns +
+    // per-qid bounded heaps), Q semantic arms from the one-scan
+    // brute-force batch, fused with every window PARTITIONED BY qid —
+    // no global single-partition sort anywhere in the plan.
+    "rank_rrf_batch" -> ((s, d) => {
+      val lex = graft.ops.Ranking.bm25TopKBatch(Tables.documents(s, d),
+        "text", "doc_id", RrfBatchTerms, k1 = Bm25K1, b = Bm25B,
+        topK = RrfDepth)
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id").isin(RrfBatchTerms.map(_._1): _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val sem = graft.ops.Similarity.bruteForceTopK(e, q, RrfDepth)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rk"))
+      graft.ops.Ranking.rrfFusionBatch(lex, sem, "doc_id",
+          kRrf = RrfK, topK = Bm25TopK)
+        .orderBy(col("qid"), col("rk"))
     }),
 
     // --- engine-backed queries: the EAPPEND/ingest write path and the
@@ -2865,7 +2937,15 @@ object SparkEntry {
        |  SELECT id, 3, ${bk(6, 7)} FROM sig)""".stripMargin
   }
 
-  private def minhashOracleFor(candCte: String): String = {
+  /** `measure`/`mName` parameterize the verify arithmetic (Jaccard by
+    * default; dedup_containment_lsh swaps in the asymmetric
+    * |A∩B|/min); `minVal` ≥ 0 adds the threshold filter (repeated
+    * expression — SQL WHERE cannot reference the select alias).
+    */
+  private def minhashOracleFor(candCte: String,
+      measure: String = "round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6)",
+      mName: String = "jaccard", minVal: Double = -1.0): String = {
+    val filt = if (minVal >= 0) s"\nWHERE $measure >= $minVal" else ""
     s"""WITH $shinglesCte,
        |$minhashSigBandsCtes,
        |$candCte,
@@ -2877,12 +2957,25 @@ object SparkEntry {
        |  GROUP BY c.a, c.b),
        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
        |SELECT i.a, i.b,
-       |  round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 6) AS jaccard
+       |  $measure AS $mName
        |FROM inter i
        |JOIN sizes na ON na.id = i.a
-       |JOIN sizes nb ON nb.id = i.b
+       |JOIN sizes nb ON nb.id = i.b$filt
        |ORDER BY i.a, i.b""".stripMargin
   }
+
+  /** dedup_containment_lsh: the LSH-banded candidate CTE shared
+    * verbatim with dedup_minhash_lsh, verified with CONTAINMENT ≥ 0.5
+    * instead of Jaccard — the band geometry is deterministic, so the
+    * oracle mirrors the tier's recall contract exactly.
+    */
+  private def containmentLshOracle: String = minhashOracleFor(
+    """cand AS (
+      |  SELECT DISTINCT x.id AS a, y.id AS b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)""".stripMargin,
+    measure = "round(CAST(ni AS DOUBLE) / least(na.n, nb.n), 6)",
+    mName = "containment", minVal = 0.5)
 
   /** Posting-list cap shared by the Spark query, its oracle, and the
     * settle-probe's volume diagnostic (tools/ProbeContainment) —
@@ -2937,6 +3030,18 @@ object SparkEntry {
     */
   private val RrfK = 60
   private val RrfDepth = 50
+
+  /** rank_rrf_batch query set: three (qid, terms) lexical queries —
+    * qids align with the embedding-arm query vectors (vec_id 0/1/2,
+    * the standard ANN query batch) and the terms are drawn from the
+    * synthetic corpus's working vocabulary so every arm retrieves a
+    * real list. qid 0 reuses Bm25Terms, so the single-query and batch
+    * forms stay comparable on that slice.
+    */
+  private val RrfBatchTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "window"),
+    1L -> Seq("stream", "batch", "merge"),
+    2L -> Seq("vector", "hash", "scan"))
 
   /** curation_dsir_weights hashed-feature bucket count: divides 65536
     * so the 4-hex-digit md5 derivation is exactly uniform, and small
@@ -4128,11 +4233,14 @@ object SparkEntry {
     * side computes them.
     */
   /** The BM25 CTE chain through `scored(doc_id, score)` — shared by
-    * the rank_bm25 oracle and the RRF hybrid oracle (same constants,
-    * same formula text, different list depths downstream).
+    * the rank_bm25 oracle and the RRF hybrid oracles (same constants,
+    * same formula text, different list depths downstream). `p`
+    * prefixes every CTE name so the chain can be embedded beside CTE
+    * families that also define `scored`/`stats` (the IVF-PQ chain in
+    * the hybrid-ANN oracle).
     */
-  private def bm25ScoredCtes: String = {
-    val terms = Bm25Terms
+  private def bm25ScoredCtes(p: String = "",
+      terms: Seq[String] = Bm25Terms): String = {
     val tfs = terms.indices.map(i => s"${sqlTokenCount(terms(i))} AS tf$i")
       .mkString(",\n    ")
     val dfs = terms.indices.map(i =>
@@ -4144,22 +4252,22 @@ object SparkEntry {
       s"$idf * $tf * ${Bm25K1 + 1} / ($tf + $Bm25K1 * ((1.0 - $Bm25B) + " +
         s"($Bm25B * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
     }.mkString("(", " + ", ")")
-    s"""raw AS (
+    s"""${p}raw AS (
        |  SELECT doc_id,
        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS dl,
        |    regexp_replace(' ' || text || ' ', ' ', '  ', 'g') AS d2
        |  FROM documents),
-       |tf AS (
+       |${p}tf AS (
        |  SELECT doc_id, dl,
        |    $tfs
-       |  FROM raw),
-       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM tf),
-       |scored AS (
-       |  SELECT doc_id, round($score, 6) AS score FROM tf, stats)""".stripMargin
+       |  FROM ${p}raw),
+       |${p}stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfs FROM ${p}tf),
+       |${p}scored AS (
+       |  SELECT doc_id, round($score, 6) AS score FROM ${p}tf, ${p}stats)""".stripMargin
   }
 
   private def bm25Oracle: String =
-    s"""WITH $bm25ScoredCtes,
+    s"""WITH ${bm25ScoredCtes()},
        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25TopK)
        |SELECT doc_id, score,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
@@ -4172,7 +4280,7 @@ object SparkEntry {
     * of exact integers — bit-identical cross-engine; rounded 9 dp.
     */
   private def rrfHybridOracle: String =
-    s"""WITH $bm25ScoredCtes,
+    s"""WITH ${bm25ScoredCtes()},
        |lexr AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk_lex
        |  FROM scored ORDER BY rk_lex LIMIT $RrfDepth),
@@ -4192,6 +4300,86 @@ object SparkEntry {
        |SELECT doc_id, rk_lex, rk_sem, rrf,
        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
        |FROM fused ORDER BY rk LIMIT $Bm25TopK""".stripMargin
+
+  /** rank_rrf_hybrid_ann: the seed-restricted persistent IVF-PQ chain
+    * (ivfPqOracleFor with the frozen-model training predicate — shared
+    * verbatim with ann_ivfpq_persistent) retrieves RefineR ADC
+    * candidates, the exact-cosine refine CTEs re-rank them (shared
+    * with ann_ivfpq_refine), qid 0's refined list becomes the semantic
+    * arm, and the BM25 chain (prefixed `bm_` — it defines its own
+    * `scored`/`stats`) plus the full-outer RRF fusion are shared with
+    * rank_rrf_hybrid. Every piece is a proven chain; only the
+    * composition is new.
+    */
+  private def rrfHybridAnnOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    tail = s""",refine AS (
+       |  SELECT r.qid, r.vec_id, ${cosSql("q.ve", "cv.ve")} AS cosine
+       |  FROM ranked r
+       |  JOIN corp cv ON cv.vec_id = r.vec_id
+       |  JOIN qv q ON q.qid = r.qid
+       |  WHERE r.rk <= $RefineR),
+       |rranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM refine),
+       |semr AS (
+       |  SELECT vec_id AS doc_id, CAST(rk AS BIGINT) AS rk_sem
+       |  FROM rranked WHERE qid = 0 AND rk <= $RrfDepth),
+       |${bm25ScoredCtes("bm_")},
+       |lexr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk_lex
+       |  FROM bm_scored ORDER BY rk_lex LIMIT $RrfDepth),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+       |    round(coalesce(1.0 / ($RrfK + l.rk_lex), 0.0) +
+       |      coalesce(1.0 / ($RrfK + s.rk_sem), 0.0), 9) AS rrf
+       |  FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id)
+       |SELECT doc_id, rk_lex, rk_sem, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |FROM fused ORDER BY rk LIMIT $Bm25TopK""".stripMargin)
+
+  /** rank_rrf_batch: three prefixed BM25 chains (one per query's term
+    * set), the per-qid brute-force cosine arm, and the fusion with
+    * every window PARTITIONED BY qid — the oracle of the
+    * no-global-sort batch plan.
+    */
+  private def rrfBatchOracle: String = {
+    val bmChains = RrfBatchTerms.map { case (qid, terms) =>
+      bm25ScoredCtes(s"q${qid}_", terms) }.mkString(",\n")
+    val lexArms = RrfBatchTerms.map { case (qid, _) =>
+      s"""  SELECT CAST($qid AS BIGINT) AS qid, doc_id, rk_lex FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk_lex
+         |    FROM q${qid}_scored) WHERE rk_lex <= $RrfDepth""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val qids = RrfBatchTerms.map(_._1).mkString(", ")
+    s"""WITH $bmChains,
+       |lexr AS (
+       |$lexArms),
+       |corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, ve FROM corp WHERE vec_id IN ($qids)),
+       |csc AS (
+       |  SELECT q.qid, c.vec_id AS doc_id, ${cosSql("q.ve", "c.ve")} AS cosine
+       |  FROM corp c, qv q WHERE c.vec_id != q.qid),
+       |semr AS (
+       |  SELECT qid, doc_id, rk_sem FROM (
+       |    SELECT qid, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS BIGINT) AS rk_sem
+       |    FROM csc) WHERE rk_sem <= $RrfDepth),
+       |fused AS (
+       |  SELECT coalesce(l.qid, s.qid) AS qid,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+       |    round(coalesce(1.0 / ($RrfK + l.rk_lex), 0.0) +
+       |      coalesce(1.0 / ($RrfK + s.rk_sem), 0.0), 9) AS rrf
+       |  FROM lexr l FULL OUTER JOIN semr s
+       |    ON s.qid = l.qid AND s.doc_id = l.doc_id)
+       |SELECT qid, doc_id, rk_lex, rk_sem, rrf, rk FROM (
+       |  SELECT qid, doc_id, rk_lex, rk_sem, rrf,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |  FROM fused) WHERE rk <= $Bm25TopK
+       |ORDER BY qid, rk""".stripMargin
+  }
 
   /** PQ constants shared by the Spark query and its oracle. */
   /** Quality-filter thresholds, shared verbatim by the Spark operator
@@ -4650,6 +4838,8 @@ object SparkEntry {
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,
     "rank_rrf_hybrid" -> rrfHybridOracle,
+    "rank_rrf_hybrid_ann" -> rrfHybridAnnOracle,
+    "rank_rrf_batch" -> rrfBatchOracle,
     "embedding_pq" -> pqOracle,
     "ann_pq_adc" -> pqAdcOracle,
     "ann_pq_adc_batch" -> pqAdcBatchOracle,
@@ -5075,6 +5265,7 @@ object SparkEntry {
     "curation_pack_sequences" -> packSequencesOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
+    "dedup_containment_lsh" -> containmentLshOracle,
     "embedding_covariance" -> covarianceOracle,
     "embedding_pca_project" -> pcaOracle,
     "curation_sample_topk" -> sampleTopkOracle,

@@ -281,6 +281,29 @@ object AnnIndex {
     GenIndex.publish(root, next, retain)
   }
 
+  /** [[queryBatch]] + the exact re-rank tail (faiss `RFlat` over a
+    * persisted index): the index retrieves `rerank` candidates per
+    * query by its codec's approximate score, and full-precision cosine
+    * against `corpus`'s RAW vectors re-ranks ONLY those survivors —
+    * [[Similarity.exactRefineTopK]], the same shared tail as the
+    * in-session refine/matryoshka legs. Refine reads rerank × Q raw
+    * rows (a query-batch constant); the index's probe-bounded read
+    * carries all corpus-scale cost. Refine is codec-agnostic by
+    * construction: it always scores in the ORIGINAL space (cosine is
+    * rotation-invariant, so OPQ models need no unrotation).
+    * Returns (qid, idCol, cosine, rk), rk ≤ kNN.
+    */
+  def queryBatchRefined(spark: SparkSession, root: String,
+      corpus: DataFrame, qVecs: Seq[(Long, Seq[Double])], kNN: Int,
+      rerank: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNN, "rerank depth must cover the final top-k")
+    val survivors = queryBatch(spark, root, qVecs, rerank, nprobe, idCol)
+      .select(col("qid"), col(idCol))
+    Similarity.exactRefineTopK(corpus, survivors, qVecs, kNN, idCol,
+      vecCol)
+  }
+
   /** Collect a bounded query batch as the driver-side
     * `(id, vector)` seq [[queryBatch]] takes — ordered by id so the
     * probe sets and the lookup cube are deterministic. One helper so

@@ -464,8 +464,35 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.8,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    // capped shingles feed three consumers (both pair joins + sizes) —
+      maxDf: Int = Int.MaxValue): DataFrame =
+    shingleOverlap(df, textCol, idCol, k, maxDf)
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** Shared overlap engine behind [[ngramJaccard]] / [[ngramContainment]]:
+    * capped shingles → per-pair intersection counts → per-doc sizes,
+    * returning (a, b, ni, na, nb) with a < b. The measures differ only
+    * in one arithmetic column, so they must share ONE pair-generation
+    * plan (the never-drift discipline).
+    *
+    * Pair generation is POSTING-LIST form, not a self-join: the capped
+    * table groups once on `sh` into bounded posting arrays (≤ maxDf
+    * ids — the cap runs BEFORE the collect, so a stopword shingle's
+    * O(corpus) posting never materializes in any buffer), and each
+    * posting emits its C(df, 2) pairs as a codegen'd double explode.
+    * That is ONE shuffle of the capped shingle table where the
+    * self-join form shuffled it twice (both join sides) and then
+    * probed row-by-row — same pair volume, one fewer corpus-sized
+    * exchange, no join machinery. The uncapped (maxDf = ∞) library
+    * form keeps the self-join: an unbounded collect_list is a
+    * single-buffer hot-key hazard, exactly what the cap exists to
+    * prevent.
+    */
+  private def shingleOverlap(df: DataFrame, textCol: String,
+      idCol: String, k: Int, maxDf: Int): DataFrame = {
+    // capped shingles feed two consumers (postings + sizes) —
     // materialized for the same AQE-reuse-coin-flip reason as
     // minhashLsh's shingles
     val sh0 = wordShingles(df, textCol, idCol, k)
@@ -475,19 +502,26 @@ object Dedup {
         sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
           .where(col("df_c") <= maxDf).select("sh"),
         "sh")).localCheckpoint()
-    val pairs = sh.select(col("id").as("a"), col("sh"))
-      .join(sh.select(col("id").as("b"), col("sh")), "sh")
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("ni"))
+    val pairs =
+      if (maxDf == Int.MaxValue) {
+        sh.select(col("id").as("a"), col("sh"))
+          .join(sh.select(col("id").as("b"), col("sh")), "sh")
+          .where(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("ni"))
+      } else {
+        sh.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+          .select(explode(col("ids")).as("a"), col("ids"))
+          .select(col("a"), explode(col("ids")).as("b"))
+          .where(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("ni"))
+      }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     pairs
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jaccard",
-        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Shingle CONTAINMENT ≥ threshold: |A∩B| / min(|A|,|B|) — the
@@ -502,28 +536,65 @@ object Dedup {
     */
   def ngramContainment(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, threshold: Double = 0.9,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    // materialized capped shingles — see ngramJaccard
-    val sh0 = wordShingles(df, textCol, idCol, k)
-    val sh = (
-      if (maxDf == Int.MaxValue) sh0
-      else sh0.join(
-        sh0.groupBy(col("sh")).agg(count(lit(1)).as("df_c"))
-          .where(col("df_c") <= maxDf).select("sh"),
-        "sh")).localCheckpoint()
-    val pairs = sh.select(col("id").as("a"), col("sh"))
-      .join(sh.select(col("id").as("b"), col("sh")), "sh")
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("ni"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    pairs
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      maxDf: Int = Int.MaxValue): DataFrame =
+    shingleOverlap(df, textCol, idCol, k, maxDf)
       .withColumn("containment",
         round(col("ni").cast("double") / least(col("na"), col("nb")), 6))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("containment"))
+
+  /** Exact CONTAINMENT for given candidate pairs — [[jaccardForCandidates]]
+    * with the asymmetric |A∩B| / min(|A|,|B|) measure; same
+    * candidate-restricted semi-join discipline (the verify join's
+    * input is candidate-doc shingles, never the corpus).
+    */
+  def containmentForCandidates(candidates: DataFrame,
+      shingles: DataFrame): DataFrame = {
+    val candIds = candidates.select(col("a").as("id"))
+      .unionAll(candidates.select(col("b").as("id"))).distinct()
+    val sh = shingles.join(candIds, Seq("id"), "left_semi")
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    candidates
+      .join(sh.select(col("id").as("a"), col("sh")), "a")
+      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("containment",
+        round(col("ni").cast("double") / least(col("na"), col("nb")), 6))
+      .select(col("a"), col("b"), col("containment"))
+  }
+
+  /** LSH-FIRST containment — the 100 TB tier: candidate pairs come
+    * from the SAME minhash band index the resemblance tiers probe
+    * (one index, every measure), and exact containment is verified on
+    * the candidate-restricted shingle table only. The corpus is never
+    * self-joined: candidate mass is Σ per-bucket pairs (banding keeps
+    * buckets uniform by construction), and the verify join's input is
+    * candidate-doc shingles — the [[jaccardForCandidates]] discipline
+    * with the asymmetric measure.
+    *
+    * Recall contract (stated, not hidden): minhash band agreement
+    * tracks RESEMBLANCE (Jaccard), so a high-containment / low-Jaccard
+    * pair (a short doc quoted inside a much longer one) may land in no
+    * shared bucket — the subset-duplicate extreme stays the exact
+    * [[ngramContainment]] tier's job at posting-cap cost. What this
+    * tier finds is containment among resemblance-candidates: the
+    * boilerplate-overlap class that dominates real corpora, at
+    * banded-index cost. The oracle mirrors the band geometry exactly,
+    * so the contract is deterministic, not probabilistic.
+    */
+  def ngramContainmentLsh(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.0): DataFrame = {
+    // one materialized shingle pass feeds signatures AND the verify —
+    // same multi-consumer discipline as minhashLsh
+    val sh = wordShingles(df, textCol, idCol, k).localCheckpoint()
+    val sig = minhashSignatures(sh, numHashes)
+    val cand = minhashCandidates(sig, bands, numHashes / bands)
+    containmentForCandidates(cand, sh)
+      .where(col("containment") >= threshold)
   }
 
   /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,

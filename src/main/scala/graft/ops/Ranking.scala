@@ -103,6 +103,79 @@ object Ranking {
     *
     * Output: (idCol, rk_lex, rk_sem nullable, rrf, rk), rk ≤ topK.
     */
+  /** Multi-query BM25 — the retrieval-eval batch form: Q (qid, terms)
+    * queries scored in ONE corpus text scan. The union of all queries'
+    * terms becomes one set of codegen'd tf columns (terms are small by
+    * definition; the scan cost is the text read, not the per-term
+    * arithmetic), the narrow (id, dl, tf*) projection is materialized
+    * once, and each query re-reads THAT frame — never the corpus —
+    * for its own score expression. Per-query ranking runs on the
+    * bounded-heap TopKPerKey operator keyed by qid: no global sort,
+    * no per-query corpus pass. Output: (qid, idCol, score, rk).
+    */
+  def bm25TopKBatch(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, Seq[String])], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25 batch needs at least one query, each with at least one term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val t = col(textCol)
+    val tfCols = allTerms.zipWithIndex.map { case (term, i) =>
+      TextAnalysis.tokenOccurrences(t, term).as(s"tf$i") }
+    val base = df.select(col(idCol) +:
+        TextAnalysis.tokenCount(t).as("dl") +: tfCols: _*)
+      .localCheckpoint()
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      allTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / n
+    def scoreOf(terms: Seq[String]) = terms.map { term =>
+      val i = allTerms.indexOf(term)
+      val tf = col(s"tf$i").cast("double")
+      val dfi = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - dfi + 0.5) / (dfi + 0.5))
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    // Q narrow projections of the SAME checkpointed frame (blocks are
+    // read, never recomputed), stacked and heap-ranked per qid
+    val stacked = queries.map { case (qid, terms) =>
+      base.crossJoin(broadcast(stats))
+        .select(lit(qid).as("qid"), col(idCol),
+          round(scoreOf(terms), 6).as("score"))
+    }.reduce(_ unionAll _)
+    graft.plans.TopK.topKPerKey(stacked, Seq("qid"),
+      Seq(col("score").desc, col(idCol).asc), topK, rankCol = Some("rk"))
+  }
+
+  /** Multi-query [[rrfFusion]]: the same union-fusion arithmetic with
+    * every window PARTITIONED BY qid — Q top-R arms fuse in one plan
+    * with no global single-partition sort (the r14 single-query form's
+    * global Window.orderBy is correct for one query and a serial
+    * bottleneck for a batch). Per-qid row count is ≤ 2R (both arms'
+    * depths), so the partitioned window is driver-trivial at any
+    * corpus size; the arms carry all scale cost.
+    * Output: (qid, idCol, rk_lex, rk_sem, rrf, rk), rk ≤ topK.
+    */
+  def rrfFusionBatch(lex: DataFrame, sem: DataFrame, idCol: String,
+      kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    val fused = lex.select(col("qid"), col(idCol), col("rk").as("rk_lex"))
+      .join(sem.select(col("qid"), col(idCol), col("rk").as("rk_sem")),
+        Seq("qid", idCol), "full_outer")
+      .select(col("qid"), col(idCol), col("rk_lex"), col("rk_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("rk_sem")), lit(0.0)),
+          9).as("rrf"))
+    fused
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col(idCol))).cast("long"))
+      .where(col("rk") <= topK)
+  }
+
   def rrfFusion(lex: DataFrame, sem: DataFrame, idCol: String,
       kRrf: Int = 60, topK: Int = 20): DataFrame = {
     val fused = lex.select(col(idCol), col("rk").as("rk_lex"))

@@ -169,7 +169,7 @@ object Similarity {
     * the bounded heaps. ONE implementation behind
     * [[ivfPqRefineTopKBatch]] and [[matryoshkaRefineTopKBatch]].
     */
-  private def exactRefineTopK(corpus: DataFrame, survivors: DataFrame,
+  private[graft] def exactRefineTopK(corpus: DataFrame, survivors: DataFrame,
       qVecs: Seq[(Long, Seq[Double])], kNN: Int, idCol: String,
       vecCol: String): DataFrame = {
     val qMap = typedLit(qVecs.toMap)

@@ -71,6 +71,23 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("refined persisted query reproduces the in-session refine batch") {
+    val (nlist, ti, m, k, pi) = Geom
+    val want = rows(Similarity.ivfPqRefineTopKBatch(corpus,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, rerank = 6,
+      nlist = nlist, nprobe = 2, trainIters = ti, m = m, k = k,
+      iters = pi))
+    val root = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi)
+      val got = rows(AnnIndex.queryBatchRefined(spark, root.toString,
+        corpus, qVecs, kNN = 3, rerank = 6, nprobe = 2))
+      assert(got == want,
+        s"persisted refine diverged from in-session refine:\n$got\nvs\n$want")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("sq8 codec: persisted index reproduces the in-session IVF+SQ8 " +
       "batch, survives append+compact, and persists its codec") {
     val (nlist, ti, m, k, pi) = Geom

@@ -34,6 +34,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact, s"lsh=$lsh exact=$exact")
   }
 
+  test("containment-LSH: same band candidates as minhash-LSH, the " +
+      "asymmetric measure, containment >= jaccard on every pair") {
+    val jac = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val cont = Dedup.ngramContainmentLsh(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(cont.nonEmpty, "band candidates should exist on this corpus")
+    assert(cont.keySet == jac.keySet,
+      "one band index must yield one candidate set for every measure")
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always (min ≤ union) — the measure is
+    // genuinely the laxer one on every single pair
+    cont.foreach { case (p, c) =>
+      assert(c >= jac(p) - 1e-9, s"containment < jaccard on $p") }
+  }
+
+  test("posting-list pair generation == self-join pair generation " +
+      "(a never-binding cap must not change the exact result)") {
+    // maxDf far above any shingle's df on this corpus: the capped
+    // (posting-list) plan and the uncapped (self-join) plan must
+    // produce the identical measure table
+    val posting = Dedup.ngramJaccard(docs, "text", "doc_id",
+        threshold = 0.5, maxDf = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val selfJoin = Dedup.ngramJaccard(docs, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(posting == selfJoin, s"posting=$posting selfJoin=$selfJoin")
+    assert(posting.nonEmpty, "fixture corpus should contain near-dups")
+  }
+
   test("incremental minhash == full minhash restricted to pairs touching a new doc") {
     val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
     val newIds = docs.where(isNew).select("doc_id")
@@ -290,6 +324,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // then 13 (sem#2 = 1/62) ahead of 12 (lex#3 = 1/63)
     assert(got.sortBy(_._3).map(_._1).toSeq == Seq(11L, 10L, 13L, 12L),
       s"got=${got.toSeq}")
+  }
+
+  test("batch rrf fusion == per-qid single fusion") {
+    import spark.implicits._
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 12L, 1L), (1L, 14L, 2L))
+      .toDF("qid", "doc_id", "rk")
+    val sem = Seq((0L, 11L, 1L), (0L, 13L, 2L),
+      (1L, 13L, 1L), (1L, 12L, 2L))
+      .toDF("qid", "doc_id", "rk")
+    val batch = Ranking.rrfFusionBatch(lex, sem, "doc_id", kRrf = 60,
+        topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getLong(5)))
+      .toSet
+    val perQid = Seq(0L, 1L).flatMap { q =>
+      Ranking.rrfFusion(
+        lex.where(col("qid") === q).drop("qid"),
+        sem.where(col("qid") === q).drop("qid"),
+        "doc_id", kRrf = 60, topK = 10)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getDouble(3), r.getLong(4)))
+    }.toSet
+    assert(batch == perQid, s"batch=$batch perQid=$perQid")
+    assert(batch.exists(_._1 == 0L) && batch.exists(_._1 == 1L))
   }
 
   test("fuzzy decontamination: edited near-copies of benchmark docs " +

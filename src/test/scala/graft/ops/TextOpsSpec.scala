@@ -113,6 +113,32 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("BM25 batch == per-query BM25 on every qid slice") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark spark spark spark spark spark spark"),
+      (1L, "spark runs on the cluster"),
+      (2L, "needle in the corpus"),
+      (3L, "nothing relevant here at all"),
+      (4L, "plain filler text with needle"),
+      (5L, "more filler text")).toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("spark", "needle"), 1L -> Seq("needle"),
+      2L -> Seq("spark", "filler"))
+    val batch = Ranking.bm25TopKBatch(docs, "text", "doc_id", queries,
+        topK = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms) =>
+      val single = Ranking.bm25TopK(docs, "text", "doc_id", terms,
+          topK = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val slice = batch(qid).map(t => (t._2, t._3, t._4)).toSet
+      assert(slice == single, s"qid=$qid slice=$slice single=$single")
+    }
+  }
+
   test("repetition: boilerplate scores high, short docs keep defaults") {
     import spark.implicits._
     val docs = Seq(
