@@ -215,111 +215,14 @@ object Bench {
     var serverDrainSec = -1.0
     results("server_sustained") = {
       try {
-        time {
-          import graft.server.Resp
-          import graft.server.Resp._
-          val dir = java.nio.file.Files.createTempDirectory("bench-srv-").toString
-          val ses = graft.api.EventStore.open(spark, dir, 8)
-          val srv = new graft.server.RespServer(ses).start()
-          final class C {
-            val sock = new java.net.Socket("127.0.0.1", srv.localPort)
-            private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
-            private[this] val in = new java.io.BufferedInputStream(sock.getInputStream)
-            def call(args: String*): Frame = {
-              Resp.encode(ArrayF(args.map(blob)), out); out.flush(); Resp.decode(in)
-            }
-            def send(args: String*): Unit = {
-              Resp.encode(ArrayF(args.map(blob)), out); out.flush()
-            }
-            def readFrame(): Frame = Resp.decode(in)
-            def close(): Unit = sock.close()
-          }
-          val nSubs = 2
-          val nWriters = 4
-          val batch = 50
-          val writeWindowNs = 3L * 1000 * 1000 * 1000
-          val appendedPerStream = Array.fill(nSubs)(
-            new java.util.concurrent.atomic.AtomicLong)
-          val deliveredPerSub = Array.fill(nSubs)(
-            new java.util.concurrent.atomic.AtomicLong)
-          // history before the subscriptions start: the tail crosses the
-          // history→live seam like a real consumer
-          val seeder = new C
-          (0 until nSubs).foreach { s =>
-            val pk = graft.core.Ids.partitionKeyForStream(s"srv-$s").toString
-            seeder.call(Seq("EMAPPEND", pk) ++
-              (0 until batch).flatMap(_ => Seq(s"srv-$s", "Seed")): _*)
-            appendedPerStream(s).addAndGet(batch)
-          }
-          seeder.close()
-          @volatile var stopSubs = false
-          @volatile var firstErr: Option[Throwable] = None
-          val subThreads = (0 until nSubs).map { s =>
-            val t = new Thread(() => {
-              try {
-                val c = new C
-                val subId = c.call("ESUB", s"srv-$s", "FROM", "0",
-                    "WINDOW", "64") match {
-                  case SimpleStr(x) => x
-                  case other => sys.error(s"ESUB failed: $other")
-                }
-                var acked = -1L
-                c.sock.setSoTimeout(250)
-                while (!stopSubs) {
-                  try {
-                    c.readFrame() match {
-                      case PushF(Seq(_, _, Num(cur), _)) =>
-                        deliveredPerSub(s).incrementAndGet()
-                        if (cur - acked >= 32) {
-                          c.send("EACK", subId, cur.toString); acked = cur
-                        }
-                      case _ => () // EACK OK replies
-                    }
-                  } catch { case _: java.net.SocketTimeoutException => () }
-                }
-                c.close()
-              } catch { case t: Throwable => firstErr = Some(t) }
-            }, s"bench-sub-$s")
-            t.start(); t
-          }
-          val t0 = System.nanoTime()
-          val writerThreads = (0 until nWriters).map { w =>
-            val t = new Thread(() => {
-              try {
-                val c = new C
-                val s = w % nSubs
-                val pk = graft.core.Ids.partitionKeyForStream(s"srv-$s").toString
-                while (System.nanoTime() - t0 < writeWindowNs) {
-                  c.call(Seq("EMAPPEND", pk) ++
-                    (0 until batch).flatMap(_ => Seq(s"srv-$s", "Load")): _*)
-                  appendedPerStream(s).addAndGet(batch)
-                }
-                c.close()
-              } catch { case t: Throwable => firstErr = Some(t) }
-            }, s"bench-writer-$w")
-            t.start(); t
-          }
-          writerThreads.foreach(_.join(60000))
-          val writeSecs = (System.nanoTime() - t0) / 1e9
-          val totalAppended = appendedPerStream.map(_.get()).sum
-          // drain: subscribers must deliver EVERY appended event
-          val drain0 = System.nanoTime()
-          val drainDeadline = drain0 + 30L * 1000 * 1000 * 1000
-          def fullyDelivered = (0 until nSubs).forall(s =>
-            deliveredPerSub(s).get() >= appendedPerStream(s).get())
-          while (!fullyDelivered && System.nanoTime() < drainDeadline)
-            Thread.sleep(50)
-          serverDrainSec = (System.nanoTime() - drain0) / 1e9
-          stopSubs = true
-          subThreads.foreach(_.join(5000))
-          val totalDelivered = deliveredPerSub.map(_.get()).sum
-          srv.stop()
-          firstErr.foreach(throw _)
-          if (!fullyDelivered) sys.error(
-            s"subscribers drained $totalDelivered of $totalAppended")
-          serverAppendsPerSec = totalAppended / writeSecs
-          serverDeliveredPerSec = totalDelivered / (writeSecs + serverDrainSec)
-        }
+        // the workload is the SHARED graft.tools.ServerSustained —
+        // the same implementation ProbeServer settles regressions
+        // with, so a bench reading and its idle probe can never drift
+        val r = graft.tools.ServerSustained.run(spark)
+        serverAppendsPerSec = r.appendsPerSec
+        serverDeliveredPerSec = r.deliveredPerSec
+        serverDrainSec = r.drainSec
+        r.sec
       } catch { case e: Throwable =>
         System.err.println(s"[bench] server_sustained failed: ${e.getMessage}")
         -1.0

@@ -855,6 +855,19 @@ object SparkEntry {
           "doc_id", threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // Incremental containment against the SAME session-cached band
+    // index the minhash incremental tier probes — one store, one probe
+    // plan, every measure: the ingest batch's bands probe the index,
+    // and containment >= 0.5 verifies on candidate re-shingles only.
+    "dedup_containment_incremental" -> ((s, d) =>
+      graft.ops.Dedup.containmentIncrementalIndexed(Tables.documents(s, d),
+          StoreProvider.minhashBandIndexFor(s, d),
+          "text", "doc_id",
+          graft.ops.Curation.hashBucket(col("doc_id"), IncrementalSeed)
+            < lit(IncrementalNewBp),
+          threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
     // SimHash 16-bit fingerprints per document.
     "dedup_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
@@ -1766,6 +1779,44 @@ object SparkEntry {
       graft.ops.Ranking.rrfFusionBatch(lex, sem, "doc_id",
           kRrf = RrfK, topK = Bm25TopK)
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // The full production retrieval-eval composition: Q lexical arms
+    // from one text scan, Q semantic arms from ONE persistent-index
+    // query batch (probe-bounded read, shared exact-refine tail),
+    // per-qid fusion with no global sort — rank_rrf_hybrid_ann's index
+    // story and rank_rrf_batch's batch plan in one gate.
+    "rank_rrf_batch_ann" -> ((s, d) => {
+      val lex = graft.ops.Ranking.bm25TopKBatch(Tables.documents(s, d),
+        "text", "doc_id", RrfBatchTerms, k1 = Bm25K1, b = Bm25B,
+        topK = RrfDepth)
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annrrfb-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(RrfBatchTerms.map(_._1): _*)))
+        val sem = graft.ops.AnnIndex.queryBatchRefined(s, root.toString,
+            e, qVecs, kNN = RrfDepth, rerank = RefineR,
+            nprobe = IvfPqProbes)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rk"))
+        graft.ops.Ranking.rrfFusionBatch(lex, sem, "doc_id",
+            kRrf = RrfK, topK = Bm25TopK)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
     // --- engine-backed queries: the EAPPEND/ingest write path and the
@@ -2899,7 +2950,7 @@ object SparkEntry {
     * the oracle mirrors the membership predicate (same md5 bucket as
     * Curation.hashBucket) and the least/greatest pair canonicalization.
     */
-  private def minhashIncrementalOracle: String = minhashOracleFor(
+  private def incrementalCandCte: String =
     s"""newids AS (
        |  SELECT doc_id AS id FROM documents
        |  WHERE (${sqlHexBucket(s"md5('$IncrementalSeed:' || doc_id)")} % 10000)
@@ -2908,7 +2959,19 @@ object SparkEntry {
        |  SELECT DISTINCT least(x.id, y.id) AS a, greatest(x.id, y.id) AS b
        |  FROM bands x JOIN newids nx ON nx.id = x.id
        |  JOIN bands y
-       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id <> y.id)""".stripMargin)
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id <> y.id)""".stripMargin
+
+  private def minhashIncrementalOracle: String =
+    minhashOracleFor(incrementalCandCte)
+
+  /** dedup_containment_incremental: the SAME probe candidate CTE as
+    * the minhash incremental oracle (one band index, one probe,
+    * every measure), verified with containment ≥ 0.5.
+    */
+  private def containmentIncrementalOracle: String = minhashOracleFor(
+    incrementalCandCte,
+    measure = "round(CAST(ni AS DOUBLE) / least(na.n, nb.n), 6)",
+    mName = "containment", minVal = 0.5)
 
   /** sig + bands CTEs mirroring Dedup.minhashSignatures/bandKeys'
     * derived-seed scheme (one md5 per shingle, four 28-bit digest
@@ -4340,6 +4403,52 @@ object SparkEntry {
        |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
        |FROM fused ORDER BY rk LIMIT $Bm25TopK""".stripMargin)
 
+  /** rank_rrf_batch_ann: the seed-restricted persistent chain + refine
+    * CTEs (shared with rank_rrf_hybrid_ann — here ALL qids' refined
+    * lists survive as semantic arms), the three prefixed BM25 chains,
+    * and the per-qid partitioned fusion (shared with rank_rrf_batch).
+    */
+  private def rrfBatchAnnOracle: String = {
+    val bmChains = RrfBatchTerms.map { case (qid, terms) =>
+      bm25ScoredCtes(s"q${qid}_", terms) }.mkString(",\n")
+    val lexArms = RrfBatchTerms.map { case (qid, _) =>
+      s"""  SELECT CAST($qid AS BIGINT) AS qid, doc_id, rk_lex FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk_lex
+         |    FROM q${qid}_scored) WHERE rk_lex <= $RrfDepth""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    ivfPqOracleFor(
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+        s" >= $IncrementalNewBp",
+      tail = s""",refine AS (
+         |  SELECT r.qid, r.vec_id, ${cosSql("q.ve", "cv.ve")} AS cosine
+         |  FROM ranked r
+         |  JOIN corp cv ON cv.vec_id = r.vec_id
+         |  JOIN qv q ON q.qid = r.qid
+         |  WHERE r.rk <= $RefineR),
+         |rranked AS (
+         |  SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM refine),
+         |semr AS (
+         |  SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS rk_sem
+         |  FROM rranked WHERE rk <= $RrfDepth),
+         |$bmChains,
+         |lexr AS (
+         |$lexArms),
+         |fused AS (
+         |  SELECT coalesce(l.qid, s.qid) AS qid,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id, l.rk_lex, s.rk_sem,
+         |    round(coalesce(1.0 / ($RrfK + l.rk_lex), 0.0) +
+         |      coalesce(1.0 / ($RrfK + s.rk_sem), 0.0), 9) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr s
+         |    ON s.qid = l.qid AND s.doc_id = l.doc_id)
+         |SELECT qid, doc_id, rk_lex, rk_sem, rrf, rk FROM (
+         |  SELECT qid, doc_id, rk_lex, rk_sem, rrf,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+         |  FROM fused) WHERE rk <= $Bm25TopK
+         |ORDER BY qid, rk""".stripMargin)
+  }
+
   /** rank_rrf_batch: three prefixed BM25 chains (one per query's term
     * set), the per-qid brute-force cosine arm, and the fusion with
     * every window PARTITIONED BY qid — the oracle of the
@@ -4840,6 +4949,7 @@ object SparkEntry {
     "rank_rrf_hybrid" -> rrfHybridOracle,
     "rank_rrf_hybrid_ann" -> rrfHybridAnnOracle,
     "rank_rrf_batch" -> rrfBatchOracle,
+    "rank_rrf_batch_ann" -> rrfBatchAnnOracle,
     "embedding_pq" -> pqOracle,
     "ann_pq_adc" -> pqAdcOracle,
     "ann_pq_adc_batch" -> pqAdcBatchOracle,
@@ -5266,6 +5376,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_containment_lsh" -> containmentLshOracle,
+    "dedup_containment_incremental" -> containmentIncrementalOracle,
     "embedding_covariance" -> covarianceOracle,
     "embedding_pca_project" -> pcaOracle,
     "curation_sample_topk" -> sampleTopkOracle,

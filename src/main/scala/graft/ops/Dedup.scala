@@ -241,6 +241,22 @@ object Dedup {
   def minhashLshIncrementalIndexed(df: DataFrame, banded: DataFrame,
       textCol: String, idCol: String, isNewCol: Column, k: Int = 3,
       threshold: Double = 0.0): DataFrame = {
+    val (cand, candSh) =
+      indexedIncrementalCandidates(df, banded, textCol, idCol, isNewCol, k)
+    jaccardForCandidates(cand, candSh).where(col("jaccard") >= threshold)
+  }
+
+  /** The shared probe half of the indexed incremental tiers: the new
+    * batch's band rows probe the precomputed index, candidate pairs
+    * canonicalize (least/greatest) and materialize, and ONLY candidate
+    * documents are re-shingled (the semi-join runs before the explode,
+    * so the explode never touches the non-candidate corpus). Returns
+    * (candidates(a, b), candidate shingles(id, sh)) for whichever
+    * measure verifies downstream.
+    */
+  private def indexedIncrementalCandidates(df: DataFrame,
+      banded: DataFrame, textCol: String, idCol: String,
+      isNewCol: Column, k: Int): (DataFrame, DataFrame) = {
     val newIds = df.where(isNewCol).select(col(idCol).as("id"))
     val probe = banded.join(newIds, "id")
     val cand = probe.as("x")
@@ -254,8 +270,27 @@ object Dedup {
     val candIds = cand.select(col("a").as("cid"))
       .unionAll(cand.select(col("b").as("cid"))).distinct()
     val candDocs = df.join(candIds, df(idCol) === candIds("cid"), "left_semi")
-    val candSh = wordShingles(candDocs, textCol, idCol, k)
-    jaccardForCandidates(cand, candSh).where(col("jaccard") >= threshold)
+    (cand, wordShingles(candDocs, textCol, idCol, k))
+  }
+
+  /** INCREMENTAL containment against the SAME precomputed band index
+    * the minhash tier probes — the per-ingest form of
+    * [[ngramContainmentLsh]]: only the new batch's bands probe the
+    * store, candidate work is |new ∩ bucket| × |bucket|, and exact
+    * containment verifies on candidate-restricted re-shingles. One
+    * band index, one probe plan, every measure — the production
+    * discipline that makes adding a measure free at 100 TB (the index
+    * and the probe amortize across ALL of them). Same recall contract
+    * as the batch LSH form (band agreement tracks Jaccard; the
+    * subset-dup extreme stays the exact tier's job).
+    */
+  def containmentIncrementalIndexed(df: DataFrame, banded: DataFrame,
+      textCol: String, idCol: String, isNewCol: Column, k: Int = 3,
+      threshold: Double = 0.0): DataFrame = {
+    val (cand, candSh) =
+      indexedIncrementalCandidates(df, banded, textCol, idCol, isNewCol, k)
+    containmentForCandidates(cand, candSh)
+      .where(col("containment") >= threshold)
   }
 
   /** Cross-document duplicated-substring spans — the distributed

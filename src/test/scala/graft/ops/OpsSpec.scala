@@ -106,6 +106,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(new java.io.File(idxDir))
   }
 
+  test("indexed incremental containment == batch containment-LSH " +
+      "restricted to pairs touching a new doc") {
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(1000)
+    val newIds = docs.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val full = Dedup.ngramContainmentLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("ops-cont-idx-").toString
+    try {
+      graft.streaming.StreamingDedup.seedMinhashIndex(
+        docs, "text", "doc_id", idxDir)
+      val inc = Dedup.containmentIncrementalIndexed(docs,
+          spark.read.parquet(idxDir), "text", "doc_id", isNew)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(inc == expected, s"inc=$inc expected=$expected")
+      assert(expected.nonEmpty,
+        "the 10% batch should touch at least one candidate pair")
+    } finally graft.core.Fs.deleteRecursively(new java.io.File(idxDir))
+  }
+
   test("substring spans: cross-doc verbatim runs found, positions exact, " +
       "within-doc repetition alone never spans") {
     import spark.implicits._
