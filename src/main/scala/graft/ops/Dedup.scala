@@ -149,11 +149,9 @@ object Dedup {
     * so the restriction itself stays scale-safe.
     */
   def jaccardForCandidates(candidates: DataFrame, shingles: DataFrame): DataFrame = {
-    val candIds = candidates.select(col("a").as("id"))
-      .unionAll(candidates.select(col("b").as("id"))).distinct()
-    val sh = shingles.join(candIds, Seq("id"), "left_semi")
+    val (cand, sh) = candidateRestrictedShingles(candidates, shingles)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    candidates
+    cand
       .join(sh.select(col("id").as("a"), col("sh")), "a")
       .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b"))
@@ -163,6 +161,27 @@ object Dedup {
       .withColumn("jaccard",
         round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Materialization discipline of the verify tails: the CANDIDATE
+    * frame is referenced three times downstream (both sides of the id
+    * union + the pair join) and the candidate-RESTRICTED shingle table
+    * three more (sizes + both pair-join sides) — without pinning them,
+    * each reference re-derives its whole subtree (for the LSH callers
+    * that is the banded self-join, re-run ~6×; the r15 plan audit
+    * caught exactly this shape in dedup_containment_lsh). Both are
+    * bounded frames (candidate pairs, candidate-doc shingles — never
+    * corpus-sized), so holding them is strictly cheaper than any
+    * recomputation.
+    */
+  private def candidateRestrictedShingles(candidates: DataFrame,
+      shingles: DataFrame): (DataFrame, DataFrame) = {
+    val cand = candidates.localCheckpoint()
+    val candIds = cand.select(col("a").as("id"))
+      .unionAll(cand.select(col("b").as("id"))).distinct()
+    val sh = shingles.join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint()
+    (cand, sh)
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
@@ -585,11 +604,9 @@ object Dedup {
     */
   def containmentForCandidates(candidates: DataFrame,
       shingles: DataFrame): DataFrame = {
-    val candIds = candidates.select(col("a").as("id"))
-      .unionAll(candidates.select(col("b").as("id"))).distinct()
-    val sh = shingles.join(candIds, Seq("id"), "left_semi")
+    val (cand, sh) = candidateRestrictedShingles(candidates, shingles)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    candidates
+    cand
       .join(sh.select(col("id").as("a"), col("sh")), "a")
       .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b"))
