@@ -2208,6 +2208,55 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // The CONTAINMENT member of the streaming family, pruned layout —
+    // the minhash member's probe/read/append verbatim (ONE band index
+    // serves every measure) with the asymmetric |A∩B|/min >= 0.5
+    // verify; oracle = the incremental containment restricted recount
+    // (streaming over any batch division == the batch-global answer,
+    // same argument as the jaccard member).
+    "stream_dedup_containment_pruned" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-pcdx-")
+      try {
+        graft.streaming.GenIndex.init(root.toString) { dir =>
+          graft.streaming.StreamingDedup.seedMinhashIndexPruned(
+            Tables.documents(s, d).where(!isNew), "text", "doc_id", dir)
+        }
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+              .parquet(s"${des.root}/events"),
+            "verify-pcdx-ck-",
+            perBatch = { b =>
+              val pairs = graft.streaming.StreamingDedup
+                .containmentProbeBatchPruned(
+                  b.select(
+                    expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                      .as("doc_id"),
+                    col("payload").cast("string").as("text")),
+                  "text", "doc_id",
+                  graft.streaming.GenIndex.currentGen(root.toString),
+                  docSource = Tables.documents(s, d),
+                  threshold = 0.5)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
+                graft.streaming.GenIndex.compact(s, root.toString,
+                  Seq("pfx"), partitionCols = Seq("pfx"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Double]("containment"))
+          }
+          .toDF("a", "b", "containment")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // The winnowing member of the streaming dedup family, same cached
     // doc-event feed: per micro-batch, winnow-fingerprint the arriving
     // documents, join the persistent fingerprint index on fp, count
@@ -5362,6 +5411,7 @@ object SparkEntry {
     // pair set (batch-division-invariant, same argument as
     // stream_dedup_simhash)
     "stream_dedup_minhash" -> minhashIncrementalOracle,
+    "stream_dedup_containment_pruned" -> containmentIncrementalOracle,
     // identical restricted recount: the pruned layout changes where
     // index bytes live, never which pairs exist (shared probe core)
     "stream_dedup_minhash_pruned" -> minhashIncrementalOracle,

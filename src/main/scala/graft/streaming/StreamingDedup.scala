@@ -364,7 +364,10 @@ object StreamingDedup {
     */
   private def minhashPairsAgainst(probe: DataFrame, index: DataFrame,
       docSource: DataFrame, textCol: String, idCol: String, k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      verify: (DataFrame, DataFrame) => DataFrame =
+        Dedup.jaccardForCandidates,
+      measureCol: String = "jaccard"): DataFrame = {
     val all = index.unionByName(probe)
     val cand = probe.as("x")
       .join(all.as("y"),
@@ -380,8 +383,41 @@ object StreamingDedup {
       .join(candIds,
         docSource(idCol) === candIds("docsrc_id"), "left_semi")
     val candSh = Dedup.wordShingles(candDocs, textCol, idCol, k)
-    Dedup.jaccardForCandidates(cand, candSh)
-      .where(col("jaccard") >= threshold)
+    verify(cand, candSh)
+      .where(col(measureCol) >= threshold)
+  }
+
+  /** The CONTAINMENT member of the streaming family over the pruned,
+    * generation-addressed layout: the [[minhashProbeBatchPruned]]
+    * probe verbatim (one band index serves every measure — the probe,
+    * the touched-∩-live read, and the clustered append are all the
+    * minhash member's) with the asymmetric |A∩B|/min verify
+    * ([[Dedup.containmentForCandidates]]) in place of Jaccard. Same
+    * batch-division invariance by the same argument: a pair is
+    * emitted when its later member arrives, and both measures verify
+    * from the members' FULL shingle sets via `docSource`, never from
+    * partial batch state. Returns (a, b, containment), a < b.
+    */
+  def containmentProbeBatchPruned(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, docSource: DataFrame,
+      parts: Int = 64, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.0): DataFrame = {
+    val spark = batch.sparkSession
+    val sh = Dedup.wordShingles(batch, textCol, idCol, k)
+    val probe = Dedup.bandKeys(Dedup.minhashSignatures(sh, numHashes),
+        bands, numHashes / bands)
+      .withColumn("pfx", keyPrefix(parts, col("band"), col("bkey")))
+      .localCheckpoint()
+    checkPartsMarker(indexDir, parts)
+    val index = readTouchedPruned(spark, indexDir, touchedOf(probe),
+      schemaFrom = probe.drop("pfx"))
+    val pairs = minhashPairsAgainst(probe.drop("pfx"), index,
+        docSource, textCol, idCol, k, threshold,
+        verify = Dedup.containmentForCandidates,
+        measureCol = "containment")
+      .localCheckpoint()
+    appendPruned(probe, indexDir)
+    pairs
   }
 
   /** PRUNED-layout minhash index seed: [[seedMinhashIndex]] rows laid
