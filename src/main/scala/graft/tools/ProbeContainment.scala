@@ -21,7 +21,14 @@ object ProbeContainment {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val big = ScaleGen.ensure10x(spark, sf)
+    // `100x` arg: probe the 100× replica instead of the 10× one — the
+    // Probe100x sweep measures containment while its own 9 other legs
+    // saturate the box (r15: 27.5 at load 29.7); this mode gives the
+    // leg its attributable solo reading + the candidate-volume
+    // diagnostic at the same factor.
+    val big =
+      if (args.contains("100x")) Probe100x.ensure100x(spark, sf)
+      else ScaleGen.ensure10x(spark, sf)
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
