@@ -1097,6 +1097,45 @@ object SparkEntry {
     // Oracle: the persistent chain with deleted ids excluded from the
     // candidate set — frozen-model training is UNCHANGED by deletes
     // (quantizers never retrain on delete, like every real IVF store).
+    // FILTERED vector search on the persistent index (the faiss
+    // IDSelector / predicate-filtered-ANN shape every vector store
+    // serves): a deterministic ~80% allow-set PRE-filters the probed
+    // candidate slice by one semi-join before scoring — filtered
+    // top-k == post-filtered full ranking by construction (scoring is
+    // per-candidate independent; spec-pinned), only allowed rows are
+    // ever scored, and the filter relation is never collected. Oracle:
+    // the persistent chain with disallowed ids excluded from the
+    // candidate CTE only (a filter, like a delete, never retrains the
+    // frozen model).
+    "ann_ivfpq_persistent_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val isAllowed = graft.ops.Curation.hashBucket(col("vec_id"),
+        FilterSeed) >= lit(FilterBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annixflt-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes,
+            allowed = Some(e.where(isAllowed).select("vec_id")))
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     "ann_ivfpq_persistent_delete" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
@@ -3111,6 +3150,15 @@ object SparkEntry {
   private val DeleteSeed = "del"
   private val DeleteBp = 500
 
+  /** Filtered-search allow-set for ann_ivfpq_persistent_filtered: md5
+    * bucket ≥ 2000 bp = a deterministic ~80% of vectors are allowed —
+    * selective enough that the filter visibly reshapes every query's
+    * top-k, permissive enough that k survivors exist in the probed
+    * lists at the gate's nprobe.
+    */
+  private val FilterSeed = "flt"
+  private val FilterBp = 2000
+
   /** dedup_substring_spans geometry: 8-token gram anchors (spans are
     * ≥ minRun + k − 1 = 9 tokens — long enough that the synthetic
     * corpus's planted near-dup mutations break most spans, short
@@ -4780,6 +4828,17 @@ object SparkEntry {
     s"(${sqlHexBucket(s"md5('$DeleteSeed:' || k0.vec_id)")} % 10000)" +
       s" < $DeleteBp")
 
+  /** ann_ivfpq_persistent_filtered: the persistent chain with
+    * DISALLOWED ids excluded from the candidate relation — same
+    * parameterization as the delete oracle (a filter, like a delete,
+    * never touches training/assignment).
+    */
+  private def ivfPqPersistentFilteredOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    s"(${sqlHexBucket(s"md5('$FilterSeed:' || k0.vec_id)")} % 10000)" +
+      s" < $FilterBp")
+
   /** Mirror of Similarity.ivfPqResidualTopKBatch — the classical
     * IVFADC oracle: the coarse chain is shared verbatim with ann_ivf,
     * then residual relations (`residc` for the corpus, `sampr` for the
@@ -5119,6 +5178,7 @@ object SparkEntry {
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
     "ann_ivfpq_persistent_delete" -> ivfPqPersistentDeleteOracle,
+    "ann_ivfpq_persistent_filtered" -> ivfPqPersistentFilteredOracle,
 
     // duplicated-substring spans: positional 8-gram anchors (the
     // shinglesCteFor construction, positions kept), grams in ≥2

@@ -202,7 +202,8 @@ object AnnIndex {
     */
   def queryBatch(spark: SparkSession, root: String,
       qVecs: Seq[(Long, Seq[Double])], kNN: Int, nprobe: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(qVecs.nonEmpty, "empty query batch")
     val gen = GenIndex.currentGen(root)
     val model = readModel(spark, gen)
@@ -242,10 +243,26 @@ object AnnIndex {
     // tombstone mask after the dedup: bounded by deletes since the
     // last compaction (which applies them physically), never a corpus
     // term — see delete()
-    val codes = spark.read.option("basePath", s"$gen/codes")
+    // FILTERED search (faiss IDSelector semantics): the allowed-id
+    // relation PRE-filters the probed candidate slice by one semi-join
+    // — scoring is per-candidate independent, so the filtered top-k
+    // equals the post-filtered full ranking by construction
+    // (AnnIndexSpec pins it), but only allowed rows are ever scored.
+    // The join runs on the PROBED slice, so its cost is bounded by
+    // the probe set, and the filter relation itself streams through a
+    // shuffle/broadcast join at whatever size the predicate yields —
+    // never collected. Recall caveat stated: probes are ranked on the
+    // UNFILTERED coarse centroids, so a highly-selective filter wants
+    // a larger nprobe (the standard filtered-ANN guidance).
+    val codes0 = spark.read.option("basePath", s"$gen/codes")
       .parquet(hit.map(c => s"$gen/codes/ivf_cid=$c"): _*)
       .dropDuplicates("vec_id")
       .join(tombsOf(spark, gen, idCol), Seq(idCol), "left_anti")
+    val codes = allowed match {
+      case Some(a) => codes0.join(
+        a.select(a.columns.head).toDF(idCol), Seq(idCol), "left_semi")
+      case None => codes0
+    }
     // the scoring tail is the SHARED implementation behind the
     // in-session paths (adcProbeScoreTopK / sq8ProbeScoreTopK) — the
     // plan this index's bit-equality contract is pinned against

@@ -71,6 +71,39 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("filtered query == post-filtered full ranking; allow-all == unfiltered") {
+    import spark.implicits._
+    val (nlist, ti, m, k, pi) = Geom
+    val allowedSet = ids.filter(_ % 3 != 0).toSet
+    val root = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi)
+      // full probed ranking (kNN = corpus size), post-filter, re-rank:
+      // scoring is per-candidate independent, so this must equal the
+      // pre-filtered query's output exactly (same probe set both ways)
+      val full = AnnIndex.queryBatch(spark, root.toString, qVecs,
+          kNN = ids.size, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val want = full.filter(t => allowedSet(t._2)).groupBy(_._1).toSeq
+        .flatMap { case (_, rws) =>
+          rws.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+            .map { case ((q, id, d), i) => (q, id, d, (i + 1).toLong) }
+        }.toSet
+      val got = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2,
+        allowed = Some(allowedSet.toSeq.toDF("vec_id"))))
+      assert(got == want, s"filtered=$got postFiltered=$want")
+      assert(got.forall(t => allowedSet(t._2)), "disallowed id scored")
+      // the allow-everything filter must be a no-op
+      val allowAll = rows(AnnIndex.queryBatch(spark, root.toString,
+        qVecs, kNN = 3, nprobe = 2, allowed = Some(ids.toDF("vec_id"))))
+      val unfiltered = rows(AnnIndex.queryBatch(spark, root.toString,
+        qVecs, kNN = 3, nprobe = 2))
+      assert(allowAll == unfiltered)
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("refined persisted query reproduces the in-session refine batch") {
     val (nlist, ti, m, k, pi) = Geom
     val want = rows(Similarity.ivfPqRefineTopKBatch(corpus,
