@@ -223,9 +223,16 @@ object Bench {
         serverDeliveredPerSec = r.deliveredPerSec
         serverDrainSec = r.drainSec
         r.sec
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] server_sustained failed: ${e.getMessage}")
-        -1.0
+      } catch {
+        case d: graft.tools.ServerSustained.DrainShortfall =>
+          // record the measured drain even on the shortfall path — the
+          // ~30 s timeout IS the diagnosis
+          serverDrainSec = d.drainSec
+          System.err.println(s"[bench] server_sustained failed: ${d.getMessage}")
+          -1.0
+        case e: Throwable =>
+          System.err.println(s"[bench] server_sustained failed: ${e.getMessage}")
+          -1.0
       }
     }
 

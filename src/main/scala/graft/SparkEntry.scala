@@ -3202,6 +3202,14 @@ object SparkEntry {
     0L -> Seq("spark", "join", "window"),
     1L -> Seq("stream", "batch", "merge"),
     2L -> Seq("vector", "hash", "scan"))
+  // the ANN-armed RRF oracles reuse ivfPqOracleFor, whose qv CTE is
+  // pinned to the repo-wide ANN query batch `vec_id IN (0, 1, 2)` —
+  // a fourth lexical query would silently rank against a 3-query
+  // semantic chain and fail with an opaque hash mismatch, so the
+  // coupling is asserted here instead
+  require(RrfBatchTerms.map(_._1) == Seq(0L, 1L, 2L),
+    "RrfBatchTerms qids must stay the ANN query batch (0, 1, 2) — " +
+      "ivfPqOracleFor's qv CTE and the gated query batches are pinned to it")
 
   /** curation_dsir_weights hashed-feature bucket count: divides 65536
     * so the 4-hex-digit md5 derivation is exactly uniform, and small
@@ -4471,10 +4479,13 @@ object SparkEntry {
     * rank_rrf_hybrid. Every piece is a proven chain; only the
     * composition is new.
     */
-  private def rrfHybridAnnOracle: String = ivfPqOracleFor(
-    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
-      s" >= $IncrementalNewBp",
-    tail = s""",refine AS (
+  /** The exact-re-rank CTE pair over the composed chain's `ranked`
+    * relation — shared VERBATIM by both ANN-armed RRF oracles (the
+    * refine block must not fork between them; a skew in one would be
+    * an opaque hash mismatch, not a visible diff).
+    */
+  private def annRefineCtes: String =
+    s""",refine AS (
        |  SELECT r.qid, r.vec_id, ${cosSql("q.ve", "cv.ve")} AS cosine
        |  FROM ranked r
        |  JOIN corp cv ON cv.vec_id = r.vec_id
@@ -4483,7 +4494,12 @@ object SparkEntry {
        |rranked AS (
        |  SELECT qid, vec_id, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
-       |  FROM refine),
+       |  FROM refine)""".stripMargin
+
+  private def rrfHybridAnnOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    tail = s"""$annRefineCtes,
        |semr AS (
        |  SELECT vec_id AS doc_id, CAST(rk AS BIGINT) AS rk_sem
        |  FROM rranked WHERE qid = 0 AND rk <= $RrfDepth),
@@ -4516,16 +4532,7 @@ object SparkEntry {
     ivfPqOracleFor(
       s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
         s" >= $IncrementalNewBp",
-      tail = s""",refine AS (
-         |  SELECT r.qid, r.vec_id, ${cosSql("q.ve", "cv.ve")} AS cosine
-         |  FROM ranked r
-         |  JOIN corp cv ON cv.vec_id = r.vec_id
-         |  JOIN qv q ON q.qid = r.qid
-         |  WHERE r.rk <= $RefineR),
-         |rranked AS (
-         |  SELECT qid, vec_id, cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
-         |  FROM refine),
+      tail = s"""$annRefineCtes,
          |semr AS (
          |  SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS rk_sem
          |  FROM rranked WHERE rk <= $RrfDepth),

@@ -148,7 +148,21 @@ object Dedup {
     * set when small and falls back to a shuffled semi-join when not,
     * so the restriction itself stays scale-safe.
     */
-  def jaccardForCandidates(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+  def jaccardForCandidates(candidates: DataFrame, shingles: DataFrame): DataFrame =
+    overlapForCandidates(candidates, shingles)
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
+      .select(col("a"), col("b"), col("jaccard"))
+
+  /** ONE candidate-verify pair plan behind [[jaccardForCandidates]]
+    * and [[containmentForCandidates]] (the shingleOverlap discipline:
+    * measures differ in one arithmetic column, so they must share the
+    * pair generation or silently diverge): restricted shingles →
+    * per-pair intersection counts → size joins, returning
+    * (a, b, ni, na, nb).
+    */
+  private def overlapForCandidates(candidates: DataFrame,
+      shingles: DataFrame): DataFrame = {
     val (cand, sh) = candidateRestrictedShingles(candidates, shingles)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     cand
@@ -158,9 +172,6 @@ object Dedup {
       .agg(count(lit(1)).as("ni"))
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jaccard",
-        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Materialization discipline of the verify tails: the CANDIDATE
@@ -172,7 +183,11 @@ object Dedup {
     * caught exactly this shape in dedup_containment_lsh). Both are
     * bounded frames (candidate pairs, candidate-doc shingles — never
     * corpus-sized), so holding them is strictly cheaper than any
-    * recomputation.
+    * recomputation. Indexed-incremental callers pass a cand frame
+    * they already checkpointed for their own probe derivation; the
+    * second checkpoint here copies a bounded frame once more, which
+    * is accepted over threading a was-it-checkpointed flag through
+    * the API.
     */
   private def candidateRestrictedShingles(candidates: DataFrame,
       shingles: DataFrame): (DataFrame, DataFrame) = {
@@ -603,20 +618,11 @@ object Dedup {
     * input is candidate-doc shingles, never the corpus).
     */
   def containmentForCandidates(candidates: DataFrame,
-      shingles: DataFrame): DataFrame = {
-    val (cand, sh) = candidateRestrictedShingles(candidates, shingles)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.select(col("id").as("a"), col("sh")), "a")
-      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("ni"))
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      shingles: DataFrame): DataFrame =
+    overlapForCandidates(candidates, shingles)
       .withColumn("containment",
         round(col("ni").cast("double") / least(col("na"), col("nb")), 6))
       .select(col("a"), col("b"), col("containment"))
-  }
 
   /** LSH-FIRST containment — the 100 TB tier: candidate pairs come
     * from the SAME minhash band index the resemblance tiers probe

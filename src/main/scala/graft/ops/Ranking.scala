@@ -128,7 +128,13 @@ object Ranking {
     val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
       allTerms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    // ONE row, materialized: the stats aggregation is referenced from
+    // every one of the Q union branches, and whether Spark reuses the
+    // exchange across them is the documented AQE coin-flip — without
+    // the pin a Q-query batch could run Q aggregation passes over the
+    // checkpointed frame
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      .localCheckpoint()
     val n = col("n_docs").cast("double")
     val avgdl = col("sum_dl").cast("double") / n
     def scoreOf(terms: Seq[String]) = terms.map { term =>

@@ -61,7 +61,15 @@ object GenIndex {
     * metadata op while create+write+close is not a single PUT —
     * `create()` exposes a zero-byte MANIFEST before the flush, the
     * exact partial-manifest window the rename branch avoids. Azure
-    * therefore takes the tmp+rename branch below.
+    * therefore takes the tmp+rename branch below. Caveat stated
+    * rather than hidden: on a NON-HNS account through the legacy
+    * wasb driver NEITHER branch is atomic (rename is client-side
+    * copy+delete, create exposes the empty blob), so the rename
+    * branch there trades a read-empty-manifest window for a
+    * manifest-briefly-absent one — `currentGen`'s existence require
+    * at least fails loudly on the latter. Production Azure
+    * deployments should use abfs over HNS, where the rename branch
+    * is genuinely atomic.
     */
   private val ObjectStoreSchemes =
     Set("s3a", "s3", "s3n", "gs", "oss", "cos")

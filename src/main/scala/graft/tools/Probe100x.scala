@@ -90,7 +90,7 @@ object Probe100x {
       "ann_ivf_pq", "ann_ivfpq_persistent", "ann_ivfsq8_persistent",
       "ann_ivfpq_refine", "curation_dsir_weights",
       "dedup_substring_spans", "dedup_containment",
-      "dedup_containment_lsh")
+      "dedup_containment_lsh", "ann_ivfpq_persistent_filtered")
     legs.foreach { n =>
       def minOf2(dir: String): Double = math.min(leg(n, dir), leg(n, dir))
       val b = minOf2(sf); val x10 = minOf2(big); val x100 = minOf2(huge)

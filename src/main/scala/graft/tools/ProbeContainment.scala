@@ -54,13 +54,17 @@ object ProbeContainment {
         .where(col("a") < col("b")).count()
       (capped.count(), pairs)
     }
+    // label follows the replica actually probed — a 100x reading
+    // printed as "10x" would record a 10x-inflated superlinearity
+    // signal under the record-is-the-record discipline
+    val lbl = if (args.contains("100x")) "100x" else "10x"
     val (shB, prB) = volume(sf); val (sh10, pr10) = volume(big)
-    println(f"volume: capped shingles $shB -> $sh10 " +
+    println(f"volume ($lbl): capped shingles $shB -> $sh10 " +
       f"(${sh10.toDouble / shB}%.1fx) | candidate pairs $prB -> $pr10 " +
       f"(${pr10.toDouble / prB}%.1fx)")
     for (round <- 1 to 3) {
       val b = leg(sf); val b10 = leg(big)
-      println(f"round $round: base $b%.2f s | 10x $b10%.2f s | " +
+      println(f"round $round: base $b%.2f s | $lbl $b10%.2f s | " +
         f"ratio ${b10 / b}%.2f | load ${java.lang.management
           .ManagementFactory.getOperatingSystemMXBean
           .getSystemLoadAverage}%.1f")

@@ -20,14 +20,31 @@ object ServerSustained {
   final case class Result(sec: Double, appendsPerSec: Double,
       deliveredPerSec: Double, drainSec: Double)
 
+  /** Drain shortfall as a TYPED failure carrying the measured drain
+    * time: the inline-bench era recorded serverDrainSec before
+    * throwing, and the refactor must not lose the most diagnostic
+    * number of the most diagnostic failure (a -1.0 drain on a drain
+    * timeout hides the 30 s the record exists to show).
+    */
+  final case class DrainShortfall(drainSec: Double, delivered: Long,
+      appended: Long) extends RuntimeException(
+    s"subscribers drained $delivered of $appended " +
+      f"(drain $drainSec%.1f s)")
+
   def run(spark: SparkSession): Result = {
     import graft.server.Resp
     import graft.server.Resp._
     val t00 = System.nanoTime()
     val dir = java.nio.file.Files.createTempDirectory("bench-srv-")
+    // the server is stopped in a finally: an exception anywhere in the
+    // workload (seed failure, writer join interruption) must not leak
+    // the accept loop + connection handlers into the caller's next
+    // measurement, nor leave them serving a deleted temp dir
+    var srvOpt: Option[graft.server.RespServer] = None
     try {
       val ses = graft.api.EventStore.open(spark, dir.toString, 8)
       val srv = new graft.server.RespServer(ses).start()
+      srvOpt = Some(srv)
       final class C {
         val sock = new java.net.Socket("127.0.0.1", srv.localPort)
         private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
@@ -120,14 +137,17 @@ object ServerSustained {
       stopSubs = true
       subThreads.foreach(_.join(5000))
       val totalDelivered = deliveredPerSub.map(_.get()).sum
-      srv.stop()
       firstErr.foreach(throw _)
-      if (!fullyDelivered) sys.error(
-        s"subscribers drained $totalDelivered of $totalAppended")
+      if (!fullyDelivered)
+        throw DrainShortfall(drainSec, totalDelivered, totalAppended)
       Result((System.nanoTime() - t00) / 1e9,
         totalAppended / writeSecs,
         totalDelivered / (writeSecs + drainSec),
         drainSec)
-    } finally graft.core.Fs.deleteRecursively(dir.toFile)
+    } finally {
+      srvOpt.foreach(s =>
+        try s.stop() catch { case _: Throwable => () })
+      graft.core.Fs.deleteRecursively(dir.toFile)
+    }
   }
 }
