@@ -1136,6 +1136,42 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // FILTERED + REFINED retrieval — the production RAG query shape
+    // ("top-k among documents matching a predicate, exactly
+    // re-ranked") as one composition of three proven parts: the
+    // persistent index's probe-bounded read, the IDSelector semi-join
+    // on the probed slice, and the shared exact-refine tail re-ranking
+    // the (already-filtered) survivors. Oracle: the filtered
+    // persistent chain + the shared refine CTEs.
+    "ann_ivfpq_filtered_refine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val isAllowed = graft.ops.Curation.hashBucket(col("vec_id"),
+        FilterSeed) >= lit(FilterBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annfltr-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatchRefined(s, root.toString, e,
+            qVecs, kNN = 5, rerank = RefineR, nprobe = IvfPqProbes,
+            allowed = Some(e.where(isAllowed).select("vec_id")))
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     "ann_ivfpq_persistent_delete" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
@@ -4846,6 +4882,19 @@ object SparkEntry {
     s"(${sqlHexBucket(s"md5('$FilterSeed:' || k0.vec_id)")} % 10000)" +
       s" < $FilterBp")
 
+  /** ann_ivfpq_filtered_refine: the filtered persistent chain (the
+    * oracle above) with the shared refine CTEs re-ranking the
+    * already-filtered survivors — the composed RAG-retrieval oracle.
+    */
+  private def ivfPqFilteredRefineOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    s"(${sqlHexBucket(s"md5('$FilterSeed:' || k0.vec_id)")} % 10000)" +
+      s" < $FilterBp",
+    tail = s"""$annRefineCtes
+       |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin)
+
   /** Mirror of Similarity.ivfPqResidualTopKBatch — the classical
     * IVFADC oracle: the coarse chain is shared verbatim with ann_ivf,
     * then residual relations (`residc` for the corpus, `sampr` for the
@@ -5186,6 +5235,7 @@ object SparkEntry {
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
     "ann_ivfpq_persistent_delete" -> ivfPqPersistentDeleteOracle,
     "ann_ivfpq_persistent_filtered" -> ivfPqPersistentFilteredOracle,
+    "ann_ivfpq_filtered_refine" -> ivfPqFilteredRefineOracle,
 
     // duplicated-substring spans: positional 8-gram anchors (the
     // shinglesCteFor construction, positions kept), grams in ≥2

@@ -313,9 +313,16 @@ object AnnIndex {
   def queryBatchRefined(spark: SparkSession, root: String,
       corpus: DataFrame, qVecs: Seq[(Long, Seq[Double])], kNN: Int,
       rerank: Int, nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(rerank >= kNN, "rerank depth must cover the final top-k")
-    val survivors = queryBatch(spark, root, qVecs, rerank, nprobe, idCol)
+    // `allowed` composes: the index pre-filters its probed slice
+    // (IDSelector semantics), so the refine tail re-ranks only
+    // allowed survivors — "top-k among documents matching a
+    // predicate, exactly re-ranked", the production RAG retrieval
+    // shape, with no filter logic in the refine itself
+    val survivors = queryBatch(spark, root, qVecs, rerank, nprobe,
+        idCol, allowed)
       .select(col("qid"), col(idCol))
     Similarity.exactRefineTopK(corpus, survivors, qVecs, kNN, idCol,
       vecCol)
