@@ -639,6 +639,15 @@ object SparkEntry {
         .orderBy(desc("cnt"), col("a"), col("b")).limit(20)
     }),
 
+    // Per-document n-gram novelty: the fraction of the doc's distinct
+    // word-3-grams whose first corpus occurrence (min doc id) is this
+    // doc — the "how much of this is new text" curation signal. One
+    // gram-keyed shuffle + one doc-keyed average, no pairs.
+    "text_ngram_novelty" -> ((s, d) =>
+      graft.ops.TextAnalysis.ngramNovelty(Tables.documents(s, d), "text",
+          "doc_id", k = NoveltyK)
+        .orderBy(col("doc_id"))),
+
     // Document fingerprint: md5 of whitespace-normalized lowercase text.
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -668,6 +677,17 @@ object SparkEntry {
     "ann_sq8_topk" -> ((s, d) =>
       graft.ops.Similarity.sq8TopKBatch(Tables.embeddings(s, d),
           col("vec_id").isin(0, 1, 2), 5)
+        .orderBy(col("qid"), col("rk"))),
+
+    // Binary-quantization ANN (the 1-bit tier below SQ8): sign-bit
+    // codes packed 64 dims/long, Hamming candidates by xor+popcount
+    // (1/32nd the float32 scan bytes, pure integer ALU), exact cosine
+    // re-rank of the BinRerank survivors through the shared refine
+    // tail — the pgvector-bit / Milvus-BINARY shape.
+    "ann_binary_hamming" -> ((s, d) =>
+      graft.ops.Similarity.binaryHammingRefineTopKBatch(
+          Tables.embeddings(s, d), col("vec_id").isin(0, 1, 2), 5,
+          rerank = BinRerank, dims = BinDims)
         .orderBy(col("qid"), col("rk"))),
 
     // IVF + SQ8 composed ANN (the faiss `IVF…,SQ8` flavor): the
@@ -762,6 +782,40 @@ object SparkEntry {
           e.where(col("vec_id").isin(0, 1, 2)))
         graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
             kNN = 5, nprobe = IvfProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
+    // PERSISTENT BINARY-QUANTIZATION index: the bq codec on the same
+    // generational store (seed/append/compact, frozen-model contract)
+    // — sign-bit codes packed 1 bit/dim in the per-list directories
+    // (the cheapest persisted code tier: 8 bytes per 64 dims),
+    // Hamming-scored probe-bounded candidates, and the production
+    // refine tail re-ranking BinRerank survivors by exact cosine
+    // against the raw corpus. Completes the persisted-codec matrix:
+    // PQ / residual-PQ / OPQ·PQ / SQ8 / BQ.
+    "ann_ivfbq_persistent" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annbq-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters, codec = "bq")
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatchRefined(s, root.toString, e, qVecs,
+            kNN = 5, rerank = BinRerank, nprobe = IvfProbes)
           .orderBy(col("qid"), col("rk"))
           .localCheckpoint()
       } finally graft.core.Fs.deleteRecursively(root.toFile)
@@ -1775,6 +1829,61 @@ object SparkEntry {
       graft.ops.Ranking.bm25TopK(Tables.documents(s, d), "text", "doc_id",
           Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy(col("rk"))),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): the exact
+    // cosine arm retrieves MmrN candidates for query vec 0, then the
+    // greedy λ·rel − γ·max-sim-to-selected pass picks MmrK — the
+    // post-retrieval pass that keeps the k results from being k
+    // paraphrases. The greedy is O(k·n) over a query constant and
+    // runs driver-side; the retrieval arm carries all corpus cost.
+    "rank_mmr" -> ((s, d) =>
+      graft.ops.Ranking.mmrRerank(Tables.embeddings(s, d), queryId = 0L,
+          n = MmrN, k = MmrK, lambda = MmrLambda, gamma = MmrGamma)
+        .orderBy(col("rk"))),
+
+    // PRODUCTION MMR: the candidate arm served from the PERSISTENT
+    // ANN index (seed/append/compact) through the exact-refine tail —
+    // refined top-MmrN cosines feed the SAME greedy diversity core as
+    // the flat form (mmrFromArm). The leg's scale story is the
+    // index's probe-bounded story; the greedy stays a query constant.
+    "rank_mmr_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annmmr-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id") === 0))
+        val top = graft.ops.AnnIndex.queryBatchRefined(s, root.toString,
+            e, qVecs, kNN = MmrN, rerank = RefineR, nprobe = IvfPqProbes)
+          .select(col("vec_id"), col("cosine").as("rel"))
+        graft.ops.Ranking.mmrFromArm(e, top, k = MmrK,
+            lambda = MmrLambda, gamma = MmrGamma)
+          .orderBy(col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
+    // NDCG@10 retrieval evaluation: the exact cosine arm for query
+    // vecs 0/1/2 scored against binary label-agreement relevance —
+    // the eval-harness operator; DCG is an explicit fixed-order
+    // k-term expression and the ideal table is a driver constant, so
+    // the metric is bit-reproducible across engines.
+    "rank_ndcg_eval" -> ((s, d) =>
+      graft.ops.Ranking.ndcgAtK(Tables.embeddings(s, d),
+          col("vec_id").isin(0, 1, 2), k = NdcgK)
+        .orderBy(col("qid"))),
 
     // HYBRID retrieval via reciprocal-rank fusion (k=60): the BM25
     // lexical arm (same 3-term query) fused with the embedding-cosine
@@ -3211,6 +3320,35 @@ object SparkEntry {
     */
   private[graft] val RefineR = 50
 
+  /** ann_binary_hamming: sign-bit binary quantization geometry — all
+    * 64 dims pack into ONE long word, and the Hamming pass hands the
+    * shared exact-refine tail the same 50-candidate depth as RefineR
+    * (1 bit/dim leaves dense Hamming ties, so the wide rerank is what
+    * buys the recall back).
+    */
+  private[graft] val BinDims = 64
+  private[graft] val BinRerank = 50
+
+  /** rank_mmr: MMR diversity re-rank geometry — top-20 exact-cosine
+    * candidates for query vec 0, greedy-select 5 at the classic
+    * λ=0.7 relevance / 0.3 redundancy split. γ is spelled as its own
+    * constant (not 1−λ) so both engines compute with the same literal
+    * double.
+    */
+  private[graft] val MmrN = 20
+  private[graft] val MmrK = 5
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrGamma = 0.3
+
+  /** rank_ndcg_eval: NDCG@10 over the exact-cosine arm for query vecs
+    * 0/1/2, binary relevance = label agreement. */
+  private[graft] val NdcgK = 10
+
+  /** text_ngram_novelty: word-3-gram first-occurrence novelty — the
+    * same shingle width as the Jaccard/containment oracles, ONE gram
+    * universe across the family. */
+  private[graft] val NoveltyK = 3
+
   /** ann_matryoshka_refine truncation width: the 16 leading of 64
     * dims — the 4× compute/byte saving the MRL two-stage claim is
     * about (on these i.i.d. synthetic embeddings the prefix carries
@@ -4066,6 +4204,62 @@ object SparkEntry {
   private def ivfSq8PersistentOracle: String = ivfSq8OracleFor(
     s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
       s" >= $IncrementalNewBp")
+
+  /** ann_ivfbq_persistent: the trained-IVF chain (seed-restricted
+    * sample, like every persistent oracle), Hamming = sign-mismatch
+    * count over the probed lists' candidates (definitionally
+    * popcount-of-xor of the sign bits), the (hamming, vec_id) window
+    * to BinRerank survivors, then the shared exact-refine CTEs.
+    */
+  private def ivfBqPersistentOracle: String = {
+    val sampPred =
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+        s" >= $IncrementalNewBp"
+    val cf = s"c$IvfIters"
+    s"""WITH ${ivfTrainAssignCtes(sampPred)},
+       |q AS (SELECT vec_id AS qid, ve AS qe FROM corp WHERE vec_id IN (0, 1, 2)),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("qe", "c.ce")} DESC, c.cid) AS rn
+       |    FROM q, $cf c) WHERE rn <= $IvfProbes),
+       |hflat AS (SELECT vec_id, i, ve[i] AS v
+       |  FROM corp, generate_series(1, 64) t(i)),
+       |qflat AS (SELECT vec_id AS qid, i, v AS qv FROM hflat
+       |  WHERE vec_id IN (0, 1, 2)),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cid = p.cid
+       |  WHERE a.vec_id != p.qid),
+       |ham AS (
+       |  SELECT c.qid, c.vec_id,
+       |    sum(CASE WHEN (h.v > 0) <> (qf.qv > 0) THEN 1 ELSE 0 END)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN hflat h ON h.vec_id = c.vec_id
+       |  JOIN qflat qf ON qf.qid = c.qid AND qf.i = h.i
+       |  GROUP BY c.qid, c.vec_id),
+       |surv AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
+       |        AS hrk
+       |    FROM ham) h
+       |  WHERE hrk <= $BinRerank),
+       |refine AS (
+       |  SELECT s.qid, s.vec_id, ${cosSql("q.qe", "cv.ve")} AS cosine
+       |  FROM surv s
+       |  JOIN corp cv ON cv.vec_id = s.vec_id
+       |  JOIN q ON q.qid = s.qid),
+       |rranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rk
+       |  FROM refine)
+       |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
 
   private def ivfSq8OracleFor(sampPred: String): String = {
     val cf = s"c$IvfIters"
@@ -5085,6 +5279,187 @@ object SparkEntry {
        |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
        |ORDER BY qid, rk""".stripMargin)
 
+  /** ann_binary_hamming: Hamming distance without the bit packing —
+    * the count of dimensions whose SIGNS disagree is definitionally
+    * popcount(xor(signbits)), so the oracle counts sign mismatches
+    * over the unnested embedding (one flat join), ranks survivors by
+    * (hamming, vec_id) to BinRerank exactly as the bounded heap does,
+    * and re-ranks them with the shared exact-cosine tail.
+    */
+  private def binaryHammingOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |flat AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, $BinDims) t(i)),
+       |qf AS (SELECT vec_id AS qid, i, v AS qv FROM flat
+       |  WHERE vec_id IN (0, 1, 2)),
+       |ham AS (
+       |  SELECT qf.qid, f.vec_id,
+       |    sum(CASE WHEN (f.v > 0) <> (qf.qv > 0) THEN 1 ELSE 0 END)
+       |      AS hamming
+       |  FROM flat f JOIN qf ON qf.i = f.i AND f.vec_id != qf.qid
+       |  GROUP BY qf.qid, f.vec_id),
+       |surv AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
+       |        AS hrk
+       |    FROM ham) h
+       |  WHERE hrk <= $BinRerank),
+       |refine AS (
+       |  SELECT s.qid, s.vec_id,
+       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS cosine
+       |  FROM surv s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.qid = s.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rk
+       |  FROM refine)
+       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+
+  /** rank_mmr: the greedy argmax unrolled as MmrK chained one-row
+    * CTEs — step i scores every unselected candidate against the
+    * union of steps 1..i−1 (max over round-6 pairwise cosines) and
+    * keeps the (mmr desc, vec_id) top row, exactly the driver-side
+    * greedy. `+ 0` normalizes a possible IEEE −0.0 out of DuckDB's
+    * round (Spark's BigDecimal rounding cannot produce one).
+    */
+  /** The greedy unroll shared by the flat and persistent-ANN MMR
+    * oracles: expects a `cand(vec_id, rel)` CTE upstream; `ceSrc`
+    * supplies the candidates' vectors (embeddings for the flat form,
+    * the chain's `corp` for the ANN form).
+    */
+  private def mmrGreedyCtes(ceSrc: String): String = {
+    val pick1 =
+      s"""s1 AS (
+         |  SELECT vec_id, round($MmrLambda * rel, 6) + 0 AS mmr
+         |  FROM ce ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to MmrK).map { i =>
+      val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS (
+         |  SELECT c.vec_id,
+         |    round($MmrLambda * c.rel - $MmrGamma * max(s.s), 6) + 0 AS mmr
+         |  FROM ce c JOIN sim s ON s.ia = c.vec_id AND s.ib IN ($sel)
+         |  WHERE c.vec_id NOT IN ($sel)
+         |  GROUP BY c.vec_id, c.rel
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val finalSel = (1 to MmrK).map(i =>
+        s"SELECT vec_id, mmr, CAST($i AS BIGINT) AS rk FROM s$i")
+      .mkString("\nUNION ALL\n")
+    // ce/sim MATERIALIZED: the greedy steps reference them 2(k-1)
+    // times — un-pinned, DuckDB re-inlines the whole upstream chain
+    // per reference (the ANN form ran out of file handles); both are
+    // bounded frames (MmrN rows / MmrN² pairs)
+    s"""ce AS MATERIALIZED ($ceSrc),
+       |sim AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ${cosSql("a.v", "b.v")} AS s
+       |  FROM ce a JOIN ce b ON a.vec_id != b.vec_id),
+       |$pick1,
+       |${steps.mkString(",\n")}
+       |$finalSel
+       |ORDER BY rk""".stripMargin
+  }
+
+  private def mmrOracle: String =
+    s"""WITH q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       |  WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id,
+       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id != 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MmrN),
+       |${mmrGreedyCtes(
+          """SELECT c.vec_id, c.rel, CAST(e.embedding AS DOUBLE[]) AS v
+            |  FROM cand c JOIN embeddings e USING (vec_id)""".stripMargin)}"""
+      .stripMargin
+
+  /** rank_mmr_ann: the seed-restricted persistent chain + refine CTEs
+    * (shared with the hybrid oracles) produce the refined top-MmrN as
+    * `cand`, then the SAME greedy unroll runs on the chain's `corp`
+    * vectors.
+    */
+  private def mmrAnnOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    tail = s"""$annRefineCtes,
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, cosine AS rel FROM rranked
+       |  WHERE qid = 0 AND rk <= $MmrN),
+       |${mmrGreedyCtes(
+          """SELECT c.vec_id, c.rel, cv.ve AS v
+            |  FROM cand c JOIN corp cv USING (vec_id)""".stripMargin)}"""
+      .stripMargin)
+
+  /** rank_ndcg_eval: the round-6 cosine ranking re-derived by window,
+    * gains pivoted to g1..gk, DCG as the SAME left-to-right k-term
+    * literal-weight expression the engine compiles, ideal DCG from
+    * the SAME driver-printed prefix-sum table (shortest-repr double
+    * literals round-trip to the identical doubles).
+    */
+  private def ndcgOracle: String = {
+    val w = (1 to NdcgK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val dcgExpr = (1 to NdcgK).map(i =>
+      s"coalesce(g$i, 0.0) * ${w(i - 1)}").mkString(" + ")
+    val idcgTable = w.scanLeft(0.0)(_ + _)
+    val idcgCase = (0 to NdcgK).map(c =>
+      s"WHEN $c THEN ${idcgTable(c)}").mkString(" ")
+    val pivCols = (1 to NdcgK).map(i =>
+      s"max(CASE WHEN rk = $i THEN g END) AS g$i").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+       |    label AS qlabel
+       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, label,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rk
+       |  FROM scored),
+       |gains AS (
+       |  SELECT r.qid, r.rk,
+       |    CASE WHEN r.label = q.qlabel THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END AS g
+       |  FROM ranked r JOIN q ON q.qid = r.qid WHERE r.rk <= $NdcgK),
+       |piv AS (SELECT qid, $pivCols FROM gains GROUP BY qid),
+       |rel AS (
+       |  SELECT q.qid, count(*) AS n_rel
+       |  FROM embeddings e JOIN q
+       |    ON e.label = q.qlabel AND e.vec_id != q.qid
+       |  GROUP BY q.qid)
+       |SELECT p.qid, coalesce(r.n_rel, 0) AS n_rel,
+       |  CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
+       |       ELSE round(($dcgExpr) /
+       |         (CASE least(coalesce(r.n_rel, 0), $NdcgK) $idcgCase END), 6)
+       |  END AS ndcg
+       |FROM piv p LEFT JOIN rel r ON r.qid = p.qid
+       |ORDER BY p.qid""".stripMargin
+  }
+
+  /** text_ngram_novelty: the k=3 shingle universe (the SAME CTE the
+    * Jaccard/containment oracles use), per-gram min-id, per-doc
+    * exact-integer sum/count ratio.
+    */
+  private def noveltyOracle: String =
+    s"""WITH $shinglesCte,
+       |fs AS (SELECT sh, min(id) AS first_id FROM sh GROUP BY sh)
+       |SELECT s.id AS doc_id, count(*) AS n_shingles,
+       |  round(CAST(sum(CASE WHEN s.id = f.first_id THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+       |FROM sh s JOIN fs f ON f.sh = s.sh
+       |GROUP BY s.id ORDER BY doc_id""".stripMargin
+
   /** Mirror of Curation.zValue: the same 16-bit Morton interleave as
     * explicit shift/mask arithmetic.
     */
@@ -5110,7 +5485,12 @@ object SparkEntry {
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,
+    "rank_mmr" -> mmrOracle,
+    "rank_mmr_ann" -> mmrAnnOracle,
+    "rank_ndcg_eval" -> ndcgOracle,
     "rank_rrf_hybrid" -> rrfHybridOracle,
+    "ann_binary_hamming" -> binaryHammingOracle,
+    "text_ngram_novelty" -> noveltyOracle,
     "rank_rrf_hybrid_ann" -> rrfHybridAnnOracle,
     "rank_rrf_batch" -> rrfBatchOracle,
     "rank_rrf_batch_ann" -> rrfBatchAnnOracle,
@@ -5201,6 +5581,7 @@ object SparkEntry {
     "ann_ivf_hash" -> ivfHashOracle,
     "ann_ivf_sq8" -> ivfSq8Oracle,
     "ann_ivfsq8_persistent" -> ivfSq8PersistentOracle,
+    "ann_ivfbq_persistent" -> ivfBqPersistentOracle,
     "ann_ivfpq_refine" -> ivfPqRefineOracle,
     "ann_ivfpq_persistent_opq" -> ivfPqPersistentOpqOracle,
     // matryoshka: truncated-prefix cosine top-RefineR (1-based

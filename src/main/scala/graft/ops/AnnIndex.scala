@@ -51,14 +51,20 @@ object AnnIndex {
     * codebooks (subspace → code id → centroid). Both are bounded
     * trained constants (nlist and m×k entries). `codec` selects the
     * within-list code format: "pq" (codebook ADC, optionally
-    * residual/IVFADC) or "sq8" (per-vector symmetric int8 — the faiss
+    * residual/IVFADC), "sq8" (per-vector symmetric int8 — the faiss
     * `IVF…,SQ8` flavor: no codebooks, books is empty, scoring is the
     * full-precision-query-vs-codes cosine whose per-vector scale
-    * cancels).
+    * cancels), or "bq" (sign-bit binary codes packed `bqWords` longs
+    * per row — Hamming-scored candidates; pair with
+    * [[queryBatchRefined]] for the exact re-rank, the production BQ
+    * shape).
     */
   final case class Model(cents: Seq[(Any, Seq[Double])],
       books: Seq[Seq[Seq[Double]]], residual: Boolean = false,
-      codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64) {
+      codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64,
+      bqDims: Int = 64) {
+    /** packed long words per code row under the "bq" codec */
+    def bqWords: Int = (bqDims + 63) / 64
     def m: Int = books.length
     def k: Int = books.head.length
     def sub: Int = books.head.head.length
@@ -94,9 +100,10 @@ object AnnIndex {
       sampleMode: String = "prefix", idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = false,
       codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64): Unit = {
-    require(codec == "pq" || codec == "sq8", s"unknown codec $codec")
+    require(codec == "pq" || codec == "sq8" || codec == "bq",
+      s"unknown codec $codec")
     require(codec == "pq" || !residual,
-      "residual encoding is a PQ concept — sq8 has no codebooks")
+      "residual encoding is a PQ concept — sq8/bq have no codebooks")
     val spark = corpus.sparkSession
     // OPQ pre-rotation: the quantizers TRAIN in the rotated space (the
     // rotation is part of the frozen model — encode() and queryBatch()
@@ -119,7 +126,7 @@ object AnnIndex {
     // centroid) and every encode/query below follows the flag — the
     // persisted counterpart of Similarity.ivfPqResidualTopKBatch
     val books =
-      if (codec == "sq8") Nil // per-vector quantizer: nothing to train
+      if (codec != "pq") Nil // sq8/bq per-vector codes: nothing to train
       else if (residual) {
         val sample = collectQueryVecs(
           Similarity.trainingSample(trainCorpus, maxSample,
@@ -128,7 +135,15 @@ object AnnIndex {
         Similarity.pqTrainFrom(sample.map(pre.residOf), m, k, pqIters)
       } else Similarity.pqTrain(trainCorpus, m, k, pqIters, maxSample,
         sampleMode, idCol, vecCol)
-    val model = Model(cents, books, residual, codec, opqSteps, opqDims)
+    // bq packs by static word slices, so the dimension count is model
+    // state (one head() at seed time — a driver constant, like the
+    // centroids)
+    val bqDims =
+      if (codec == "bq")
+        corpus.select(size(col(vecCol))).head().getInt(0)
+      else 64
+    val model = Model(cents, books, residual, codec, opqSteps, opqDims,
+      bqDims)
     GenIndex.init(root) { dir =>
       writeModel(spark, dir, model)
       encode(corpus, model, idCol, vecCol)
@@ -228,10 +243,15 @@ object AnnIndex {
       .map(_.getPath.getName).filter(_.startsWith("ivf_cid="))
       .map(_.stripPrefix("ivf_cid=").toLong).toSet
     val hit = probedCids.intersect(live).toSeq.sorted
-    val scoreCol = if (model.codec == "sq8") "cosine" else "adist"
+    val scoreCol = model.codec match {
+      case "sq8" => "cosine"
+      case "bq"  => "hamming"
+      case _     => "adist"
+    }
     val empty = spark.range(0).select(
       col("id").as("qid"), col("id").as(idCol),
-      col("id").cast("double").as(scoreCol), col("id").as("rk"))
+      (if (model.codec == "bq") col("id")
+       else col("id").cast("double")).as(scoreCol), col("id").as("rk"))
     if (hit.isEmpty) return empty
     // dropDuplicates on vec_id: an at-least-once ingest that replays
     // an append batch leaves bit-identical duplicate code rows (the
@@ -268,6 +288,11 @@ object AnnIndex {
     // plan this index's bit-equality contract is pinned against
     if (model.codec == "sq8")
       Similarity.sq8ProbeScoreTopK(codes, qv, probes, kNN, idCol)
+    else if (model.codec == "bq")
+      Similarity.bqProbeScoreTopK(codes,
+        qv.map { case (id, v) =>
+          (id, Similarity.packSignBits(v, model.bqWords)) },
+        probes, kNN, idCol, model.bqWords)
     else
       Similarity.adcProbeScoreTopK(codes, qv, probes, model.books,
         model.centOf, model.residual, kNN, idCol)
@@ -363,6 +388,12 @@ object AnnIndex {
       // the in-session ivfSq8TopKBatch encodes with, still zero-shuffle
       Curation.quantizeInt8(assigned, idCol, vecCol)
         .select(col(idCol), col("ivf_cid"), col("codes").as("cd"))
+    else if (model.codec == "bq")
+      // sign-bit packing — the exact packSignBitsCol projection the
+      // in-session flat scan encodes with, zero-shuffle, 1 bit/dim
+      assigned.select(col(idCol), col("ivf_cid"),
+        Similarity.packSignBitsCol(col(vecCol), model.bqWords)
+          .as("code"))
     else if (model.residual)
       // classical IVFADC: codes quantize x - centroid(list(x)) — the
       // residual is a zip_with against the cid->centroid map literal,
@@ -388,6 +419,8 @@ object AnnIndex {
     graft.core.Fs.writeUtf8(s"$dir/_codec", model.codec)
     graft.core.Fs.writeUtf8(s"$dir/_opq",
       s"${model.opqSteps}:${model.opqDims}")
+    if (model.codec == "bq")
+      graft.core.Fs.writeUtf8(s"$dir/_bqdims", model.bqDims.toString)
     model.cents
       .map { case (cid, ce) => (cid.asInstanceOf[Number].longValue(), ce) }
       .toDF("cid", "ce")
@@ -426,6 +459,10 @@ object AnnIndex {
           graft.core.Fs.readUtf8(s"$dir/_opq").trim.split(":")
         (st.toInt, dm.toInt)
       } else (0, 64) // pre-OPQ generations are unrotated
-    Model(cents, books, residual, codec, opqSteps, opqDims)
+    val bqDims =
+      if (graft.core.Fs.hadoopExists(s"$dir/_bqdims"))
+        graft.core.Fs.readUtf8(s"$dir/_bqdims").trim.toInt
+      else 64
+    Model(cents, books, residual, codec, opqSteps, opqDims, bqDims)
   }
 }

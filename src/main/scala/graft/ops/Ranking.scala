@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -244,5 +244,140 @@ object Ranking {
     posts.join(stats, "term")
       .select(col("term"), col("df_t"), col("cf"), col("rk"),
         col("id"), col("tf"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity pass a retrieval pipeline runs AFTER the
+    * similarity arm, so the k results are not k paraphrases of the
+    * same document: greedily pick argmax of
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` until k are chosen.
+    *
+    * Scale shape: the RETRIEVAL is the distributed part — the exact
+    * brute-force top-n cosine arm here (broadcast query + single
+    * corpus scan + bounded heaps; any ANN arm slots in identically).
+    * The greedy itself is O(k·n) over the n retrieved candidates — a
+    * query constant, never corpus-shaped — so it runs driver-side on
+    * the collected candidate rows, exactly like the query-vector
+    * batches every ANN leg already collects. rel and all pairwise
+    * sims are the engine's round-6 cosines ([[Similarity.cos6]]
+    * replays the identical fold), the combined score is one
+    * left-to-right double expression rounded to 6, and every argmax
+    * tie-breaks on (mmr desc, id asc) — bit-reproducible by an
+    * external oracle.
+    *
+    * Output: (idCol, mmr, rk), rk = 1..k in selection order.
+    */
+  def mmrRerank(corpus: DataFrame, queryId: Long, n: Int, k: Int,
+      lambda: Double, gamma: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(n >= k, "mmr needs n >= k")
+    val q = corpus.where(col(idCol) === queryId)
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"))
+    val top = Similarity.bruteForceTopK(corpus, q, n, idCol, vecCol)
+      .select(col(idCol), col("cosine").as("rel"))
+    mmrFromArm(corpus, top, k, lambda, gamma, idCol, vecCol)
+  }
+
+  /** The greedy diversity pass over an ARBITRARY retrieved arm —
+    * `top` is (idCol, rel), bounded by retriever depth by
+    * construction, so any retriever (the flat scan above, the
+    * persistent ANN index's refined batch) feeds the same MMR core.
+    */
+  def mmrFromArm(corpus: DataFrame, top: DataFrame, k: Int,
+      lambda: Double, gamma: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "mmr needs k >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // n candidate rows + their vectors — a query-batch constant
+    val cand = corpus.join(broadcast(top), idCol)
+      .select(col(idCol).cast("long"), col("rel"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toIndexedSeq))
+      .sortBy(_._1)
+    require(cand.length >= k,
+      s"mmr arm returned ${cand.length} candidates for k = $k")
+    val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    def simOf(a: (Long, Double, IndexedSeq[Double]),
+        b: (Long, Double, IndexedSeq[Double])): Double =
+      sim.getOrElseUpdate((a._1, b._1), Similarity.cos6(a._3, b._3))
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, IndexedSeq[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    for (rk <- 1 to k) {
+      val scoredStep = remaining.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => simOf(c, s)).max
+        (c, Similarity.round6(lambda * c._2 - gamma * maxSim))
+      }
+      val pick = scoredStep.minBy { case (c, mmr) => (-mmr, c._1) }
+      selected += pick._1
+      remaining -= pick._1
+      out += ((pick._1._1, pick._2, rk.toLong))
+    }
+    out.toSeq.toDF(idCol, "mmr", "rk")
+  }
+
+  /** NDCG@k retrieval evaluation — the eval-harness operator that
+    * turns a ranked retrieval run plus relevance labels into the
+    * standard quality metric (Järvelin & Kekäläinen 2002). Relevance
+    * here is binary label agreement (neighbor's class == query's
+    * class); DCG weights 1/log2(rank+1) and the per-count ideal DCG
+    * table are driver-side double constants embedded identically in
+    * the SQL oracle, and the DCG sum is an EXPLICIT left-to-right
+    * k-term expression (per-rank pivot), never an unordered SUM — so
+    * the metric is bit-reproducible across engines.
+    *
+    * Scale shape: the retrieval arm is the distributed cost (here the
+    * brute-force exact arm; any ANN arm slots in). The per-query
+    * relevant-population count is one broadcast-join aggregation over
+    * the label column; the DCG pivot and the ideal lookup act on
+    * k·Q rows — query constants.
+    *
+    * Output: (qid, n_rel, ndcg).
+    */
+  def ndcgAtK(corpus: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = corpus.where(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"),
+        col(labelCol).as("qlabel"))
+    val top = Similarity.bruteForceTopK(corpus,
+      q.select(col("qid"), col("qe")), k, idCol, vecCol)
+    val gains = top
+      .join(corpus.select(col(idCol), col(labelCol).as("nlabel")), idCol)
+      .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
+      .select(col("qid"), col("rk"),
+        when(col("nlabel") === col("qlabel"), 1.0).otherwise(0.0).as("g"))
+    // per-rank pivot: g1..gk as exact 0/1 columns, then DCG as ONE
+    // fixed-order expression Σ g_i · w_i (w_i = 1/log2(i+1) driver
+    // doubles — the oracle embeds the same shortest-repr literals)
+    val w = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val pivotAggs = (1 to k).map(i =>
+      max(when(col("rk") === i, col("g"))).as(s"g$i"))
+    val pivoted = gains.groupBy("qid").agg(pivotAggs.head, pivotAggs.tail: _*)
+    val dcg = (1 to k).map(i =>
+        coalesce(col(s"g$i"), lit(0.0)) * lit(w(i - 1)))
+      .reduce(_ + _)
+    // ideal DCG depends only on min(k, |relevant|): a k+1-entry
+    // driver-side prefix-sum table
+    val idcgTable = w.scanLeft(0.0)(_ + _) // idcgTable(c) = Σ_{i<=c} w_i
+    val relCnt = corpus.select(col(idCol).as("nid"), col(labelCol))
+      .join(broadcast(q.select(col("qid"), col("qlabel"))),
+        col(labelCol) === col("qlabel") && col("nid") =!= col("qid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    // left join: a query whose label has NO other member must read
+    // n_rel = 0 / ndcg = 0, not vanish from the eval report
+    val nRel = coalesce(col("n_rel"), lit(0L))
+    val idcg = element_at(typedLit(idcgTable),
+      least(nRel, lit(k.toLong)).cast("int") + 1)
+    pivoted.join(relCnt, Seq("qid"), "left")
+      .select(col("qid"), nRel.as("n_rel"),
+        when(nRel === 0, 0.0)
+          .otherwise(round(dcg / idcg, 6)).as("ndcg"))
   }
 }

@@ -1125,4 +1125,111 @@ object Similarity {
         (sqrt(sum(col("va") * col("va"))) * sqrt(sum(col("vb") * col("vb")))),
         4).as("cosine"))
   }
+
+  /** Binary-quantization ANN — the 1-bit tier BELOW SQ8 (pgvector
+    * `bit`, Milvus BINARY, the sign baseline RaBitQ refines): each
+    * dimension collapses to its sign bit (v > 0), packed 64 dims per
+    * long word, and candidate retrieval ranks by HAMMING distance —
+    * one xor + popcount per word, pure integer ALU. Exact cosine
+    * re-ranks the `rerank` survivors through the shared
+    * [[exactRefineTopK]] tail (the same RFlat discipline as IVF-PQ
+    * refine), closing the quantization recall gap at a rerank×Q cost.
+    *
+    * Scale shape: packing is one codegen'd projection (zero shuffle,
+    * 1 bit/dim — a 64-dim vector is ONE long, 1/32nd of float32 scan
+    * bytes, the cheapest corpus-sized scan any tier here has); the
+    * Hamming pass explodes each code row into the Q query positions
+    * and survivors feed the two-phase bounded heaps; refine reads
+    * rerank × Q raw vectors — a query-batch constant, never a corpus
+    * term. Hamming ties are dense at 1 bit/dim, so the heap order
+    * tie-breaks on the id and the oracle mirrors it with the same
+    * (hamming, id) window order.
+    */
+  def binaryHammingRefineTopKBatch(corpus: DataFrame, queryPred: Column,
+      kNN: Int, rerank: Int, dims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= kNN, "rerank depth must cover the final top-k")
+    val words = (dims + 63) / 64
+    val codes = corpus.select(col(idCol),
+      packSignBitsCol(col(vecCol), words).as("code"))
+    val qVecs = AnnIndex.collectQueryVecs(corpus.where(queryPred),
+      idCol, vecCol)
+    require(qVecs.nonEmpty, "empty query batch")
+    val qcube = typedLit(qVecs.map(q => packSignBits(q._2, words)))
+    val qids = typedLit(qVecs.map(_._1): Seq[Long])
+    val exploded = codes.select(col(idCol), col("code"),
+      posexplode(qids).as(Seq("qpos", "qid")))
+    val qc = element_at(qcube, col("qpos") + 1)
+    val survivors = graft.plans.TopK.topKPerKey(
+        exploded.where(col(idCol) =!= col("qid"))
+          .select(col("qid"), col(idCol),
+            hammingWords(col("code"), qc, words).as("hamming")),
+        Seq("qid"), Seq(col("hamming").asc, col(idCol).asc), rerank)
+      .select(col("qid"), col(idCol))
+    exactRefineTopK(corpus, survivors, qVecs, kNN, idCol, vecCol)
+  }
+
+  /** ONE Hamming expression behind the flat scan and the persisted-
+    * index probe ([[bqProbeScoreTopK]]): Σ_w popcount(code_w ^
+    * qcode_w) — pure integer ALU, stays in codegen.
+    */
+  private def hammingWords(code: Column, qc: Column, words: Int): Column =
+    (0 until words).map { w =>
+      bit_count(element_at(code, w + 1)
+        .bitwiseXOR(element_at(qc, w + 1))).cast("long")
+    }.reduce(_ + _)
+
+  /** Engine-side sign-bit packing: ONE codegen'd projection, per-word
+    * left-to-right fold with the first element in the word's HIGH bit
+    * (acc<<1 | bit) — [[packSignBits]] replays the identical fold for
+    * driver-side query codes. Shared by the flat scan
+    * ([[binaryHammingRefineTopKBatch]]) and the persisted index's bq
+    * encode (AnnIndex) — the never-drift discipline every codec here
+    * follows.
+    */
+  private[graft] def packSignBitsCol(vec: Column, words: Int): Column =
+    array((0 until words).map { w =>
+      aggregate(slice(vec, w * 64 + 1, 64), lit(0L),
+        (acc, x) => shiftleft(acc, 1) +
+          when(x > lit(0.0f), lit(1L)).otherwise(lit(0L)))
+    }: _*)
+
+  /** Driver-side mirror of the engine's sign-bit packing fold. */
+  private[ops] def packSignBits(v: Seq[Double], words: Int): Seq[Long] =
+    (0 until words).map { w =>
+      v.slice(w * 64, w * 64 + 64)
+        .foldLeft(0L)((acc, x) => (acc << 1) | (if (x > 0.0) 1L else 0L))
+    }
+
+  /** Probed-list Hamming top-k — the binary-quantization counterpart
+    * of [[sq8ProbeScoreTopK]]/[[adcProbeScoreTopK]], shared by the
+    * persisted index's bq codec: each probed code row explodes only
+    * into the queries probing ITS list, distance is the shared
+    * [[hammingWords]] popcount, survivors rank on the bounded heaps
+    * by (hamming asc, id asc). Returns (qid, idCol, hamming, rk).
+    */
+  private[graft] def bqProbeScoreTopK(codes: DataFrame,
+      qPacked: Seq[(Long, Seq[Long])], probes: Seq[(Long, Seq[Long])],
+      kNN: Int, idCol: String, words: Int): DataFrame = {
+    val cidToQpos: Map[Long, Seq[Int]] = probes.zipWithIndex
+      .flatMap { case ((_, cids), qpos) => cids.map(_ -> qpos) }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    val qcube = typedLit(qPacked.map(_._2))
+    val qids = typedLit(qPacked.map(_._1): Seq[Long])
+    val exploded = codes
+      .select(col(idCol), col("code"),
+        explode(coalesce(
+          element_at(typedLit(cidToQpos), col("ivf_cid").cast("long")),
+          typedLit(Seq.empty[Int]))).as("qpos"))
+    val qc = element_at(qcube, col("qpos") + 1)
+    val scored = exploded
+      .withColumn("qid", element_at(qids, col("qpos") + 1))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        hammingWords(col("code"), qc, words).as("hamming"))
+    graft.plans.TopK.topKPerKey(scored, Seq("qid"),
+        Seq(col("hamming").asc, col(idCol).asc), kNN,
+        rankCol = Some("rk"))
+      .select(col("qid"), col(idCol), col("hamming"), col("rk"))
+  }
 }

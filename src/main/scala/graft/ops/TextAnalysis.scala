@@ -163,4 +163,39 @@ object TextAnalysis {
     * flat usage). NULL text propagates NULL, like [[charEntropy]]. */
   def distinctChars(text: Column): Column =
     graft.functions.vec.distinctChars(text)
+
+  /** Per-document n-gram NOVELTY — the "how much of this doc is new
+    * text" curation signal: the fraction of the doc's DISTINCT word
+    * k-shingles whose FIRST corpus occurrence (minimum doc id, i.e.
+    * ingest order) is this doc. Boilerplate-heavy and near-duplicate
+    * docs score near 0; genuinely new text scores 1.0 at any corpus
+    * size. The per-gram min-id attribution is the same statistic the
+    * exact-substring span pass keys on, packaged as a per-doc scalar
+    * a quality-filter ensemble can consume directly.
+    *
+    * Scale shape: one gram-keyed shuffle for the min-id aggregation
+    * (hot boilerplate grams spread by hash — the same key discipline
+    * as [[Dedup.duplicatedSubstringSpans]]), one gram-keyed join
+    * back, one doc-keyed average. No pairwise term anywhere; memory
+    * per gram key is O(1). The novelty average is a sum of exact 0/1
+    * doubles over an exact count — engine-independent, rounded 6 dp.
+    *
+    * Docs with fewer than k tokens have no shingles and are absent
+    * (they carry no n-gram evidence either way — a quality ensemble
+    * treats absent as "too short to judge").
+    *
+    * Output: (idCol, n_shingles, novelty).
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val sh = Dedup.wordShingles(df, textCol, idCol, k)
+    val firstSeen = sh.groupBy(col("sh"))
+      .agg(min(col("id")).as("first_id"))
+    sh.join(firstSeen, "sh")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("id") === col("first_id"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"),
+          6).as("novelty"))
+  }
 }

@@ -152,6 +152,40 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("bq codec: all-lists-probed persisted index + refine reproduces " +
+      "the in-session flat binary-hamming batch; codec survives " +
+      "compact and append") {
+    val (nlist, ti, m, k, pi) = Geom
+    // with nprobe == nlist every candidate is probed, so the Hamming
+    // survivor set — and therefore the refined answer — must equal
+    // the flat in-session scan bit-for-bit
+    val want = rows(Similarity.binaryHammingRefineTopKBatch(corpus,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 3, rerank = 10,
+      dims = Dims))
+    val root = java.nio.file.Files.createTempDirectory("annbq-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, codec = "bq")
+      val got = rows(AnnIndex.queryBatchRefined(spark, root.toString,
+        corpus, qVecs, kNN = 3, rerank = 10, nprobe = nlist))
+      assert(got == want,
+        s"persisted bq+refine diverged from the flat scan:\n$got\nvs\n$want")
+      AnnIndex.compact(spark, root.toString)
+      val after = rows(AnnIndex.queryBatchRefined(spark, root.toString,
+        corpus, qVecs, kNN = 3, rerank = 10, nprobe = nlist))
+      assert(after == want, "compaction changed the bq answer")
+      import spark.implicits._
+      val extra = Seq((100L, vec(100L))).toDF("vec_id", "embedding")
+      AnnIndex.append(extra, root.toString)
+      // raw bq queryBatch scores are LONG hammings (not doubles) —
+      // collect ids only
+      val withNew = AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 40, nprobe = nlist).collect().map(_.getLong(1)).toSet
+      assert(withNew.contains(100L),
+        "appended vector must be queryable under the bq codec")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("opq model: persisted index reproduces the in-session rotated " +
       "IVF-PQ chain; raw queries are rotated by the index itself") {
     val (nlist, ti, m, k, pi) = Geom
