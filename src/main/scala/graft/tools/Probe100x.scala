@@ -88,12 +88,15 @@ object Probe100x {
     // generation), and its banded LSH-first form; second wave: the
     // binary-quantization persistent codec (the 1-bit scan claim) and
     // the flat binary+refine form
-    val legs = Seq("dedup_minhash_incremental", "dedup_simhash_pairs",
+    val allLegs = Seq("dedup_minhash_incremental", "dedup_simhash_pairs",
       "ann_ivf_pq", "ann_ivfpq_persistent", "ann_ivfsq8_persistent",
       "ann_ivfpq_refine", "curation_dsir_weights",
       "dedup_substring_spans", "dedup_containment",
       "dedup_containment_lsh", "ann_ivfpq_persistent_filtered",
       "ann_binary_hamming", "ann_ivfbq_persistent")
+    // optional leg-name args: probe only the named legs (newly added
+    // legs get their 100x point without re-running the settled table)
+    val legs = if (args.nonEmpty) args.toSeq else allLegs
     legs.foreach { n =>
       def minOf2(dir: String): Double = math.min(leg(n, dir), leg(n, dir))
       val b = minOf2(sf); val x10 = minOf2(big); val x100 = minOf2(huge)
