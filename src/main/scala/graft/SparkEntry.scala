@@ -1885,6 +1885,23 @@ object SparkEntry {
           col("vec_id").isin(0, 1, 2), k = NdcgK)
         .orderBy(col("qid"))),
 
+    // MRR + precision@10 over the same arm — single exact-integer
+    // divisions, no rounding tolerance anywhere.
+    "rank_mrr_eval" -> ((s, d) =>
+      graft.ops.Ranking.mrrPrecisionAtK(Tables.embeddings(s, d),
+          col("vec_id").isin(0, 1, 2), k = NdcgK)
+        .orderBy(col("qid"))),
+
+    // Priority sampling (Duffield–Lund–Thorup 2007): fixed per-lang
+    // budgets with weight-proportional (n_chars) inclusion — priority
+    // w/u from an exact dyadic md5 uniform, ONE correctly-rounded
+    // division, bit-identical cross-engine with zero libm. One
+    // projection + one stratum-keyed bounded-heap shuffle.
+    "curation_sample_priority" -> ((s, d) =>
+      graft.ops.Curation.prioritySample(Tables.documents(s, d), "lang",
+          "doc_id", col("n_chars"), k = PrioK)
+        .orderBy(col("lang"), col("rk"))),
+
     // HYBRID retrieval via reciprocal-rank fusion (k=60): the BM25
     // lexical arm (same 3-term query) fused with the embedding-cosine
     // semantic arm (query = vec 0; vec_id aligns 1:1 with doc_id) over
@@ -3340,9 +3357,14 @@ object SparkEntry {
   private[graft] val MmrLambda = 0.7
   private[graft] val MmrGamma = 0.3
 
-  /** rank_ndcg_eval: NDCG@10 over the exact-cosine arm for query vecs
-    * 0/1/2, binary relevance = label agreement. */
+  /** rank_ndcg_eval / rank_mrr_eval: NDCG@10, MRR and P@10 over the
+    * exact-cosine arm for query vecs 0/1/2, binary relevance = label
+    * agreement. */
   private[graft] val NdcgK = 10
+
+  /** curation_sample_priority: per-language budget for the
+    * Duffield–Lund–Thorup priority sample (weight = n_chars). */
+  private[graft] val PrioK = 10
 
   /** text_ngram_novelty: word-3-gram first-occurrence novelty — the
     * same shingle width as the Jaccard/containment oracles, ONE gram
@@ -4332,6 +4354,63 @@ object SparkEntry {
     def digit(i: Int) = s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)"
     s"(4096 * ${digit(1)} + 256 * ${digit(2)} + 16 * ${digit(3)} + ${digit(4)})"
   }
+
+  /** 8-hex-digit (32-bit) mirror of [[sqlHexBucket]] — the oracle
+    * half of Curation.hashUniform's exact dyadic uniform. */
+  private def sqlHex8(expr: String): String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)"
+    val terms = (1 to 8).map { i =>
+      val p = 1L << (4 * (8 - i))
+      s"$p * ${digit(i)}"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** curation_sample_priority: priority = greatest(w,1) / u with the
+    * SAME exact dyadic uniform — one correctly-rounded division, so
+    * the oracle needs no rounding tolerance. */
+  private def prioritySampleOracle: String =
+    s"""SELECT doc_id, lang, priority, rk FROM (
+       |  SELECT doc_id, lang, priority,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY priority DESC, doc_id) AS rk
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      greatest(CAST(n_chars AS DOUBLE), 1.0) /
+       |        ((CAST(${sqlHex8("md5('psample:' || doc_id)")} AS DOUBLE)
+       |          + 0.5) / 4294967296.0) AS priority
+       |    FROM documents))
+       |WHERE rk <= $PrioK ORDER BY lang, rk""".stripMargin
+
+  /** rank_mrr_eval: the round-6 cosine ranking, first-relevant rank
+    * and relevant count per query, two exact-integer divisions. */
+  private def mrrEvalOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+       |    label AS qlabel
+       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, label,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rk
+       |  FROM scored),
+       |gains AS (
+       |  SELECT r.qid, r.rk,
+       |    CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END AS g
+       |  FROM ranked r JOIN q ON q.qid = r.qid WHERE r.rk <= $NdcgK),
+       |agg AS (
+       |  SELECT qid, min(CASE WHEN g = 1 THEN rk END) AS fr,
+       |    CAST(sum(g) AS BIGINT) AS nrel
+       |  FROM gains GROUP BY qid)
+       |SELECT qid, CAST(coalesce(fr, 0) AS BIGINT) AS first_rel,
+       |  coalesce(CAST(1 AS DOUBLE) / fr, 0.0) AS mrr,
+       |  CAST(nrel AS DOUBLE) / CAST($NdcgK AS DOUBLE) AS p_at_k
+       |FROM agg ORDER BY qid""".stripMargin
 
   private def hashSplitOracle: String = {
     val bucket = s"(${sqlHexBucket("md5('split:' || doc_id)")} % 10000)"
@@ -5488,6 +5567,8 @@ object SparkEntry {
     "rank_mmr" -> mmrOracle,
     "rank_mmr_ann" -> mmrAnnOracle,
     "rank_ndcg_eval" -> ndcgOracle,
+    "rank_mrr_eval" -> mrrEvalOracle,
+    "curation_sample_priority" -> prioritySampleOracle,
     "rank_rrf_hybrid" -> rrfHybridOracle,
     "ann_binary_hamming" -> binaryHammingOracle,
     "text_ngram_novelty" -> noveltyOracle,

@@ -310,6 +310,54 @@ object Curation {
       .withColumn("bucket", hashBucket(col(idCol), seed))
       .where(col("bucket") < col("score_bp"))
 
+  /** 32-bit md5-derived uniform in (0,1): u = (h32 + 0.5) / 2³².
+    * h32 parses 8 hex digits (exact in a double: < 2³² « 2⁵³), the
+    * +0.5 keeps u strictly positive, and the divisor is a POWER OF
+    * TWO, so u is an exact dyadic rational — any engine recomputes it
+    * bit-identically from the same md5 hex. The fine-grained
+    * counterpart of [[hashBucket]] for operators that need a real
+    * uniform, not a basis-point bucket.
+    */
+  def hashUniform(idCol: Column, seed: String): Column =
+    (conv(substring(
+        md5(concat(lit(s"$seed:"), idCol.cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+    * fixed-BUDGET weighted sample WITHOUT replacement — each item gets
+    * priority w/u (u uniform in (0,1)) and the k highest priorities
+    * per stratum are kept, giving weight-proportional inclusion with
+    * provably near-optimal subset-sum variance. The weighted
+    * counterpart of the uniform [[SparkEntry]] `curation_sample_topk`
+    * reservoir and the fixed-RATE [[weightedSample]]: long/heavy
+    * documents win slots proportionally to weight, yet no stratum
+    * exceeds its budget.
+    *
+    * Engine portability — deliberately libm-free (the reason this is
+    * priority sampling and not exponential-key A-Res, whose
+    * -ln(u)/w keys differ across math libraries in the last ulp):
+    * u is an exact dyadic from [[hashUniform]], w is an exact
+    * integer, and w/u is ONE correctly-rounded IEEE division — the
+    * priority is bit-identical on any engine, so the sample needs no
+    * rounding tolerance at all.
+    *
+    * Scale shape: one zero-shuffle projection for the priority, one
+    * hash shuffle on the stratum key into the bounded-heap TopKPerKey
+    * operator — O(k) state per stratum, no per-stratum sort, skewed
+    * strata cost the heap, never a sort of their full posting.
+    *
+    * Output: (idCol, groupCol, priority, rk), rk ≤ k per stratum.
+    */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, seed: String = "psample"): DataFrame =
+    graft.plans.TopK.topKPerKey(
+        df.select(col(idCol), col(groupCol),
+          (greatest(weight.cast("double"), lit(1.0)) /
+            hashUniform(col(idCol), seed)).as("priority")),
+        Seq(groupCol), Seq(col("priority").desc, col(idCol).asc), k,
+        rankCol = Some("rk"))
+      .select(col(idCol), col(groupCol), col("priority"), col("rk"))
+
   /** Temperature-scaled source mixing: derive each stratum's keep-rate
     * FROM THE CORPUS so the sampled mix follows p(s) ∝ count(s)^alpha —
     * the multinomial temperature-sampling rule used to rebalance

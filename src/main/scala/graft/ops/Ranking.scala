@@ -380,4 +380,35 @@ object Ranking {
         when(nRel === 0, 0.0)
           .otherwise(round(dcg / idcg, 6)).as("ndcg"))
   }
+
+  /** MRR + precision@k — the companion eval metrics to [[ndcgAtK]]
+    * over the same retrieval arm and binary label-agreement
+    * relevance: MRR is 1/rank of the FIRST relevant hit (0 when the
+    * top-k has none), P@k the relevant fraction of the k. Both are
+    * single correctly-rounded divisions of exact integers — no
+    * rounding tolerance needed anywhere, bit-identical on any engine.
+    *
+    * Output: (qid, first_rel, mrr, p_at_k) — first_rel is 0 when no
+    * relevant document ranked.
+    */
+  def mrrPrecisionAtK(corpus: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = corpus.where(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"),
+        col(labelCol).as("qlabel"))
+    val top = Similarity.bruteForceTopK(corpus,
+      q.select(col("qid"), col("qe")), k, idCol, vecCol)
+    val gains = top
+      .join(corpus.select(col(idCol), col(labelCol).as("nlabel")), idCol)
+      .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
+      .select(col("qid"), col("rk"),
+        when(col("nlabel") === col("qlabel"), 1L).otherwise(0L).as("g"))
+    gains.groupBy("qid")
+      .agg(min(when(col("g") === 1L, col("rk"))).as("fr"),
+        sum(col("g")).as("nrel_at_k"))
+      .select(col("qid"), coalesce(col("fr"), lit(0L)).as("first_rel"),
+        coalesce(lit(1.0) / col("fr"), lit(0.0)).as("mrr"),
+        (col("nrel_at_k").cast("double") / lit(k.toDouble)).as("p_at_k"))
+  }
 }

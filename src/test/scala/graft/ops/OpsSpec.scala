@@ -1481,4 +1481,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[String]("pred") == r.getAs[String]("expected"),
         r.getAs[String]("text")))
   }
+
+  test("priority sample: engine priorities equal the driver-side " +
+      "w/u formula exactly; budgets and ranks hold per stratum") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 1L + (i * 37) % 900))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val got = Curation.prioritySample(df, "lang", "doc_id",
+        col("n_chars"), k = 5, seed = "psample")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // driver-side mirror: same md5 hex → same exact dyadic u → the
+    // SAME correctly-rounded double division
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uOf(id: Long): Double = {
+      val hex = md.digest(s"psample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val want = rows.groupBy(_._2).flatMap { case (lang, rs) =>
+      rs.map { case (id, _, w) => (id, lang, math.max(w.toDouble, 1.0) / uOf(id)) }
+        .sortBy { case (id, _, p) => (-p, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, l, p), i) => (id, l, p, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.count(_._2 == "a") == 5 && got.count(_._2 == "b") == 5)
+  }
+
+  test("mrr/p@k: pure neighborhoods read 1.0/1.0; lone label reads 0") {
+    import spark.implicits._
+    val rows =
+      (0L until 6L).map(i => (i, Seq(1.0 + 0.01 * i, 0.0), 1)) ++
+      (6L until 12L).map(i => (i, Seq(0.0, 1.0 + 0.01 * i), 2)) ++
+      Seq((12L, Seq(-1.0, -1.0), 3))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Ranking.mrrPrecisionAtK(df, col("vec_id").isin(0, 6, 12),
+        k = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0L) === ((1L, 1.0, 1.0)))
+    assert(out(6L) === ((1L, 1.0, 1.0)))
+    assert(out(12L) === ((0L, 0.0, 0.0)))
+  }
 }
