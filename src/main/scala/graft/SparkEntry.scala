@@ -4262,25 +4262,7 @@ object SparkEntry {
        |  JOIN hflat h ON h.vec_id = c.vec_id
        |  JOIN qflat qf ON qf.qid = c.qid AND qf.i = h.i
        |  GROUP BY c.qid, c.vec_id),
-       |surv AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
-       |        AS hrk
-       |    FROM ham) h
-       |  WHERE hrk <= $BinRerank),
-       |refine AS (
-       |  SELECT s.qid, s.vec_id, ${cosSql("q.qe", "cv.ve")} AS cosine
-       |  FROM surv s
-       |  JOIN corp cv ON cv.vec_id = s.vec_id
-       |  JOIN q ON q.qid = s.qid),
-       |rranked AS (
-       |  SELECT qid, vec_id, cosine,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
-       |      AS rk
-       |  FROM refine)
-       |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
-       |ORDER BY qid, rk""".stripMargin
+       |${bqSurvRefineSql("corp cv", "cv.vec_id", "cv.ve")}""".stripMargin
   }
 
   private def ivfSq8OracleFor(sampPred: String): String = {
@@ -5365,6 +5347,37 @@ object SparkEntry {
     * (hamming, vec_id) to BinRerank exactly as the bounded heap does,
     * and re-ranks them with the shared exact-cosine tail.
     */
+  /** ONE surv/refine/final template behind BOTH bq oracles (the
+    * never-fork refine discipline — a depth or tie-break edit must hit
+    * the flat and persistent forms together, or the drift surfaces
+    * only as an opaque hash mismatch): expects `ham(qid, vec_id,
+    * hamming)` and `q(qid, qe)` upstream; `vecJoin`/`vecId`/`vecExpr`
+    * bind the raw-vector source (embeddings for flat, the chain's
+    * corp for persistent).
+    */
+  private def bqSurvRefineSql(vecJoin: String, vecId: String,
+      vecExpr: String): String =
+    s"""surv AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
+       |        AS hrk
+       |    FROM ham) h
+       |  WHERE hrk <= $BinRerank),
+       |refine AS (
+       |  SELECT s.qid, s.vec_id,
+       |    ${cosSql("q.qe", vecExpr)} AS cosine
+       |  FROM surv s
+       |  JOIN $vecJoin ON $vecId = s.vec_id
+       |  JOIN q ON q.qid = s.qid),
+       |rranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rk
+       |  FROM refine)
+       |SELECT qid, vec_id, cosine, rk FROM rranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+
   private def binaryHammingOracle: String =
     s"""WITH q AS (
        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -5380,26 +5393,8 @@ object SparkEntry {
        |      AS hamming
        |  FROM flat f JOIN qf ON qf.i = f.i AND f.vec_id != qf.qid
        |  GROUP BY qf.qid, f.vec_id),
-       |surv AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id)
-       |        AS hrk
-       |    FROM ham) h
-       |  WHERE hrk <= $BinRerank),
-       |refine AS (
-       |  SELECT s.qid, s.vec_id,
-       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS cosine
-       |  FROM surv s
-       |  JOIN embeddings e ON e.vec_id = s.vec_id
-       |  JOIN q ON q.qid = s.qid),
-       |ranked AS (
-       |  SELECT qid, vec_id, cosine,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
-       |      AS rk
-       |  FROM refine)
-       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= 5
-       |ORDER BY qid, rk""".stripMargin
+       |${bqSurvRefineSql("embeddings e", "e.vec_id",
+          "CAST(e.embedding AS DOUBLE[])")}""".stripMargin
 
   /** rank_mmr: the greedy argmax unrolled as MmrK chained one-row
     * CTEs — step i scores every unselected candidate against the

@@ -136,11 +136,10 @@ object AnnIndex {
       } else Similarity.pqTrain(trainCorpus, m, k, pqIters, maxSample,
         sampleMode, idCol, vecCol)
     // bq packs by static word slices, so the dimension count is model
-    // state (one head() at seed time — a driver constant, like the
-    // centroids)
+    // state — read off the trained coarse centroids (per-dimension
+    // means of the same vectors), zero extra Spark actions
     val bqDims =
-      if (codec == "bq")
-        corpus.select(size(col(vecCol))).head().getInt(0)
+      if (codec == "bq") cents.head._2.length
       else 64
     val model = Model(cents, books, residual, codec, opqSteps, opqDims,
       bqDims)

@@ -60,6 +60,10 @@ object Probe100x {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // validate leg-name args BEFORE the expensive replica builds — a
+    // typo must fail fast, not after minutes of 100x corpus generation
+    args.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"unknown gated query: $n"))
     val big = ScaleGen.ensure10x(spark, sf)
     val t0g = System.nanoTime()
     val huge = ensure100x(spark, sf)
@@ -94,8 +98,9 @@ object Probe100x {
       "dedup_substring_spans", "dedup_containment",
       "dedup_containment_lsh", "ann_ivfpq_persistent_filtered",
       "ann_binary_hamming", "ann_ivfbq_persistent")
-    // optional leg-name args: probe only the named legs (newly added
-    // legs get their 100x point without re-running the settled table)
+    // optional leg-name args (validated above): probe only the named
+    // legs — newly added legs get their 100x point without re-running
+    // the settled table
     val legs = if (args.nonEmpty) args.toSeq else allLegs
     legs.foreach { n =>
       def minOf2(dir: String): Double = math.min(leg(n, dir), leg(n, dir))
