@@ -244,6 +244,29 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         kNN = 3, nprobe = 2))
       assert(got == wantRes, s"residual×opq diverged:\n$got\nvs\n$wantRes")
     } finally graft.core.Fs.deleteRecursively(r2.toFile)
+    // bq × opq: the Hamming stage runs on sign bits of the ROTATED
+    // vectors on both paths, so with all lists probed the SURVIVOR
+    // SET must match the flat in-session scan over the rotated corpus
+    // exactly (integer data — no fp tolerance). The refine tail then
+    // scores in the ORIGINAL space (rotation-invariant mathematically
+    // but not bitwise, so cosines are pinned per-path, not across the
+    // rotated/original spaces: the flat mirror refines rotated, the
+    // index refines original — only the set is cross-comparable).
+    val flatBq = rows(Similarity.binaryHammingRefineTopKBatch(rot,
+      queryPred = col("vec_id").isin(0, 1, 2), kNN = 10, rerank = 10,
+      dims = Dims))
+    val r3 = java.nio.file.Files.createTempDirectory("annbqopq-spec-")
+    try {
+      AnnIndex.seed(corpus, r3.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi, codec = "bq", opqSteps = t,
+        opqDims = Dims)
+      val got = rows(AnnIndex.queryBatchRefined(spark, r3.toString,
+        corpus, qVecs, kNN = 10, rerank = 10, nprobe = nlist))
+      val flatSurv = flatBq.map(r => (r._1, r._2))
+      val gotSurv = got.map(r => (r._1, r._2))
+      assert(gotSurv == flatSurv,
+        s"bq×opq survivor set diverged:\n$gotSurv\nvs\n$flatSurv")
+    } finally graft.core.Fs.deleteRecursively(r3.toFile)
   }
 
   test("append batching + generational compaction never change the answer") {
