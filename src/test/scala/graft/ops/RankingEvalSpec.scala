@@ -109,6 +109,52 @@ class RankingEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byQ(12L) === ((0L, 0.0)))
   }
 
+  test("packSignBits properties: word count, bit budget, sign-flip " +
+      "inverts exactly the nonzero dims") {
+    // deterministic pseudo-random vectors over mixed signs and zeros
+    (0 until 50).foreach { t =>
+      val dims = 1 + (t * 37) % 130 // crosses 64 and 128 word borders
+      val v = IndexedSeq.tabulate(dims) { i =>
+        ((i * 31 + t * 17) % 7 - 3).toDouble / 2.0
+      }
+      val words = (dims + 63) / 64
+      val packed = Similarity.packSignBits(v, words)
+      assert(packed.length === words)
+      val ones = packed.map(java.lang.Long.bitCount).sum
+      assert(ones === v.count(_ > 0))
+      // flipping all signs sets exactly the previously-unset NONZERO
+      // positions: ones(v) + ones(-v) == count(v != 0)
+      val flipped = Similarity.packSignBits(v.map(-_), words)
+      val onesF = flipped.map(java.lang.Long.bitCount).sum
+      assert(ones + onesF === v.count(_ != 0.0))
+      // and the packed hamming between v and -v equals the nonzero
+      // dim count (every nonzero sign disagrees, zeros agree)
+      val ham = packed.zip(flipped)
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+      assert(ham === v.count(_ != 0.0))
+    }
+  }
+
+  test("hashUniform/priority invariants: u strictly in (0,1), exact " +
+      "dyadic, priority positive and weight-monotone per id") {
+    import spark.implicits._
+    val df = (0L until 200L).toDF("id")
+    val u = Curation.hashUniform(col("id"), "proptest")
+    val got = df.select(col("id"), u.as("u")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    got.foreach { case (id, uv) =>
+      assert(uv > 0.0 && uv < 1.0, s"u out of range for $id: $uv")
+      // exact dyadic: u * 2^32 must be a half-integer (h32 + 0.5)
+      val scaled = uv * 4294967296.0
+      assert(scaled == math.floor(scaled) + 0.5,
+        s"u not an exact (h+0.5)/2^32 dyadic for $id: $uv")
+    }
+    // same id, larger weight => strictly larger priority (u fixed)
+    got.take(20).foreach { case (id, uv) =>
+      assert(10.0 / uv > 1.0 / uv)
+    }
+  }
+
   test("ngram novelty: duplicates split by ingest order") {
     import spark.implicits._
     val docs = Seq(
