@@ -1885,6 +1885,39 @@ object SparkEntry {
           col("vec_id").isin(0, 1, 2), k = NdcgK)
         .orderBy(col("qid"))),
 
+    // NDCG@10 served from the PERSISTENT ANN index: the refined
+    // index ranking scored by the SAME metric tail (ndcgFromArm) —
+    // the index's RANKING quality against labels, where the recall
+    // canaries only measure overlap with the exact arm.
+    "rank_ndcg_eval_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annndcg-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        val top = graft.ops.AnnIndex.queryBatchRefined(s, root.toString,
+            e, qVecs, kNN = NdcgK, rerank = RefineR, nprobe = IvfPqProbes)
+          .select(col("qid"), col("vec_id"), col("rk"))
+        graft.ops.Ranking.ndcgFromArm(e, top,
+            col("vec_id").isin(0, 1, 2), k = NdcgK)
+          .orderBy(col("qid"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // MRR + precision@10 over the same arm — single exact-integer
     // divisions, no rounding tolerance anywhere.
     "rank_mrr_eval" -> ((s, d) =>
@@ -5479,7 +5512,14 @@ object SparkEntry {
     * the SAME driver-printed prefix-sum table (shortest-repr double
     * literals round-trip to the identical doubles).
     */
-  private def ndcgOracle: String = {
+  /** ONE NDCG metric tail behind the flat and persistent-ANN eval
+    * oracles: expects a `rankedSrc` relation with (qid, vec_id, rk)
+    * upstream; attaches neighbor + query labels itself (so any arm —
+    * the round-6 cosine window, the persistent chain's rranked —
+    * plugs in), then the per-rank pivot, the fixed-order
+    * literal-weight DCG, and the driver-printed ideal table.
+    */
+  private def ndcgTailSql(rankedSrc: String): String = {
     val w = (1 to NdcgK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
     val dcgExpr = (1 to NdcgK).map(i =>
       s"coalesce(g$i, 0.0) * ${w(i - 1)}").mkString(" + ")
@@ -5488,30 +5528,22 @@ object SparkEntry {
       s"WHEN $c THEN ${idcgTable(c)}").mkString(" ")
     val pivCols = (1 to NdcgK).map(i =>
       s"max(CASE WHEN rk = $i THEN g END) AS g$i").mkString(", ")
-    s"""WITH q AS (
-       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
-       |    label AS qlabel
-       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
-       |scored AS (
-       |  SELECT q.qid, e.vec_id, e.label,
-       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS cosine
-       |  FROM embeddings e, q WHERE e.vec_id != q.qid),
-       |ranked AS (
-       |  SELECT qid, vec_id, label,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
-       |      AS rk
-       |  FROM scored),
+    s"""qlab AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+       |  WHERE vec_id IN (0, 1, 2)),
        |gains AS (
        |  SELECT r.qid, r.rk,
-       |    CASE WHEN r.label = q.qlabel THEN CAST(1 AS DOUBLE)
+       |    CASE WHEN e.label = ql.qlabel THEN CAST(1 AS DOUBLE)
        |         ELSE CAST(0 AS DOUBLE) END AS g
-       |  FROM ranked r JOIN q ON q.qid = r.qid WHERE r.rk <= $NdcgK),
+       |  FROM $rankedSrc r
+       |  JOIN embeddings e ON e.vec_id = r.vec_id
+       |  JOIN qlab ql ON ql.qid = r.qid
+       |  WHERE r.rk <= $NdcgK),
        |piv AS (SELECT qid, $pivCols FROM gains GROUP BY qid),
        |rel AS (
-       |  SELECT q.qid, count(*) AS n_rel
-       |  FROM embeddings e JOIN q
-       |    ON e.label = q.qlabel AND e.vec_id != q.qid
-       |  GROUP BY q.qid)
+       |  SELECT ql.qid, count(*) AS n_rel
+       |  FROM embeddings e JOIN qlab ql
+       |    ON e.label = ql.qlabel AND e.vec_id != ql.qid
+       |  GROUP BY ql.qid)
        |SELECT p.qid, coalesce(r.n_rel, 0) AS n_rel,
        |  CASE WHEN coalesce(r.n_rel, 0) = 0 THEN 0.0
        |       ELSE round(($dcgExpr) /
@@ -5520,6 +5552,31 @@ object SparkEntry {
        |FROM piv p LEFT JOIN rel r ON r.qid = p.qid
        |ORDER BY p.qid""".stripMargin
   }
+
+  private def ndcgOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${cosSql("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+       |      AS rk
+       |  FROM scored),
+       |${ndcgTailSql("ranked")}""".stripMargin
+
+  /** rank_ndcg_eval_ann: the persistent chain + refine CTEs rank, the
+    * SAME metric tail scores — the index's RANKING quality against
+    * labels (the recall canaries measure only overlap with exact).
+    */
+  private def ndcgAnnOracle: String = ivfPqOracleFor(
+    s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || vec_id)")} % 10000)" +
+      s" >= $IncrementalNewBp",
+    tail = s"""$annRefineCtes,
+       |${ndcgTailSql("rranked")}""".stripMargin)
 
   /** text_ngram_novelty: the k=3 shingle universe (the SAME CTE the
     * Jaccard/containment oracles use), per-gram min-id, per-doc
@@ -5562,6 +5619,7 @@ object SparkEntry {
     "rank_mmr" -> mmrOracle,
     "rank_mmr_ann" -> mmrAnnOracle,
     "rank_ndcg_eval" -> ndcgOracle,
+    "rank_ndcg_eval_ann" -> ndcgAnnOracle,
     "rank_mrr_eval" -> mrrEvalOracle,
     "curation_sample_priority" -> prioritySampleOracle,
     "rank_rrf_hybrid" -> rrfHybridOracle,

@@ -344,11 +344,23 @@ object Ranking {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
     val q = corpus.where(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qe"),
-        col(labelCol).as("qlabel"))
-    val top = Similarity.bruteForceTopK(corpus,
-      q.select(col("qid"), col("qe")), k, idCol, vecCol)
-    val gains = top
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"))
+    val top = Similarity.bruteForceTopK(corpus, q, k, idCol, vecCol)
+    ndcgFromArm(corpus, top, queryPred, k, idCol, labelCol)
+  }
+
+  /** NDCG@k over an ARBITRARY ranked arm — `top` is (qid, idCol, rk),
+    * bounded by retriever depth, so any retriever (the exact scan
+    * above, the persistent ANN index's refined batch) is scored by
+    * the same metric core. This is how an index's RANKING quality
+    * (not just recall overlap) gets measured against labels.
+    */
+  def ndcgFromArm(corpus: DataFrame, top: DataFrame, queryPred: Column,
+      k: Int, idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val q = corpus.where(queryPred)
+      .select(col(idCol).as("qid"), col(labelCol).as("qlabel"))
+    val gains = top.where(col("rk") <= k)
       .join(corpus.select(col(idCol), col(labelCol).as("nlabel")), idCol)
       .join(broadcast(q.select(col("qid"), col("qlabel"))), "qid")
       .select(col("qid"), col("rk"),
