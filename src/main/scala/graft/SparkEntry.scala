@@ -4280,7 +4280,7 @@ object SparkEntry {
        |        ORDER BY ${cosSql("qe", "c.ce")} DESC, c.cid) AS rn
        |    FROM q, $cf c) WHERE rn <= $IvfProbes),
        |hflat AS (SELECT vec_id, i, ve[i] AS v
-       |  FROM corp, generate_series(1, 64) t(i)),
+       |  FROM corp, generate_series(1, $BinDims) t(i)),
        |qflat AS (SELECT vec_id AS qid, i, v AS qv FROM hflat
        |  WHERE vec_id IN (0, 1, 2)),
        |cand AS (

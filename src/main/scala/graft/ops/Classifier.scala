@@ -46,10 +46,19 @@ object Classifier {
     filter(split(text, " "), t => t =!= "")
 
   def logOddsScore(df: DataFrame, textCol: String, idCol: String,
-      positive: Column, k: Double = 1.0): DataFrame = {
+      positive: Column, k: Double = 1.0): DataFrame =
+    logOddsScoreFrom(
+      df.select(col(idCol).as("id"), positive.as("pos"),
+        tokens(col(textCol)).as("ts")), k)
+
+  /** [[logOddsScore]] over an ALREADY-TOKENIZED base frame
+    * `(id, pos, ts)` (ts = whitespace tokens, empties dropped) — the
+    * entry point multi-tier consumers (Curation.qualityEnsemble) feed
+    * from one materialized token frame instead of re-deriving the
+    * corpus scan + split per tier.
+    */
+  def logOddsScoreFrom(base: DataFrame, k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing constant k must be positive")
-    val base = df.select(col(idCol).as("id"), positive.as("pos"),
-      tokens(col(textCol)).as("ts"))
     val toks = base.select(col("id"), col("pos"), explode(col("ts")).as("w"))
     val cw = toks.groupBy(col("w"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
@@ -68,7 +77,7 @@ object Classifier {
     val docScores = toks.join(weights, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("weight")).as("w_sum"))
-    df.select(col(idCol).as("id")).join(docScores, Seq("id"), "left")
+    base.select(col("id")).join(docScores, Seq("id"), "left")
       .crossJoin(broadcast(prior))
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -564,28 +564,52 @@ object Curation {
     val rep = graft.ops.Repetition.repetitionFeatures(df, textCol, idCol)
       .select(id, col("top_bigram_frac"), col("dup_trigram_frac"))
     base.join(rep, Seq(idCol))
-      .withColumn("reason",
-        when(col("n_tokens") < minTokens, "too_few_tokens")
-          .when(col("n_tokens") > maxTokens, "too_many_tokens")
-          .when(col("mean_tok_len") < minMeanTokLen ||
-            col("mean_tok_len") > maxMeanTokLen, "mean_tok_len")
-          .when(col("stop_ratio") < minStopRatio, "low_stopword_ratio")
-          .when(col("top_bigram_frac") > maxTopBigramFrac,
-            "top_bigram_repetition")
-          .when(col("dup_trigram_frac") > maxDupTrigramFrac,
-            "dup_trigram_repetition")
-          .otherwise(""))
+      .withColumn("reason", gopherReason(minTokens, maxTokens,
+        minMeanTokLen, maxMeanTokLen, minStopRatio,
+        maxTopBigramFrac, maxDupTrigramFrac))
       .withColumn("keep", col("reason") === "")
   }
+
+  /** The Gopher rule CASE — ONE definition shared by [[qualityFilter]]
+    * and [[qualityEnsemble]] so the tier semantics can never drift.
+    * Expects the signal columns (n_tokens, mean_tok_len, stop_ratio,
+    * top_bigram_frac, dup_trigram_frac) in scope.
+    */
+  private def gopherReason(minTokens: Long, maxTokens: Long,
+      minMeanTokLen: Double, maxMeanTokLen: Double,
+      minStopRatio: Double, maxTopBigramFrac: Double,
+      maxDupTrigramFrac: Double): Column =
+    when(col("n_tokens") < minTokens, "too_few_tokens")
+      .when(col("n_tokens") > maxTokens, "too_many_tokens")
+      .when(col("mean_tok_len") < minMeanTokLen ||
+        col("mean_tok_len") > maxMeanTokLen, "mean_tok_len")
+      .when(col("stop_ratio") < minStopRatio, "low_stopword_ratio")
+      .when(col("top_bigram_frac") > maxTopBigramFrac,
+        "top_bigram_repetition")
+      .when(col("dup_trigram_frac") > maxDupTrigramFrac,
+        "dup_trigram_repetition")
+      .otherwise("")
 
   /** The production quality-filter STACK: cheap Gopher rules first,
     * then the corpus-trained perplexity tertile (CCNet), then the
     * Naive-Bayes classifier — the tiered composition modern curation
     * pipelines run (rules → LM filter → classifier filter), with the
     * FIRST failing tier named so drop statistics attribute per tier.
-    * Scale shape: each tier is the already-gated operator (zero-/
-    * vocab-bounded-shuffle respectively) and the composition adds only
-    * two equi-joins on the doc id.
+    *
+    * Scale shape: the three tier chains all start from the same
+    * corpus tokenization, so the shared token/signal frame is
+    * materialized ONCE (`localCheckpoint` — the
+    * candidateRestrictedShingles discipline for multi-consumer
+    * subframes, see Dedup) and every tier explodes from its
+    * reference-tracked blocks instead of re-deriving the corpus scan
+    * + split per tier; each tier is then the already-gated operator
+    * (zero-/vocab-bounded-shuffle respectively) and the composition
+    * adds only two equi-joins on the doc id. Tier results are
+    * EXPRESSION-IDENTICAL to the standalone operators composed on the
+    * raw frame (OpsSpec "quality ensemble = first failing tier of its
+    * three components" pins the equality per tier): the
+    * materialization changes where the token arrays live, never what
+    * they are.
     *
     * Output: (id, gopher_reason, bucket, pred_pos, reason, keep) — one
     * row per document; `reason` is "" when every tier passes.
@@ -596,13 +620,39 @@ object Curation {
       minMeanTokLen: Double, maxMeanTokLen: Double,
       minStopRatio: Double,
       maxTopBigramFrac: Double, maxDupTrigramFrac: Double): DataFrame = {
-    val gopher = qualityFilter(df, textCol, idCol, minTokens, maxTokens,
-      minMeanTokLen, maxMeanTokLen, minStopRatio,
-      maxTopBigramFrac, maxDupTrigramFrac)
-      .select(col(idCol), col("reason").as("gopher_reason"))
-    val ppl = LanguageModel.perplexityBuckets(df, textCol, idCol)
+    val id = col(idCol)
+    val t = col(textCol)
+    val nTokens = (length(t) -
+      length(regexp_replace(t, lit(" "), lit(""))) + 1).cast("long")
+    val nChars = length(regexp_replace(t, lit(" "), lit(""))).cast("double")
+    val nStop = TextAnalysis.tokenSetOccurrences(t, Stopwords).cast("double")
+    // the shared multi-consumer frame: one corpus scan, one tokenize,
+    // the cheap Gopher signals computed in the same projection
+    val tok = df.select(id, positive.as("pos"),
+        length(t).as("n_chars"),
+        nTokens.as("n_tokens"),
+        (nChars / nTokens.cast("double")).as("mean_tok_len"),
+        (nStop / nTokens.cast("double")).as("stop_ratio"),
+        split(t, " ").as("toks"))
+      .localCheckpoint()
+    // the filtered-token view every LM-ish tier uses (empties dropped
+    // — the shared corpus tokenization convention)
+    val ts = filter(col("toks"), x => x =!= "")
+    val rep = graft.ops.Repetition.repetitionFeaturesFrom(
+      tok.select(id, col("n_chars"), col("toks")), idCol)
+      .select(id, col("top_bigram_frac"), col("dup_trigram_frac"))
+    val gopher = tok
+      .select(id, col("n_tokens"), col("mean_tok_len"), col("stop_ratio"))
+      .join(rep, Seq(idCol))
+      .withColumn("gopher_reason", gopherReason(minTokens, maxTokens,
+        minMeanTokLen, maxMeanTokLen, minStopRatio,
+        maxTopBigramFrac, maxDupTrigramFrac))
+      .select(id, col("gopher_reason"))
+    val ppl = LanguageModel.perplexityBucketsFrom(
+      tok.select(id.as("id"), ts.as("ts")))
       .select(col("id").as(idCol), col("bucket"))
-    val clf = Classifier.logOddsScore(df, textCol, idCol, positive)
+    val clf = Classifier.logOddsScoreFrom(
+      tok.select(id.as("id"), col("pos"), ts.as("ts")))
       .select(col("id").as(idCol), col("pred_pos"))
     gopher.join(ppl, Seq(idCol)).join(clf, Seq(idCol))
       .withColumn("reason",

@@ -51,9 +51,18 @@ object LanguageModel {
     filter(split(text, " "), t => t =!= "")
 
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
-      k: Double = 0.5): DataFrame = {
+      k: Double = 0.5): DataFrame =
+    bigramLogProbFrom(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts")), k)
+
+  /** [[bigramLogProb]] over an ALREADY-TOKENIZED base frame
+    * `(id, ts)` (ts = whitespace tokens, empties dropped) — the entry
+    * point multi-tier consumers (Curation.qualityEnsemble) feed from
+    * one materialized token frame instead of re-deriving the corpus
+    * scan + split per tier.
+    */
+  def bigramLogProbFrom(base: DataFrame, k: Double = 0.5): DataFrame = {
     require(k > 0, "smoothing constant k must be positive")
-    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
     // adjacent pairs: element i of slice(ts,1,n-1) pairs with ts[i+2]
     // (transform's lambda index is 0-based, element_at is 1-based);
     // greatest(n-1, 0) keeps slice total on 0/1-token documents
@@ -77,7 +86,7 @@ object LanguageModel {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("logp")), 4).as("avg_logp"))
-    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+    base.select(col("id")).join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
@@ -108,10 +117,19 @@ object LanguageModel {
     */
   def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
       k: Double = 0.5, sampleSeed: String = "ppl", sampleBp: Int = 2000,
+      maxSample: Int = 10000): DataFrame =
+    perplexityBucketsFrom(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts")),
+      k, sampleSeed, sampleBp, maxSample)
+
+  /** [[perplexityBuckets]] over an already-tokenized `(id, ts)` frame
+    * — see [[bigramLogProbFrom]]. */
+  def perplexityBucketsFrom(base: DataFrame, k: Double = 0.5,
+      sampleSeed: String = "ppl", sampleBp: Int = 2000,
       maxSample: Int = 10000): DataFrame = {
     // the LM scoring feeds both the threshold sample and the output —
     // materialize once (reference-tracked blocks, as in simhashPairs)
-    val scored = bigramLogProb(df, textCol, idCol, k).localCheckpoint()
+    val scored = bigramLogProbFrom(base, k).localCheckpoint()
     val sample = scored
       .where(col("avg_logp").isNotNull &&
         Curation.hashBucket(col("id"), sampleSeed) < lit(sampleBp))

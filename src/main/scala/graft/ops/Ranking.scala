@@ -299,10 +299,14 @@ object Ranking {
       .sortBy(_._1)
     require(cand.length >= k,
       s"mmr arm returned ${cand.length} candidates for k = $k")
+    // cos6 is symmetric — cache on the ordered pair so each pairwise
+    // similarity is computed once across all greedy steps
     val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
     def simOf(a: (Long, Double, IndexedSeq[Double]),
         b: (Long, Double, IndexedSeq[Double])): Double =
-      sim.getOrElseUpdate((a._1, b._1), Similarity.cos6(a._3, b._3))
+      sim.getOrElseUpdate(
+        (math.min(a._1, b._1), math.max(a._1, b._1)),
+        Similarity.cos6(a._3, b._3))
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Double, IndexedSeq[Double])]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]

@@ -53,12 +53,21 @@ object Repetition {
     * top_bigram_count = 0, fractions = 0.0 — a downstream quality
     * filter must see short documents, not lose them to an inner join.
     */
-  def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def repetitionFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    repetitionFeaturesFrom(
+      df.select(col(idCol), length(col(textCol)).as("n_chars"),
+        split(col(textCol), " ").as("toks")),
+      idCol)
+
+  /** [[repetitionFeatures]] over an ALREADY-TOKENIZED base frame
+    * `(idCol, n_chars, toks)` — the entry point multi-tier consumers
+    * (Curation.qualityEnsemble) feed from ONE materialized token
+    * frame instead of re-deriving the corpus scan + split per tier.
+    * Tokenization stays once-per-document either way; the n-gram
+    * lambdas below only index into the `toks` column.
+    */
+  def repetitionFeaturesFrom(base: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol)
-    // tokenize ONCE per document into a real column; the n-gram
-    // lambdas below only index into it
-    val base = df.select(id, length(col(textCol)).as("n_chars"),
-      split(col(textCol), " ").as("toks"))
     val bigrams = base
       .select(id, col("n_chars"), explode(ngramsOfTokens(col("toks"), 2)).as("g"))
       .groupBy(id, col("n_chars"), col("g"))
@@ -76,7 +85,7 @@ object Repetition {
       .groupBy(id)
       .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
         sum(col("c")).cast("double")).as("dup_frac"))
-    df.select(id)
+    base.select(id)
       .join(top, Seq(idCol), "left")
       .join(trigrams, Seq(idCol), "left")
       .select(id,

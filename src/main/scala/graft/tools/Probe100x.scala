@@ -62,7 +62,9 @@ object Probe100x {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // validate leg-name args BEFORE the expensive replica builds — a
     // typo must fail fast, not after minutes of 100x corpus generation
-    args.foreach(n => require(graft.SparkEntry.queries.contains(n),
+    // (queries is a def rebuilding the full map; resolve it once)
+    val known = graft.SparkEntry.queries.keySet
+    args.foreach(n => require(known.contains(n),
       s"unknown gated query: $n"))
     val big = ScaleGen.ensure10x(spark, sf)
     val t0g = System.nanoTime()
