@@ -213,7 +213,15 @@ object Bench {
     var serverAppendsPerSec = -1.0
     var serverDeliveredPerSec = -1.0
     var serverDrainSec = -1.0
+    // per-leg witness for the server leg — the same
+    // (load, cpu_ratio, gc_ms) struct every ratio leg records, plus
+    // the workload's own write/drain phase split: the r13→r15
+    // delivered/s decline (289.3 → 220.9 → 201.1) was unattributable
+    // because this leg recorded throughput numbers with no witness
+    var serverWitnessJson = "{}"
     results("server_sustained") = {
+      val c0 = procCpuNs(); val g0 = gcTotalMs()
+      val t0w = System.nanoTime()
       try {
         // the workload is the SHARED graft.tools.ServerSustained —
         // the same implementation ProbeServer settles regressions
@@ -222,6 +230,21 @@ object Bench {
         serverAppendsPerSec = r.appendsPerSec
         serverDeliveredPerSec = r.deliveredPerSec
         serverDrainSec = r.drainSec
+        val wall = (System.nanoTime() - t0w) / 1e9
+        val cr = if (wall > 0) ((procCpuNs() - c0) / 1e9) / wall else -1.0
+        serverWitnessJson =
+          "{\"load\":" + f"${osBean.getSystemLoadAverage}%.1f" +
+            ",\"cpu_ratio\":" + f"$cr%.1f" +
+            ",\"gc_ms\":" + (gcTotalMs() - g0) +
+            ",\"write_sec\":" + f"${r.writeSec}%.3f" +
+            ",\"drain_sec\":" + f"${r.drainSec}%.3f" +
+            ",\"appended\":" + r.appendedTotal +
+            ",\"delivered_during_write\":" + r.deliveredDuringWrite +
+            ",\"delivered_during_drain\":" +
+            (r.deliveredTotal - r.deliveredDuringWrite) +
+            ",\"write_phase_delivered_per_sec\":" +
+            f"${if (r.writeSec > 0) r.deliveredDuringWrite / r.writeSec
+               else -1.0}%.1f" + "}"
         r.sec
       } catch {
         case d: graft.tools.ServerSustained.DrainShortfall =>
@@ -868,6 +891,7 @@ object Bench {
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_drain_sec":$serverDrainSec,""" +
+      s""""server_witness":$serverWitnessJson,""" +
       s""""scale10x":$scaleJson,"load_avg":$loadAvg}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"sf":"$sfDir"}"""
@@ -908,6 +932,7 @@ object Bench {
       s""""ivfpq_residual_recall":$residRecall,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
+      s""""server_witness":$serverWitnessJson,""" +
       f""""load_avg":$loadAvg%.1f,""" +
       s""""record":"bench-out.json","sf":"$sfDir"}"""
     println(summary)

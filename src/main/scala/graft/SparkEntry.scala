@@ -1339,6 +1339,26 @@ object SparkEntry {
           graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("n_subtokens"))
         .orderBy(col("doc_id"))),
 
+    // BPE APPLY: the trained tokenizer ENCODING the corpus — the
+    // missing half of the tokenizer story (BpeTrain.trainBpe learns
+    // the merges; this runs them over every document, the pass
+    // between tokenizer training and sequence packing). Train
+    // BpeEncodeMerges merges, then ONE codegen'd chained-replace
+    // projection tokenizes the corpus (zero shuffle — see
+    // BpeTrain.bpeEncode); token counts pinned corpus-wide, full
+    // encoded sequences pinned on the doc_id < 20 sample. The oracle
+    // replays the identical training argmax loop as unrolled CTEs
+    // and the identical leftmost-non-overlapping merge rule via
+    // literal replace on the sentinel-wrapped symbol form.
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges =
+        graft.ops.BpeTrain.trainBpe(docs, "text", BpeEncodeMerges)
+      graft.ops.BpeTrain.bpeEncode(docs, "text", "doc_id", merges,
+          samplePred = col("doc_id") < 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Polynomial rolling-hash fingerprint (exact integer arithmetic).
     "text_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1448,6 +1468,78 @@ object SparkEntry {
         .select(col("doc_id"), col("out_w"), col("out_h"),
           col("resized_mean"), col("tl_sum"), col("br_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PERCEPTUAL IMAGE DEDUP: per-document 2D-gradient BMPs with
+    // PLANTED near-dup pairs — consecutive even/odd doc_ids share one
+    // gradient (g = doc_id div 2); the odd twin additionally bumps
+    // the file-origin pixel's first channel by 128, so its dHash can
+    // differ from its even twin's by at most the comparisons that
+    // sample touches (<= 2 bits). dHash runs through the REAL ImageIO
+    // decode (Multimodal.dHash64); banding and Hamming verify are the
+    // simhash LSH machinery at the Manku 4x16-bit geometry
+    // (pigeonhole-exact at hamming <= 3). Synthesis (expressions),
+    // decode (ImageIO), oracle (SQL arithmetic) are three independent
+    // paths — the multimodal discipline.
+    "dedup_image_dhash" -> ((s, d) => {
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val g0 = expr("doc_id DIV 2")
+      // per-group SALTED gradient slopes (md5-derived odd multipliers,
+      // the hashBucket hex convention): fixed slopes repeat the dHash
+      // bit pattern every few g values and band buckets go quadratic —
+      // salting makes fingerprints pseudo-random ACROSS groups while
+      // twins (same g) stay near-identical, which is the property a
+      // real image corpus has. The salts are MATERIALIZED per doc
+      // (tiny frame) before the per-pixel synthesis lambdas: an
+      // aliased projection would be collapse-re-inlined and the md5
+      // re-evaluated per pixel per channel.
+      val hx = md5(concat(lit("dh:"), g0.cast("string")).cast("binary"))
+      def mulsOf(pos: Int): (Column, Column) = {
+        val sv = conv(substring(hx, pos, 4), 16, 10).cast("long")
+        (pmod(sv, lit(128L)) * 2 + 1,
+          pmod(shiftright(sv, 7), lit(128L)) * 2 + 1)
+      }
+      val (a1, b1) = mulsOf(1)
+      val (a2, b2) = mulsOf(5)
+      val (a3, b3) = mulsOf(9)
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
+          g0.as("g"),
+          (pmod(g0, lit(21)) + 8).cast("int").as("w"),
+          (pmod(g0 * 5, lit(17)) + 8).cast("int").as("h"),
+          a1.as("a1"), b1.as("b1"), a2.as("a2"), b2.as("b2"),
+          a3.as("a3"), b3.as("b3"))
+        .localCheckpoint()
+      val g = col("g")
+      val w = col("w")
+      val h = col("h")
+      val odd = col("odd")
+      val rowSize = ((w * 3 + 3) / lit(4)).cast("int") * 4
+      def chanV(fy: Column, x: Column, m: Int, a: Column, b: Column): Column =
+        pmod(g * m + x * a + fy * b, lit(256))
+      def chanHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val body = concat_ws("", transform(sequence(lit(0), h - 1), fy =>
+        concat(
+          concat_ws("", transform(sequence(lit(0), w - 1), x =>
+            concat(
+              chanHex(when(odd && x === 0 && fy === 0,
+                  pmod(chanV(fy, x, 7, col("a1"), col("b1")) + 128, lit(256)))
+                .otherwise(chanV(fy, x, 7, col("a1"), col("b1")))),
+              chanHex(chanV(fy, x, 3, col("a2"), col("b2"))),
+              chanHex(chanV(fy, x, 1, col("a3"), col("b3")))))),
+          call_function("repeat", lit("00"), rowSize - w * 3))))
+      val bmp = unhex(concat(
+        lit("424D"), le32(lit(54) + rowSize * h), lit("00000000"),
+        le32(lit(54)), le32(lit(40)), le32(w), le32(h), lit("0100"),
+        lit("1800"), le32(lit(0)), le32(rowSize * h), le32(lit(2835)),
+        le32(lit(2835)), le32(lit(0)), le32(lit(0)), body))
+      graft.ops.Dedup.imageDHashPairs(
+          seeded.withColumn("payload", bmp), "payload", "doc_id")
+        .orderBy(col("a"), col("b"))
     }),
 
     // Multimodal plumbing: binary payload + metadata envelope — the
@@ -3379,6 +3471,17 @@ object SparkEntry {
   private[graft] val BinDims = 64
   private[graft] val BinRerank = 50
 
+  /** text_bpe_encode: merge-table depth for the apply-merges corpus
+    * encode. 12 is the gated-geometry regime (multi-char merge chains
+    * appear well before it on this corpus, so the leftmost-rule and
+    * merge-order semantics are genuinely exercised) while keeping the
+    * oracle's unrolled per-iteration CTE chain — one vocab pair-count
+    * + argmax + rewrite per merge, the k-means-oracle discipline —
+    * readable; production merge counts swap in the vocab-join encode
+    * (see BpeTrain.bpeEncode scaladoc).
+    */
+  private[graft] val BpeEncodeMerges = 12
+
   /** rank_mmr: MMR diversity re-rank geometry — top-20 exact-cosine
     * candidates for query vec 0, greedy-select 5 at the classic
     * λ=0.7 relevance / 0.3 redundancy split. γ is spelled as its own
@@ -4600,6 +4703,135 @@ object SparkEntry {
        |  round(CAST(total AS DOUBLE) / 96.0, 6) AS resized_mean,
        |  CAST(tl AS BIGINT) AS tl_sum, CAST(br AS BIGINT) AS br_sum
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** text_bpe_encode: the FULL tokenizer replayed in SQL — training
+    * as [[BpeEncodeMerges]] unrolled per-iteration CTEs over the
+    * vocabulary (pair-count → (cnt desc, a, b) argmax → merge), the
+    * trained-constant-recomputed-in-SQL discipline of the k-means
+    * oracles, then the corpus encode by joining each document's token
+    * stream against the final per-word symbol strings. The merge
+    * rewrite is a literal `replace` on the sentinel-wrapped symbol
+    * form (`chr(1) sym chr(2)` per symbol): replace-all's
+    * leftmost-non-overlapping scan IS the BPE merge rule, and the
+    * sentinels make boundary-crossing matches impossible — the exact
+    * construction the engine's chained-replace projection uses, so
+    * both sides implement one rule two ways. Word length is bounded
+    * by 64 like the bpe_pair_stats oracle; token position join uses
+    * the list index so `enc` reassembles in document order. Integer
+    * counts and exact strings only — no float anywhere.
+    */
+  private def bpeEncodeOracle: String = {
+    // v{r} is referenced TWICE downstream (the next iteration's
+    // pair-count AND its rewrite) — MATERIALIZED, or CTE inlining
+    // doubles the expansion per iteration (2^k copies of v0)
+    val iterCtes = (1 to BpeEncodeMerges).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT ss[i] AS a, ss[i+1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+         |      chr(2) || chr(1)) AS ss, c FROM $prev),
+         |    generate_series(1, 64) g(i) WHERE i < len(ss)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word,
+         |    replace(s, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+         |      chr(1)||a||b||chr(2)) AS s, c
+         |  FROM $prev, t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT t AS word, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '),
+       |      x -> x <> '')) AS t
+       |    FROM documents) GROUP BY t),
+       |v0 AS (
+       |  SELECT word,
+       |    string_agg(chr(1) || substr(word, i, 1) || chr(2), ''
+       |      ORDER BY i) AS s, c
+       |  FROM w, generate_series(1, 64) g(i) WHERE i <= length(word)
+       |  GROUP BY word, c),
+       |$iterCtes,
+       |wsyms AS (SELECT word,
+       |    CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+       |      AS nsym, s
+       |  FROM v$BpeEncodeMerges),
+       |toks AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |dw AS MATERIALIZED (SELECT doc_id, i, tk[i] AS word
+       |  FROM toks, generate_series(1, 4096) g(i) WHERE i <= len(tk)),
+       |cnt AS (SELECT dw.doc_id, CAST(sum(nsym) AS BIGINT) AS n_bpe
+       |  FROM dw JOIN wsyms USING (word) GROUP BY dw.doc_id),
+       |encs AS (SELECT dw.doc_id,
+       |    string_agg(translate(s, chr(1)||chr(2), '|'), ' ' ORDER BY i)
+       |      AS enc
+       |  FROM dw JOIN wsyms USING (word)
+       |  WHERE dw.doc_id < 20 GROUP BY dw.doc_id)
+       |SELECT d.doc_id, coalesce(cnt.n_bpe, 0) AS n_bpe_tokens,
+       |  CASE WHEN d.doc_id < 20 THEN coalesce(encs.enc, '') END AS enc
+       |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+       |LEFT JOIN encs ON encs.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** dedup_image_dhash: the dHash chain replayed arithmetically —
+    * the 9×8 nearest-neighbor sample over the synthesis gradient
+    * (source index = dest·src div dest per axis, bottom-up flip
+    * fy = h-1-sy exactly as the decoder sees it, the resizeOracle
+    * discipline), the odd-twin +128 perturbation on the file-origin
+    * pixel, bits by row-major sign-of-adjacent-difference, the 4×16
+    * band candidate join unrolled as an OR of band-slice equalities,
+    * and the per-char Hamming verify at <= 3. Integer arithmetic and
+    * exact strings only.
+    */
+  private def imageDHashOracle: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, g, w, h,
+       |    2 * (s1 % 128) + 1 AS a1, 2 * ((s1 // 128) % 128) + 1 AS b1,
+       |    2 * (s2 % 128) + 1 AS a2, 2 * ((s2 // 128) % 128) + 1 AS b2,
+       |    2 * (s3 % 128) + 1 AS a3, 2 * ((s3 // 128) % 128) + 1 AS b3
+       |  FROM (
+       |    SELECT doc_id, g, w, h,
+       |      ${sqlHexBucket("substr(md5('dh:' || g), 1, 4)")} AS s1,
+       |      ${sqlHexBucket("substr(md5('dh:' || g), 5, 4)")} AS s2,
+       |      ${sqlHexBucket("substr(md5('dh:' || g), 9, 4)")} AS s3
+       |    FROM (SELECT doc_id, doc_id // 2 AS g,
+       |        ((doc_id // 2) % 21) + 8 AS w,
+       |        (((doc_id // 2) * 5) % 17) + 8 AS h
+       |      FROM documents))),
+       |grid AS (
+       |  SELECT doc_id, g, (x * w) // 9 AS sx,
+       |    h - 1 - ((y * h) // 8) AS fy, x, y,
+       |    a1, b1, a2, b2, a3, b3
+       |  FROM dims, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+       |samp AS (
+       |  SELECT doc_id, x, y,
+       |      ((g*7 + sx*a1 + fy*b1) % 256 +
+       |        CASE WHEN doc_id % 2 = 1 AND sx = 0 AND fy = 0
+       |          THEN 128 ELSE 0 END) % 256
+       |    + (g*3 + sx*a2 + fy*b2) % 256
+       |    + (g*1 + sx*a3 + fy*b3) % 256 AS s
+       |  FROM grid),
+       |bits AS (
+       |  SELECT a.doc_id, a.y, a.x,
+       |    CASE WHEN b.s > a.s THEN '1' ELSE '0' END AS bit
+       |  FROM samp a JOIN samp b
+       |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x <= 7),
+       |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS hsh
+       |  FROM bits GROUP BY doc_id),
+       |cand AS (
+       |  SELECT f1.doc_id AS a, f2.doc_id AS b, f1.hsh AS ha, f2.hsh AS hb
+       |  FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
+       |  WHERE substr(f1.hsh, 1, 16) = substr(f2.hsh, 1, 16)
+       |     OR substr(f1.hsh, 17, 16) = substr(f2.hsh, 17, 16)
+       |     OR substr(f1.hsh, 33, 16) = substr(f2.hsh, 33, 16)
+       |     OR substr(f1.hsh, 49, 16) = substr(f2.hsh, 49, 16)),
+       |ham AS (
+       |  SELECT a, b, CAST(sum(CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |  FROM cand, generate_series(1, 64) t(i) GROUP BY a, b)
+       |SELECT a, b, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY a, b""".stripMargin
 
   /** Mirror of Curation.qualityFilter: the same base signals
     * (text_quality's divisions of exact ints), the shared repetition
@@ -6052,6 +6284,7 @@ object SparkEntry {
     "curation_quality_filter" -> qualityFilterOracle,
     "curation_quality_ensemble" -> qualityEnsembleOracle,
     "multimodal_resize" -> resizeOracle,
+    "dedup_image_dhash" -> imageDHashOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_sample_weighted" -> weightedSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,
@@ -6462,6 +6695,8 @@ object SparkEntry {
     // with empties dropped, same frequency weighting, same
     // deterministic (count desc, pair asc) top-20. Integer counts
     // only — no float noise anywhere.
+    "text_bpe_encode" -> bpeEncodeOracle,
+
     "bpe_pair_stats" ->
       """WITH w AS (SELECT t AS word, count(*) AS c FROM (
         |    SELECT unnest(list_filter(string_split(text, ' '),

@@ -60,6 +60,72 @@ object BpeTrain {
     * loop iterates over. */
   final case class SymWord(syms: Seq[String], c: Long)
 
+  /** Symbol-boundary sentinels for [[bpeEncode]]'s string-form merge
+    * application: every symbol travels as `\u0001sym\u0002`, so the
+    * literal replace of `\u0001a\u0002\u0001b\u0002` can only match
+    * at symbol boundaries, and Java's leftmost-non-overlapping
+    * replace-all IS the BPE merge rule (match, emit, continue AFTER
+    * the match — `l l l` merges to `ll l`, never `l ll`). The corpus
+    * never contains the control chars (binary payloads travel in
+    * binary columns, not text).
+    */
+  private val B1 = "\u0001"
+  private val B2 = "\u0002"
+
+  /** Apply a trained merge list: TOKENIZE every document with the
+    * frozen tokenizer — the pass a production pipeline runs over the
+    * whole corpus between BPE training and sequence packing (the
+    * reference's "build once at seal, apply per record" discipline:
+    * `/root/reference/crates/sierradb/src/writer_thread_pool.rs:698-793`).
+    *
+    * The encode is ONE codegen'd projection: whitespace-normalize
+    * (token sequence unchanged — runs of spaces collapse, edges
+    * strip), wrap every character in the sentinel pair, unwrap the
+    * inter-word spaces so merges can never cross a word boundary,
+    * then apply the k merges IN TRAINING ORDER as k literal
+    * `replace` calls. Every function in the chain (regexp_replace /
+    * replace / translate / length) is a non-HOF codegen'd string
+    * expression, so whole-stage codegen evaluates the shared encode
+    * subtree once per row even after projection collapse — the
+    * vec.winnow discipline (a per-row higher-order fold here would be
+    * re-inlined per consumer and excluded from subexpression
+    * elimination).
+    *
+    * Scale shape: zero shuffle — linear in corpus bytes with the
+    * merge count a (small) plan constant; nothing materializes beyond
+    * the projected row. The alternative (encode the distinct-word
+    * vocabulary once, join back) collapses the k factor to |vocab|
+    * but buys it with a corpus-wide shuffle on the token stream — at
+    * 100 TB the shuffle loses to k extra in-cache string scans. At
+    * production merge counts (30k+) the plan-constant chain stops
+    * being viable and the vocab-join shape wins; k here is the
+    * gated-geometry regime, like every trained-constant leg.
+    *
+    * Output: (idCol, n_bpe_tokens, enc) — `enc` is the tokenized
+    * document (each symbol prefixed by `|`, words separated by
+    * spaces) for rows matching `samplePred`, NULL otherwise (the
+    * bounded sample a correctness gate pins sequences on; counts are
+    * pinned corpus-wide).
+    */
+  def bpeEncode(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)],
+      samplePred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length, lit, regexp_replace,
+      replace, translate, when}
+    val norm = regexp_replace(
+      regexp_replace(col(textCol), " +", " "), "^ | $", "")
+    val wrapped = replace(
+      regexp_replace(norm, "(?s)(.)", B1 + "$1" + B2),
+      lit(B1 + " " + B2), lit(" "))
+    val enc = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
+    }
+    df.select(col(idCol),
+      (length(enc) - length(replace(enc, lit(B1), lit(""))))
+        .cast("long").as("n_bpe_tokens"),
+      when(samplePred, translate(enc, B1 + B2, "|")).as("enc"))
+  }
+
   /** Learn `numMerges` BPE merges from the corpus. Returns the merge
     * table in application order. Each iteration: pair-count the
     * vocabulary, take the (count desc, pair asc) argmax, merge leftmost

@@ -978,6 +978,50 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** PERCEPTUAL image near-duplicate pairs — dHash over the REAL
+    * `javax.imageio` decode path ([[Multimodal.dHash64]]: 9×8
+    * brightness grid, sign-of-adjacent-difference bits), banded with
+    * the EXACT simhash LSH machinery: the 64-bit fingerprint travels
+    * in the simhash bit-string representation, so
+    * [[simhashBandCandidates]] (bands × 16-bit keys, pigeonhole-exact
+    * for `maxDistance <= bands - 1`) and the chunked-conv
+    * [[hammingDistance]] verify apply to images UNCHANGED — images
+    * are the fourth member of the banded dedup family (shingle
+    * minhash, simhash, embedding LSH, now pixels), sharing one
+    * candidate-generation geometry.
+    *
+    * Scale shape: decode+hash is one narrow UDF projection (linear in
+    * corpus bytes, no shuffle); everything after runs on 64-BIT
+    * fingerprints — the corpus-sized image bytes never reach a
+    * shuffle. Band join defaults to the Manku 4×16-bit geometry
+    * (65k+ buckets per band — the narrow-key 8×8-bit variant is the
+    * documented scale trap); candidate mass is reported next to the
+    * simhash selectivity diagnostics by the bench. Undecodable
+    * payloads drop out before banding (null fingerprints can't pair).
+    *
+    * Output: (a, b, hamming), a < b, hamming <= maxDistance.
+    */
+  def imageDHashPairs(df: DataFrame, binCol: String, idCol: String,
+      bands: Int = 4, maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= bands - 1,
+      s"banding into $bands bands is only exact up to distance ${bands - 1}")
+    // decode once, keep only the 64-bit fingerprints (the simhashPairs
+    // materialization discipline — the fp frame feeds the band join
+    // twice plus both verify joins)
+    val fp = Multimodal.imageDHash(df, binCol)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash").as("simhash"))
+      .localCheckpoint()
+    val cand = simhashBandCandidates(fp, 64, bands)
+    cand
+      .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
+      .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
+      .withColumn("hamming",
+        hammingDistance(col("sa"), col("sb"), 64).cast("long"))
+      .where(col("hamming") <= maxDistance)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** INCREMENTAL SimHash near-dup pairs: pairs within `maxDistance`
     * touching at least one NEW document — the per-ingest-batch shape
     * of simhash dedup, mirroring [[minhashLshIncremental]]. The

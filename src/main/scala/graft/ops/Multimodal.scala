@@ -307,6 +307,66 @@ object Multimodal {
       .drop("__rz")
   }
 
+  /** 64-bit difference hash (dHash — the standard perceptual
+    * image-dedup fingerprint, e.g. Krawetz's public writeup and every
+    * imagehash library): REAL `javax.imageio` decode, nearest-neighbor
+    * sample onto a 9×8 brightness grid with the exact index mapping
+    * [[resizeSamples]] uses (source = dest·src div dest per axis, long
+    * math), then bit (y,x) = brightness(x+1,y) > brightness(x,y) —
+    * row-major, 64 bits. Robust to resize/re-encode/brightness shifts
+    * because only the SIGN of adjacent-sample differences survives
+    * into the hash.
+    *
+    * Returned as a 64-char '0'/'1' string — the [[graft.ops.Dedup]]
+    * simhash fingerprint representation, so the banded LSH machinery
+    * (band keys, pigeonhole-exact candidate join, chunked-conv
+    * Hamming verify) applies to images UNCHANGED. Null for anything
+    * that does not decode (the module's null-object contract).
+    */
+  def dHash64(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img = decodeBuffered(bytes)
+    if (img == null) return null
+    try {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val rowBuf = new Array[Int](sw)
+      var bufSy = -1
+      val g = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * sh / 8).toInt
+        if (sy != bufSy) { img.getRGB(0, sy, sw, 1, rowBuf, 0, sw); bufSy = sy }
+        var x = 0
+        while (x < 9) {
+          val rgb = rowBuf((x.toLong * sw / 9).toInt)
+          g(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+            (rgb & 0xff)).toLong
+          x += 1
+        }
+        y += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          sb.append(if (g(y)(x + 1) > g(y)(x)) '1' else '0')
+          x += 1
+        }
+        y += 1
+      }
+      sb.toString
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private val dHashUdf = udf((b: Array[Byte]) => dHash64(b))
+
+  /** dHash stage: one narrow transformation, no shuffle — adds the
+    * 64-bit fingerprint as `dhash` (null for non-images). */
+  def imageDHash(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("dhash", dHashUdf(col(binCol)))
+
   /** Synthesize a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up,
     * 4-byte row padding) filled with one BGR value — a fully valid image
     * whose pixel statistics are known arithmetically, used by tests to

@@ -30,7 +30,10 @@ object ProbeServer {
       bestDel = math.max(bestDel, r.deliveredPerSec)
       println(f"round $round: appends/s ${r.appendsPerSec}%.1f | " +
         f"delivered/s ${r.deliveredPerSec}%.1f | " +
-        f"drain ${r.drainSec}%.2f s | leg ${r.sec}%.2f s | " +
+        f"write ${r.writeSec}%.2f s (${r.deliveredDuringWrite} del) | " +
+        f"drain ${r.drainSec}%.2f s " +
+        f"(${r.deliveredTotal - r.deliveredDuringWrite} del) | " +
+        f"leg ${r.sec}%.2f s | " +
         f"load ${java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage}%.1f")
     }

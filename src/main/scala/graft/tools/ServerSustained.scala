@@ -17,8 +17,19 @@ import org.apache.spark.sql.SparkSession
   */
 object ServerSustained {
 
+  /** `writeSec`/`deliveredDuringWrite` split delivery into its two
+    * phases (concurrent-with-writes vs post-write drain) so a
+    * declining delivered/s reading is attributable from the record:
+    * a shrinking write-phase share means subscribers starved while
+    * writers held the store; a growing drainSec means the backlog
+    * replay slowed. (The r13→r15 driver records showed a three-record
+    * delivered/s decline that could not be adjudicated because the
+    * leg carried no witness — this is that witness's workload half.)
+    */
   final case class Result(sec: Double, appendsPerSec: Double,
-      deliveredPerSec: Double, drainSec: Double)
+      deliveredPerSec: Double, drainSec: Double,
+      writeSec: Double = 0.0, deliveredDuringWrite: Long = 0L,
+      deliveredTotal: Long = 0L, appendedTotal: Long = 0L)
 
   /** Drain shortfall as a TYPED failure carrying the measured drain
     * time: the inline-bench era recorded serverDrainSec before
@@ -126,6 +137,9 @@ object ServerSustained {
       writerThreads.foreach(_.join(60000))
       val writeSecs = (System.nanoTime() - t0) / 1e9
       val totalAppended = appendedPerStream.map(_.get()).sum
+      // phase split witness: what the subscribers managed WHILE the
+      // writers held the store (vs the post-write drain below)
+      val deliveredAtWriteEnd = deliveredPerSub.map(_.get()).sum
       // drain: subscribers must deliver EVERY appended event
       val drain0 = System.nanoTime()
       val drainDeadline = drain0 + 30L * 1000 * 1000 * 1000
@@ -143,7 +157,8 @@ object ServerSustained {
       Result((System.nanoTime() - t00) / 1e9,
         totalAppended / writeSecs,
         totalDelivered / (writeSecs + drainSec),
-        drainSec)
+        drainSec, writeSecs, deliveredAtWriteEnd,
+        totalDelivered, totalAppended)
     } finally {
       srvOpt.foreach(s =>
         try s.stop() catch { case _: Throwable => () })

@@ -61,4 +61,42 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // merge 1 fuses (a,b); after that no pairs remain anywhere
     assert(BpeTrain.trainBpe(tiny, "text", 10) == Seq(("a", "b")))
   }
+
+  test("bpeEncode applies merges in order with the leftmost rule") {
+    import spark.implicits._
+    val merges = BpeTrain.trainBpe(corpus, "text", 4)
+    // textbook merges: es, est, lo, low
+    val out = BpeTrain.bpeEncode(corpus, "text", "doc_id", merges,
+        samplePred = lit(true))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("enc")))).toMap
+    // low -> [low] (1 sym); lower -> [low,e,r] (3); newest ->
+    // [n,e,w,est] (4); widest -> [w,i,d,est] (4)
+    assert(out(1L) == ((5L, Seq.fill(5)("|low").mkString(" "))))
+    assert(out(2L) == ((6L, Seq.fill(2)("|low|e|r").mkString(" "))))
+    assert(out(3L) == ((24L, Seq.fill(6)("|n|e|w|est").mkString(" "))))
+    assert(out(4L) == ((12L, Seq.fill(3)("|w|i|d|est").mkString(" "))))
+  }
+
+  test("bpeEncode: leftmost non-overlapping merge on repeated symbols") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    // one merge (a,a): aaa -> [aa, a] (leftmost), aaaa -> [aa, aa]
+    val out = BpeTrain.bpeEncode(df, "text", "doc_id", Seq(("a", "a")),
+        samplePred = lit(true))
+      .collect().head
+    assert(out.getAs[Long]("n_bpe_tokens") == 4L)
+    assert(out.getAs[String]("enc") == "|aa|a |aa|aa")
+  }
+
+  test("bpeEncode normalizes whitespace and keeps unsampled enc NULL") {
+    import spark.implicits._
+    val df = Seq((1L, "  ab   ab "), (2L, "ab")).toDF("doc_id", "text")
+    val out = BpeTrain.bpeEncode(df, "text", "doc_id", Seq(("a", "b")),
+        samplePred = col("doc_id") === 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("enc")))).toMap
+    assert(out(1L) == ((2L, "|ab |ab")))
+    assert(out(2L)._1 == 1L && out(2L)._2 == null)
+  }
 }
