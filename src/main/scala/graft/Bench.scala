@@ -598,6 +598,73 @@ object Bench {
       }
     hygiene("diag_pq_recall")
 
+    // 2d'. diagnostic (not a timing): BINARY-QUANTIZATION recall@5 —
+    //     the one codec family that until r16 shipped with no recall
+    //     evidence. Same exact-L2 ground truth and query batch as the
+    //     PQ canaries. Two numbers: the FLAT sign-bit scan + exact
+    //     refine (the gated ann_binary_hamming shape) and the
+    //     PERSISTED bq index at the gated probe geometry. Plus the
+    //     annix-discipline equality assert: the persisted index
+    //     probing EVERY list must reproduce the flat scan bit-for-bit
+    //     (same packing, same Hamming, same refine tail) — a
+    //     divergence is the storage layer, not quantization.
+    val (bqRecall, bqRecallPersist): (Double, Double) =
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val e = Tables.embeddings(spark, sfDir)
+        val pred = pmod(col("vec_id"), lit(7)) === 3 && col("vec_id") < 2000
+        val d2 = graft.ops.Similarity.dot(col("embedding"), col("embedding")) -
+          lit(2.0) * graft.ops.Similarity.dot(col("embedding"), col("qe")) +
+          graft.ops.Similarity.dot(col("qe"), col("qe"))
+        val q = e.where(pred)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val exact = e.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(d2.asc, col("vec_id"))))
+          .where(col("rk") <= 5)
+          .select("qid", "vec_id")
+          .localCheckpoint()
+        val tot = exact.count().toDouble
+        val flatDf = graft.ops.Similarity.binaryHammingRefineTopKBatch(
+            e, pred, kNN = 5, rerank = SparkEntry.BinRerank,
+            dims = SparkEntry.BinDims)
+          .localCheckpoint()
+        val bqFlat =
+          if (tot == 0) 0.0
+          else exact.intersect(flatDf.select("qid", "vec_id")).count() / tot
+        val root = java.nio.file.Files.createTempDirectory("bench-annbq-")
+        val bqPersist = try {
+          graft.ops.AnnIndex.seed(e, root.toString,
+            nlist = SparkEntry.IvfLists, trainIters = SparkEntry.IvfIters,
+            m = SparkEntry.PqM, k = SparkEntry.PqK,
+            pqIters = SparkEntry.PqIters, codec = "bq")
+          val qv = graft.ops.AnnIndex.collectQueryVecs(e.where(pred))
+          val got = graft.ops.AnnIndex.queryBatchRefined(spark,
+              root.toString, e, qv, kNN = 5, rerank = SparkEntry.BinRerank,
+              nprobe = SparkEntry.IvfPqProbes)
+            .select("qid", "vec_id")
+          val r = if (tot == 0) 0.0 else exact.intersect(got).count() / tot
+          // full-probe equality vs the flat scan (bit-for-bit)
+          def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+            df.select("qid", "vec_id", "cosine", "rk").collect().toSeq
+              .map(_.toSeq.mkString(",")).sorted
+          val full = graft.ops.AnnIndex.queryBatchRefined(spark,
+            root.toString, e, qv, kNN = 5, rerank = SparkEntry.BinRerank,
+            nprobe = SparkEntry.IvfLists)
+          if (rowsOf(full) != rowsOf(flatDf))
+            System.err.println("[bench] persisted-bq FULL-PROBE result " +
+              "!= flat binary scan — bq persistence layer diverged")
+          r
+        } finally graft.core.Fs.deleteRecursively(root.toFile)
+        (bqFlat, bqPersist)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bq recall diagnostic failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
+    hygiene("diag_bq_recall")
+
     // 2e. diagnostic (not a timing): IVF inverted-list balance at the
     //     gated `ann_ivf` config — probe cost is proportional to the
     //     probed lists' sizes, so a skewed assignment (one giant list)
@@ -888,6 +955,8 @@ object Bench {
           .filter { case (_, (ld, sp, _, _, _)) => sp > 0 || ld > loadBound }
           .sortBy(-_._2._2).take(24))},""" +
       s""""leg_witness_10x":$witness10xJson,""" +
+      s""""bq_recall_at_5":$bqRecall,""" +
+      s""""bq_recall_persist":$bqRecallPersist,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_drain_sec":$serverDrainSec,""" +
@@ -930,6 +999,8 @@ object Bench {
       s""""opq_recall_at_5":$opqRecall,""" +
       s""""refine_recall_at_5":$refineRecall,""" +
       s""""ivfpq_residual_recall":$residRecall,""" +
+      s""""bq_recall_at_5":$bqRecall,""" +
+      s""""bq_recall_persist":$bqRecallPersist,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_witness":$serverWitnessJson,""" +

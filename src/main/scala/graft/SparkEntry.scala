@@ -1261,6 +1261,43 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // RESEED (model refresh): the persistent index built the usual
+    // way (seed on the old split + three appends — by then the model
+    // was trained on ~80% of what the index holds), then
+    // AnnIndex.reseed retrains on the CURRENT full corpus, re-encodes
+    // into a new generation and atomically flips the manifest. A
+    // reseed on corpus C == a fresh seed of C bit-for-bit (training
+    // is a pure function of the corpus — AnnIndexSpec pins it, plus
+    // old-generation reader safety during the flip), so the ORACLE is
+    // the plain full-corpus-trained IVF-PQ chain (ivfPqOracle), NOT
+    // the persistent oracle's old-split training restriction.
+    "ann_ivfpq_reseed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annrsd-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+        }
+        graft.ops.AnnIndex.reseed(e, root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfPqProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // STREAMING ANN ingest: the index-maintenance shape a live vector
     // store runs — new embeddings arrive as EVENTS through the real
     // append path (vector ids in the payload, the vector store holds
@@ -5980,6 +6017,10 @@ object SparkEntry {
     "ann_ivf_pq_residual" -> ivfPqResidualOracle,
     "ann_ivfpq_persistent_residual" -> ivfPqPersistentResidualOracle,
     "ann_ivfpq_persistent" -> ivfPqPersistentOracle,
+    // reseed retrains on the CURRENT full corpus — its oracle is the
+    // plain full-corpus IVF-PQ chain, not the old-split-trained
+    // persistent variant (see the gate comment)
+    "ann_ivfpq_reseed" -> ivfPqOracle,
     "ann_ivfpq_persistent_delete" -> ivfPqPersistentDeleteOracle,
     "ann_ivfpq_persistent_filtered" -> ivfPqPersistentFilteredOracle,
     "ann_ivfpq_filtered_refine" -> ivfPqFilteredRefineOracle,

@@ -100,11 +100,33 @@ object AnnIndex {
       sampleMode: String = "prefix", idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = false,
       codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    val model = trainModel(corpus, nlist, trainIters, m, k, pqIters,
+      maxSample, sampleMode, idCol, vecCol, residual, codec, opqSteps,
+      opqDims)
+    GenIndex.init(root) { dir =>
+      writeModel(spark, dir, model)
+      encode(corpus, model, idCol, vecCol)
+        .repartition(col("ivf_cid"))
+        .write.mode("overwrite").partitionBy("ivf_cid")
+        .parquet(s"$dir/codes")
+    }
+  }
+
+  /** Quantizer training shared by [[seed]] and [[reseed]] — ONE
+    * implementation (the never-drift discipline), a pure function of
+    * (corpus, params): same rounded Lloyd's loops, same
+    * ordered-prefix/hash sample as [[Similarity.ivfPqTopKBatch]].
+    */
+  private def trainModel(corpus: DataFrame, nlist: Int, trainIters: Int,
+      m: Int, k: Int, pqIters: Int, maxSample: Int,
+      sampleMode: String, idCol: String, vecCol: String,
+      residual: Boolean, codec: String, opqSteps: Int,
+      opqDims: Int): Model = {
     require(codec == "pq" || codec == "sq8" || codec == "bq",
       s"unknown codec $codec")
     require(codec == "pq" || !residual,
       "residual encoding is a PQ concept — sq8/bq have no codebooks")
-    val spark = corpus.sparkSession
     // OPQ pre-rotation: the quantizers TRAIN in the rotated space (the
     // rotation is part of the frozen model — encode() and queryBatch()
     // apply it from the _opq marker, so the raw corpus passes through
@@ -141,15 +163,7 @@ object AnnIndex {
     val bqDims =
       if (codec == "bq") cents.head._2.length
       else 64
-    val model = Model(cents, books, residual, codec, opqSteps, opqDims,
-      bqDims)
-    GenIndex.init(root) { dir =>
-      writeModel(spark, dir, model)
-      encode(corpus, model, idCol, vecCol)
-        .repartition(col("ivf_cid"))
-        .write.mode("overwrite").partitionBy("ivf_cid")
-        .parquet(s"$dir/codes")
-    }
+    Model(cents, books, residual, codec, opqSteps, opqDims, bqDims)
   }
 
   /** Encode a batch of NEW vectors with the live generation's frozen
@@ -295,6 +309,50 @@ object AnnIndex {
     else
       Similarity.adcProbeScoreTopK(codes, qv, probes, model.books,
         model.centOf, model.residual, kNN, idCol)
+  }
+
+  /** RESEED: train a NEW model on the CURRENT corpus, re-encode into
+    * a new generation, and atomically flip the manifest — the
+    * model-refresh path a production index eventually needs once the
+    * corpus drifts from the seed-time training sample (the frozen-
+    * model discipline is per GENERATION, not forever). The index is a
+    * derived artifact, so the rebuild derives from the store of
+    * record: codes cannot be re-encoded from codes, the caller passes
+    * the corpus — exactly [[seed]]'s contract, into [[GenIndex]]'s
+    * next generation instead of generation 0.
+    *
+    * Reader safety is the GenIndex contract: a reader that resolved
+    * the manifest before the flip finishes against its own generation
+    * (old model + old codes — internally consistent); the flip is one
+    * atomic manifest write, and `retain` old generations survive it.
+    * A reseed on an unchanged corpus with the same training params is
+    * bit-identical to a fresh [[seed]] of that corpus (training is a
+    * pure function of the corpus — the determinism contract every
+    * trained-constant leg pins), which is what the correctness gate
+    * checks.
+    *
+    * Scale: one training pass (bounded sample), one full-corpus
+    * encode projection + clustered write — the cost of a seed, run at
+    * maintenance cadence; queries never block.
+    */
+  def reseed(corpus: DataFrame, root: String, nlist: Int, trainIters: Int,
+      m: Int, k: Int, pqIters: Int, maxSample: Int = 10000,
+      sampleMode: String = "prefix", idCol: String = "vec_id",
+      vecCol: String = "embedding", residual: Boolean = false,
+      codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64,
+      retain: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val (_, next) = GenIndex.nextGen(root)
+    val dir = s"$root/$next"
+    val model = trainModel(corpus, nlist, trainIters, m, k, pqIters,
+      maxSample, sampleMode, idCol, vecCol, residual, codec, opqSteps,
+      opqDims)
+    writeModel(spark, dir, model)
+    encode(corpus, model, idCol, vecCol)
+      .repartition(col("ivf_cid"))
+      .write.mode("overwrite").partitionBy("ivf_cid")
+      .parquet(s"$dir/codes")
+    GenIndex.publish(root, next, retain)
   }
 
   /** Rewrite the live generation's codes clustered one-file-per-list

@@ -310,6 +310,52 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one != oldOnly, "appends were invisible to the query")
   }
 
+  test("reseed == fresh seed of the same corpus, with old-generation " +
+      "reader safety during the flip") {
+    val (nlist, ti, m, k, pi) = Geom
+    import spark.implicits._
+    val old = corpus.where(!col("vec_id").isin(NewIds.toSeq: _*))
+    val nw = corpus.where(col("vec_id").isin(NewIds.toSeq: _*))
+    // fresh seed of the FULL corpus — the reseed equality target
+    val want = {
+      val root = java.nio.file.Files.createTempDirectory("annix-spec-")
+      try {
+        AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+          m = m, k = k, pqIters = pi)
+        rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+          kNN = 3, nprobe = 2))
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }
+    val root = java.nio.file.Files.createTempDirectory("annix-spec-")
+    try {
+      AnnIndex.seed(old, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi)
+      AnnIndex.append(nw, root.toString)
+      // a reader that resolved the manifest BEFORE the flip: its
+      // generation's model + codes must stay readable and answer
+      // identically after the reseed has published (retain=1 keeps it)
+      val preGen = GenIndex.currentGen(root.toString)
+      val preFlip = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      AnnIndex.reseed(corpus, root.toString, nlist = nlist,
+        trainIters = ti, m = m, k = k, pqIters = pi)
+      assert(GenIndex.currentGen(root.toString) != preGen,
+        "reseed must flip to a new generation")
+      // old-generation read-back: the pre-flip generation is intact
+      assert(spark.read.parquet(s"$preGen/codes").count() == ids.length,
+        "pre-flip generation's codes were disturbed by the reseed")
+      // the reseeded index == a fresh seed of the same corpus
+      val got = rows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 3, nprobe = 2))
+      assert(got == want,
+        s"reseed diverged from a fresh seed:\n$got\nvs\n$want")
+      // and the refresh is REAL: the old-split-trained index answered
+      // differently (the split is chosen so training sees the drift)
+      assert(got != preFlip || preFlip == want,
+        "reseed was a no-op on a drifted corpus")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("generations: manifest flip, retention bound, one file per list") {
     val (nlist, ti, m, k, pi) = Geom
     val root = java.nio.file.Files.createTempDirectory("annix-spec-")
