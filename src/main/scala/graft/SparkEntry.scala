@@ -1518,66 +1518,25 @@ object SparkEntry {
     // (pigeonhole-exact at hamming <= 3). Synthesis (expressions),
     // decode (ImageIO), oracle (SQL arithmetic) are three independent
     // paths — the multimodal discipline.
-    "dedup_image_dhash" -> ((s, d) => {
-      def le32(c: Column): Column = {
-        val be = lpad(hex(c), 8, "0")
-        concat(substring(be, 7, 2), substring(be, 5, 2),
-          substring(be, 3, 2), substring(be, 1, 2))
-      }
-      val g0 = expr("doc_id DIV 2")
-      // per-group SALTED gradient slopes (md5-derived odd multipliers,
-      // the hashBucket hex convention): fixed slopes repeat the dHash
-      // bit pattern every few g values and band buckets go quadratic —
-      // salting makes fingerprints pseudo-random ACROSS groups while
-      // twins (same g) stay near-identical, which is the property a
-      // real image corpus has. The salts are MATERIALIZED per doc
-      // (tiny frame) before the per-pixel synthesis lambdas: an
-      // aliased projection would be collapse-re-inlined and the md5
-      // re-evaluated per pixel per channel.
-      val hx = md5(concat(lit("dh:"), g0.cast("string")).cast("binary"))
-      def mulsOf(pos: Int): (Column, Column) = {
-        val sv = conv(substring(hx, pos, 4), 16, 10).cast("long")
-        (pmod(sv, lit(128L)) * 2 + 1,
-          pmod(shiftright(sv, 7), lit(128L)) * 2 + 1)
-      }
-      val (a1, b1) = mulsOf(1)
-      val (a2, b2) = mulsOf(5)
-      val (a3, b3) = mulsOf(9)
-      val seeded = Tables.documents(s, d).select(col("doc_id"),
-          (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
-          g0.as("g"),
-          (pmod(g0, lit(21)) + 8).cast("int").as("w"),
-          (pmod(g0 * 5, lit(17)) + 8).cast("int").as("h"),
-          a1.as("a1"), b1.as("b1"), a2.as("a2"), b2.as("b2"),
-          a3.as("a3"), b3.as("b3"))
-        .localCheckpoint()
-      val g = col("g")
-      val w = col("w")
-      val h = col("h")
-      val odd = col("odd")
-      val rowSize = ((w * 3 + 3) / lit(4)).cast("int") * 4
-      def chanV(fy: Column, x: Column, m: Int, a: Column, b: Column): Column =
-        pmod(g * m + x * a + fy * b, lit(256))
-      def chanHex(c: Column): Column = lpad(hex(c), 2, "0")
-      val body = concat_ws("", transform(sequence(lit(0), h - 1), fy =>
-        concat(
-          concat_ws("", transform(sequence(lit(0), w - 1), x =>
-            concat(
-              chanHex(when(odd && x === 0 && fy === 0,
-                  pmod(chanV(fy, x, 7, col("a1"), col("b1")) + 128, lit(256)))
-                .otherwise(chanV(fy, x, 7, col("a1"), col("b1")))),
-              chanHex(chanV(fy, x, 3, col("a2"), col("b2"))),
-              chanHex(chanV(fy, x, 1, col("a3"), col("b3")))))),
-          call_function("repeat", lit("00"), rowSize - w * 3))))
-      val bmp = unhex(concat(
-        lit("424D"), le32(lit(54) + rowSize * h), lit("00000000"),
-        le32(lit(54)), le32(lit(40)), le32(w), le32(h), lit("0100"),
-        lit("1800"), le32(lit(0)), le32(rowSize * h), le32(lit(2835)),
-        le32(lit(2835)), le32(lit(0)), le32(lit(0)), body))
-      graft.ops.Dedup.imageDHashPairs(
-          seeded.withColumn("payload", bmp), "payload", "doc_id")
-        .orderBy(col("a"), col("b"))
-    }),
+    "dedup_image_dhash" -> ((s, d) =>
+      graft.ops.Dedup.imageDHashPairs(dhashTwinBmps(s, d), "payload",
+          "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // INCREMENTAL perceptual image dedup: near-dup image pairs
+    // touching at least one NEW image (the usual ~20% hash split) —
+    // the per-ingest-batch shape, riding the SAME incremental banded
+    // probe as text simhash: only new images' bands probe the corpus
+    // band index, the historical corpus never self-joins. Result ==
+    // the batch gate RESTRICTED to new-touching pairs (spec-pinned);
+    // the oracle is the batch oracle with that restriction on the
+    // candidate CTE.
+    "dedup_image_dhash_incremental" -> ((s, d) =>
+      graft.ops.Dedup.imageDHashPairsIncremental(dhashTwinBmps(s, d),
+          "payload", "doc_id",
+          isNewCol = graft.ops.Curation.hashBucket(col("doc_id"),
+            IncrementalSeed) < lit(IncrementalNewBp))
+        .orderBy(col("a"), col("b"))),
 
     // Multimodal plumbing: binary payload + metadata envelope — the
     // envelope fields are oracle-checked.
@@ -4741,6 +4700,73 @@ object SparkEntry {
        |  CAST(tl AS BIGINT) AS tl_sum, CAST(br AS BIGINT) AS br_sum
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** The dedup_image_dhash corpora: per-document 2D-gradient BMPs
+    * with PLANTED even/odd near-dup twins (shared gradient, one
+    * perturbed origin pixel) and md5-SALTED per-group slopes — ONE
+    * builder behind the batch and incremental image-dedup gates, so
+    * the two can never drift. See the batch gate's comment for the
+    * construction; salts are MATERIALIZED per doc (collapse
+    * re-inlining would re-run the md5 per pixel).
+    */
+  private def dhashTwinBmps(s: SparkSession, d: String): DataFrame = {
+      def le32(c: Column): Column = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val g0 = expr("doc_id DIV 2")
+      // per-group SALTED gradient slopes (md5-derived odd multipliers,
+      // the hashBucket hex convention): fixed slopes repeat the dHash
+      // bit pattern every few g values and band buckets go quadratic —
+      // salting makes fingerprints pseudo-random ACROSS groups while
+      // twins (same g) stay near-identical, which is the property a
+      // real image corpus has. The salts are MATERIALIZED per doc
+      // (tiny frame) before the per-pixel synthesis lambdas: an
+      // aliased projection would be collapse-re-inlined and the md5
+      // re-evaluated per pixel per channel.
+      val hx = md5(concat(lit("dh:"), g0.cast("string")).cast("binary"))
+      def mulsOf(pos: Int): (Column, Column) = {
+        val sv = conv(substring(hx, pos, 4), 16, 10).cast("long")
+        (pmod(sv, lit(128L)) * 2 + 1,
+          pmod(shiftright(sv, 7), lit(128L)) * 2 + 1)
+      }
+      val (a1, b1) = mulsOf(1)
+      val (a2, b2) = mulsOf(5)
+      val (a3, b3) = mulsOf(9)
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
+          g0.as("g"),
+          (pmod(g0, lit(21)) + 8).cast("int").as("w"),
+          (pmod(g0 * 5, lit(17)) + 8).cast("int").as("h"),
+          a1.as("a1"), b1.as("b1"), a2.as("a2"), b2.as("b2"),
+          a3.as("a3"), b3.as("b3"))
+        .localCheckpoint()
+      val g = col("g")
+      val w = col("w")
+      val h = col("h")
+      val odd = col("odd")
+      val rowSize = ((w * 3 + 3) / lit(4)).cast("int") * 4
+      def chanV(fy: Column, x: Column, m: Int, a: Column, b: Column): Column =
+        pmod(g * m + x * a + fy * b, lit(256))
+      def chanHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val body = concat_ws("", transform(sequence(lit(0), h - 1), fy =>
+        concat(
+          concat_ws("", transform(sequence(lit(0), w - 1), x =>
+            concat(
+              chanHex(when(odd && x === 0 && fy === 0,
+                  pmod(chanV(fy, x, 7, col("a1"), col("b1")) + 128, lit(256)))
+                .otherwise(chanV(fy, x, 7, col("a1"), col("b1")))),
+              chanHex(chanV(fy, x, 3, col("a2"), col("b2"))),
+              chanHex(chanV(fy, x, 1, col("a3"), col("b3")))))),
+          call_function("repeat", lit("00"), rowSize - w * 3))))
+      val bmp = unhex(concat(
+        lit("424D"), le32(lit(54) + rowSize * h), lit("00000000"),
+        le32(lit(54)), le32(lit(40)), le32(w), le32(h), lit("0100"),
+        lit("1800"), le32(lit(0)), le32(rowSize * h), le32(lit(2835)),
+        le32(lit(2835)), le32(lit(0)), le32(lit(0)), body))
+    seeded.withColumn("payload", bmp)
+  }
+
   /** text_bpe_encode: the FULL tokenizer replayed in SQL — training
     * as [[BpeEncodeMerges]] unrolled per-iteration CTEs over the
     * vocabulary (pair-count → (cnt desc, a, b) argmax → merge), the
@@ -4820,7 +4846,20 @@ object SparkEntry {
     * and the per-char Hamming verify at <= 3. Integer arithmetic and
     * exact strings only.
     */
-  private def imageDHashOracle: String =
+  private def imageDHashOracle: String = imageDHashOracleFor("TRUE")
+
+  /** dedup_image_dhash_incremental: the batch chain with the
+    * candidate set restricted to pairs touching at least one NEW
+    * member — and nothing else (the simhash-incremental oracle
+    * discipline). */
+  private def imageDHashIncrementalOracle: String = {
+    def isNew(c: String) =
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || $c)")} % 10000)" +
+        s" < $IncrementalNewBp"
+    imageDHashOracleFor(s"(${isNew("f1.doc_id")} OR ${isNew("f2.doc_id")})")
+  }
+
+  private def imageDHashOracleFor(candPred: String): String =
     s"""WITH dims AS (
        |  SELECT doc_id, g, w, h,
        |    2 * (s1 % 128) + 1 AS a1, 2 * ((s1 // 128) % 128) + 1 AS b1,
@@ -4859,10 +4898,11 @@ object SparkEntry {
        |cand AS (
        |  SELECT f1.doc_id AS a, f2.doc_id AS b, f1.hsh AS ha, f2.hsh AS hb
        |  FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
-       |  WHERE substr(f1.hsh, 1, 16) = substr(f2.hsh, 1, 16)
+       |  WHERE (substr(f1.hsh, 1, 16) = substr(f2.hsh, 1, 16)
        |     OR substr(f1.hsh, 17, 16) = substr(f2.hsh, 17, 16)
        |     OR substr(f1.hsh, 33, 16) = substr(f2.hsh, 33, 16)
-       |     OR substr(f1.hsh, 49, 16) = substr(f2.hsh, 49, 16)),
+       |     OR substr(f1.hsh, 49, 16) = substr(f2.hsh, 49, 16))
+       |    AND $candPred),
        |ham AS (
        |  SELECT a, b, CAST(sum(CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
        |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
@@ -6326,6 +6366,7 @@ object SparkEntry {
     "curation_quality_ensemble" -> qualityEnsembleOracle,
     "multimodal_resize" -> resizeOracle,
     "dedup_image_dhash" -> imageDHashOracle,
+    "dedup_image_dhash_incremental" -> imageDHashIncrementalOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_sample_weighted" -> weightedSampleOracle,
     "curation_pack_sequences" -> packSequencesOracle,

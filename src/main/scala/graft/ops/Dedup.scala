@@ -1042,11 +1042,25 @@ object Dedup {
   def simhashPairsIncremental(df: DataFrame, textCol: String, idCol: String,
       isNewCol: Column, bits: Int = 64, bands: Int = 4, maxDistance: Int = 3,
       shingleK: Int = 3): DataFrame = {
+    val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
+    bandedHammingPairsIncremental(fp,
+      df.where(isNewCol).select(col(idCol).as("id")), bits, bands,
+      maxDistance)
+  }
+
+  /** The INCREMENTAL banded-Hamming probe shared by every
+    * fingerprint family (text simhash, image dHash): the corpus's
+    * band keys are the index, only the NEW ids' bands probe it —
+    * per-bucket work is |new ∩ bucket| × |bucket|, never |bucket|².
+    * `fp` is the (id, simhash-bit-string) frame, already
+    * materialized by the caller.
+    */
+  private def bandedHammingPairsIncremental(fp: DataFrame,
+      newIds: DataFrame, bits: Int, bands: Int,
+      maxDistance: Int): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
     val banded = simhashBandKeys(fp, bits, bands)
-    val newIds = df.where(isNewCol).select(col(idCol).as("id"))
     val probe = banded.join(newIds, "id")
     val cand = probe.select(col("band"), col("bkey"), col("id").as("x"))
       .join(banded.select(col("band"), col("bkey"), col("id").as("y")),
@@ -1061,5 +1075,29 @@ object Dedup {
       .withColumn("hamming", hammingDistance(col("sa"), col("sb"), bits).cast("long"))
       .where(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** INCREMENTAL perceptual image dedup: near-dup image pairs
+    * touching at least one NEW image — [[imageDHashPairs]]'s
+    * per-ingest-batch shape, riding the SAME incremental banded probe
+    * as text simhash ([[bandedHammingPairsIncremental]]): only new
+    * images' bands probe the corpus band index, the historical corpus
+    * never self-joins, and pigeonhole exactness carries over (a pair
+    * within hamming `bands - 1` with a new member shares a band the
+    * probe visits). Result == [[imageDHashPairs]] RESTRICTED to
+    * new-touching pairs (spec-pinned), so batch-then-incremental
+    * composes to the batch-global answer.
+    */
+  def imageDHashPairsIncremental(df: DataFrame, binCol: String,
+      idCol: String, isNewCol: Column, bands: Int = 4,
+      maxDistance: Int = 3): DataFrame = {
+    val fp = Multimodal.imageDHash(df, binCol)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash").as("simhash"),
+        isNewCol.as("isnew"))
+      .localCheckpoint()
+    bandedHammingPairsIncremental(
+      fp.select(col("id"), col("simhash")),
+      fp.where(col("isnew")).select(col("id")), 64, bands, maxDistance)
   }
 }

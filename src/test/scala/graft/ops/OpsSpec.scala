@@ -444,6 +444,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allNew == full, s"allNew=$allNew full=$full")
   }
 
+  test("incremental image dHash == batch pairs restricted to pairs " +
+      "touching a new image") {
+    import spark.implicits._
+    // solid-color twin BMPs (even/odd doc_ids share a color): solid
+    // images of one color hash identically, so the pair structure is
+    // known — this test pins the probe/restriction ALGEBRA (the gate's
+    // oracle pins hash correctness on real gradients)
+    val bmps = (0L until 40L).map { id =>
+      val gg = id / 2
+      val w = (gg % 5 + 8).toInt
+      val h = (gg % 3 + 8).toInt
+      id -> graft.ops.Multimodal.syntheticBmp24(w, h,
+        ((gg % 200).toInt, (gg * 3 % 200).toInt, (gg * 7 % 200).toInt))
+    }.toDF("doc_id", "payload")
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(3000)
+    val newIds = bmps.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < 40L, "proper subset required")
+    val full = Dedup.imageDHashPairs(bmps, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val inc = Dedup.imageDHashPairsIncremental(bmps, "payload", "doc_id",
+        isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == expected, s"inc size ${inc.size} vs ${expected.size}")
+    val allNew = Dedup.imageDHashPairsIncremental(bmps, "payload",
+        "doc_id", lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allNew == full)
+  }
+
   test("consistent top-k sample: survivors stable under corpus growth") {
     import spark.implicits._
     def hashed(ids: Seq[Long]) = ids.map(i => (i, s"s${i % 3}"))
