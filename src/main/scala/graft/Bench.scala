@@ -339,6 +339,27 @@ object Bench {
     val simhash32Ratio = simhashRatio(32, 4)
     val simhash64Ratio = simhashRatio(64, 4)
     val simhash128Ratio = simhashRatio(128, 8)
+    // image dHash banding selectivity over the gated twin-BMP corpus
+    // (same 4×16-bit geometry as simhash64): candidate pairs vs all
+    // pairs — the number that says whether perceptual image dedup
+    // stays ~linear. Recorded beside the simhash ratios so the four
+    // banded families' selectivities sit in one record.
+    val dhashRatio: Double =
+      try {
+        import org.apache.spark.sql.functions.col
+        val fp = graft.ops.Multimodal.imageDHash(
+            SparkEntry.dhashTwinBmps(spark, sfDir), "payload")
+          .where(col("dhash").isNotNull)
+          .select(col("doc_id").as("id"), col("dhash").as("simhash"))
+          .localCheckpoint()
+        val n = fp.count().toDouble
+        val cand = graft.ops.Dedup.simhashBandCandidates(fp, 64, 4)
+          .count().toDouble
+        if (n < 2) 0.0 else cand / (n * (n - 1) / 2)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dhash diagnostic failed: ${e.getMessage}")
+        -1.0
+      }
     hygiene("diag_simhash_ratio")
 
     // 2c. diagnostic (not a timing): trained-IVF recall@5 against the
@@ -928,6 +949,7 @@ object Bench {
         f"${psubDelivery10x / psubDelivery}%.3f"
       else "-1"
     val diag = s"""{"simhash32_candidate_ratio":$simhash32Ratio,""" +
+      s""""dhash64_candidate_ratio":$dhashRatio,""" +
       s""""simhash64_candidate_ratio":$simhash64Ratio,""" +
       s""""simhash128_candidate_ratio":$simhash128Ratio,""" +
       s""""ivf_recall_at_5":$ivfRecall,""" +

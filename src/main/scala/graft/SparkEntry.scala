@@ -1396,6 +1396,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The VOCAB-JOIN encode (bpeEncode's production swap for 30k+
+    // merge tables: encode the distinct-word vocabulary once, join
+    // the token stream back) — result-identical to text_bpe_encode
+    // by construction, so it shares that gate's ORACLE verbatim; what
+    // this leg gates is the swap itself (vocab encode + join + ordered
+    // sequence reassembly).
+    "text_bpe_encode_vocab" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges =
+        graft.ops.BpeTrain.trainBpe(docs, "text", BpeEncodeMerges)
+      graft.ops.BpeTrain.bpeEncodeVocab(docs, "text", "doc_id", merges,
+          samplePred = col("doc_id") < 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Polynomial rolling-hash fingerprint (exact integer arithmetic).
     "text_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -4708,7 +4723,7 @@ object SparkEntry {
     * construction; salts are MATERIALIZED per doc (collapse
     * re-inlining would re-run the md5 per pixel).
     */
-  private def dhashTwinBmps(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dhashTwinBmps(s: SparkSession, d: String): DataFrame = {
       def le32(c: Column): Column = {
         val be = lpad(hex(c), 8, "0")
         concat(substring(be, 7, 2), substring(be, 5, 2),
@@ -6778,6 +6793,9 @@ object SparkEntry {
     // deterministic (count desc, pair asc) top-20. Integer counts
     // only — no float noise anywhere.
     "text_bpe_encode" -> bpeEncodeOracle,
+    // the vocab-join swap is result-identical by construction — one
+    // oracle serves both encode shapes
+    "text_bpe_encode_vocab" -> bpeEncodeOracle,
 
     "bpe_pair_stats" ->
       """WITH w AS (SELECT t AS word, count(*) AS c FROM (

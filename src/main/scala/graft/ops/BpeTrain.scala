@@ -126,6 +126,59 @@ object BpeTrain {
       when(samplePred, translate(enc, B1 + B2, "|")).as("enc"))
   }
 
+  /** The VOCAB-JOIN encode — [[bpeEncode]]'s production swap for
+    * large merge tables: tokenization is per WORD, so encode the
+    * DISTINCT-word vocabulary once (|vocab| × k replace work instead
+    * of corpus × k) and join the per-doc token stream back. The
+    * trade: one corpus-wide shuffle of the token stream (the join +
+    * doc-keyed aggregations) buys independence from the merge count —
+    * at gated-geometry k the direct projection wins (zero shuffle),
+    * at production k (30k+ merges, where a k-deep expression chain
+    * stops being a viable plan) this shape wins; both are exposed and
+    * result-identical (BpeTrainSpec pins equality, and the gate
+    * shares [[bpeEncode]]'s oracle verbatim).
+    *
+    * The encoded vocabulary is the built-once artifact
+    * (localCheckpoint — both the count and sequence consumers read
+    * it; production would persist it next to the merge table). Output
+    * contract identical to [[bpeEncode]].
+    */
+  def bpeEncodeVocab(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)],
+      samplePred: org.apache.spark.sql.Column): DataFrame = {
+    val wordsEnc = {
+      // words contain no spaces (they ARE the space-split tokens), so
+      // no inter-word unwrap is needed — wrap and run the merge chain
+      val wrapped = regexp_replace(col("word"), "(?s)(.)", B1 + "$1" + B2)
+      val enc = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+        replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
+      }
+      wordCounts(df, textCol).select(col("word"),
+        (length(enc) - length(replace(enc, lit(B1), lit(""))))
+          .cast("long").as("nsym"),
+        translate(enc, B1 + B2, "|").as("wenc"))
+        .localCheckpoint()
+    }
+    val toks = df.select(col(idCol), samplePred.as("samp"),
+      posexplode(filter(split(col(textCol), " "), x => x =!= ""))
+        .as(Seq("pos", "word")))
+    val joined = toks.join(wordsEnc, "word")
+    val cnt = joined.groupBy(col(idCol)).agg(sum(col("nsym")).as("n_bpe"))
+    // encoded sequences only for the sampled docs — the collect_list
+    // is doc-bounded and sample-restricted, never corpus-shaped
+    val encs = joined.where(col("samp"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("wenc")))),
+        x => x.getField("wenc")), " ").as("enc0"))
+    df.select(col(idCol), samplePred.as("samp"))
+      .join(cnt, Seq(idCol), "left")
+      .join(encs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe_tokens"),
+        when(col("samp"), coalesce(col("enc0"), lit(""))).as("enc"))
+  }
+
   /** Learn `numMerges` BPE merges from the corpus. Returns the merge
     * table in application order. Each iteration: pair-count the
     * vocabulary, take the (count desc, pair asc) argmax, merge leftmost

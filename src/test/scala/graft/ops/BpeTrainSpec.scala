@@ -89,6 +89,23 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[String]("enc") == "|aa|a |aa|aa")
   }
 
+  test("bpeEncodeVocab == bpeEncode (the vocab-join production swap)") {
+    import spark.implicits._
+    // includes a multi-space doc and a doc with a repeated word so the
+    // join-back and ordered reassembly are genuinely exercised
+    val df = corpus.union(
+      Seq((5L, "  low  newest low "), (6L, "widest widest")).toDF("doc_id", "text"))
+    val merges = BpeTrain.trainBpe(df, "text", 4)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("enc"))).toSet
+    val direct = rows(BpeTrain.bpeEncode(df, "text", "doc_id", merges,
+      samplePred = pmod(col("doc_id"), lit(2)) === 0))
+    val vocab = rows(BpeTrain.bpeEncodeVocab(df, "text", "doc_id", merges,
+      samplePred = pmod(col("doc_id"), lit(2)) === 0))
+    assert(vocab == direct, s"vocab=$vocab\ndirect=$direct")
+  }
+
   test("bpeEncode normalizes whitespace and keeps unsampled enc NULL") {
     import spark.implicits._
     val df = Seq((1L, "  ab   ab "), (2L, "ab")).toDF("doc_id", "text")
