@@ -226,10 +226,14 @@ case class ArrayDotCols(left: Expression, right: Expression) extends BinaryExpre
       isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not a fixed local: two of these expressions in one
+      // codegen scope would otherwise redeclare the same variable and
+      // silently drop the WHOLE projection to interpreter mode
+      val r = ctx.freshName("dotRes")
       s"""
-         |java.lang.Double r = graft.functions.VecOps.dot(
+         |java.lang.Double $r = graft.functions.VecOps.dot(
          |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDotCols =
@@ -251,9 +255,10 @@ case class ArrayDotLit(child: Expression, weights: Array[Double]) extends UnaryE
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("weights", weights, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("dotLitRes")
       s"""
-         |java.lang.Double r = graft.functions.VecOps.dotLit($a, $w, $isFloat);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |java.lang.Double $r = graft.functions.VecOps.dotLit($a, $w, $isFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
   }
@@ -341,9 +346,10 @@ case class ByteSumRangeExpr(first: Expression, second: Expression, third: Expres
       o.asInstanceOf[Long], l.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, o, l) => {
+      val r = ctx.freshName("byteSumRes")
       s"""
-         |java.lang.Long r = graft.functions.VecOps.byteSumRange($b, $o, $l);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+         |java.lang.Long $r = graft.functions.VecOps.byteSumRange($b, $o, $l);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
