@@ -1553,6 +1553,32 @@ object SparkEntry {
             IncrementalSeed) < lit(IncrementalNewBp))
         .orderBy(col("a"), col("b"))),
 
+    // PERCEPTUAL AUDIO DEDUP: per-document canonical 8-bit PCM WAVs
+    // with planted even/odd near-dup twins — one md5-salted mod-256
+    // sample ramp per group (g = doc_id div 2), the odd twin's FIRST
+    // sample bumped by 128 (moves at most bit 0 of the energy hash).
+    // The fingerprint is Multimodal.wavEnergyHash64 — a PURE native
+    // expression through the real WAV container (65 byteSumRange
+    // windows in one codegen projection, zero UDF); banding and
+    // verify are the shared simhash machinery at the Manku 4x16-bit
+    // geometry. Audio is the FIFTH banded dedup family member. The
+    // oracle replays synthesis + window arithmetic (expressions /
+    // binary byte-walk / SQL arithmetic = three independent paths).
+    "dedup_audio_energy" -> ((s, d) =>
+      graft.ops.Dedup.audioEnergyHashPairs(audioTwinWavs(s, d),
+          "payload", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // Its per-ingest-batch shape on the shared incremental banded
+    // probe; oracle = the batch oracle with the new-touching
+    // restriction on the candidate CTE only.
+    "dedup_audio_energy_incremental" -> ((s, d) =>
+      graft.ops.Dedup.audioEnergyHashPairsIncremental(audioTwinWavs(s, d),
+          "payload", "doc_id",
+          isNewCol = graft.ops.Curation.hashBucket(col("doc_id"),
+            IncrementalSeed) < lit(IncrementalNewBp))
+        .orderBy(col("a"), col("b"))),
+
     // Multimodal plumbing: binary payload + metadata envelope — the
     // envelope fields are oracle-checked.
     "multimodal_meta" -> ((s, d) => {
@@ -4861,6 +4887,117 @@ object SparkEntry {
     * and the per-char Hamming verify at <= 3. Integer arithmetic and
     * exact strings only.
     */
+  /** The dedup_audio_energy corpora: canonical 8-bit PCM mono WAVs
+    * with PLANTED even/odd near-dup twins — one md5-salted sample
+    * ramp (b + i·m mod 256, m odd) per group, the odd twin's first
+    * sample bumped by 128. ONE builder behind the batch and
+    * incremental audio-dedup gates; salts MATERIALIZED per doc (the
+    * dhashTwinBmps discipline).
+    */
+  private[graft] def audioTwinWavs(s: SparkSession, d: String): DataFrame = {
+    def le32(c: Column): Column = {
+      val be = lpad(hex(c), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val g0 = expr("doc_id DIV 2")
+    val hx = md5(concat(lit("ae:"), g0.cast("string")).cast("binary"))
+    val seeded = Tables.documents(s, d).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
+        (lit(130L) + pmod(g0, lit(70))).as("n"),
+        (pmod(conv(substring(hx, 1, 4), 16, 10).cast("long"),
+          lit(128L)) * 2 + 1).as("m"),
+        pmod(conv(substring(hx, 5, 4), 16, 10).cast("long"),
+          lit(256L)).as("b"))
+      .localCheckpoint()
+    val n = col("n")
+    val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1), i =>
+      lpad(hex(pmod(
+        pmod(col("b") + i * col("m"), lit(256)) +
+          when(col("odd") && i === 0, lit(128L)).otherwise(lit(0L)),
+        lit(256))), 2, "0")))
+    val wav = unhex(concat(
+      lit(graft.ops.Multimodal.WavMagicRiffHex),
+      le32((lit(36L) + n).cast("int")),
+      lit(graft.ops.Multimodal.WavMagicWaveFmtHex), le32(lit(16)),
+      lit("0100"), lit("0100"), // PCM, mono
+      le32(lit(8000)), le32(lit(8000)),
+      lit("0100"), lit("0800"), // block align 1, 8 bits/sample
+      hex(lit("data".getBytes("US-ASCII"))), le32(n.cast("int")),
+      sampleHex))
+    seeded.withColumn("payload", wav)
+  }
+
+  /** dedup_audio_energy: the energy-hash chain replayed
+    * arithmetically — window boundaries n·w div 65, window sums over
+    * the synthesis ramp (+ the odd-twin first-sample bump),
+    * cross-multiplied length-normalized comparisons, then the shared
+    * banded-Hamming tail. Integer arithmetic and exact strings only.
+    */
+  private def audioEnergyOracle: String = audioEnergyOracleFor("TRUE")
+
+  private def audioEnergyIncrementalOracle: String = {
+    def isNew(c: String) =
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || $c)")} % 10000)" +
+        s" < $IncrementalNewBp"
+    audioEnergyOracleFor(s"(${isNew("f1.doc_id")} OR ${isNew("f2.doc_id")})")
+  }
+
+  private def audioEnergyOracleFor(candPred: String): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, n, 2 * (s1 % 128) + 1 AS m, s2 % 256 AS b
+       |  FROM (
+       |    SELECT doc_id, g, 130 + (g % 70) AS n,
+       |      ${sqlHexBucket("substr(md5('ae:' || g), 1, 4)")} AS s1,
+       |      ${sqlHexBucket("substr(md5('ae:' || g), 5, 4)")} AS s2
+       |    FROM (SELECT doc_id, doc_id // 2 AS g FROM documents))),
+       |win AS (
+       |  SELECT doc_id, w, (n * w) // 65 AS lo, (n * (w + 1)) // 65 AS hi
+       |  FROM dims, generate_series(0, 64) t(w)),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    ((b + i * m) % 256 +
+       |      CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 128 ELSE 0 END) % 256
+       |      AS v
+       |  FROM dims, generate_series(0, 4095) t(i) WHERE i < n),
+       |esum AS (
+       |  SELECT w.doc_id, w.w, CAST(sum(s.v) AS BIGINT) AS e,
+       |    CAST(w.hi - w.lo AS BIGINT) AS len
+       |  FROM win w JOIN samp s ON s.doc_id = w.doc_id
+       |    AND s.i >= w.lo AND s.i < w.hi
+       |  GROUP BY w.doc_id, w.w, w.hi - w.lo),
+       |bits AS (
+       |  SELECT a.doc_id, a.w,
+       |    CASE WHEN b2.e * a.len > a.e * b2.len THEN '1' ELSE '0' END AS bit
+       |  FROM esum a JOIN esum b2
+       |    ON b2.doc_id = a.doc_id AND b2.w = a.w + 1
+       |  WHERE a.w <= 63),
+       |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS hsh
+       |  FROM bits GROUP BY doc_id),
+       |${bandedHamTailSql(candPred)}""".stripMargin
+
+  /** The banded-Hamming candidate+verify SQL tail shared by every
+    * fingerprint-family oracle (image dHash, audio energy hash):
+    * expects a CTE `fp(doc_id, hsh)` in scope; 4×16-bit band OR-join,
+    * per-char Hamming, threshold 3 — the exact mirror of
+    * Dedup.bandedHammingPairs at the gated geometry.
+    */
+  private def bandedHamTailSql(candPred: String): String =
+    s"""cand AS (
+       |  SELECT f1.doc_id AS a, f2.doc_id AS b, f1.hsh AS ha, f2.hsh AS hb
+       |  FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
+       |  WHERE (substr(f1.hsh, 1, 16) = substr(f2.hsh, 1, 16)
+       |     OR substr(f1.hsh, 17, 16) = substr(f2.hsh, 17, 16)
+       |     OR substr(f1.hsh, 33, 16) = substr(f2.hsh, 33, 16)
+       |     OR substr(f1.hsh, 49, 16) = substr(f2.hsh, 49, 16))
+       |    AND $candPred),
+       |ham AS (
+       |  SELECT a, b, CAST(sum(CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |  FROM cand, generate_series(1, 64) t(i) GROUP BY a, b)
+       |SELECT a, b, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY a, b""".stripMargin
+
   private def imageDHashOracle: String = imageDHashOracleFor("TRUE")
 
   /** dedup_image_dhash_incremental: the batch chain with the
@@ -4910,20 +5047,7 @@ object SparkEntry {
        |  WHERE a.x <= 7),
        |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS hsh
        |  FROM bits GROUP BY doc_id),
-       |cand AS (
-       |  SELECT f1.doc_id AS a, f2.doc_id AS b, f1.hsh AS ha, f2.hsh AS hb
-       |  FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
-       |  WHERE (substr(f1.hsh, 1, 16) = substr(f2.hsh, 1, 16)
-       |     OR substr(f1.hsh, 17, 16) = substr(f2.hsh, 17, 16)
-       |     OR substr(f1.hsh, 33, 16) = substr(f2.hsh, 33, 16)
-       |     OR substr(f1.hsh, 49, 16) = substr(f2.hsh, 49, 16))
-       |    AND $candPred),
-       |ham AS (
-       |  SELECT a, b, CAST(sum(CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-       |  FROM cand, generate_series(1, 64) t(i) GROUP BY a, b)
-       |SELECT a, b, hamming FROM ham WHERE hamming <= 3
-       |ORDER BY a, b""".stripMargin
+       |${bandedHamTailSql(candPred)}""".stripMargin
 
   /** Mirror of Curation.qualityFilter: the same base signals
     * (text_quality's divisions of exact ints), the shared repetition
@@ -6381,6 +6505,8 @@ object SparkEntry {
     "curation_quality_ensemble" -> qualityEnsembleOracle,
     "multimodal_resize" -> resizeOracle,
     "dedup_image_dhash" -> imageDHashOracle,
+    "dedup_audio_energy" -> audioEnergyOracle,
+    "dedup_audio_energy_incremental" -> audioEnergyIncrementalOracle,
     "dedup_image_dhash_incremental" -> imageDHashIncrementalOracle,
     "curation_sample_stratified" -> stratSampleOracle,
     "curation_sample_weighted" -> weightedSampleOracle,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers callable from generated code. All of these are
@@ -83,6 +83,43 @@ object VecOps {
     val end = off + len
     while (i < end) { acc += (bytes(i.toInt) & 0xff); i += 1 }
     java.lang.Long.valueOf(acc)
+  }
+
+  /** The audio energy-hash kernel: slice `bytes[off .. off+len-1]`
+    * into `windows` contiguous windows (boundaries len·w div windows —
+    * the 1-D nearest-neighbor index mapping), then emit windows-1
+    * '0'/'1' chars where bit w compares mean(window w+1) vs
+    * mean(window w) as exact cross-multiplied integer sums. ONE pass
+    * over the range; NULL when the range leaves the payload or is
+    * empty (the byteSumRange contract). A 65-window hash as 130
+    * separate byteSumRange expressions measured ~2 ms/row interpreted
+    * (the composed tree is too large for codegen) — this kernel is
+    * that hash as one codegen'd call.
+    */
+  def energyHashBits(bytes: Array[Byte], off: Long, len: Long,
+      windows: Int): UTF8String = {
+    if (len < 1 || off < 0 || off + len > bytes.length) return null
+    val sums = new Array[Long](windows)
+    val lens = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val lo = off + len * w / windows
+      val hi = off + len * (w + 1) / windows
+      var acc = 0L
+      var i = lo
+      while (i < hi) { acc += (bytes(i.toInt) & 0xff); i += 1 }
+      sums(w) = acc
+      lens(w) = hi - lo
+      w += 1
+    }
+    val sb = new java.lang.StringBuilder(windows - 1)
+    w = 0
+    while (w < windows - 1) {
+      sb.append(if (sums(w + 1) * lens(w) > sums(w) * lens(w + 1)) '1'
+        else '0')
+      w += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** Rabin-Karp polynomial rolling hash over the first
@@ -356,6 +393,27 @@ case class ByteSumRangeExpr(first: Expression, second: Expression, third: Expres
       f: Expression, s: Expression, t: Expression): ByteSumRangeExpr = copy(f, s, t)
 }
 
+/** Codegen'd audio energy-hash bits (see VecOps.energyHashBits). */
+case class EnergyHashExpr(first: Expression, second: Expression,
+    third: Expression, windows: Int) extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, o: Any, l: Any): Any =
+    VecOps.energyHashBits(b.asInstanceOf[Array[Byte]],
+      o.asInstanceOf[Long], l.asInstanceOf[Long], windows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, o, l) => {
+      val r = ctx.freshName("energyHashRes")
+      s"""
+         |UTF8String $r = graft.functions.VecOps.energyHashBits($b, $o, $l, $windows);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): EnergyHashExpr =
+    copy(f, s, t)
+}
+
 /** Column API for the vector expressions. */
 object vec {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -377,6 +435,12 @@ object vec {
 
   def winnow(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+
+  def energyHashBits(bin: Column, off: Column, len: Column,
+      windows: Int): Column =
+    ColumnBridge.column(EnergyHashExpr(ColumnBridge.expression(bin),
+      ColumnBridge.expression(off.cast("long")),
+      ColumnBridge.expression(len.cast("long")), windows))
 
   def byteSumRange(bin: Column, off: Column, len: Column): Column =
     ColumnBridge.column(ByteSumRangeExpr(ColumnBridge.expression(bin),

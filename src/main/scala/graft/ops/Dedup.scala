@@ -969,13 +969,7 @@ object Dedup {
     // when the result is garbage-collected, so repeated calls in a
     // long-lived session don't pin cache entries forever.
     val fp = simhash(df, textCol, idCol, bits, shingleK).localCheckpoint()
-    val cand = simhashBandCandidates(fp, bits, bands)
-    cand
-      .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
-      .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
-      .withColumn("hamming", hammingDistance(col("sa"), col("sb"), bits).cast("long"))
-      .where(col("hamming") <= maxDistance)
-      .select(col("a"), col("b"), col("hamming"))
+    bandedHammingPairs(fp, bits, bands, maxDistance)
   }
 
   /** PERCEPTUAL image near-duplicate pairs — dHash over the REAL
@@ -1012,14 +1006,66 @@ object Dedup {
       .where(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("dhash").as("simhash"))
       .localCheckpoint()
-    val cand = simhashBandCandidates(fp, 64, bands)
+    bandedHammingPairs(fp, 64, bands, maxDistance)
+  }
+
+  /** The BATCH banded-Hamming tail shared by every fingerprint family
+    * (text simhash, image dHash, audio energy hash): pigeonhole-exact
+    * band candidates + chunked-conv Hamming verify over a
+    * caller-materialized `fp(id, simhash)` frame.
+    */
+  private def bandedHammingPairs(fp: DataFrame, bits: Int, bands: Int,
+      maxDistance: Int): DataFrame = {
+    require(maxDistance <= bands - 1,
+      s"banding into $bands bands is only exact up to distance ${bands - 1}")
+    val cand = simhashBandCandidates(fp, bits, bands)
     cand
       .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
       .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
       .withColumn("hamming",
-        hammingDistance(col("sa"), col("sb"), 64).cast("long"))
+        hammingDistance(col("sa"), col("sb"), bits).cast("long"))
       .where(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** PERCEPTUAL audio near-duplicate pairs — the energy-envelope hash
+    * over the canonical 8-bit PCM WAV layout
+    * ([[Multimodal.wavEnergyHash64]]: 65 contiguous data-chunk
+    * windows, sign-of-adjacent-energy bits, a PURE native expression
+    * — no UDF anywhere in this plan), banded and verified with the
+    * SAME machinery as every other fingerprint family. Audio is the
+    * FIFTH banded dedup member (shingles, simhash, embeddings,
+    * pixels, now PCM energy envelopes) on one candidate-generation
+    * geometry. Scale shape: fingerprinting is a zero-shuffle codegen
+    * projection; only 64-bit fingerprints reach the band join;
+    * undecodable payloads drop out before banding.
+    */
+  def audioEnergyHashPairs(df: DataFrame, binCol: String, idCol: String,
+      bands: Int = 4, maxDistance: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+        Multimodal.wavEnergyHash64(col(binCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
+      .localCheckpoint()
+    bandedHammingPairs(fp, 64, bands, maxDistance)
+  }
+
+  /** INCREMENTAL audio dedup — [[audioEnergyHashPairs]]'s
+    * per-ingest-batch shape on the shared incremental banded probe
+    * (see [[imageDHashPairsIncremental]]): only new clips' bands probe
+    * the corpus band index. Result == batch RESTRICTED to
+    * new-touching pairs (spec-pinned).
+    */
+  def audioEnergyHashPairsIncremental(df: DataFrame, binCol: String,
+      idCol: String, isNewCol: Column, bands: Int = 4,
+      maxDistance: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+        Multimodal.wavEnergyHash64(col(binCol)).as("simhash"),
+        isNewCol.as("isnew"))
+      .where(col("simhash").isNotNull)
+      .localCheckpoint()
+    bandedHammingPairsIncremental(
+      fp.select(col("id"), col("simhash")),
+      fp.where(col("isnew")).select(col("id")), 64, bands, maxDistance)
   }
 
   /** INCREMENTAL SimHash near-dup pairs: pairs within `maxDistance`

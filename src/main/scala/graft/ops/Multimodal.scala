@@ -455,6 +455,32 @@ object Multimodal {
       .otherwise(lit(0.0))
   }
 
+  /** 64-bit audio ENERGY HASH over the canonical 8-bit PCM WAV layout
+    * — the 1-D analogue of [[dHash64]] (Haitsma–Kalker-style
+    * sign-of-adjacent-energy-difference fingerprinting, collapsed to
+    * one band): slice the data chunk into 65 contiguous windows
+    * (boundaries = data_len·w div 65, the resize index mapping in
+    * 1-D), bit w = mean(window w+1) > mean(window w), compared as
+    * exact cross-multiplied integer sums so unequal window lengths
+    * never need a float division. Robust to gain changes that
+    * preserve the envelope's shape ordering and to container
+    * re-muxing; returned in the simhash bit-string form so the banded
+    * dedup machinery applies to audio UNCHANGED.
+    *
+    * Unlike the image path this is a PURE native expression — ONE
+    * codegen'd [[graft.functions.vec.energyHashBits]] kernel pass
+    * over the data chunk, zero UDF, zero shuffle. (The first cut
+    * composed 130 byteSumRange expressions; the tree was too large
+    * for codegen and evaluated interpreted at ~2 ms/row — the fused
+    * kernel is that hash as one call, OpsSpec pins it against the
+    * hand-computed bits.) Null for anything that fails the
+    * canonical-WAV guard or has an empty data chunk.
+    */
+  def wavEnergyHash64(bin: Column): Column =
+    when(isWav(bin) && wavDataLen(bin) >= 1,
+      graft.functions.vec.energyHashBits(bin, lit(44L), wavDataLen(bin),
+        windows = 65))
+
   /** Real audio header decode over a WAV binary column: format fields,
     * sample/duration arithmetic, and the 8-bit mean-amplitude envelope.
     * One narrow projection, no shuffle, expression-only (scan speed).

@@ -475,6 +475,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allNew == full)
   }
 
+  test("wavEnergyHash64 == the hand-computed window-comparison bits") {
+    import spark.implicits._
+    // 130 samples: enough that all 65 windows are non-empty (2 each)
+    val samples = Array.tabulate(130)(i => (i * 37 + 11) % 256)
+    val wav = Multimodal.syntheticWav8(8000, samples)
+    val junk: Array[Byte] = Array(1, 2, 3)
+    val got = Seq((1L, wav), (2L, junk)).toDF("id", "payload")
+      .select(col("id"), Multimodal.wavEnergyHash64(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("h")).toMap
+    // reference: window w = samples[130*w/65, 130*(w+1)/65); bit w =
+    // cross-multiplied mean comparison of windows w+1 vs w
+    val n = samples.length
+    def sums(w: Int): (Long, Long) = {
+      val lo = n * w / 65; val hi = n * (w + 1) / 65
+      (samples.slice(lo, hi).map(_.toLong).sum, (hi - lo).toLong)
+    }
+    val want = (0 until 64).map { w =>
+      val (e0, l0) = sums(w); val (e1, l1) = sums(w + 1)
+      if (e1 * l0 > e0 * l1) '1' else '0'
+    }.mkString
+    assert(got(1L) == want, s"${got(1L)}\nvs\n$want")
+    assert(got(2L) == null, "non-WAV payload must hash to null")
+  }
+
+  test("incremental audio energy hash == batch pairs restricted to " +
+      "pairs touching a new clip") {
+    import spark.implicits._
+    // twin clips: even/odd ids share a sample ramp (near-identical
+    // energy envelopes), different groups get different slopes
+    val wavs = (0L until 40L).map { id =>
+      val g = (id / 2).toInt
+      val samples = Array.tabulate(130)(i => (7 + g * 2 + i * (2 * g + 3)) % 256)
+      if (id % 2 == 1) samples(0) = (samples(0) + 128) % 256
+      id -> Multimodal.syntheticWav8(8000, samples)
+    }.toDF("doc_id", "payload")
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(3000)
+    val newIds = wavs.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < 40, "proper subset required")
+    val full = Dedup.audioEnergyHashPairs(wavs, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.exists(p => p._2 - p._1 == 1), "planted twins must pair")
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val inc = Dedup.audioEnergyHashPairsIncremental(wavs, "payload",
+        "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == expected)
+    val allNew = Dedup.audioEnergyHashPairsIncremental(wavs, "payload",
+        "doc_id", lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allNew == full)
+  }
+
   test("consistent top-k sample: survivors stable under corpus growth") {
     import spark.implicits._
     def hashed(ids: Seq[Long]) = ids.map(i => (i, s"s${i % 3}"))
