@@ -1579,6 +1579,29 @@ object SparkEntry {
             IncrementalSeed) < lit(IncrementalNewBp))
         .orderBy(col("a"), col("b"))),
 
+    // PERCEPTUAL VIDEO DEDUP: per-document uncompressed AVIs with
+    // planted even/odd twins — solid-color frames whose per-channel
+    // colors follow an md5-salted ramp over the FRAME index (the
+    // temporal envelope), the odd twin's first frame bumped by 128 on
+    // one channel (moves at most bit 0). The fingerprint rides the
+    // REAL container walk (aviFrameEnergies) into the 65-window
+    // temporal resample; banding/verify are the shared machinery.
+    // Video is the SIXTH banded dedup family member — every decoder
+    // the engine has now feeds a dedup tier. Oracle replays
+    // synthesis + window arithmetic through the shared SQL tail.
+    "dedup_video_temporal" -> ((s, d) =>
+      graft.ops.Dedup.videoTemporalHashPairs(videoTwinAvis(s, d),
+          "payload", "doc_id")
+        .orderBy(col("a"), col("b"))),
+
+    // Its per-ingest-batch shape on the shared incremental probe.
+    "dedup_video_temporal_incremental" -> ((s, d) =>
+      graft.ops.Dedup.videoTemporalHashPairsIncremental(
+          videoTwinAvis(s, d), "payload", "doc_id",
+          isNewCol = graft.ops.Curation.hashBucket(col("doc_id"),
+            IncrementalSeed) < lit(IncrementalNewBp))
+        .orderBy(col("a"), col("b"))),
+
     // Multimodal plumbing: binary payload + metadata envelope — the
     // envelope fields are oracle-checked.
     "multimodal_meta" -> ((s, d) => {
@@ -4976,6 +4999,127 @@ object SparkEntry {
        |  FROM bits GROUP BY doc_id),
        |${bandedHamTailSql(candPred)}""".stripMargin
 
+  /** The dedup_video_temporal corpora: minimal uncompressed AVIs
+    * (the multimodal_video_frames container layout — widths
+    * 4-byte-aligned, solid-BGR 00db frames) with PLANTED even/odd
+    * twins: per-channel frame colors follow an md5-salted mod-256
+    * ramp over the frame index, the odd twin's first frame bumped by
+    * 128 on one channel. nf >= 70 so all 65 temporal windows are
+    * non-empty. Salts MATERIALIZED per doc (the dhashTwinBmps
+    * discipline).
+    */
+  private[graft] def videoTwinAvis(s: SparkSession, d: String): DataFrame = {
+    def le32(c: Column): Column = {
+      val be = lpad(hex(c), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def z32(n: Int): Column = lit("00000000" * n)
+    val g0 = expr("doc_id DIV 2")
+    val hx = md5(concat(lit("vt:"), g0.cast("string")).cast("binary"))
+    def s4(pos: Int): Column =
+      conv(substring(hx, pos, 4), 16, 10).cast("long")
+    val seeded = Tables.documents(s, d).select(col("doc_id"),
+        (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
+        lit(4).as("w"),
+        (pmod(g0, lit(4)) + 2).cast("int").as("h"),
+        (pmod(g0, lit(30)) + 70).cast("int").as("nf"),
+        (pmod(s4(1), lit(128L)) * 2 + 1).as("m1"),
+        (pmod(s4(5), lit(128L)) * 2 + 1).as("m2"),
+        (pmod(s4(9), lit(128L)) * 2 + 1).as("m3"),
+        pmod(s4(13), lit(256L)).as("b1"),
+        pmod(s4(17), lit(256L)).as("b2"),
+        pmod(s4(21), lit(256L)).as("b3"))
+      .localCheckpoint()
+    val w = col("w")
+    val h = col("h")
+    val nf = col("nf")
+    val frameSize = w * 3 * h
+    def chanHex(f: Column, m: Column, b: Column, bump: Boolean): Column = {
+      val base = pmod(b + f * m, lit(256))
+      val v =
+        if (bump)
+          when(col("odd") && f === 0, pmod(base + 128, lit(256)))
+            .otherwise(base)
+        else base
+      lpad(hex(v), 2, "0")
+    }
+    val framesHex = concat_ws("", transform(sequence(lit(0), nf - 1), f =>
+      concat(lit("30306462"), le32(frameSize), // "00db" + size
+        call_function("repeat",
+          concat(chanHex(f, col("m1"), col("b1"), bump = true),
+            chanHex(f, col("m2"), col("b2"), bump = false),
+            chanHex(f, col("m3"), col("b3"), bump = false)),
+          w * h))))
+    val moviSize = lit(4) + nf * (frameSize + 8)
+    val avi = unhex(concat(
+      lit("52494646"), le32(lit(88) + moviSize), lit("41564920"),
+      lit("4C495354"), le32(lit(68)), lit("6864726C"),
+      lit("61766968"), le32(lit(56)), le32(lit(33333)), z32(3),
+      le32(nf), lit("00000000"), le32(lit(1)), lit("00000000"),
+      le32(w), le32(h), z32(4),
+      lit("4C495354"), le32(moviSize), lit("6D6F7669"),
+      framesHex))
+    seeded.withColumn("payload", avi)
+  }
+
+  /** dedup_video_temporal: the temporal-envelope chain replayed
+    * arithmetically — per-frame energies from the synthesis ramp,
+    * the 65-window frame resample (nf·w div 65 boundaries),
+    * cross-multiplied mean comparisons, the shared banded tail. */
+  private def videoTemporalOracle: String = videoTemporalOracleFor("TRUE")
+
+  private def videoTemporalIncrementalOracle: String = {
+    def isNew(c: String) =
+      s"(${sqlHexBucket(s"md5('$IncrementalSeed:' || $c)")} % 10000)" +
+        s" < $IncrementalNewBp"
+    videoTemporalOracleFor(
+      s"(${isNew("f1.doc_id")} OR ${isNew("f2.doc_id")})")
+  }
+
+  private def videoTemporalOracleFor(candPred: String): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, w, h, nf,
+       |    2 * (s1 % 128) + 1 AS m1, 2 * (s2 % 128) + 1 AS m2,
+       |    2 * (s3 % 128) + 1 AS m3,
+       |    s4 % 256 AS b1, s5 % 256 AS b2, s6 % 256 AS b3
+       |  FROM (
+       |    SELECT doc_id, g, 4 AS w, (g % 4) + 2 AS h, (g % 30) + 70 AS nf,
+       |      ${sqlHexBucket("substr(md5('vt:' || g), 1, 4)")} AS s1,
+       |      ${sqlHexBucket("substr(md5('vt:' || g), 5, 4)")} AS s2,
+       |      ${sqlHexBucket("substr(md5('vt:' || g), 9, 4)")} AS s3,
+       |      ${sqlHexBucket("substr(md5('vt:' || g), 13, 4)")} AS s4,
+       |      ${sqlHexBucket("substr(md5('vt:' || g), 17, 4)")} AS s5,
+       |      ${sqlHexBucket("substr(md5('vt:' || g), 21, 4)")} AS s6
+       |    FROM (SELECT doc_id, doc_id // 2 AS g FROM documents))),
+       |frames AS MATERIALIZED (
+       |  SELECT doc_id, f,
+       |    CAST(w * h AS BIGINT) * (
+       |        ((b1 + f * m1) % 256 +
+       |          CASE WHEN doc_id % 2 = 1 AND f = 0 THEN 128 ELSE 0 END)
+       |          % 256
+       |      + (b2 + f * m2) % 256
+       |      + (b3 + f * m3) % 256) AS fsum,
+       |    CAST(3 * w * h AS BIGINT) AS flen
+       |  FROM dims, generate_series(0, 127) t(f) WHERE f < nf),
+       |win AS (
+       |  SELECT doc_id, v, (nf * v) // 65 AS lo, (nf * (v + 1)) // 65 AS hi
+       |  FROM dims, generate_series(0, 64) t(v)),
+       |esum AS (
+       |  SELECT win.doc_id, v, CAST(sum(fsum) AS BIGINT) AS e,
+       |    CAST(sum(flen) AS BIGINT) AS sz
+       |  FROM win JOIN frames ON frames.doc_id = win.doc_id
+       |    AND f >= lo AND f < hi
+       |  GROUP BY win.doc_id, v),
+       |bits AS (
+       |  SELECT a.doc_id, a.v,
+       |    CASE WHEN c.e * a.sz > a.e * c.sz THEN '1' ELSE '0' END AS bit
+       |  FROM esum a JOIN esum c ON c.doc_id = a.doc_id AND c.v = a.v + 1
+       |  WHERE a.v <= 63),
+       |fp AS (SELECT doc_id, string_agg(bit, '' ORDER BY v) AS hsh
+       |  FROM bits GROUP BY doc_id),
+       |${bandedHamTailSql(candPred)}""".stripMargin
+
   /** The banded-Hamming candidate+verify SQL tail shared by every
     * fingerprint-family oracle (image dHash, audio energy hash):
     * expects a CTE `fp(doc_id, hsh)` in scope; 4×16-bit band OR-join,
@@ -6506,6 +6650,8 @@ object SparkEntry {
     "multimodal_resize" -> resizeOracle,
     "dedup_image_dhash" -> imageDHashOracle,
     "dedup_audio_energy" -> audioEnergyOracle,
+    "dedup_video_temporal" -> videoTemporalOracle,
+    "dedup_video_temporal_incremental" -> videoTemporalIncrementalOracle,
     "dedup_audio_energy_incremental" -> audioEnergyIncrementalOracle,
     "dedup_image_dhash_incremental" -> imageDHashIncrementalOracle,
     "curation_sample_stratified" -> stratSampleOracle,

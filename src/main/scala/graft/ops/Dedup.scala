@@ -1068,6 +1068,80 @@ object Dedup {
       fp.where(col("isnew")).select(col("id")), 64, bands, maxDistance)
   }
 
+  /** 64-bit TEMPORAL-ENVELOPE fingerprint over an uncompressed AVI's
+    * frame sequence — the video member of the banded family: the real
+    * container walk yields per-frame exact energies
+    * ([[Multimodal.aviFrameEnergies]]), the frame sequence is
+    * resampled onto 65 contiguous windows (boundaries nf·w div 65 —
+    * the 1-D nearest-neighbor mapping again) and bit w compares
+    * mean(window w+1) vs mean(window w) as cross-multiplied exact
+    * integer sums — [[Multimodal.wavEnergyHash64]]'s construction
+    * lifted from PCM bytes to frame energies, so the hash is robust
+    * to frame-rate resampling and per-frame re-encoding that
+    * preserves the brightness envelope. Fewer than 65 frames leaves
+    * empty windows comparing 0 vs 0 (deterministic '0' bits) — short
+    * clips degrade to coarser hashes, the honest behavior.
+    *
+    * Scale shape: the container walk + energy projection is linear in
+    * video bytes (no shuffle); ONE doc-keyed aggregation packs the
+    * bounded frame-stat sequence (nf structs of three longs — never
+    * pixels); windows+bits are per-row array arithmetic on that
+    * bounded sequence, materialized once (localCheckpoint) so the
+    * window pass never re-derives per bit. Returns fp(id, simhash).
+    */
+  def videoTemporalHash64(df: DataFrame, binCol: String,
+      idCol: String): DataFrame = {
+    val fr = Multimodal.aviFrameEnergies(df, binCol, idCol)
+    val packed = fr.groupBy(col("id"))
+      .agg(sort_array(collect_list(
+        struct(col("frame_idx"), col("fsum"), col("flen")))).as("fs"))
+    val nf = size(col("fs"))
+    def dv(a: Column): Column = call_function("div", a.cast("long"), lit(65L))
+    val wins = transform(sequence(lit(0), lit(64)), w => {
+      val lo = dv(nf * w)
+      val cnt = dv(nf * (w + 1)) - lo
+      struct(
+        aggregate(slice(col("fs"), lo.cast("int") + 1, cnt.cast("int")),
+          lit(0L), (acc, f) => acc + f.getField("fsum")).as("e"),
+        aggregate(slice(col("fs"), lo.cast("int") + 1, cnt.cast("int")),
+          lit(0L), (acc, f) => acc + f.getField("flen")).as("sz"))
+    })
+    val winsDf = packed.select(col("id"), wins.as("wins")).localCheckpoint()
+    val bits = transform(sequence(lit(0), lit(63)), w => {
+      val a = element_at(col("wins"), w + 1)
+      val c = element_at(col("wins"), w + 2)
+      when(c.getField("e") * a.getField("sz") >
+          a.getField("e") * c.getField("sz"), lit("1"))
+        .otherwise(lit("0"))
+    })
+    winsDf.select(col("id"), array_join(bits, "").as("simhash"))
+  }
+
+  /** PERCEPTUAL video near-duplicate pairs — the temporal-envelope
+    * hash banded and verified with the shared machinery: video is the
+    * SIXTH banded dedup member (shingles, simhash, embeddings,
+    * pixels, PCM energy, now frame envelopes) — every decoder the
+    * engine has now feeds a dedup tier on one candidate-generation
+    * geometry.
+    */
+  def videoTemporalHashPairs(df: DataFrame, binCol: String,
+      idCol: String, bands: Int = 4, maxDistance: Int = 3): DataFrame = {
+    val fp = videoTemporalHash64(df, binCol, idCol).localCheckpoint()
+    bandedHammingPairs(fp, 64, bands, maxDistance)
+  }
+
+  /** INCREMENTAL video dedup on the shared incremental banded probe —
+    * see [[imageDHashPairsIncremental]]; result == batch RESTRICTED
+    * to new-touching pairs (spec-pinned).
+    */
+  def videoTemporalHashPairsIncremental(df: DataFrame, binCol: String,
+      idCol: String, isNewCol: Column, bands: Int = 4,
+      maxDistance: Int = 3): DataFrame = {
+    val newIds = df.where(isNewCol).select(col(idCol).as("id"))
+    val fp = videoTemporalHash64(df, binCol, idCol).localCheckpoint()
+    bandedHammingPairsIncremental(fp, newIds, 64, bands, maxDistance)
+  }
+
   /** INCREMENTAL SimHash near-dup pairs: pairs within `maxDistance`
     * touching at least one NEW document — the per-ingest-batch shape
     * of simhash dedup, mirroring [[minhashLshIncremental]]. The

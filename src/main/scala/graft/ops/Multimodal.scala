@@ -620,6 +620,29 @@ object Multimodal {
     * Compressed codecs would slot in at `frame_bytes`; none ship in
     * this environment.
     */
+  /** Per-frame EXACT energies over an uncompressed AVI: one row per
+    * `00db` frame with the frame's integer byte sum and byte length —
+    * the unrounded feed for the temporal-envelope hash
+    * ([[Dedup.videoTemporalHashPairs]]); [[aviFrames]]'s rounded
+    * per-frame means are the human-facing decode, this is the
+    * fingerprint arithmetic. Same container walk, same byteSumRange
+    * kernel; non-AVIs produce no rows.
+    */
+  def aviFrameEnergies(df: DataFrame, binCol: String,
+      idCol: String): DataFrame = {
+    val b = col(binCol)
+    df.select(col(idCol).as("id"), b.as("__bin"))
+      .withColumn("__avi", aviIndexUdf(col("__bin")))
+      .select(col("id"), col("__bin"),
+        posexplode_outer(col("__avi._3")).as(Seq("frame_idx", "__f")))
+      .where(col("__f").isNotNull)
+      .select(col("id"), col("frame_idx"),
+        graft.functions.vec.byteSumRange(col("__bin"),
+          col("__f._1").cast("long"), col("__f._2").cast("long"))
+          .as("fsum"),
+        col("__f._2").cast("long").as("flen"))
+  }
+
   def aviFrames(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
     val idx = aviIndexUdf(b)

@@ -528,6 +528,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allNew == full)
   }
 
+  test("incremental video temporal hash == batch pairs restricted to " +
+      "pairs touching a new clip") {
+    import spark.implicits._
+    // twin clips: even/odd ids share a per-frame color ramp (same
+    // temporal envelope), odd bumps frame 0; 70 frames so every
+    // temporal window is non-empty
+    val avis = (0L until 40L).map { id =>
+      val g = (id / 2).toInt
+      val frames = (0 until 70).map { f =>
+        val c1 = (5 + g * 3 + f * (2 * g + 5)) % 256
+        val bump = if (id % 2 == 1 && f == 0) 128 else 0
+        ((c1 + bump) % 256, (11 + f * (g + 7)) % 256, (23 + f * 13) % 256)
+      }
+      id -> Multimodal.syntheticAvi(4, 2, frames)
+    }.toDF("doc_id", "payload")
+    val isNew = Curation.hashBucket(col("doc_id"), "ingest") < lit(3000)
+    val newIds = avis.where(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < 40, "proper subset required")
+    val full = Dedup.videoTemporalHashPairs(avis, "payload", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.exists(p => p._2 - p._1 == 1), "planted twins must pair")
+    val expected = full.filter(p => newIds(p._1) || newIds(p._2))
+    val inc = Dedup.videoTemporalHashPairsIncremental(avis, "payload",
+        "doc_id", isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == expected)
+    val allNew = Dedup.videoTemporalHashPairsIncremental(avis, "payload",
+        "doc_id", lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allNew == full)
+  }
+
   test("consistent top-k sample: survivors stable under corpus growth") {
     import spark.implicits._
     def hashed(ids: Seq[Long]) = ids.map(i => (i, s"s${i % 3}"))
