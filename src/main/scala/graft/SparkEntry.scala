@@ -4925,18 +4925,28 @@ object SparkEntry {
     }
     val g0 = expr("doc_id DIV 2")
     val hx = md5(concat(lit("ae:"), g0.cast("string")).cast("binary"))
+    // the ramp carries a SALTED QUADRATIC scramble (q·(i² mod 251))
+    // on top of the linear slope: a pure linear ramp's envelope bit
+    // pattern is determined by (m, n) alone — ~9k distinct patterns
+    // at a 100× corpus, hash collisions cluster entire groups into
+    // the same band buckets and candidate mass goes quadratic
+    // (measured 244× at 100×); the scramble gives each group a
+    // pseudo-random envelope, the property a real audio corpus has
     val seeded = Tables.documents(s, d).select(col("doc_id"),
         (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
         (lit(130L) + pmod(g0, lit(70))).as("n"),
         (pmod(conv(substring(hx, 1, 4), 16, 10).cast("long"),
           lit(128L)) * 2 + 1).as("m"),
+        (pmod(shiftright(conv(substring(hx, 1, 4), 16, 10).cast("long"), 7),
+          lit(128L)) * 2 + 1).as("q"),
         pmod(conv(substring(hx, 5, 4), 16, 10).cast("long"),
           lit(256L)).as("b"))
       .localCheckpoint()
     val n = col("n")
     val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1), i =>
       lpad(hex(pmod(
-        pmod(col("b") + i * col("m"), lit(256)) +
+        pmod(col("b") + i * col("m") + pmod(i * i, lit(251L)) * col("q"),
+          lit(256)) +
           when(col("odd") && i === 0, lit(128L)).otherwise(lit(0L)),
         lit(256))), 2, "0")))
     val wav = unhex(concat(
@@ -4968,7 +4978,8 @@ object SparkEntry {
 
   private def audioEnergyOracleFor(candPred: String): String =
     s"""WITH dims AS (
-       |  SELECT doc_id, n, 2 * (s1 % 128) + 1 AS m, s2 % 256 AS b
+       |  SELECT doc_id, n, 2 * (s1 % 128) + 1 AS m,
+       |    2 * ((s1 // 128) % 128) + 1 AS q, s2 % 256 AS b
        |  FROM (
        |    SELECT doc_id, g, 130 + (g % 70) AS n,
        |      ${sqlHexBucket("substr(md5('ae:' || g), 1, 4)")} AS s1,
@@ -4979,7 +4990,7 @@ object SparkEntry {
        |  FROM dims, generate_series(0, 64) t(w)),
        |samp AS MATERIALIZED (
        |  SELECT doc_id, i,
-       |    ((b + i * m) % 256 +
+       |    ((b + i * m + ((i * i) % 251) * q) % 256 +
        |      CASE WHEN doc_id % 2 = 1 AND i = 0 THEN 128 ELSE 0 END) % 256
        |      AS v
        |  FROM dims, generate_series(0, 4095) t(i) WHERE i < n),
@@ -5027,6 +5038,12 @@ object SparkEntry {
         (pmod(s4(1), lit(128L)) * 2 + 1).as("m1"),
         (pmod(s4(5), lit(128L)) * 2 + 1).as("m2"),
         (pmod(s4(9), lit(128L)) * 2 + 1).as("m3"),
+        // the audio gate's salted-quadratic scramble, per channel —
+        // linear frame ramps alone leave the envelope pattern space
+        // too small at a 100× corpus (see audioTwinWavs)
+        (pmod(shiftright(s4(1), 7), lit(128L)) * 2 + 1).as("q1"),
+        (pmod(shiftright(s4(5), 7), lit(128L)) * 2 + 1).as("q2"),
+        (pmod(shiftright(s4(9), 7), lit(128L)) * 2 + 1).as("q3"),
         pmod(s4(13), lit(256L)).as("b1"),
         pmod(s4(17), lit(256L)).as("b2"),
         pmod(s4(21), lit(256L)).as("b3"))
@@ -5035,8 +5052,9 @@ object SparkEntry {
     val h = col("h")
     val nf = col("nf")
     val frameSize = w * 3 * h
-    def chanHex(f: Column, m: Column, b: Column, bump: Boolean): Column = {
-      val base = pmod(b + f * m, lit(256))
+    def chanHex(f: Column, m: Column, q: Column, b: Column,
+        bump: Boolean): Column = {
+      val base = pmod(b + f * m + pmod(f * f, lit(251)) * q, lit(256))
       val v =
         if (bump)
           when(col("odd") && f === 0, pmod(base + 128, lit(256)))
@@ -5047,9 +5065,9 @@ object SparkEntry {
     val framesHex = concat_ws("", transform(sequence(lit(0), nf - 1), f =>
       concat(lit("30306462"), le32(frameSize), // "00db" + size
         call_function("repeat",
-          concat(chanHex(f, col("m1"), col("b1"), bump = true),
-            chanHex(f, col("m2"), col("b2"), bump = false),
-            chanHex(f, col("m3"), col("b3"), bump = false)),
+          concat(chanHex(f, col("m1"), col("q1"), col("b1"), bump = true),
+            chanHex(f, col("m2"), col("q2"), col("b2"), bump = false),
+            chanHex(f, col("m3"), col("q3"), col("b3"), bump = false)),
           w * h))))
     val moviSize = lit(4) + nf * (frameSize + 8)
     val avi = unhex(concat(
@@ -5082,6 +5100,9 @@ object SparkEntry {
        |  SELECT doc_id, w, h, nf,
        |    2 * (s1 % 128) + 1 AS m1, 2 * (s2 % 128) + 1 AS m2,
        |    2 * (s3 % 128) + 1 AS m3,
+       |    2 * ((s1 // 128) % 128) + 1 AS q1,
+       |    2 * ((s2 // 128) % 128) + 1 AS q2,
+       |    2 * ((s3 // 128) % 128) + 1 AS q3,
        |    s4 % 256 AS b1, s5 % 256 AS b2, s6 % 256 AS b3
        |  FROM (
        |    SELECT doc_id, g, 4 AS w, (g % 4) + 2 AS h, (g % 30) + 70 AS nf,
@@ -5095,11 +5116,11 @@ object SparkEntry {
        |frames AS MATERIALIZED (
        |  SELECT doc_id, f,
        |    CAST(w * h AS BIGINT) * (
-       |        ((b1 + f * m1) % 256 +
+       |        ((b1 + f * m1 + ((f * f) % 251) * q1) % 256 +
        |          CASE WHEN doc_id % 2 = 1 AND f = 0 THEN 128 ELSE 0 END)
        |          % 256
-       |      + (b2 + f * m2) % 256
-       |      + (b3 + f * m3) % 256) AS fsum,
+       |      + (b2 + f * m2 + ((f * f) % 251) * q2) % 256
+       |      + (b3 + f * m3 + ((f * f) % 251) * q3) % 256) AS fsum,
        |    CAST(3 * w * h AS BIGINT) AS flen
        |  FROM dims, generate_series(0, 127) t(f) WHERE f < nf),
        |win AS (
