@@ -2402,6 +2402,64 @@ object SparkEntry {
     // maxFilesPerTrigger forces a real multi-batch catch-up: the index
     // genuinely grows mid-stream, which is what distinguishes this
     // from the batch incremental form.
+    // STREAMING perceptual image dedup: the banded fingerprint index
+    // is FAMILY-GENERIC (one (id, simhash, band, bkey) machine behind
+    // text simhash AND the multimodal tiers), gated here end-to-end
+    // for images — seed the index from the at-rest images' dHashes,
+    // stream the new docs through the real event source, synthesize
+    // each micro-batch's BMPs (a pure function of doc_id, identical
+    // to the batch gate's corpus), dHash through the real ImageIO
+    // decode, probe + append via the shared fingerprintProbeBatch
+    // (probe-vs-index AND within-batch, candidate-restricted verify),
+    // with the periodic in-stream compaction. Union of per-batch
+    // pairs == the incremental batch answer (same restricted-recount
+    // oracle as dedup_image_dhash_incremental).
+    "stream_dedup_image" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-sdimg-")
+      try {
+        graft.streaming.StreamingDedup.seedFingerprintIndex(
+          graft.ops.Multimodal.imageDHash(
+              dhashTwinBmpsOf(Tables.documents(s, d).where(!isNew)
+                .select(col("doc_id"))), "payload")
+            .where(col("dhash").isNotNull)
+            .select(col("doc_id").as("id"), col("dhash").as("simhash")),
+          indexDir.toString)
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+              .parquet(s"${des.root}/events"),
+            "verify-sdimg-ck-",
+            perBatch = { b =>
+              val ids = b.select(
+                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                  .as("doc_id"))
+              val fp = graft.ops.Multimodal.imageDHash(
+                  dhashTwinBmpsOf(ids), "payload")
+                .where(col("dhash").isNotNull)
+                .select(col("doc_id").as("id"),
+                  col("dhash").as("simhash"))
+              val pairs = graft.streaming.StreamingDedup
+                .fingerprintProbeBatch(fp, indexDir.toString)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
+                graft.streaming.StreamingDedup.compactIndex(s,
+                  indexDir.toString, Seq("band", "bkey"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("hamming"))
+          }
+          .toDF("a", "b", "hamming")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     "stream_dedup_simhash" -> ((s, d) => {
       import s.implicits._
       val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
@@ -4772,7 +4830,15 @@ object SparkEntry {
     * construction; salts are MATERIALIZED per doc (collapse
     * re-inlining would re-run the md5 per pixel).
     */
-  private[graft] def dhashTwinBmps(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dhashTwinBmps(s: SparkSession, d: String): DataFrame =
+    dhashTwinBmpsOf(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[dhashTwinBmps]] over an arbitrary (doc_id) frame — the entry
+    * point the STREAMING image-dedup gate synthesizes per-micro-batch
+    * payloads through (the corpus is a pure function of doc_id, so a
+    * streamed doc and the batch gate's doc carry the identical BMP).
+    */
+  private[graft] def dhashTwinBmpsOf(ids: DataFrame): DataFrame = {
       def le32(c: Column): Column = {
         val be = lpad(hex(c), 8, "0")
         concat(substring(be, 7, 2), substring(be, 5, 2),
@@ -4797,7 +4863,7 @@ object SparkEntry {
       val (a1, b1) = mulsOf(1)
       val (a2, b2) = mulsOf(5)
       val (a3, b3) = mulsOf(9)
-      val seeded = Tables.documents(s, d).select(col("doc_id"),
+      val seeded = ids.select(col("doc_id"),
           (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
           g0.as("g"),
           (pmod(g0, lit(21)) + 8).cast("int").as("w"),
@@ -6670,6 +6736,10 @@ object SparkEntry {
     "curation_quality_ensemble" -> qualityEnsembleOracle,
     "multimodal_resize" -> resizeOracle,
     "dedup_image_dhash" -> imageDHashOracle,
+    // the streaming image probe (index seeded with the old split, new
+    // docs streamed) emits exactly the new-touching pair set — the
+    // incremental oracle verbatim, the stream_dedup_simhash discipline
+    "stream_dedup_image" -> imageDHashIncrementalOracle,
     "dedup_audio_energy" -> audioEnergyOracle,
     "dedup_video_temporal" -> videoTemporalOracle,
     "dedup_video_temporal_incremental" -> videoTemporalIncrementalOracle,

@@ -40,11 +40,20 @@ object StreamingDedup {
     */
   def seedSimhashIndex(corpus: DataFrame, textCol: String, idCol: String,
       indexDir: String, bits: Int = 64, bands: Int = 4,
-      shingleK: Int = 3): Unit = {
-    val fp = Dedup.simhash(corpus, textCol, idCol, bits, shingleK)
+      shingleK: Int = 3): Unit =
+    seedFingerprintIndex(Dedup.simhash(corpus, textCol, idCol, bits,
+      shingleK), indexDir, bits, bands)
+
+  /** Fingerprint-GENERIC index seed: any family whose fingerprint
+    * travels in the simhash bit-string form (text simhash, image
+    * dHash, audio energy, video temporal envelope) seeds the same
+    * (id, simhash, band, bkey) index — one streaming-dedup machine,
+    * six families. `fp` is (id, simhash).
+    */
+  def seedFingerprintIndex(fp: DataFrame, indexDir: String,
+      bits: Int = 64, bands: Int = 4): Unit =
     Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .write.mode("overwrite").parquet(indexDir)
-  }
 
   /** One micro-batch of the streaming probe: fingerprint `batch`,
     * probe the index AND the batch itself on (band, bkey), verify
@@ -55,11 +64,20 @@ object StreamingDedup {
     */
   def simhashProbeBatch(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, bits: Int = 64, bands: Int = 4,
-      maxDistance: Int = 3, shingleK: Int = 3): DataFrame = {
+      maxDistance: Int = 3, shingleK: Int = 3): DataFrame =
+    fingerprintProbeBatch(Dedup.simhash(batch, textCol, idCol, bits,
+      shingleK), indexDir, bits, bands, maxDistance)
+
+  /** Fingerprint-generic micro-batch probe — the
+    * [[simhashProbeBatch]] body over a precomputed (id, simhash)
+    * batch frame; shares [[simhashPairsAgainst]] (probe-vs-index AND
+    * within-batch, candidate-restricted verify) and the append.
+    */
+  def fingerprintProbeBatch(fp: DataFrame, indexDir: String,
+      bits: Int = 64, bands: Int = 4, maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    val spark = batch.sparkSession
-    val fp = Dedup.simhash(batch, textCol, idCol, bits, shingleK)
+    val spark = fp.sparkSession
     val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .localCheckpoint()
     val pairs = simhashPairsAgainst(probe,
