@@ -4952,6 +4952,13 @@ object SparkEntry {
        |  FROM documents),
        |dw AS MATERIALIZED (SELECT doc_id, i, tk[i] AS word
        |  FROM toks, generate_series(1, 4096) g(i) WHERE i <= len(tk)),
+       |guard AS (SELECT CASE WHEN (SELECT max(length(word)) FROM w) > 64
+       |    OR (SELECT max(len(tk)) FROM toks) > 4096
+       |  THEN error('bpe oracle unroll bound violated: a corpus word '
+       |    || 'exceeds 64 chars or a document exceeds 4096 tokens — '
+       |    || 'the engine encoders are unbounded; widen the '
+       |    || 'generate_series bounds')
+       |  ELSE 1 END AS ok),
        |cnt AS (SELECT dw.doc_id, CAST(sum(nsym) AS BIGINT) AS n_bpe
        |  FROM dw JOIN wsyms USING (word) GROUP BY dw.doc_id),
        |encs AS (SELECT dw.doc_id,
@@ -4961,8 +4968,10 @@ object SparkEntry {
        |  WHERE dw.doc_id < 20 GROUP BY dw.doc_id)
        |SELECT d.doc_id, coalesce(cnt.n_bpe, 0) AS n_bpe_tokens,
        |  CASE WHEN d.doc_id < 20 THEN coalesce(encs.enc, '') END AS enc
-       |FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+       |FROM documents d CROSS JOIN guard
+       |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
        |LEFT JOIN encs ON encs.doc_id = d.doc_id
+       |WHERE guard.ok = 1
        |ORDER BY d.doc_id""".stripMargin
   }
 

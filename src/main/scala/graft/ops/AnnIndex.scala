@@ -340,9 +340,9 @@ object AnnIndex {
       sampleMode: String = "prefix", idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = false,
       codec: String = "pq", opqSteps: Int = 0, opqDims: Int = 64,
-      retain: Int = 1): Unit = {
+      retain: Int = 1, allowShrink: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val (_, next) = GenIndex.nextGen(root)
+    val (cur, next) = GenIndex.nextGen(root)
     val dir = s"$root/$next"
     val model = trainModel(corpus, nlist, trainIters, m, k, pqIters,
       maxSample, sampleMode, idCol, vecCol, residual, codec, opqSteps,
@@ -352,6 +352,26 @@ object AnnIndex {
       .repartition(col("ivf_cid"))
       .write.mode("overwrite").partitionBy("ivf_cid")
       .parquet(s"$dir/codes")
+    // shrinkage guard: the caller passes the corpus (codes cannot be
+    // re-encoded from codes), so a corpus snapshot that misses vectors
+    // appended to the live generation after the snapshot would
+    // silently vanish at the flip. Compare the new generation's code
+    // count against the live generation's SURVIVING count (duplicates
+    // collapsed, tombstones applied — the set a reader of `cur` sees);
+    // refuse to publish a smaller index unless explicitly allowed.
+    if (!allowShrink) {
+      val newCount = spark.read.parquet(s"$dir/codes")
+        .select(idCol).distinct().count()
+      val liveCount = spark.read.parquet(s"$cur/codes")
+        .dropDuplicates(idCol)
+        .join(tombsOf(spark, cur, idCol), Seq(idCol), "left_anti")
+        .count()
+      require(newCount >= liveCount,
+        s"reseed would shrink the index: new generation has $newCount " +
+          s"codes vs $liveCount live — the passed corpus is missing " +
+          "vectors present in the live generation (stale snapshot?). " +
+          "Pass allowShrink=true to publish anyway.")
+    }
     GenIndex.publish(root, next, retain)
   }
 

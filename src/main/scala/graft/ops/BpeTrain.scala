@@ -110,10 +110,16 @@ object BpeTrain {
   def bpeEncode(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)],
       samplePred: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.functions.{col, length, lit, regexp_replace,
-      replace, translate, when}
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit,
+      regexp_replace, replace, translate, when}
+    // NULL text coalesces to '' so a null-text row encodes as
+    // (0 tokens, empty sequence) — identical to [[bpeEncodeVocab]],
+    // whose explode-join path yields no tokens for a null document and
+    // coalesces the count/sequence to 0/''. Without this the two
+    // spec-pinned result-identical encoders diverged on null rows.
     val norm = regexp_replace(
-      regexp_replace(col(textCol), " +", " "), "^ | $", "")
+      regexp_replace(coalesce(col(textCol), lit("")), " +", " "),
+      "^ | $", "")
     val wrapped = replace(
       regexp_replace(norm, "(?s)(.)", B1 + "$1" + B2),
       lit(B1 + " " + B2), lit(" "))

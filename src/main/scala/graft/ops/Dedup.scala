@@ -1097,9 +1097,13 @@ object Dedup {
         struct(col("frame_idx"), col("fsum"), col("flen")))).as("fs"))
     val nf = size(col("fs"))
     def dv(a: Column): Column = call_function("div", a.cast("long"), lit(65L))
+    // window boundaries in LONG: nf * w in Int overflows past ~33M
+    // frames — same overflow discipline as VecOps.energyHashBits,
+    // whose kernel does this arithmetic in Long throughout
+    val nfL = nf.cast("long")
     val wins = transform(sequence(lit(0), lit(64)), w => {
-      val lo = dv(nf * w)
-      val cnt = dv(nf * (w + 1)) - lo
+      val lo = dv(nfL * w)
+      val cnt = dv(nfL * (w + 1)) - lo
       struct(
         aggregate(slice(col("fs"), lo.cast("int") + 1, cnt.cast("int")),
           lit(0L), (acc, f) => acc + f.getField("fsum")).as("e"),

@@ -91,10 +91,14 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bpeEncodeVocab == bpeEncode (the vocab-join production swap)") {
     import spark.implicits._
-    // includes a multi-space doc and a doc with a repeated word so the
-    // join-back and ordered reassembly are genuinely exercised
+    // includes a multi-space doc, a doc with a repeated word, and a
+    // NULL-text doc so the join-back, ordered reassembly, and the
+    // null-coalesce contract (both encoders: 0 tokens, '' sequence
+    // when sampled) are genuinely exercised
     val df = corpus.union(
-      Seq((5L, "  low  newest low "), (6L, "widest widest")).toDF("doc_id", "text"))
+      Seq((5L, "  low  newest low "), (6L, "widest widest"))
+        .toDF("doc_id", "text")).union(
+      Seq((8L, Option.empty[String])).toDF("doc_id", "text"))
     val merges = BpeTrain.trainBpe(df, "text", 4)
     def rows(out: org.apache.spark.sql.DataFrame) =
       out.collect().map(r => (r.getAs[Long]("doc_id"),
