@@ -550,7 +550,9 @@ object Dedup {
     * table groups once on `sh` into bounded posting arrays (≤ maxDf
     * ids — the cap runs BEFORE the collect, so a stopword shingle's
     * O(corpus) posting never materializes in any buffer), and each
-    * posting emits its C(df, 2) pairs as a codegen'd double explode.
+    * posting emits its C(df, 2) pairs through the lazy
+    * [[graft.functions.PairCombosExpr]] generator (index-walk, no
+    * per-row array copy, only the i < j half ever exists).
     * That is ONE shuffle of the capped shingle table where the
     * self-join form shuffled it twice (both join sides) and then
     * probed row-by-row — same pair volume, one fewer corpus-sized
@@ -579,11 +581,19 @@ object Dedup {
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("ni"))
       } else {
-        sh.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
+        // pair emission via the LAZY pair generator, not a double
+        // explode: the (a, ids) intermediate of the explode form
+        // carried the full posting array in every one of its df rows —
+        // O(df²) bytes per bucket in flight, the suite's largest GC
+        // source at 10× (BENCH_r16 dedup_containment gc 7.3 s).
+        // sort_array makes positional pairs (i < j) value pairs
+        // (a < b) — ids are distinct per bucket (wordShingles is
+        // distinct), so the emitted pair set is the self-join's
+        // exactly (DedupSpec pins it).
+        sh.groupBy(col("sh"))
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
           .where(size(col("ids")) >= 2)
-          .select(explode(col("ids")).as("a"), col("ids"))
-          .select(col("a"), explode(col("ids")).as("b"))
-          .where(col("a") < col("b"))
+          .select(graft.functions.gen.pairCombos(col("ids")).as(Seq("a", "b")))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("ni"))
       }
