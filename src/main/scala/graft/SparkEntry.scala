@@ -2460,6 +2460,104 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
     }),
 
+    // STREAMING perceptual audio dedup — the same fingerprint-generic
+    // banded index machine as stream_dedup_image, with the PCM
+    // energy-hash fingerprint (the fused codegen kernel, zero UDF):
+    // seed from the at-rest clips' hashes, stream the new docs
+    // through the real event source, synthesize each micro-batch's
+    // WAVs (a pure function of doc_id — identical to the batch
+    // gate's corpus), fingerprint, probe + append via the shared
+    // fingerprintProbeBatch, periodic in-stream compaction. Union of
+    // per-batch pairs == the incremental batch answer (same
+    // restricted-recount oracle as dedup_audio_energy_incremental).
+    "stream_dedup_audio" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-sdaud-")
+      def fpOf(ids: DataFrame): DataFrame =
+        audioTwinWavsOf(ids).select(col("doc_id").as("id"),
+            graft.ops.Multimodal.wavEnergyHash64(col("payload"))
+              .as("simhash"))
+          .where(col("simhash").isNotNull)
+      try {
+        graft.streaming.StreamingDedup.seedFingerprintIndex(
+          fpOf(Tables.documents(s, d).where(!isNew).select(col("doc_id"))),
+          indexDir.toString)
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+              .parquet(s"${des.root}/events"),
+            "verify-sdaud-ck-",
+            perBatch = { b =>
+              val ids = b.select(
+                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                  .as("doc_id"))
+              val pairs = graft.streaming.StreamingDedup
+                .fingerprintProbeBatch(fpOf(ids), indexDir.toString)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
+                graft.streaming.StreamingDedup.compactIndex(s,
+                  indexDir.toString, Seq("band", "bkey"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("hamming"))
+          }
+          .toDF("a", "b", "hamming")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
+    // STREAMING perceptual video dedup — the sixth family's streaming
+    // member, closing the 6-family × batch/incremental/streaming
+    // matrix on the ONE candidate-generation geometry: the
+    // temporal-envelope fingerprint rides the real AVI container walk
+    // per micro-batch; everything downstream is the shared machine.
+    // Oracle = dedup_video_temporal_incremental's recount verbatim.
+    "stream_dedup_video" -> ((s, d) => {
+      import s.implicits._
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val indexDir =
+        java.nio.file.Files.createTempDirectory("verify-sdvid-")
+      def fpOf(ids: DataFrame): DataFrame =
+        graft.ops.Dedup.videoTemporalHash64(videoTwinAvisOf(ids),
+          "payload", "doc_id")
+      try {
+        graft.streaming.StreamingDedup.seedFingerprintIndex(
+          fpOf(Tables.documents(s, d).where(!isNew).select(col("doc_id"))),
+          indexDir.toString)
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+              .parquet(s"${des.root}/events"),
+            "verify-sdvid-ck-",
+            perBatch = { b =>
+              val ids = b.select(
+                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                  .as("doc_id"))
+              val pairs = graft.streaming.StreamingDedup
+                .fingerprintProbeBatch(fpOf(ids), indexDir.toString)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
+                graft.streaming.StreamingDedup.compactIndex(s,
+                  indexDir.toString, Seq("band", "bkey"))
+              pairs
+            }) { r =>
+            (r.getAs[Long]("a"), r.getAs[Long]("b"),
+              r.getAs[Long]("hamming"))
+          }
+          .toDF("a", "b", "hamming")
+          .orderBy(col("a"), col("b"))
+      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+    }),
+
     "stream_dedup_simhash" -> ((s, d) => {
       import s.implicits._
       val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
@@ -4992,7 +5090,15 @@ object SparkEntry {
     * incremental audio-dedup gates; salts MATERIALIZED per doc (the
     * dhashTwinBmps discipline).
     */
-  private[graft] def audioTwinWavs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def audioTwinWavs(s: SparkSession, d: String): DataFrame =
+    audioTwinWavsOf(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[audioTwinWavs]] over an arbitrary (doc_id) frame — the entry
+    * point the STREAMING audio-dedup gate synthesizes per-micro-batch
+    * payloads through (the corpus is a pure function of doc_id, the
+    * dhashTwinBmpsOf discipline).
+    */
+  private[graft] def audioTwinWavsOf(ids: DataFrame): DataFrame = {
     def le32(c: Column): Column = {
       val be = lpad(hex(c), 8, "0")
       concat(substring(be, 7, 2), substring(be, 5, 2),
@@ -5007,7 +5113,7 @@ object SparkEntry {
     // the same band buckets and candidate mass goes quadratic
     // (measured 244× at 100×); the scramble gives each group a
     // pseudo-random envelope, the property a real audio corpus has
-    val seeded = Tables.documents(s, d).select(col("doc_id"),
+    val seeded = ids.select(col("doc_id"),
         (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
         (lit(130L) + pmod(g0, lit(70))).as("n"),
         (pmod(conv(substring(hx, 1, 4), 16, 10).cast("long"),
@@ -5094,7 +5200,15 @@ object SparkEntry {
     * non-empty. Salts MATERIALIZED per doc (the dhashTwinBmps
     * discipline).
     */
-  private[graft] def videoTwinAvis(s: SparkSession, d: String): DataFrame = {
+  private[graft] def videoTwinAvis(s: SparkSession, d: String): DataFrame =
+    videoTwinAvisOf(Tables.documents(s, d).select(col("doc_id")))
+
+  /** [[videoTwinAvis]] over an arbitrary (doc_id) frame — the entry
+    * point the STREAMING video-dedup gate synthesizes per-micro-batch
+    * payloads through (the corpus is a pure function of doc_id, the
+    * dhashTwinBmpsOf discipline).
+    */
+  private[graft] def videoTwinAvisOf(ids: DataFrame): DataFrame = {
     def le32(c: Column): Column = {
       val be = lpad(hex(c), 8, "0")
       concat(substring(be, 7, 2), substring(be, 5, 2),
@@ -5105,7 +5219,7 @@ object SparkEntry {
     val hx = md5(concat(lit("vt:"), g0.cast("string")).cast("binary"))
     def s4(pos: Int): Column =
       conv(substring(hx, pos, 4), 16, 10).cast("long")
-    val seeded = Tables.documents(s, d).select(col("doc_id"),
+    val seeded = ids.select(col("doc_id"),
         (pmod(col("doc_id"), lit(2)) === 1).as("odd"),
         lit(4).as("w"),
         (pmod(g0, lit(4)) + 2).cast("int").as("h"),
@@ -6749,6 +6863,8 @@ object SparkEntry {
     // docs streamed) emits exactly the new-touching pair set — the
     // incremental oracle verbatim, the stream_dedup_simhash discipline
     "stream_dedup_image" -> imageDHashIncrementalOracle,
+    "stream_dedup_audio" -> audioEnergyIncrementalOracle,
+    "stream_dedup_video" -> videoTemporalIncrementalOracle,
     "dedup_audio_energy" -> audioEnergyOracle,
     "dedup_video_temporal" -> videoTemporalOracle,
     "dedup_video_temporal_incremental" -> videoTemporalIncrementalOracle,
