@@ -1298,6 +1298,41 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // Reseed × codec: reseed is codec-generic (ONE trainModel behind
+    // seed and reseed — the matrix exists by construction), gated
+    // here on the cheapest non-PQ codec so the discipline "every
+    // persisted-codec cell gated or spec-pinned" covers the reseed
+    // column too; AnnIndexSpec pins reseed == fresh seed bit-for-bit
+    // for sq8/bq/opq. Oracle = the full-corpus sq8 oracle (reseed
+    // trains on the current corpus, so the trained state matches a
+    // fresh seed's).
+    "ann_ivfsq8_reseed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annrsq8-")
+      try {
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters, codec = "sq8")
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+        }
+        graft.ops.AnnIndex.reseed(e, root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters, codec = "sq8")
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id").isin(0, 1, 2)))
+        graft.ops.AnnIndex.queryBatch(s, root.toString, qVecs,
+            kNN = 5, nprobe = IvfProbes)
+          .orderBy(col("qid"), col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // STREAMING ANN ingest: the index-maintenance shape a live vector
     // store runs — new embeddings arrive as EVENTS through the real
     // append path (vector ids in the payload, the vector store holds
@@ -6554,6 +6589,7 @@ object SparkEntry {
     // plain full-corpus IVF-PQ chain, not the old-split-trained
     // persistent variant (see the gate comment)
     "ann_ivfpq_reseed" -> ivfPqOracle,
+    "ann_ivfsq8_reseed" -> ivfSq8Oracle,
     "ann_ivfpq_persistent_delete" -> ivfPqPersistentDeleteOracle,
     "ann_ivfpq_persistent_filtered" -> ivfPqPersistentFilteredOracle,
     "ann_ivfpq_filtered_refine" -> ivfPqFilteredRefineOracle,

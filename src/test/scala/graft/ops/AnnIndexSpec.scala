@@ -356,6 +356,71 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("reseed x codec: sq8, bq and opq reseed == a fresh seed of the " +
+      "same corpus (reseed is codec-generic, one trainModel behind both)") {
+    val (nlist, ti, m, k, pi) = Geom
+    // generic row form: bq scores are LONG hammings, pq/sq8 doubles —
+    // stringify so one comparator pins every codec bit-for-bit
+    def gRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val old = corpus.where(!col("vec_id").isin(NewIds.toSeq: _*))
+    val nw = corpus.where(col("vec_id").isin(NewIds.toSeq: _*))
+    for ((label, codec, opqSteps) <- Seq(
+        ("sq8", "sq8", 0), ("bq", "bq", 0), ("opq", "pq", 6))) {
+      val want = {
+        val root = java.nio.file.Files.createTempDirectory("annrsx-spec-")
+        try {
+          AnnIndex.seed(corpus, root.toString, nlist = nlist,
+            trainIters = ti, m = m, k = k, pqIters = pi, codec = codec,
+            opqSteps = opqSteps, opqDims = Dims)
+          gRows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+            kNN = 3, nprobe = 2))
+        } finally graft.core.Fs.deleteRecursively(root.toFile)
+      }
+      val root = java.nio.file.Files.createTempDirectory("annrsx-spec-")
+      try {
+        AnnIndex.seed(old, root.toString, nlist = nlist, trainIters = ti,
+          m = m, k = k, pqIters = pi, codec = codec,
+          opqSteps = opqSteps, opqDims = Dims)
+        AnnIndex.append(nw, root.toString)
+        AnnIndex.reseed(corpus, root.toString, nlist = nlist,
+          trainIters = ti, m = m, k = k, pqIters = pi, codec = codec,
+          opqSteps = opqSteps, opqDims = Dims)
+        val got = gRows(AnnIndex.queryBatch(spark, root.toString, qVecs,
+          kNN = 3, nprobe = 2))
+        assert(got == want,
+          s"$label reseed diverged from a fresh seed:\n$got\nvs\n$want")
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }
+  }
+
+  test("reseed refuses to shrink the index unless explicitly allowed") {
+    val (nlist, ti, m, k, pi) = Geom
+    val root = java.nio.file.Files.createTempDirectory("annshr-spec-")
+    try {
+      AnnIndex.seed(corpus, root.toString, nlist = nlist, trainIters = ti,
+        m = m, k = k, pqIters = pi)
+      val stale = corpus.where(col("vec_id") < 20)
+      val ex = intercept[IllegalArgumentException] {
+        AnnIndex.reseed(stale, root.toString, nlist = nlist,
+          trainIters = ti, m = m, k = k, pqIters = pi)
+      }
+      assert(ex.getMessage.contains("shrink"),
+        s"unexpected failure message: ${ex.getMessage}")
+      // the refused reseed must not have flipped the manifest: the
+      // live index still answers with the full corpus
+      val full = AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 40, nprobe = nlist).collect().map(_.getLong(1)).toSet
+      assert(full.exists(_ >= 20), "refused reseed disturbed the index")
+      // and explicitly allowed, the shrink publishes
+      AnnIndex.reseed(stale, root.toString, nlist = nlist,
+        trainIters = ti, m = m, k = k, pqIters = pi, allowShrink = true)
+      val after = AnnIndex.queryBatch(spark, root.toString, qVecs,
+        kNN = 40, nprobe = nlist).collect().map(_.getLong(1)).toSet
+      assert(after.forall(_ < 20), "allowed shrink did not publish")
+    } finally graft.core.Fs.deleteRecursively(root.toFile)
+  }
+
   test("generations: manifest flip, retention bound, one file per list") {
     val (nlist, ti, m, k, pi) = Geom
     val root = java.nio.file.Files.createTempDirectory("annix-spec-")
