@@ -50,10 +50,17 @@ object StreamingDedup {
     * (id, simhash, band, bkey) index — one streaming-dedup machine,
     * six families. `fp` is (id, simhash).
     */
-  def seedFingerprintIndex(fp: DataFrame, indexDir: String,
-      bits: Int = 64, bands: Int = 4): Unit =
+  def seedFingerprintIndex(fp0: DataFrame, indexDir: String,
+      bits: Int = 64, bands: Int = 4): Unit = {
+    // materialize the fingerprint ONCE: simhashBandKeys unions one
+    // fp.select per band and the id-join adds a fifth reference — an
+    // expensive fingerprint (ImageIO decode, AVI container walk, the
+    // energy kernel over the full at-rest corpus) would otherwise be
+    // recomputed five times inside one write
+    val fp = fp0.localCheckpoint()
     Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .write.mode("overwrite").parquet(indexDir)
+  }
 
   /** One micro-batch of the streaming probe: fingerprint `batch`,
     * probe the index AND the batch itself on (band, bkey), verify
@@ -73,11 +80,15 @@ object StreamingDedup {
     * batch frame; shares [[simhashPairsAgainst]] (probe-vs-index AND
     * within-batch, candidate-restricted verify) and the append.
     */
-  def fingerprintProbeBatch(fp: DataFrame, indexDir: String,
+  def fingerprintProbeBatch(fp0: DataFrame, indexDir: String,
       bits: Int = 64, bands: Int = 4, maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    val spark = fp.sparkSession
+    val spark = fp0.sparkSession
+    // one fingerprint evaluation per micro-batch (see
+    // seedFingerprintIndex — band-keys + id-join reference fp five
+    // times; the media-decode fingerprints make that five decodes)
+    val fp = fp0.localCheckpoint()
     val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
       .localCheckpoint()
     val pairs = simhashPairsAgainst(probe,
