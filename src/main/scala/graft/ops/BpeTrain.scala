@@ -224,4 +224,53 @@ object BpeTrain {
     }
     merges.toSeq
   }
+
+  /** A SYNTHETIC merge table for encode COST diagnostics: BATCHED
+    * rounds of pair statistics — each round takes EVERY surviving
+    * adjacent pair by (cnt desc, a, b), appends them in that order,
+    * applies the whole batch to the vocabulary in one typed map, and
+    * recounts — so a 1024-deep table costs a handful of Spark jobs
+    * instead of 1024 training iterations. Not a true BPE argmax
+    * sequence (a round's later merges don't see its earlier merge
+    * products' pair stats), which is irrelevant to what it is for:
+    * the two encoders must agree on ANY applied-in-order table, and
+    * apply cost scales with table depth and hit rate, not argmax
+    * optimality. Never feeds a correctness gate.
+    */
+  def syntheticMerges(df: DataFrame, textCol: String,
+      k: Int): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = wordCounts(df, textCol)
+      .select(charSyms(col("word")).as("syms"), col("c"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < k && !exhausted) {
+      val batch = pairCounts(vocab)
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(k - merges.length)
+        .collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      if (batch.isEmpty) exhausted = true
+      else {
+        merges ++= batch
+        vocab = vocab.as[SymWord].map { w =>
+          var syms = w.syms
+          batch.foreach { case (a, b) =>
+            val out = ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toSeq
+          }
+          SymWord(syms, w.c)
+        }.toDF("syms", "c").localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
 }
