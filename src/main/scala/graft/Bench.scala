@@ -741,45 +741,23 @@ object Bench {
     //     vocab-join swap — the measured curve behind "vocab-join is
     //     the production-depth shape" (the gate runs both paths only
     //     at oracle-unrollable depth, so without this the crossover
-    //     claim was prose). Synthetic batched-rounds merge table (one
-    //     job per round, not one per merge — see
-    //     BpeTrain.syntheticMerges); the table depth is corpus-capped
-    //     (rounds stop when every word is one symbol), so the deepest
-    //     cell records the cap. Both paths must agree on the
-    //     corpus-wide token sum at every depth — a diverging cell
-    //     records -1 and is a finding, not a silent skip.
+    //     claim was prose). ONE implementation shared with the probe
+    //     tool (tools/ProbeBpeDepth.sweep — synthetic batched-rounds
+    //     merge table, corpus-capped depth, per-cell failure markers
+    //     so a deep-cell pathology never discards measured shallow
+    //     cells). Both paths must agree on the corpus-wide token sum
+    //     at every depth — a diverging or failed cell records -1, a
+    //     finding, not a silent skip.
     val bpeDepthJson =
       try {
-        val docs = Tables.documents(spark, sfDir)
-        val merges = graft.ops.BpeTrain.syntheticMerges(docs, "text", 1024)
-        val depths = (Seq(16, 64, 256).filter(_ < merges.length) :+
-          merges.length).distinct
-        val cells = depths.flatMap { k =>
-          val mk = merges.take(k)
-          var sd = -1L
-          var sv = -2L
-          val td = time {
-            sd = graft.ops.BpeTrain
-              .bpeEncode(docs, "text", "doc_id", mk,
-                org.apache.spark.sql.functions.lit(false))
-              .agg(org.apache.spark.sql.functions.sum(
-                org.apache.spark.sql.functions.col("n_bpe_tokens")))
-              .collect()(0).getLong(0)
-          }
-          val tv = time {
-            sv = graft.ops.BpeTrain
-              .bpeEncodeVocab(docs, "text", "doc_id", mk,
-                org.apache.spark.sql.functions.lit(false))
-              .agg(org.apache.spark.sql.functions.sum(
-                org.apache.spark.sql.functions.col("n_bpe_tokens")))
-              .collect()(0).getLong(0)
-          }
-          val ok = sd == sv
+        val (tableDepth, cells) = graft.tools.ProbeBpeDepth.sweep(
+          Tables.documents(spark, sfDir))
+        val cellJson = cells.flatMap { case (k, td, tv, ok) =>
           Seq(
             "\"direct_" + k + "\":" + (if (ok) f"$td%.3f" else "-1"),
             "\"vocab_" + k + "\":" + (if (ok) f"$tv%.3f" else "-1"))
         }
-        (("\"table_depth\":" + merges.length) +: cells)
+        (("\"table_depth\":" + tableDepth) +: cellJson)
           .mkString("{", ",", "}")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bpe depth diagnostic failed: ${e.getMessage}")
@@ -912,12 +890,17 @@ object Bench {
             val base = results.getOrElse(name, -1.0)
             def suspect(p: (Double, Double, Long, Long, Double, Long))
                 : Boolean = {
-              val (t, ld, sp, _, _, gc) = p
+              val (t, ld, sp, _, cr, gc) = p
               t < 0 ||
                 (base > 0 && t / base > 2.5) ||
                 sp > 0 ||
                 ld > loadBound ||
-                (t > 1.0 && gc > 250 * t) // gc_ms > 25% of wall
+                (t > 1.0 && gc > 250 * t) || // gc_ms > 25% of wall
+                // starvation the 1-min load EMA is too slow to show:
+                // a multi-second pass where this JVM averaged under
+                // ONE core of CPU was waiting on something foreign —
+                // wait-bound legs (socket drains) sit above this
+                (t > 2.0 && cr >= 0 && cr < 1.0)
             }
             val best =
               if (!suspect(a) || spent > budgetSec) a

@@ -2449,51 +2449,11 @@ object SparkEntry {
     // with the periodic in-stream compaction. Union of per-batch
     // pairs == the incremental batch answer (same restricted-recount
     // oracle as dedup_image_dhash_incremental).
-    "stream_dedup_image" -> ((s, d) => {
-      import s.implicits._
-      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
-        IncrementalSeed) < lit(IncrementalNewBp)
-      val des = StoreProvider.docStoreFor(s, d, isNew)
-      val indexDir =
-        java.nio.file.Files.createTempDirectory("verify-sdimg-")
-      try {
-        graft.streaming.StreamingDedup.seedFingerprintIndex(
-          graft.ops.Multimodal.imageDHash(
-              dhashTwinBmpsOf(Tables.documents(s, d).where(!isNew)
-                .select(col("doc_id"))), "payload")
-            .where(col("dhash").isNotNull)
-            .select(col("doc_id").as("id"), col("dhash").as("simhash")),
-          indexDir.toString)
-        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
-        drainStream(
-            s.readStream.schema(graft.core.EventSchema.schema)
-              .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
-              .parquet(s"${des.root}/events"),
-            "verify-sdimg-ck-",
-            perBatch = { b =>
-              val ids = b.select(
-                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
-                  .as("doc_id"))
-              val fp = graft.ops.Multimodal.imageDHash(
-                  dhashTwinBmpsOf(ids), "payload")
-                .where(col("dhash").isNotNull)
-                .select(col("doc_id").as("id"),
-                  col("dhash").as("simhash"))
-              val pairs = graft.streaming.StreamingDedup
-                .fingerprintProbeBatch(fp, indexDir.toString)
-              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
-                graft.streaming.StreamingDedup.compactIndex(s,
-                  indexDir.toString, Seq("band", "bkey"))
-              pairs
-            }) { r =>
-            (r.getAs[Long]("a"), r.getAs[Long]("b"),
-              r.getAs[Long]("hamming"))
-          }
-          .toDF("a", "b", "hamming")
-          .orderBy(col("a"), col("b"))
-      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
-    }),
+    "stream_dedup_image" -> ((s, d) =>
+      streamFingerprintDedupGate(s, d, "verify-sdimg-", ids =>
+        graft.ops.Multimodal.imageDHash(dhashTwinBmpsOf(ids), "payload")
+          .where(col("dhash").isNotNull)
+          .select(col("doc_id").as("id"), col("dhash").as("simhash")))),
 
     // STREAMING perceptual audio dedup — the same fingerprint-generic
     // banded index machine as stream_dedup_image, with the PCM
@@ -2505,47 +2465,12 @@ object SparkEntry {
     // fingerprintProbeBatch, periodic in-stream compaction. Union of
     // per-batch pairs == the incremental batch answer (same
     // restricted-recount oracle as dedup_audio_energy_incremental).
-    "stream_dedup_audio" -> ((s, d) => {
-      import s.implicits._
-      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
-        IncrementalSeed) < lit(IncrementalNewBp)
-      val des = StoreProvider.docStoreFor(s, d, isNew)
-      val indexDir =
-        java.nio.file.Files.createTempDirectory("verify-sdaud-")
-      def fpOf(ids: DataFrame): DataFrame =
+    "stream_dedup_audio" -> ((s, d) =>
+      streamFingerprintDedupGate(s, d, "verify-sdaud-", ids =>
         audioTwinWavsOf(ids).select(col("doc_id").as("id"),
             graft.ops.Multimodal.wavEnergyHash64(col("payload"))
               .as("simhash"))
-          .where(col("simhash").isNotNull)
-      try {
-        graft.streaming.StreamingDedup.seedFingerprintIndex(
-          fpOf(Tables.documents(s, d).where(!isNew).select(col("doc_id"))),
-          indexDir.toString)
-        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
-        drainStream(
-            s.readStream.schema(graft.core.EventSchema.schema)
-              .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
-              .parquet(s"${des.root}/events"),
-            "verify-sdaud-ck-",
-            perBatch = { b =>
-              val ids = b.select(
-                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
-                  .as("doc_id"))
-              val pairs = graft.streaming.StreamingDedup
-                .fingerprintProbeBatch(fpOf(ids), indexDir.toString)
-              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
-                graft.streaming.StreamingDedup.compactIndex(s,
-                  indexDir.toString, Seq("band", "bkey"))
-              pairs
-            }) { r =>
-            (r.getAs[Long]("a"), r.getAs[Long]("b"),
-              r.getAs[Long]("hamming"))
-          }
-          .toDF("a", "b", "hamming")
-          .orderBy(col("a"), col("b"))
-      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
-    }),
+          .where(col("simhash").isNotNull))),
 
     // STREAMING perceptual video dedup — the sixth family's streaming
     // member, closing the 6-family × batch/incremental/streaming
@@ -2553,45 +2478,10 @@ object SparkEntry {
     // temporal-envelope fingerprint rides the real AVI container walk
     // per micro-batch; everything downstream is the shared machine.
     // Oracle = dedup_video_temporal_incremental's recount verbatim.
-    "stream_dedup_video" -> ((s, d) => {
-      import s.implicits._
-      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
-        IncrementalSeed) < lit(IncrementalNewBp)
-      val des = StoreProvider.docStoreFor(s, d, isNew)
-      val indexDir =
-        java.nio.file.Files.createTempDirectory("verify-sdvid-")
-      def fpOf(ids: DataFrame): DataFrame =
+    "stream_dedup_video" -> ((s, d) =>
+      streamFingerprintDedupGate(s, d, "verify-sdvid-", ids =>
         graft.ops.Dedup.videoTemporalHash64(videoTwinAvisOf(ids),
-          "payload", "doc_id")
-      try {
-        graft.streaming.StreamingDedup.seedFingerprintIndex(
-          fpOf(Tables.documents(s, d).where(!isNew).select(col("doc_id"))),
-          indexDir.toString)
-        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
-        drainStream(
-            s.readStream.schema(graft.core.EventSchema.schema)
-              .option("basePath", s"${des.root}/events")
-              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
-              .parquet(s"${des.root}/events"),
-            "verify-sdvid-ck-",
-            perBatch = { b =>
-              val ids = b.select(
-                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
-                  .as("doc_id"))
-              val pairs = graft.streaming.StreamingDedup
-                .fingerprintProbeBatch(fpOf(ids), indexDir.toString)
-              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
-                graft.streaming.StreamingDedup.compactIndex(s,
-                  indexDir.toString, Seq("band", "bkey"))
-              pairs
-            }) { r =>
-            (r.getAs[Long]("a"), r.getAs[Long]("b"),
-              r.getAs[Long]("hamming"))
-          }
-          .toDF("a", "b", "hamming")
-          .orderBy(col("a"), col("b"))
-      } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
-    }),
+          "payload", "doc_id"))),
 
     "stream_dedup_simhash" -> ((s, d) => {
       import s.implicits._
@@ -3183,6 +3073,54 @@ object SparkEntry {
     * shared scaffolding of every `stream_*` gated query; the temp
     * checkpoint dir is always removed.
     */
+  /** The ONE scaffold behind the streaming multimodal dedup gates
+    * (`stream_dedup_image`/`_audio`/`_video`) — a family differs ONLY
+    * in its fingerprint function, so the seed / event-source /
+    * per-batch-synthesis / probe / in-stream-compaction plumbing
+    * exists once and cannot drift between families. `fpOf` maps a
+    * (doc_id) frame to its (id, simhash) fingerprints; the per-batch
+    * corpora are pure functions of doc_id (the `dhashTwinBmpsOf`
+    * discipline), so a streamed doc and the batch gate's doc carry
+    * identical payloads and the oracle is each family's incremental
+    * recount verbatim.
+    */
+  private def streamFingerprintDedupGate(s: SparkSession, d: String,
+      prefix: String, fpOf: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+      IncrementalSeed) < lit(IncrementalNewBp)
+    val des = StoreProvider.docStoreFor(s, d, isNew)
+    val indexDir = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      graft.streaming.StreamingDedup.seedFingerprintIndex(
+        fpOf(Tables.documents(s, d).where(!isNew).select(col("doc_id"))),
+        indexDir.toString)
+      val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+      drainStream(
+          s.readStream.schema(graft.core.EventSchema.schema)
+            .option("basePath", s"${des.root}/events")
+            .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+            .parquet(s"${des.root}/events"),
+          prefix + "ck-",
+          perBatch = { b =>
+            val ids = b.select(
+              expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                .as("doc_id"))
+            val pairs = graft.streaming.StreamingDedup
+              .fingerprintProbeBatch(fpOf(ids), indexDir.toString)
+            if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
+              graft.streaming.StreamingDedup.compactIndex(s,
+                indexDir.toString, Seq("band", "bkey"))
+            pairs
+          }) { r =>
+          (r.getAs[Long]("a"), r.getAs[Long]("b"),
+            r.getAs[Long]("hamming"))
+        }
+        .toDF("a", "b", "hamming")
+        .orderBy(col("a"), col("b"))
+    } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
+  }
+
   private def drainStream[T](stream: DataFrame, ckPrefix: String,
       perBatch: DataFrame => DataFrame = identity)(
       extract: org.apache.spark.sql.Row => T): Seq[T] = {

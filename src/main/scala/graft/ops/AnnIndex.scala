@@ -344,6 +344,30 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val (cur, next) = GenIndex.nextGen(root)
     val dir = s"$root/$next"
+    // shrinkage guard FIRST — before any training or encode work: the
+    // caller passes the corpus (codes cannot be re-encoded from
+    // codes), so a corpus snapshot that misses vectors appended to
+    // the live generation after the snapshot would silently vanish at
+    // the flip. The new generation's id set IS the corpus's (encode
+    // is a projection), so comparing the corpus's distinct ids
+    // against the live generation's SURVIVING count (duplicates
+    // collapsed, tombstones applied — the set a reader of `cur` sees)
+    // detects the stale snapshot for two cheap counts, refuses before
+    // a full-corpus encode is wasted, and leaves no orphaned
+    // unpublished generation directory behind.
+    if (!allowShrink) {
+      val newCount = corpus.select(idCol).distinct().count()
+      val liveCount = spark.read.parquet(s"$cur/codes")
+        .dropDuplicates(idCol)
+        .join(tombsOf(spark, cur, idCol), Seq(idCol), "left_anti")
+        .count()
+      require(newCount >= liveCount,
+        s"reseed would shrink the index: the passed corpus has " +
+          s"$newCount distinct ids vs $liveCount live codes — the " +
+          "corpus snapshot is missing vectors present in the live " +
+          "generation (stale snapshot?). Pass allowShrink=true to " +
+          "publish anyway.")
+    }
     val model = trainModel(corpus, nlist, trainIters, m, k, pqIters,
       maxSample, sampleMode, idCol, vecCol, residual, codec, opqSteps,
       opqDims)
@@ -352,26 +376,6 @@ object AnnIndex {
       .repartition(col("ivf_cid"))
       .write.mode("overwrite").partitionBy("ivf_cid")
       .parquet(s"$dir/codes")
-    // shrinkage guard: the caller passes the corpus (codes cannot be
-    // re-encoded from codes), so a corpus snapshot that misses vectors
-    // appended to the live generation after the snapshot would
-    // silently vanish at the flip. Compare the new generation's code
-    // count against the live generation's SURVIVING count (duplicates
-    // collapsed, tombstones applied — the set a reader of `cur` sees);
-    // refuse to publish a smaller index unless explicitly allowed.
-    if (!allowShrink) {
-      val newCount = spark.read.parquet(s"$dir/codes")
-        .select(idCol).distinct().count()
-      val liveCount = spark.read.parquet(s"$cur/codes")
-        .dropDuplicates(idCol)
-        .join(tombsOf(spark, cur, idCol), Seq(idCol), "left_anti")
-        .count()
-      require(newCount >= liveCount,
-        s"reseed would shrink the index: new generation has $newCount " +
-          s"codes vs $liveCount live — the passed corpus is missing " +
-          "vectors present in the live generation (stale snapshot?). " +
-          "Pass allowShrink=true to publish anyway.")
-    }
     GenIndex.publish(root, next, retain)
   }
 

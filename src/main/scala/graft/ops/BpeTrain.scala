@@ -210,19 +210,29 @@ object BpeTrain {
       else {
         val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
         merges += ((a, b))
-        vocab = vocab.as[SymWord].map { w =>
-          val out = ArrayBuffer.empty[String]
-          var i = 0
-          while (i < w.syms.length) {
-            if (i + 1 < w.syms.length && w.syms(i) == a && w.syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += w.syms(i); i += 1 }
-          }
-          SymWord(out.toSeq, w.c)
-        }.toDF("syms", "c").localCheckpoint()
+        vocab = vocab.as[SymWord].map(w =>
+            SymWord(applyMerge(w.syms, a, b), w.c))
+          .toDF("syms", "c").localCheckpoint()
       }
     }
     merges.toSeq
+  }
+
+  /** ONE leftmost-non-overlapping application of merge (a, b) to a
+    * symbol sequence — THE merge rule, shared by [[trainBpe]]'s
+    * per-iteration rewrite and [[syntheticMerges]]'s batched apply so
+    * the rule every encoder's correctness leans on exists once.
+    */
+  private def applyMerge(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
   }
 
   /** A SYNTHETIC merge table for encode COST diagnostics: BATCHED
@@ -255,20 +265,11 @@ object BpeTrain {
       if (batch.isEmpty) exhausted = true
       else {
         merges ++= batch
-        vocab = vocab.as[SymWord].map { w =>
-          var syms = w.syms
-          batch.foreach { case (a, b) =>
-            val out = ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                out += (a + b); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            syms = out.toSeq
-          }
-          SymWord(syms, w.c)
-        }.toDF("syms", "c").localCheckpoint()
+        vocab = vocab.as[SymWord].map(w =>
+            SymWord(batch.foldLeft(w.syms) { case (s, (a, b)) =>
+              applyMerge(s, a, b)
+            }, w.c))
+          .toDF("syms", "c").localCheckpoint()
       }
     }
     merges.toSeq
