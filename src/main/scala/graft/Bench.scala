@@ -838,6 +838,9 @@ object Bench {
         def spent = (System.nanoTime() - t0) / 1e9
         val sq = mutable.LinkedHashMap.empty[String, Double]
         val skipped = mutable.ArrayBuffer.empty[String]
+        // how often the evidence gate fired — makes the single-pass
+        // policy's behavior adjudicable from the record alone
+        var secondPasses = 0
         locally {
           val w = witnessedPass("10x ingest", "10x:ingest") {
             StoreProvider.storeFor(spark, bigDir)
@@ -905,6 +908,7 @@ object Bench {
             val best =
               if (!suspect(a) || spent > budgetSec) a
               else {
+                secondPasses += 1
                 val b = onePass()
                 if (b._1 >= 0 && (a._1 < 0 || b._1 < a._1)) b else a
               }
@@ -972,6 +976,7 @@ object Bench {
           .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
         scaleJson = f"""{"factor":${graft.tools.ScaleGen.Factor}%d,""" +
           f""""gen_sec":$genSec%.1f,"scale_seed":$scaleSeed,""" +
+          s""""second_passes":$secondPasses,""" +
           s""""queries":${num(sq.toSeq)},"ratios":${num(ratios)},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       } catch { case e: Throwable =>
