@@ -827,8 +827,12 @@ object Bench {
       try {
         // default raised 1200 → 1800 for r14: the r13 driver run hit
         // the 1200 s ceiling and skipped 24 legs — the budget must fit
-        // the measured worst case (~131 legs, min-of-2, load ~8), not
-        // the optimistic one
+        // the measured worst case, not the optimistic one. r17 paired
+        // it with the evidence-gated second pass below (r16's
+        // unconditional min-of-2 outgrew even 1800 s at 163 legs and
+        // skipped 42): ~170 legs at mostly-single-pass now fit with
+        // margin (two same-HEAD runs measured zero skips at loads
+        // 13-16)
         val budgetSec =
           sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1800").toDouble
         val genT0 = System.nanoTime()
