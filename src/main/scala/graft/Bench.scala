@@ -13,6 +13,36 @@ import org.apache.spark.sql.SparkSession
   * catch-up pass through the streaming source.
   */
 object Bench {
+
+  /** Committed per-leg settled-level table (`bench-baselines.json`,
+    * repo root): leg → (idle-settled 10× ratio, probe date) from the
+    * repo's ProbeLeg idle min-of-3 discipline. Joined into the record
+    * so every above-3 scale reading prints its settled level beside
+    * it — the record adjudicates itself instead of deferring an
+    * above-3 reading's interpretation to SURVEY prose. Flat
+    * one-leg-per-line format parsed with a regex (no JSON library on
+    * the unmanaged classpath); a missing or malformed file degrades
+    * to an empty table, never a failed bench.
+    */
+  def settledLevels(path: String = "bench-baselines.json")
+      : Map[String, (Double, String)] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val re = ("\"([^\"]+)\"\\s*:\\s*\\{\\s*\"settled\"\\s*:\\s*" +
+          "([0-9.]+)\\s*,\\s*\"date\"\\s*:\\s*\"([^\"]+)\"").r
+        re.findAllMatchIn(new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3)))
+          .toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] bench-baselines.json parse failed: ${e.getMessage}")
+      Map.empty
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -750,12 +780,29 @@ object Bench {
     //     finding, not a silent skip.
     val bpeDepthJson =
       try {
+        // depths past the corpus's merge exhaustion are padded
+        // (ProbeBpeDepth.padMerges) so the curve reaches
+        // production-depth territory (512/2048/8192 — the r17 record
+        // stopped at the 152-merge corpus cap and the 30k-merge claim
+        // was an extrapolation); the sweep carries its own hard
+        // budget (watchdog + per-cell skip markers), so a deep-cell
+        // compile cliff is a FINDING in the record (-1), never an
+        // unbounded bench wall — and a budget skip (-2) is
+        // distinguishable from a failure.
         val (tableDepth, cells) = graft.tools.ProbeBpeDepth.sweep(
-          Tables.documents(spark, sfDir))
+          Tables.documents(spark, sfDir),
+          budgetSec = sys.env
+            .getOrElse("SPARK_GRAFT_BPE_DEPTH_BUDGET_SEC", "300").toDouble)
+        def v(x: Double) = if (x >= 0) f"$x%.3f" else f"$x%.0f"
         val cellJson = cells.flatMap { case (k, td, tv, ok) =>
           Seq(
-            "\"direct_" + k + "\":" + (if (ok) f"$td%.3f" else "-1"),
-            "\"vocab_" + k + "\":" + (if (ok) f"$tv%.3f" else "-1"))
+            "\"direct_" + k + "\":" + v(td),
+            "\"vocab_" + k + "\":" + v(tv)) ++
+            // both passes measured but token sums diverged — a
+            // correctness finding, flagged rather than masked as -1
+            (if (!ok && td >= 0 && tv >= 0)
+               Seq("\"agree_" + k + "\":false")
+             else Nil)
         }
         (("\"table_depth\":" + tableDepth) +: cellJson)
           .mkString("{", ",", "}")
@@ -818,6 +865,7 @@ object Bench {
     var ratioWorstLeg = ""
     var ratioAbove3 = -1
     var ratioAbove5 = -1
+    var above3Unsettled = -1
     var scaleSkipped = -1
     var ccRounds10x = -1
     var psubDelivery10x = -1.0
@@ -922,15 +970,19 @@ object Bench {
               ccRounds10x = graft.Telemetry.ccRounds.get()
           }
         }
-        // outlier third pass: a burst that spans BOTH min-of-2 passes
+        // backstop third pass: a burst that spans BOTH min-of-2 passes
         // (load spike, GC storm, JIT deopt) still poisons a leg; any
-        // leg whose ratio lands above 6 gets ONE more look after the
-        // whole sweep — by then the burst has passed or it really is
-        // the operator, and a third agreeing measurement is evidence
-        // either way. Bounded: only outliers, only within budget.
+        // leg whose ratio lands above the record's own above-3
+        // criterion gets ONE more look after the whole sweep — by then
+        // the burst has passed or it really is the operator, and a
+        // third agreeing measurement is evidence either way. Bounded:
+        // only above-3 legs, only within budget. (r18: threshold
+        // lowered 6 → 3 — the r17 record carried 27 above-3 readings
+        // whose settlements lived in scattered SURVEY prose; the
+        // record must adjudicate its own above-3 list.)
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val base = results.getOrElse(name, -1.0)
-          if (base > 0 && sq.getOrElse(name, -1.0) / base > 6.0 &&
+          if (base > 0 && sq.getOrElse(name, -1.0) / base > 3.0 &&
               spent <= budgetSec) {
             val c = witnessedPass(s"outlier $name", s"10x:$name") {
               fn(spark, bigDir).write.mode("overwrite").format("noop").save()
@@ -976,11 +1028,33 @@ object Bench {
           ratioAbove5 = sorted.count(_ > 5.0)
           scaleSkipped = skipped.size
         }
+        // SELF-ADJUDICATION: every above-3 leg prints its committed
+        // idle-settled level (bench-baselines.json) beside the
+        // reading, so a reviewer separates "the operator" from "this
+        // run's load" from "this leg's honest small-base amortization
+        // band" from the record alone. The headline counts above-3
+        // legs with NO committed settled level (above3_unsettled) —
+        // those are the record's real weak list: readings nobody has
+        // ever measured idle. A leg whose settled level itself sits
+        // above 3 (sub-second bases where the 10× pass's fixed costs
+        // stop amortizing) is settled, not weak — the level in-record
+        // says so.
+        val settled = settledLevels()
+        val adjudicated = ratios.filter(_._2 > 3.0).sortBy(-_._2).map {
+          case (n, r) =>
+            val s = settled.get(n).map { case (lvl, date) =>
+              f""","settled":$lvl%.2f,"probed":"$date"""" }.getOrElse("")
+            s""""$n":{"ratio":${f"$r%.3f"}$s}"""
+        }
+        above3Unsettled = ratios.count { case (n, r) =>
+          r > 3.0 && !settled.contains(n) }
+        val settledJson = adjudicated.mkString("{", ",", "}")
         def num(m: Seq[(String, Double)]) = m
           .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
         scaleJson = f"""{"factor":${graft.tools.ScaleGen.Factor}%d,""" +
           f""""gen_sec":$genSec%.1f,"scale_seed":$scaleSeed,""" +
           s""""second_passes":$secondPasses,""" +
+          s""""above3_adjudicated":$settledJson,""" +
           s""""queries":${num(sq.toSeq)},"ratios":${num(ratios)},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       } catch { case e: Throwable =>
@@ -1072,6 +1146,7 @@ object Bench {
       f""""ratio_legs":$ratioLegs,"ratio_median":$ratioMedian%.3f,""" +
       f""""ratio_worst":$ratioWorst%.3f,"ratio_worst_leg":"$ratioWorstLeg",""" +
       s""""ratio_above_3":$ratioAbove3,"ratio_above_5":$ratioAbove5,""" +
+      s""""above3_unsettled":$above3Unsettled,""" +
       s""""scale_skipped":$scaleSkipped,""" +
       s""""hygiene_max_leftover_bytes":${
         if (leftovers.isEmpty) 0L else leftovers.values.max},""" +

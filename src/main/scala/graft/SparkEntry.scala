@@ -1446,6 +1446,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PERSISTED TOKENIZER (BpeStore): train once, publish
+    // generation-addressed (merge table + encoded-vocabulary cache
+    // under a GenIndex manifest, atomic flip — AnnIndex's model
+    // lifecycle for the one LLM-pipeline artifact that lived only as
+    // an in-session merge list), then encode the corpus through a
+    // FRESH reader of the persisted artifact. Production trains a
+    // tokenizer once and ships it; this leg gates the full
+    // train → persist → reload → encode round trip, and shares
+    // text_bpe_encode's oracle verbatim — persistence changes where
+    // the tokenizer lives, never what it returns.
+    "text_bpe_persistent" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("verify-bpe-")
+      try {
+        graft.ops.BpeStore.seed(docs, root.toString, BpeEncodeMerges)
+        // materialize BEFORE the finally deletes the store — the lazy
+        // plan reads the persisted generation
+        graft.ops.BpeStore.encode(docs, root.toString,
+            samplePred = col("doc_id") < 20)
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // Polynomial rolling-hash fingerprint (exact integer arithmetic).
     "text_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -7258,6 +7282,10 @@ object SparkEntry {
     // the vocab-join swap is result-identical by construction — one
     // oracle serves both encode shapes
     "text_bpe_encode_vocab" -> bpeEncodeOracle,
+    // the persisted-store round trip (train → publish → reload →
+    // encode) must return exactly what the in-session encode returns
+    // — same oracle, verbatim
+    "text_bpe_persistent" -> bpeEncodeOracle,
 
     "bpe_pair_stats" ->
       """WITH w AS (SELECT t AS word, count(*) AS c FROM (

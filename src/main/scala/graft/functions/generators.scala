@@ -38,6 +38,21 @@ import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
   * before the next is drawn), which is exactly the zero-materialization
   * behavior wanted; a codegen'd generator would have to materialize
   * the pair collection per input row.
+  *
+  * CONSUMER CONTRACT (read before reusing this class): the iterator
+  * below emits ONE reused `GenericInternalRow`, which is safe only
+  * because `GenerateExec`'s eval path copies each row (unsafe
+  * projection) before the next `next()` call. That copy-before-next
+  * behavior is a Spark internal, not a documented API guarantee —
+  * Spark's own generators (Explode, Stack) allocate fresh rows. This
+  * expression must therefore NEVER be evaluated outside a Generate
+  * plan node (no direct `eval()` + buffering of the returned rows);
+  * the behavior is pinned against Spark 4.1.x
+  * (`GenerateExec.doExecute`'s per-row `pruneChildForResult` +
+  * UnsafeProjection), and GeneratorsSpec's groupBy-over-pairs test is
+  * the upgrade canary — a Spark version that starts buffering
+  * generator output uncopied makes every pair collapse to the last
+  * one and that test fails loudly.
   */
 case class PairCombosExpr(child: Expression) extends UnaryExpression
     with Generator with CodegenFallback {

@@ -349,24 +349,26 @@ object AnnIndex {
     // codes), so a corpus snapshot that misses vectors appended to
     // the live generation after the snapshot would silently vanish at
     // the flip. The new generation's id set IS the corpus's (encode
-    // is a projection), so comparing the corpus's distinct ids
-    // against the live generation's SURVIVING count (duplicates
-    // collapsed, tombstones applied — the set a reader of `cur` sees)
-    // detects the stale snapshot for two cheap counts, refuses before
-    // a full-corpus encode is wasted, and leaves no orphaned
-    // unpublished generation directory behind.
+    // is a projection), so the EXACT check is one anti-join count:
+    // every SURVIVING live id (duplicates collapsed, tombstones
+    // applied — the set a reader of `cur` sees) must appear in the
+    // corpus. A count comparison is not enough — a stale snapshot
+    // missing N old vectors but carrying ≥N new ids passes it while
+    // the old vectors still vanish at the flip. One shuffle of two id
+    // columns, refused before a full-corpus encode is wasted, and no
+    // orphaned unpublished generation directory is left behind.
     if (!allowShrink) {
-      val newCount = corpus.select(idCol).distinct().count()
-      val liveCount = spark.read.parquet(s"$cur/codes")
+      val vanishing = spark.read.parquet(s"$cur/codes")
         .dropDuplicates(idCol)
         .join(tombsOf(spark, cur, idCol), Seq(idCol), "left_anti")
+        .select(idCol)
+        .join(corpus.select(idCol).distinct(), Seq(idCol), "left_anti")
         .count()
-      require(newCount >= liveCount,
-        s"reseed would shrink the index: the passed corpus has " +
-          s"$newCount distinct ids vs $liveCount live codes — the " +
-          "corpus snapshot is missing vectors present in the live " +
-          "generation (stale snapshot?). Pass allowShrink=true to " +
-          "publish anyway.")
+      require(vanishing == 0L,
+        s"reseed would shrink the index: $vanishing live ids are " +
+          "absent from the passed corpus — the corpus snapshot is " +
+          "missing vectors present in the live generation (stale " +
+          "snapshot?). Pass allowShrink=true to publish anyway.")
     }
     val model = trainModel(corpus, nlist, trainIters, m, k, pqIters,
       maxSample, sampleMode, idCol, vecCol, residual, codec, opqSteps,

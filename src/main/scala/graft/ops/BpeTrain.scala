@@ -151,24 +151,60 @@ object BpeTrain {
     */
   def bpeEncodeVocab(df: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)],
-      samplePred: org.apache.spark.sql.Column): DataFrame = {
-    val wordsEnc = {
-      // words contain no spaces (they ARE the space-split tokens), so
-      // no inter-word unwrap is needed — wrap and run the merge chain
-      val wrapped = regexp_replace(col("word"), "(?s)(.)", B1 + "$1" + B2)
-      val enc = merges.foldLeft(wrapped) { case (s, (a, b)) =>
-        replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
-      }
-      wordCounts(df, textCol).select(col("word"),
-        (length(enc) - length(replace(enc, lit(B1), lit(""))))
-          .cast("long").as("nsym"),
-        translate(enc, B1 + B2, "|").as("wenc"))
-        .localCheckpoint()
+      samplePred: org.apache.spark.sql.Column): DataFrame =
+    bpeEncodeWithVocab(df, textCol, idCol,
+      encodedVocab(df, textCol, merges).localCheckpoint(), merges,
+      samplePred)
+
+  /** The ENCODED VOCABULARY — the vocab-join encode's built-once
+    * artifact: every distinct word of the corpus tokenized by the
+    * frozen merge chain, as (word, nsym, wenc). |vocab| rows ≪ corpus
+    * rows; [[bpeEncodeVocab]] localCheckpoints it per session, and
+    * [[BpeStore]] persists it next to the merge table so a fresh
+    * reader skips the |vocab| × k encode entirely.
+    */
+  def encodedVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    // words contain no spaces (they ARE the space-split tokens), so
+    // no inter-word unwrap is needed — wrap and run the merge chain
+    val wrapped = regexp_replace(col("word"), "(?s)(.)", B1 + "$1" + B2)
+    val enc = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
     }
+    wordCounts(df, textCol).select(col("word"),
+      (length(enc) - length(replace(enc, lit(B1), lit(""))))
+        .cast("long").as("nsym"),
+      translate(enc, B1 + B2, "|").as("wenc"))
+  }
+
+  /** Vocab-join encode against a PRE-BUILT (possibly persisted)
+    * encoded vocabulary. Words ABSENT from the vocabulary — a corpus
+    * that drifted since the vocabulary was built — fall back to the
+    * frozen merge chain inline (a coalesce over the same chained
+    * replace [[encodedVocab]] ran, short-circuited on vocab hits, so
+    * the hit path pays nothing): the merge table is the tokenizer
+    * CONTRACT, the encoded vocabulary only its cache, and a stale
+    * cache must never change a token — an inner join here would
+    * silently DROP unseen words from counts and sequences instead.
+    * Output contract identical to [[bpeEncode]] (BpeTrainSpec pins
+    * equality, vocab hits and misses both).
+    */
+  def bpeEncodeWithVocab(df: DataFrame, textCol: String, idCol: String,
+      wordsEnc: DataFrame, merges: Seq[(String, String)],
+      samplePred: org.apache.spark.sql.Column): DataFrame = {
     val toks = df.select(col(idCol), samplePred.as("samp"),
       posexplode(filter(split(col(textCol), " "), x => x =!= ""))
         .as(Seq("pos", "word")))
-    val joined = toks.join(wordsEnc, "word")
+    val fwrapped = regexp_replace(col("word"), "(?s)(.)", B1 + "$1" + B2)
+    val fenc = merges.foldLeft(fwrapped) { case (s, (a, b)) =>
+      replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
+    }
+    val joined = toks.join(wordsEnc, Seq("word"), "left")
+      .select(col(idCol), col("samp"), col("pos"),
+        coalesce(col("nsym"),
+          (length(fenc) - length(replace(fenc, lit(B1), lit(""))))
+            .cast("long")).as("nsym"),
+        coalesce(col("wenc"), translate(fenc, B1 + B2, "|")).as("wenc"))
     val cnt = joined.groupBy(col(idCol)).agg(sum(col("nsym")).as("n_bpe"))
     // encoded sequences only for the sampled docs — the collect_list
     // is doc-bounded and sample-restricted, never corpus-shaped

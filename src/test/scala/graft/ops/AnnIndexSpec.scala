@@ -407,6 +407,22 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(ex.getMessage.contains("shrink"),
         s"unexpected failure message: ${ex.getMessage}")
+      // count-equality is NOT enough: a stale snapshot that DROPS 20
+      // live ids but carries 20 new ones has the same cardinality as
+      // the live set, yet the 20 old vectors would vanish at the flip
+      // — the guard is an exact id-set check, so it must still refuse
+      val swapped = {
+        import spark.implicits._
+        corpus.where(col("vec_id") >= 20).unionByName(
+          (100L until 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+      }
+      assert(swapped.count() == corpus.count(), "test geometry drifted")
+      val ex2 = intercept[IllegalArgumentException] {
+        AnnIndex.reseed(swapped, root.toString, nlist = nlist,
+          trainIters = ti, m = m, k = k, pqIters = pi)
+      }
+      assert(ex2.getMessage.contains("shrink"),
+        s"count-equal swap was not refused: ${ex2.getMessage}")
       // the refused reseed must not have flipped the manifest: the
       // live index still answers with the full corpus
       val full = AnnIndex.queryBatch(spark, root.toString, qVecs,
