@@ -794,13 +794,14 @@ object Bench {
           budgetSec = sys.env
             .getOrElse("SPARK_GRAFT_BPE_DEPTH_BUDGET_SEC", "300").toDouble)
         def v(x: Double) = if (x >= 0) f"$x%.3f" else f"$x%.0f"
-        val cellJson = cells.flatMap { case (k, td, tv, ok) =>
+        val cellJson = cells.flatMap { case (k, td, tv, tf, ok) =>
           Seq(
             "\"direct_" + k + "\":" + v(td),
-            "\"vocab_" + k + "\":" + v(tv)) ++
-            // both passes measured but token sums diverged — a
-            // correctness finding, flagged rather than masked as -1
-            (if (!ok && td >= 0 && tv >= 0)
+            "\"vocab_" + k + "\":" + v(tv),
+            "\"fold_" + k + "\":" + v(tf)) ++
+            // passes measured but token sums diverged — a correctness
+            // finding, flagged rather than masked as -1
+            (if (!ok && Seq(td, tv, tf).count(_ >= 0) >= 2)
                Seq("\"agree_" + k + "\":false")
              else Nil)
         }

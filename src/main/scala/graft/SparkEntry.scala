@@ -1446,6 +1446,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // FOLD encode (bpeEncodeVocabFold): the PRODUCTION-DEPTH apply —
+    // the merge table travels as closure data over a typed per-word
+    // fold of the distinct vocabulary (plan size O(1) in merge
+    // count), where BOTH chained-replace expression shapes die of
+    // plan depth between 512 and 2048 merges (bpe_depth measurement:
+    // Catalyst stack overflow). Result-identical at any depth by
+    // construction (one applyMerge rule behind trainer and encoder),
+    // so it shares text_bpe_encode's oracle verbatim; what this leg
+    // gates is the third physical shape of the one operator.
+    "text_bpe_encode_fold" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges =
+        graft.ops.BpeTrain.trainBpe(docs, "text", BpeEncodeMerges)
+      graft.ops.BpeTrain.bpeEncodeVocabFold(docs, "text", "doc_id",
+          merges, samplePred = col("doc_id") < 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // PERSISTED TOKENIZER (BpeStore): train once, publish
     // generation-addressed (merge table + encoded-vocabulary cache
     // under a GenIndex manifest, atomic flip — AnnIndex's model
@@ -7286,6 +7304,9 @@ object SparkEntry {
     // encode) must return exactly what the in-session encode returns
     // — same oracle, verbatim
     "text_bpe_persistent" -> bpeEncodeOracle,
+    // the fold apply (production-depth shape) is result-identical by
+    // the shared merge rule — same oracle, verbatim
+    "text_bpe_encode_fold" -> bpeEncodeOracle,
 
     "bpe_pair_stats" ->
       """WITH w AS (SELECT t AS word, count(*) AS c FROM (

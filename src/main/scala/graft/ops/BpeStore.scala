@@ -70,7 +70,11 @@ object BpeStore {
     merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
       .toDF("ord", "a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
-    BpeTrain.encodedVocab(docs, textCol, merges)
+    // the FOLD vocabulary builder, not the chained-replace expression:
+    // the store is the production artifact, and the expression shape
+    // dies of plan depth past ~512 merges (bpe_depth measurement) —
+    // the fold's plan is O(1) in merge count
+    BpeTrain.encodedVocabFold(docs, textCol, merges)
       .write.mode("overwrite").parquet(s"$dir/vocab")
   }
 

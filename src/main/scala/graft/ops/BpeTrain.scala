@@ -177,17 +177,74 @@ object BpeTrain {
       translate(enc, B1 + B2, "|").as("wenc"))
   }
 
+  /** Encode a frame of words by the per-word merge FOLD — the
+    * PRODUCTION-DEPTH apply: one [[applyMerge]] pass per merge over
+    * the symbol vector, so the merge table travels as CLOSURE data
+    * (plan size O(1) in merge count) instead of k nested replace
+    * nodes. Both chained-replace expression shapes die of plan depth
+    * between 512 and 2048 merges (measured by the `bpe_depth`
+    * diagnostic: Catalyst stack overflow on the 2048-deep tree); this
+    * shape is the one that reaches 30k+ production tables. Output
+    * contract identical to [[encodedVocab]]: (word, nsym, wenc) —
+    * the merge RULE is shared (`applyMerge`, the one implementation
+    * behind the trainer, the synthetic-table builder, and this), so
+    * equality with the expression encoders is by construction
+    * (BpeTrainSpec pins it).
+    */
+  def encodeWords(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    // symbols come from the EXPRESSION charSyms (not a Scala-side
+    // split), so char-boundary semantics cannot drift between the
+    // fold and expression encoders
+    words.select(col("word"), charSyms(col("word")).as("syms"))
+      .as[(String, Seq[String])]
+      .map { case (w, s0) =>
+        val s = merges.foldLeft(s0) { case (acc, (a, b)) =>
+          applyMerge(acc, a, b)
+        }
+        (w, s.length.toLong, s.map("|" + _).mkString)
+      }
+      .toDF("word", "nsym", "wenc")
+  }
+
+  /** The encoded vocabulary via [[encodeWords]] — [[encodedVocab]]'s
+    * production-depth twin. */
+  def encodedVocabFold(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    encodeWords(wordCounts(df, textCol).select(col("word")), merges)
+
+  /** Vocab-join encode with the FOLD-encoded vocabulary — the shape
+    * that survives production merge depth (plan size independent of
+    * the merge count; per-word cost O(k · len) over |vocab| rows
+    * only, never the corpus). Result-identical to [[bpeEncode]] and
+    * [[bpeEncodeVocab]] (spec-pinned; the gate shares their oracle
+    * verbatim).
+    */
+  def bpeEncodeVocabFold(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)],
+      samplePred: org.apache.spark.sql.Column): DataFrame =
+    bpeEncodeWithVocab(df, textCol, idCol,
+      encodedVocabFold(df, textCol, merges).localCheckpoint(), merges,
+      samplePred)
+
   /** Vocab-join encode against a PRE-BUILT (possibly persisted)
     * encoded vocabulary. Words ABSENT from the vocabulary — a corpus
-    * that drifted since the vocabulary was built — fall back to the
-    * frozen merge chain inline (a coalesce over the same chained
-    * replace [[encodedVocab]] ran, short-circuited on vocab hits, so
-    * the hit path pays nothing): the merge table is the tokenizer
-    * CONTRACT, the encoded vocabulary only its cache, and a stale
-    * cache must never change a token — an inner join here would
-    * silently DROP unseen words from counts and sequences instead.
-    * Output contract identical to [[bpeEncode]] (BpeTrainSpec pins
-    * equality, vocab hits and misses both).
+    * that drifted since the vocabulary was built — are REPAIRED
+    * first: the distinct unseen words (bounded: |new words| rows,
+    * never corpus-shaped) are encoded by the per-word merge fold
+    * ([[encodeWords]]) and unioned into the vocabulary, making the
+    * join total. The merge table is the tokenizer CONTRACT, the
+    * encoded vocabulary only its cache: a stale cache must never
+    * change a token, and an unrepaired inner join would silently
+    * DROP unseen words from counts and sequences. (The previous
+    * repair — a coalesce over the k-deep chained-replace fallback —
+    * put the whole merge chain back into the plan, the exact
+    * plan-depth cliff the vocabulary artifact exists to avoid,
+    * measured fatal past ~512 merges by `bpe_depth`.) Output
+    * contract identical to [[bpeEncode]] (BpeTrainSpec/BpeStoreSpec
+    * pin equality, vocab hits and misses both).
     */
   def bpeEncodeWithVocab(df: DataFrame, textCol: String, idCol: String,
       wordsEnc: DataFrame, merges: Seq[(String, String)],
@@ -195,16 +252,13 @@ object BpeTrain {
     val toks = df.select(col(idCol), samplePred.as("samp"),
       posexplode(filter(split(col(textCol), " "), x => x =!= ""))
         .as(Seq("pos", "word")))
-    val fwrapped = regexp_replace(col("word"), "(?s)(.)", B1 + "$1" + B2)
-    val fenc = merges.foldLeft(fwrapped) { case (s, (a, b)) =>
-      replace(s, lit(B1 + a + B2 + B1 + b + B2), lit(B1 + a + b + B2))
-    }
-    val joined = toks.join(wordsEnc, Seq("word"), "left")
-      .select(col(idCol), col("samp"), col("pos"),
-        coalesce(col("nsym"),
-          (length(fenc) - length(replace(fenc, lit(B1), lit(""))))
-            .cast("long")).as("nsym"),
-        coalesce(col("wenc"), translate(fenc, B1 + B2, "|")).as("wenc"))
+    val missing = toks.select(col("word")).distinct()
+      .join(wordsEnc, Seq("word"), "left_anti")
+    val full = wordsEnc.select(col("word"), col("nsym"), col("wenc"))
+      .unionByName(encodeWords(missing, merges))
+    val joined = toks.join(full, Seq("word"))
+      .select(col(idCol), col("samp"), col("pos"), col("nsym"),
+        col("wenc"))
     val cnt = joined.groupBy(col(idCol)).agg(sum(col("nsym")).as("n_bpe"))
     // encoded sequences only for the sampled docs — the collect_list
     // is doc-bounded and sample-restricted, never corpus-shaped
@@ -261,14 +315,27 @@ object BpeTrain {
     */
   private def applyMerge(syms: Seq[String], a: String,
       b: String): Seq[String] = {
-    val out = ArrayBuffer.empty[String]
-    var i = 0
-    while (i < syms.length) {
-      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-        out += (a + b); i += 2
-      } else { out += syms(i); i += 1 }
+    // fast path: most (word, merge) pairs don't match — scan before
+    // allocating a rebuild buffer. At production depth the fold
+    // encoder ([[encodeWords]]) runs |vocab| × k of these, so the
+    // no-match path must be allocation-free.
+    var j = 0
+    var found = false
+    while (!found && j < syms.length - 1) {
+      if (syms(j) == a && syms(j + 1) == b) found = true
+      j += 1
     }
-    out.toSeq
+    if (!found) syms
+    else {
+      val out = ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
   }
 
   /** A SYNTHETIC merge table for encode COST diagnostics: BATCHED

@@ -48,17 +48,21 @@ object ProbeBpeDepth {
   def padMerges(from: Int, to: Int): Seq[(String, String)] =
     (from until to).map(i => ("\u0005a" + i, "\u0005b" + i))
 
-  /** One measured cell: (depth, direct sec, vocab-join sec, paths
-    * agree on the corpus token sum). A cell whose pass THREW or was
-    * cancelled records -1 for that pass; a cell (or pass) never
-    * started because the budget was spent records -2 — per-depth
-    * markers, so a pathology at the deepest cell never discards the
-    * shallower cells' points and a skip is distinguishable from a
-    * failure.
+  /** One measured cell: (depth, direct sec, vocab-join sec, fold sec,
+    * measured paths agree on the corpus token sum). A cell whose pass
+    * THREW or was cancelled records -1 for that pass; a cell (or
+    * pass) never started because the budget was spent records -2 —
+    * per-depth markers, so a pathology at the deepest cell never
+    * discards the shallower cells' points and a skip is
+    * distinguishable from a failure. The FOLD path
+    * (`BpeTrain.bpeEncodeVocabFold` — merge table as closure data,
+    * plan size O(1) in depth) is the one expected to survive past the
+    * expression shapes' plan-depth cliff; its agreement with whatever
+    * else measured is the depth-extrapolated correctness evidence.
     */
   def sweep(docs: DataFrame, maxDepth: Int = 8192,
       budgetSec: Double = 300.0)
-      : (Int, Seq[(Int, Double, Double, Boolean)]) = {
+      : (Int, Seq[(Int, Double, Double, Double, Boolean)]) = {
     val spark = docs.sparkSession
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
@@ -103,22 +107,27 @@ object ProbeBpeDepth {
     val depths = (Seq(16, 64, real.length, 512, 2048) :+ merges.length)
       .filter(d => d > 0 && d <= merges.length).distinct.sorted
     val cells = depths.map { k =>
-      if (elapsed > budgetSec) (k, -2.0, -2.0, false)
+      if (elapsed > budgetSec) (k, -2.0, -2.0, -2.0, false)
       else {
         val mk = merges.take(k)
-        val (td, sd) = timedPass(s"direct-$k") {
-          graft.ops.BpeTrain
-            .bpeEncode(docs, "text", "doc_id", mk, lit(false))
-            .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
-        }
-        val (tv, sv) =
+        def pass(label: String,
+            enc: => org.apache.spark.sql.DataFrame): (Double, Long) =
           if (elapsed > budgetSec) (-2.0, Long.MinValue)
-          else timedPass(s"vocab-$k") {
-            graft.ops.BpeTrain
-              .bpeEncodeVocab(docs, "text", "doc_id", mk, lit(false))
-              .agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
+          else timedPass(s"$label-$k") {
+            enc.agg(sum(col("n_bpe_tokens"))).collect()(0).getLong(0)
           }
-        (k, td, tv, td >= 0 && tv >= 0 && sd == sv)
+        val (td, sd) = pass("direct", graft.ops.BpeTrain
+          .bpeEncode(docs, "text", "doc_id", mk, lit(false)))
+        val (tv, sv) = pass("vocab", graft.ops.BpeTrain
+          .bpeEncodeVocab(docs, "text", "doc_id", mk, lit(false)))
+        val (tf, sf) = pass("fold", graft.ops.BpeTrain
+          .bpeEncodeVocabFold(docs, "text", "doc_id", mk, lit(false)))
+        // agreement over the paths that MEASURED: at depths past the
+        // expression cliff only the fold survives, which must not
+        // read as disagreement
+        val sums = Seq((td, sd), (tv, sv), (tf, sf))
+          .collect { case (t, s) if t >= 0 => s }
+        (k, td, tv, tf, sums.nonEmpty && sums.distinct.size == 1)
       }
     }
     (real.length, cells)
@@ -137,9 +146,9 @@ object ProbeBpeDepth {
     val (tableDepth, cells) =
       sweep(graft.Tables.documents(spark, sf), budgetSec = budget)
     println(s"real merge table: $tableDepth pairs (deeper cells padded)")
-    cells.foreach { case (k, td, tv, ok) =>
+    cells.foreach { case (k, td, tv, tf, ok) =>
       println(f"k=$k%5d: direct $td%8.2f s | vocab-join $tv%8.2f s | " +
-        s"equal=$ok")
+        f"fold $tf%8.2f s | equal=$ok")
     }
     spark.stop()
   }

@@ -108,6 +108,33 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vocab = rows(BpeTrain.bpeEncodeVocab(df, "text", "doc_id", merges,
       samplePred = pmod(col("doc_id"), lit(2)) === 0))
     assert(vocab == direct, s"vocab=$vocab\ndirect=$direct")
+    // the FOLD apply (merge table as closure data — the
+    // production-depth shape) must agree too, including on the same
+    // null/multi-space/repeated-word edges
+    val fold = rows(BpeTrain.bpeEncodeVocabFold(df, "text", "doc_id",
+      merges, samplePred = pmod(col("doc_id"), lit(2)) === 0))
+    assert(fold == direct, s"fold=$fold\ndirect=$direct")
+  }
+
+  test("fold apply survives a merge depth where the expression chain " +
+      "is already deep: padded tables change nothing") {
+    import spark.implicits._
+    // 4 real merges + 60 padding merges that can never match: the
+    // fold result must be bit-identical to the real-table fold, and
+    // both must equal the direct encode at the real table — the
+    // agreement contract the bpe_depth diagnostic leans on at padded
+    // depths
+    val merges = BpeTrain.trainBpe(corpus, "text", 4)
+    val padded =
+      merges ++ graft.tools.ProbeBpeDepth.padMerges(merges.length, 64)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("enc"))).toSet
+    val direct = rows(BpeTrain.bpeEncode(corpus, "text", "doc_id",
+      merges, samplePred = lit(true)))
+    val foldPadded = rows(BpeTrain.bpeEncodeVocabFold(corpus, "text",
+      "doc_id", padded, samplePred = lit(true)))
+    assert(foldPadded == direct, s"padded=$foldPadded\ndirect=$direct")
   }
 
   test("bpeEncode normalizes whitespace and keeps unsampled enc NULL") {
