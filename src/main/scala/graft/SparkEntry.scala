@@ -1488,6 +1488,48 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // STREAMING tokenization with the PERSISTED tokenizer — the
+    // tokenize-the-firehose shape: train once on the corpus era,
+    // publish generation 0, then documents arrive as EVENTS through
+    // the real append path and every micro-batch is encoded against
+    // ONE resolved generation (BpeStore.resolve at stream start —
+    // merges collected once, vocab cache localCheckpointed once; a
+    // reseed flipping mid-stream cannot retokenize half the feed).
+    // Per-doc encode is a pure function of (text, frozen merges), so
+    // the result is batch-division-invariant and equals the batch
+    // encode restricted to the streamed docs: the ORACLE IS
+    // text_bpe_encode's, restricted to the isNew ingest subset.
+    "stream_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-sbpe-")
+      try {
+        graft.ops.BpeStore.seed(docs, root.toString, BpeEncodeMerges)
+        val reader = graft.ops.BpeStore.resolve(s, root.toString)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+              .parquet(s"${des.root}/events"),
+            "verify-sbpe-ck-",
+            perBatch = b => graft.ops.BpeStore.encodeWith(reader,
+              b.select(
+                expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                  .as("doc_id"),
+                col("payload").cast("string").as("text")),
+              samplePred = col("doc_id") < 20)) { r =>
+            (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe_tokens"),
+              Option(r.getAs[String]("enc")))
+          }
+          .toDF("doc_id", "n_bpe_tokens", "enc")
+          .orderBy(col("doc_id"))
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // Polynomial rolling-hash fingerprint (exact integer arithmetic).
     "text_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2059,6 +2101,27 @@ object SparkEntry {
           Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy(col("rk"))),
 
+    // BM25 served from the PERSISTED generation-addressed inverted
+    // index (Bm25Store): build once — (term, doc, tf, dl) postings
+    // partitioned by term-hash bucket + one global-stats row — then
+    // answer the query from the query terms' posting lists alone: a
+    // bucket-pruned, term-pushed read of Σ df_t rows, per-doc tf
+    // pivot, and the VERBATIM shared score expression. No corpus
+    // scan at query time — the retrieval-service shape. Result
+    // bit-identical to rank_bm25 (478/500 docs match ≥1 term), so
+    // the ORACLE IS THE SAME.
+    "rank_bm25_persistent" -> ((s, d) => {
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-bm25ix-")
+      try {
+        graft.ops.Bm25Store.seed(Tables.documents(s, d), root.toString)
+        graft.ops.Bm25Store.scoreQuery(s, root.toString, Bm25Terms,
+            k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+          .orderBy(col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // MMR diversity re-rank (Carbonell & Goldstein 1998): the exact
     // cosine arm retrieves MmrN candidates for query vec 0, then the
     // greedy λ·rel − γ·max-sim-to-selected pass picks MmrK — the
@@ -2223,6 +2286,54 @@ object SparkEntry {
           .orderBy(col("rk"))
           .localCheckpoint()
       } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
+    // FULLY-PERSISTENT hybrid retrieval: BOTH arms served from
+    // generation-addressed artifacts — the lexical arm from the
+    // Bm25Store inverted index (bucket-pruned posting read, zero
+    // corpus text scan), the semantic arm from the persistent IVF-PQ
+    // AnnIndex through the exact-refine tail — fused by the same RRF.
+    // This is the production serving topology: a query touches only
+    // its terms' posting buckets and its probe's inverted lists, cost
+    // independent of corpus size. Each arm is bit-identical to its
+    // in-session twin (Bm25StoreSpec / AnnIndexSpec), so the ORACLE
+    // IS rank_rrf_hybrid_ann's verbatim.
+    "rank_rrf_hybrid_persistent" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("vec_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val lexRoot =
+        java.nio.file.Files.createTempDirectory("verify-bm25ix-")
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-annrrf-")
+      try {
+        graft.ops.Bm25Store.seed(Tables.documents(s, d), lexRoot.toString)
+        val lex = graft.ops.Bm25Store.scoreQuery(s, lexRoot.toString,
+          Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = RrfDepth)
+        graft.ops.AnnIndex.seed(e.where(!isNew), root.toString,
+          nlist = IvfLists, trainIters = IvfIters,
+          m = PqM, k = PqK, pqIters = PqIters)
+        (0 until 3).foreach { c =>
+          graft.ops.AnnIndex.append(
+            e.where(isNew && pmod(col("vec_id"), lit(3)) === c),
+            root.toString)
+          if (c == 1)
+            graft.ops.AnnIndex.compact(s, root.toString)
+        }
+        val qVecs = graft.ops.AnnIndex.collectQueryVecs(
+          e.where(col("vec_id") === 0))
+        val sem = graft.ops.AnnIndex.queryBatchRefined(s, root.toString,
+            e, qVecs, kNN = RrfDepth, rerank = RefineR,
+            nprobe = IvfPqProbes)
+          .select(col("vec_id").as("doc_id"), col("rk"))
+        graft.ops.Ranking.rrfFusion(lex, sem, "doc_id",
+            kRrf = RrfK, topK = Bm25TopK)
+          .orderBy(col("rk"))
+          .localCheckpoint()
+      } finally {
+        graft.core.Fs.deleteRecursively(root.toFile)
+        graft.core.Fs.deleteRecursively(lexRoot.toFile)
+      }
     }),
 
     // Multi-query RRF — the retrieval-eval batch: Q lexical arms from
@@ -5026,7 +5137,18 @@ object SparkEntry {
     * the list index so `enc` reassembles in document order. Integer
     * counts and exact strings only — no float anywhere.
     */
-  private def bpeEncodeOracle: String = {
+  private def bpeEncodeOracle: String = bpeEncodeOracleWhere("")
+
+  /** The streaming gate's oracle is the batch encode restricted to
+    * the streamed (isNew-ingest) docs — training stays corpus-wide
+    * (the tokenizer is trained once on the era, then applied to the
+    * arriving feed), only the FINAL row set narrows.
+    */
+  private def bpeEncodeStreamOracle: String = bpeEncodeOracleWhere(
+    s"\n  AND (${sqlHexBucket(s"md5('$IncrementalSeed:' || d.doc_id)")} % 10000)" +
+      s" < $IncrementalNewBp")
+
+  private def bpeEncodeOracleWhere(extraWhere: String): String = {
     // v{r} is referenced TWICE downstream (the next iteration's
     // pair-count AND its rewrite) — MATERIALIZED, or CTE inlining
     // doubles the expansion per iteration (2^k copies of v0)
@@ -5084,7 +5206,7 @@ object SparkEntry {
        |FROM documents d CROSS JOIN guard
        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
        |LEFT JOIN encs ON encs.doc_id = d.doc_id
-       |WHERE guard.ok = 1
+       |WHERE guard.ok = 1$extraWhere
        |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -6433,6 +6555,10 @@ object SparkEntry {
     "text_repetition" -> repetitionOracle,
     "pii_redact" -> piiOracle,
     "rank_bm25" -> bm25Oracle,
+    // the persisted-index serving path is bit-identical to the
+    // corpus-scan path by the shared-expression contract
+    // (Bm25Store scaladoc + Bm25StoreSpec), so the oracle is shared
+    "rank_bm25_persistent" -> bm25Oracle,
     "rank_mmr" -> mmrOracle,
     "rank_mmr_ann" -> mmrAnnOracle,
     "rank_ndcg_eval" -> ndcgOracle,
@@ -6443,6 +6569,10 @@ object SparkEntry {
     "ann_binary_hamming" -> binaryHammingOracle,
     "text_ngram_novelty" -> noveltyOracle,
     "rank_rrf_hybrid_ann" -> rrfHybridAnnOracle,
+    // both persisted arms are bit-identical to their in-session twins
+    // (Bm25StoreSpec / the frozen-model batching-invariance pins), so
+    // the fully-persistent hybrid shares the ANN-armed oracle verbatim
+    "rank_rrf_hybrid_persistent" -> rrfHybridAnnOracle,
     "rank_rrf_batch" -> rrfBatchOracle,
     "rank_rrf_batch_ann" -> rrfBatchAnnOracle,
     "embedding_pq" -> pqOracle,
@@ -7304,6 +7434,11 @@ object SparkEntry {
     // encode) must return exactly what the in-session encode returns
     // — same oracle, verbatim
     "text_bpe_persistent" -> bpeEncodeOracle,
+    // streaming encode with the persisted tokenizer: per-doc encode is
+    // a pure function of (text, frozen merges) — batch-division
+    // invariant — so the oracle is the batch encode restricted to the
+    // streamed isNew docs
+    "stream_bpe_encode" -> bpeEncodeStreamOracle,
     // the fold apply (production-depth shape) is result-identical by
     // the shared merge rule — same oracle, verbatim
     "text_bpe_encode_fold" -> bpeEncodeOracle,

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.GenIndex
+
+/** Generation-addressed PERSISTED lexical retrieval index — BM25
+  * serving without the corpus scan. [[Ranking.bm25TopK]] is the
+  * build-nothing form: every query batch re-reads the corpus text and
+  * recomputes term frequencies as projection columns. That is the
+  * right shape for ad-hoc curation pulls, but a retrieval SERVICE
+  * builds the inverted index once per corpus era and answers each
+  * query from the query terms' posting lists alone — query cost is
+  * O(Σ df_t of the query's terms), independent of corpus size. This
+  * store gives that artifact the same lifecycle the ANN model
+  * ([[AnnIndex]]) and the tokenizer ([[BpeStore]]) already have: a
+  * [[GenIndex]] root, an atomic manifest flip, reseed on corpus
+  * drift (the reference's build-once-at-seal, serve-per-read index
+  * discipline, `/root/reference/crates/sierradb/src/writer_thread_pool.rs:698-793`,
+  * applied to the lexical index).
+  *
+  * Per-generation layout under `root/gen-NNNNN/`:
+  *  - `postings` — one row per (term, doc): `(term, doc_id, dl, tf)`,
+  *    parquet-partitioned by `tbucket = pmod(xxhash64(term), 64)`.
+  *    The doc LENGTH is DENORMALIZED into every posting row so
+  *    scoring never joins a corpus-sized doc-length table — the
+  *    classic posting-list-with-norms layout. At 100 TB the bucket
+  *    count bounds directory fan-out (a raw partitionBy(term) would
+  *    create |vocab| directories) while still letting a query's read
+  *    prune to its terms' buckets: the `tbucket isin (...)` filter is
+  *    a PartitionFilter (directories never opened), and the
+  *    `term isin (...)` filter pushes to parquet row groups inside
+  *    the surviving buckets.
+  *  - `stats` — ONE row `(n_docs, sum_dl)`: the corpus-global BM25
+  *    constants, frozen at build time like df is.
+  *
+  * Correctness contract: serving reads exact integers (tf, df, dl, N,
+  * Σdl — the SAME values the corpus-scan path computes, pinned by
+  * Bm25StoreSpec) and scores them with the VERBATIM shared expression
+  * [[Ranking.bm25ScoreCol]], so the persisted path is bit-identical
+  * to [[Ranking.bm25TopK]] whenever ≥ topK documents match ≥ 1 query
+  * term. (Only matching documents exist in the index; a no-term
+  * document scores exactly 0.0 in the scan path and every matched
+  * document scores strictly above 0 — ln(1+x) idf is positive — so
+  * the matched set always outranks it. The gated corpus has 478/500
+  * matching docs for a top-20.) The gate shares `rank_bm25`'s oracle
+  * verbatim.
+  *
+  * Reader safety is the GenIndex contract: [[scoreQuery]] resolves
+  * the manifest ONCE and reads postings + stats from that single
+  * generation — a reseed flipping mid-query cannot mix gen-N postings
+  * with gen-N+1 stats.
+  */
+object Bm25Store {
+
+  /** Term-hash directory fan-out: 64 buckets bounds the partition
+    * count at any vocabulary size; a 3-term query opens ≤ 3 of them.
+    */
+  val NumBuckets = 64
+
+  /** Build the inverted index on the corpus and publish generation 0. */
+  def seed(docs: DataFrame, root: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    GenIndex.init(root)(dir => writeGen(docs, dir, idCol, textCol))
+
+  /** RESEED: rebuild on the CURRENT corpus into the next generation
+    * and atomically flip — the refresh path once the corpus drifts
+    * (df/N/Σdl are corpus-era constants exactly like the tokenizer's
+    * merge table). Readers that resolved before the flip finish
+    * against their own generation; `retain` old generations survive.
+    */
+  def reseed(docs: DataFrame, root: String, idCol: String = "doc_id",
+      textCol: String = "text", retain: Int = 1): Unit = {
+    val (_, next) = GenIndex.nextGen(root)
+    writeGen(docs, s"$root/$next", idCol, textCol)
+    GenIndex.publish(root, next, retain)
+  }
+
+  private def writeGen(docs: DataFrame, dir: String, idCol: String,
+      textCol: String): Unit = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // whitespace tokens exactly as the scan path counts them: split on
+    // single spaces, drop empties (tf per (term, doc) then equals
+    // tokenOccurrences for every term); dl keeps the spaces+1 count
+    // (tokenCount) — empty tokens count toward length, never toward tf
+    val toks = base.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("dl"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val postings = toks.groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+    // one corpus-linear explode+count shuffle (the inverted-index
+    // build), clustered to one output file per bucket directory
+    postings.repartition(col("tbucket"))
+      .write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$dir/postings")
+    base.agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The query terms' bucket set, computed by the ENGINE's own
+    * xxhash64 (one driver-local one-job evaluation over the |terms|
+    * rows — a query constant, like every ANN leg's collected query
+    * batch) so write-side and read-side bucketing can never skew.
+    */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(NumBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  /** BM25 top-k served from the PERSISTED index: one manifest
+    * resolve, a posting read pruned to the query terms' buckets (then
+    * to the terms themselves), per-doc tf pivot into the fixed query
+    * columns, and the verbatim shared score expression. Output
+    * contract identical to [[Ranking.bm25TopK]] — `(doc_id, score,
+    * rk)` — restricted to documents matching ≥ 1 term (see the
+    * class doc for why that never changes the top-k on a corpus with
+    * ≥ topK matches).
+    */
+  def scoreQuery(spark: SparkSession, root: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val gen = GenIndex.currentGen(root)
+    val stats = spark.read.parquet(s"$gen/stats")
+    val buckets = bucketsOf(spark, terms)
+    // Σ df_t rows survive the pruned read — materialized once
+    // (localCheckpoint) and consumed by BOTH the df aggregation and
+    // the per-doc pivot, so the bucket directories are opened once
+    val pruned = spark.read.parquet(s"$gen/postings")
+      .where(col("tbucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+      .localCheckpoint()
+    // per-term document frequencies from the pruned postings (each row
+    // IS one (term, doc) membership); coalesce(0) for terms the corpus
+    // has never seen, whose idf the score expression still evaluates
+    val dfAggs = terms.indices.map(i =>
+      coalesce(sum(when(col("term") === terms(i), 1L).otherwise(0L)),
+        lit(0L)).as(s"df$i"))
+    val qstats = pruned.agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(broadcast(stats))
+    val tfAggs = max(col("dl")).as("dl") +: terms.indices.map(i =>
+      coalesce(max(when(col("term") === terms(i), col("tf"))), lit(0L))
+        .as(s"tf$i")).toSeq
+    val perDoc = pruned.groupBy(col("doc_id"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(qstats))
+      .select(col("doc_id"),
+        round(Ranking.bm25ScoreCol(terms.size, k1, b), 6).as("score"))
+    Ranking.rankTopK(scored, "doc_id", topK)
+  }
+}

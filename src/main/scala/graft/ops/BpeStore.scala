@@ -91,6 +91,34 @@ object BpeStore {
       .orderBy(col("ord")).collect().toSeq
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
 
+  /** A reader bound to ONE resolved generation: the merge table
+    * (driver-collected, KBs) plus the vocabulary cache
+    * (localCheckpointed — read from the store once, reused across
+    * every batch this reader encodes). The shape for callers that
+    * encode MANY batches against a single tokenizer snapshot — the
+    * streaming gate resolves here once at stream start instead of
+    * re-resolving per micro-batch, which is both cheaper and the
+    * stronger consistency statement (every micro-batch tokenized by
+    * the same generation even if a reseed flips mid-stream).
+    */
+  final case class Reader(merges: Seq[(String, String)], vocab: DataFrame)
+
+  def resolve(spark: SparkSession, root: String): Reader = {
+    val gen = GenIndex.currentGen(root)
+    Reader(readMergesAt(spark, gen),
+      spark.read.parquet(s"$gen/vocab").localCheckpoint())
+  }
+
+  /** Encode one batch with an already-resolved [[Reader]] — identical
+    * output contract to [[encode]], minus the per-call manifest
+    * resolve and vocab read.
+    */
+  def encodeWith(r: Reader, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      samplePred: Column = lit(false)): DataFrame =
+    BpeTrain.bpeEncodeWithVocab(docs, textCol, idCol, r.vocab, r.merges,
+      samplePred)
+
   /** Encode a corpus with the PERSISTED tokenizer: one manifest
     * resolve (merges and vocab from the SAME generation), then the
     * vocab-join encode with the merge-chain fallback for words the

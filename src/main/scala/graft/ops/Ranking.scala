@@ -48,25 +48,43 @@ object Ranking {
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
 
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(bm25ScoreCol(terms.size, k1, b), 6).as("score"))
+    rankTopK(scored, idCol, topK)
+  }
+
+  /** The ONE BM25 score expression — shared verbatim by the corpus-scan
+    * path above and the persisted-index path ([[Bm25Store.scoreQuery]]),
+    * so both produce bit-identical doubles: the inputs (tf*, df*, dl,
+    * n_docs, sum_dl) are exact integers and the arithmetic is one fixed
+    * left-to-right expression tree. A fork here would be an opaque
+    * oracle hash mismatch, never a visible diff. Expects columns
+    * `tf0..tf{n-1}`, `df0..df{n-1}`, `dl`, `n_docs`, `sum_dl` in scope.
+    */
+  private[ops] def bm25ScoreCol(nTerms: Int, k1: Double, b: Double): Column = {
     val n = col("n_docs").cast("double")
     val avgdl = col("sum_dl").cast("double") / n
-    val score = terms.indices.map { i =>
+    (0 until nTerms).map { i =>
       val tf = col(s"tf$i").cast("double")
       val dfi = col(s"df$i").cast("double")
       val idf = log(lit(1.0) + (n - dfi + 0.5) / (dfi + 0.5))
       idf * tf * lit(k1 + 1) /
         (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / avgdl))
     }.reduce(_ + _)
-
-    val scored = base.crossJoin(broadcast(stats))
-      .select(col(idCol), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col(idCol))
-      .limit(topK)
-    // rank the k survivors (k rows — the window's single partition is
-    // the already-reduced top-k, not the corpus)
-    scored.withColumn("rk",
-      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
   }
+
+  /** Top-k by (score desc, id) + rank — TakeOrderedAndProject for the
+    * limit (per-partition heaps), then row_number over the k survivors
+    * only (the window's single partition is the already-reduced top-k,
+    * not the corpus). Shared by both BM25 serving paths.
+    */
+  private[ops] def rankTopK(scored: DataFrame, idCol: String,
+      topK: Int): DataFrame =
+    scored.orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
 
   /** Per-document top-k TF-IDF terms — keyword extraction over the
     * whole corpus (the per-doc counterpart of [[bm25TopK]]'s fixed
