@@ -813,6 +813,21 @@ object Bench {
       }
     hygiene("diag_bpe_depth")
 
+    // persisted-BM25 serve-vs-scan at 1× and 10× — the measurement
+    // behind Bm25Store's scale claim. Walls at bench SF are overhead-
+    // dominated on both paths; the claim-bearing numbers are the
+    // structural bytes recorded beside them (corpus text MB the scan
+    // reads vs pruned bucket MB the serve opens — machine-load-proof).
+    // Fixed work — one build + min-of-3 query pair per scale — so no
+    // watchdog budget is needed; failure records {} and is named.
+    val bm25ServeJson =
+      try "{" + graft.tools.ProbeBm25Serve.measure(spark, sfDir) + "}"
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bm25 serve diagnostic failed: ${e.getMessage}")
+        "{}"
+      }
+    hygiene("diag_bm25_serve")
+
     // 3. subscription catch-up: deliver one stream's full history
     //    through the streaming source. WINDOW is a per-client pacing
     //    control (default 1000 = at most 1000 unacked in flight); bulk
@@ -1117,6 +1132,7 @@ object Bench {
       s""""bq_recall_at_5":$bqRecall,""" +
       s""""bq_recall_persist":$bqRecallPersist,""" +
       s""""bpe_depth":$bpeDepthJson,""" +
+      s""""bm25_serve":$bm25ServeJson,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_drain_sec":$serverDrainSec,""" +
@@ -1163,6 +1179,7 @@ object Bench {
       s""""bq_recall_at_5":$bqRecall,""" +
       s""""bq_recall_persist":$bqRecallPersist,""" +
       s""""bpe_depth":$bpeDepthJson,""" +
+      s""""bm25_serve":$bm25ServeJson,""" +
       s""""server_appends_per_sec":$serverAppendsPerSec,""" +
       s""""server_delivered_per_sec":$serverDeliveredPerSec,""" +
       s""""server_witness":$serverWitnessJson,""" +

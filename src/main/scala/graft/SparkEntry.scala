@@ -2294,8 +2294,9 @@ object SparkEntry {
     // corpus text scan), the semantic arm from the persistent IVF-PQ
     // AnnIndex through the exact-refine tail — fused by the same RRF.
     // This is the production serving topology: a query touches only
-    // its terms' posting buckets and its probe's inverted lists, cost
-    // independent of corpus size. Each arm is bit-identical to its
+    // its terms' posting buckets and its probe's inverted lists —
+    // never the corpus text or the flat vectors. Each arm is
+    // bit-identical to its
     // in-session twin (Bm25StoreSpec / AnnIndexSpec), so the ORACLE
     // IS rank_rrf_hybrid_ann's verbatim.
     "rank_rrf_hybrid_persistent" -> ((s, d) => {

@@ -12,7 +12,11 @@ import graft.streaming.GenIndex
   * right shape for ad-hoc curation pulls, but a retrieval SERVICE
   * builds the inverted index once per corpus era and answers each
   * query from the query terms' posting lists alone — query cost is
-  * O(Σ df_t of the query's terms), independent of corpus size. This
+  * O(Σ df_t of the query's terms): the matched posting rows, never
+  * the corpus text (df_t grows with the corpus for a fixed term, but
+  * the posting row is ~30 bytes where the document is KBs — the
+  * bench's `bm25_serve` diagnostic records the structural bytes,
+  * corpus text MB vs pruned bucket MB, beside the walls). This
   * store gives that artifact the same lifecycle the ANN model
   * ([[AnnIndex]]) and the tokenizer ([[BpeStore]]) already have: a
   * [[GenIndex]] root, an atomic manifest flip, reseed on corpus
