@@ -2122,6 +2122,51 @@ object SparkEntry {
       } finally graft.core.Fs.deleteRecursively(root.toFile)
     }),
 
+    // STREAMING lexical-index maintenance — the live-corpus shape of
+    // rank_bm25_persistent: seed the inverted index on the at-rest
+    // corpus, then documents arrive as EVENTS through the real append
+    // path, each micro-batch appends its posting rows into their term
+    // buckets plus one stats-ledger delta, with a reader-safe
+    // generational compaction mid-stream (re-cluster by term, collapse
+    // the ledger, atomic flip). tf/dl are per-doc and the ledger is
+    // additive, so seed + streamed appends is BIT-IDENTICAL to one
+    // build of the full corpus (Bm25StoreSpec pins the algebra) — the
+    // ORACLE IS rank_bm25's verbatim. The BM25 artifact now has the
+    // same seed/append/compact/serve lifecycle the ANN index has.
+    "stream_bm25_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isNew = graft.ops.Curation.hashBucket(col("doc_id"),
+        IncrementalSeed) < lit(IncrementalNewBp)
+      val des = StoreProvider.docStoreFor(s, d, isNew)
+      val root =
+        java.nio.file.Files.createTempDirectory("verify-sbm25-")
+      try {
+        graft.ops.Bm25Store.seed(docs.where(!isNew), root.toString)
+        val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+        drainStream(
+            s.readStream.schema(graft.core.EventSchema.schema)
+              .option("basePath", s"${des.root}/events")
+              .option("maxFilesPerTrigger", StreamFilesPerTrigger)
+              .parquet(s"${des.root}/events"),
+            "verify-sbm25-ck-",
+            perBatch = { b =>
+              graft.ops.Bm25Store.append(
+                b.select(
+                  expr("CAST(substring(stream_id, 5, 30) AS BIGINT)")
+                    .as("doc_id"),
+                  col("payload").cast("string").as("text")),
+                root.toString)
+              if (batchNo.incrementAndGet() % StreamCompactEvery == 0)
+                graft.ops.Bm25Store.compact(s, root.toString)
+              b.groupBy().count()
+            }) { r => r.getAs[Long](0) }
+        graft.ops.Bm25Store.scoreQuery(s, root.toString, Bm25Terms,
+            k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+          .orderBy(col("rk"))
+          .localCheckpoint()
+      } finally graft.core.Fs.deleteRecursively(root.toFile)
+    }),
+
     // MMR diversity re-rank (Carbonell & Goldstein 1998): the exact
     // cosine arm retrieves MmrN candidates for query vec 0, then the
     // greedy λ·rel − γ·max-sim-to-selected pass picks MmrK — the
@@ -6560,6 +6605,10 @@ object SparkEntry {
     // corpus-scan path by the shared-expression contract
     // (Bm25Store scaladoc + Bm25StoreSpec), so the oracle is shared
     "rank_bm25_persistent" -> bm25Oracle,
+    // seed + streamed appends == one full build (per-doc postings,
+    // additive stats ledger — Bm25StoreSpec pins the algebra), so the
+    // maintenance gate shares the same oracle
+    "stream_bm25_ingest" -> bm25Oracle,
     "rank_mmr" -> mmrOracle,
     "rank_mmr_ann" -> mmrAnnOracle,
     "rank_ndcg_eval" -> ndcgOracle,

@@ -36,8 +36,11 @@ import graft.streaming.GenIndex
   *    a PartitionFilter (directories never opened), and the
   *    `term isin (...)` filter pushes to parquet row groups inside
   *    the surviving buckets.
-  *  - `stats` — ONE row `(n_docs, sum_dl)`: the corpus-global BM25
-  *    constants, frozen at build time like df is.
+  *  - `stats` — an append-only LEDGER of `(n_docs, sum_dl)` delta
+  *    rows (one row after a build or [[compact]]; [[append]] adds
+  *    one per batch). Serving sums it — exact integers, so the
+  *    ledger is order-independent and maintenance never overwrites
+  *    an object a reader may hold open.
   *
   * Correctness contract: serving reads exact integers (tf, df, dl, N,
   * Σdl — the SAME values the corpus-scan path computes, pinned by
@@ -84,24 +87,83 @@ object Bm25Store {
   private def writeGen(docs: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // whitespace tokens exactly as the scan path counts them: split on
-    // single spaces, drop empties (tf per (term, doc) then equals
-    // tokenOccurrences for every term); dl keeps the spaces+1 count
-    // (tokenCount) — empty tokens count toward length, never toward tf
-    val toks = base.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("dl"),
-      explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
-    val postings = toks.groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("tbucket", pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
     // one corpus-linear explode+count shuffle (the inverted-index
     // build), clustered to one output file per bucket directory
-    postings.repartition(col("tbucket"))
+    postingsOf(base).repartition(col("tbucket"))
       .write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$dir/postings")
+    statsOf(base).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The posting rows of one document set — whitespace tokens exactly
+    * as the scan path counts them: split on single spaces, drop
+    * empties (tf per (term, doc) then equals tokenOccurrences for
+    * every term); dl keeps the spaces+1 count (tokenCount) — empty
+    * tokens count toward length, never toward tf.
+    */
+  private def postingsOf(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("dl"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket",
+        pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
+
+  /** One (n_docs, sum_dl) DELTA row. The stats dataset is an
+    * append-only LEDGER of these — [[scoreQuery]] sums it — so index
+    * MAINTENANCE never rewrites an object another reader may hold
+    * open: both postings and stats grow by appended files only, and
+    * the exact-integer sums make the ledger order-independent.
+    */
+  private def statsOf(base: DataFrame): DataFrame =
     base.agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text"))).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      sum(TextAnalysis.tokenCount(col("text"))).as("sum_dl"))
+
+  /** APPEND a document batch into the live generation — the streaming
+    * index-maintenance path (the [[AnnIndex.append]] discipline:
+    * micro-batch appends land INSIDE the current generation, the
+    * foreachBatch sink is the only writer and is sequential; only
+    * [[compact]] creates generations). New posting files land in
+    * their term buckets, one stats delta row joins the ledger;
+    * because tf/dl are per-doc and the ledger is additive, seed +
+    * any partition of appends is BIT-IDENTICAL to a single build of
+    * the union (Bm25StoreSpec pins it) — each document must arrive
+    * exactly once, the same caller contract as AnnIndex.
+    */
+  def append(docs: DataFrame, root: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val gen = GenIndex.currentGen(root)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint() // consumed by postings AND the stats delta
+    postingsOf(base)
+      .write.partitionBy("tbucket").mode("append")
+      .parquet(s"$gen/postings")
+    statsOf(base).coalesce(1)
+      .write.mode("append").parquet(s"$gen/stats")
+  }
+
+  /** Compact the live generation into the next and flip: posting
+    * rows re-clustered (sorted by term within each bucket, so the
+    * `term isin` row-group pushdown bites again after a long append
+    * tail), the stats ledger collapsed back to one row. Rewrite is
+    * content-preserving by construction (one read, one write of the
+    * same rows/sums) — serving before and after is bit-identical;
+    * readers that resolved the old generation finish against it
+    * (`retain` survivors, the GenIndex contract).
+    */
+  def compact(spark: SparkSession, root: String, retain: Int = 1): Unit = {
+    val (cur, next) = GenIndex.nextGen(root)
+    val nextDir = s"$root/$next"
+    spark.read.parquet(s"$cur/postings")
+      .repartition(col("tbucket"))
+      .sortWithinPartitions(col("tbucket"), col("term"), col("doc_id"))
+      .write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$nextDir/postings")
+    spark.read.parquet(s"$cur/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$nextDir/stats")
+    GenIndex.publish(root, next, retain)
   }
 
   /** The query terms' bucket set, computed by the ENGINE's own
@@ -129,7 +191,10 @@ object Bm25Store {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val gen = GenIndex.currentGen(root)
+    // the stats LEDGER summed to the corpus-global row (one row after
+    // a build or compact; one extra delta row per append since)
     val stats = spark.read.parquet(s"$gen/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val buckets = bucketsOf(spark, terms)
     // Σ df_t rows survive the pruned read — materialized once
     // (localCheckpoint) and consumed by BOTH the df aggregation and

@@ -116,6 +116,38 @@ class Bm25StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.core.Fs.deleteRecursively(root.toFile)
   }
 
+  test("seed + appends == one build of the union (any batch division), " +
+      "and compact preserves the served answer while flipping the " +
+      "generation") {
+    val root = java.nio.file.Files.createTempDirectory("bm25store-spec-")
+    val rootAll = java.nio.file.Files.createTempDirectory("bm25store-spec-")
+    try {
+      // split 6 docs into seed {1,2} + appends {3,4} and {5,6}
+      Bm25Store.seed(corpus.where(col("doc_id") <= 2), root.toString)
+      Bm25Store.append(corpus.where(col("doc_id").isin(3, 4)), root.toString)
+      Bm25Store.append(corpus.where(col("doc_id").isin(5, 6)), root.toString)
+      Bm25Store.seed(corpus, rootAll.toString)
+      val incremental = rows(Bm25Store.scoreQuery(spark, root.toString,
+        terms, topK = 6))
+      val oneShot = rows(Bm25Store.scoreQuery(spark, rootAll.toString,
+        terms, topK = 6))
+      assert(incremental == oneShot,
+        "seed+append diverged from the one-shot build")
+
+      Bm25Store.compact(spark, root.toString)
+      assert(GenIndex.currentGen(root.toString).endsWith("gen-00001"))
+      assert(rows(Bm25Store.scoreQuery(spark, root.toString, terms,
+        topK = 6)) == oneShot,
+        "compaction changed the served answer")
+      // the ledger collapsed back to one row
+      assert(spark.read.parquet(
+        s"${GenIndex.currentGen(root.toString)}/stats").count() == 1L)
+    } finally {
+      graft.core.Fs.deleteRecursively(root.toFile)
+      graft.core.Fs.deleteRecursively(rootAll.toFile)
+    }
+  }
+
   test("the pruned posting read only opens the query terms' buckets " +
       "(partition filter present in the plan)") {
     val root = java.nio.file.Files.createTempDirectory("bm25store-spec-")
