@@ -306,7 +306,20 @@ final class EventStore private (
       if (!hasParquetHeadLayers(state)) broadcast(headsView) else headsView
 
     val wp = Window.partitionBy($"partition_id").orderBy(col(orderCol))
-    val ws = Window.partitionBy($"stream_id").orderBy(col(orderCol))
+    // stream-version window: partitioned by (partition_id, stream_id),
+    // NOT bare stream_id. Semantically identical (every stream routes
+    // to exactly one partition_id, so each window partition holds the
+    // same rows either way), but the widened spec is satisfied by the
+    // hash(partition_id) distribution the sequence window just
+    // established — ClusteredDistribution(partition_id, stream_id) is
+    // met by HashPartitioning(partition_id) — so this window plans as
+    // a LOCAL re-sort, not a second full shuffle of the event payload.
+    // Combined with the write below inheriting the same partitioning,
+    // bulk ingest moves the payload through ONE exchange instead of
+    // the pre-r18 three (stream window + sequence window + an explicit
+    // repartition).
+    val ws = Window.partitionBy($"partition_id", $"stream_id")
+      .orderBy(col(orderCol))
     // bulk ingest is semantically MANY single-event transactions, so
     // each row gets its own transaction id with the single-event flag
     // SET (read_transaction's short-circuit depends on the flag being
@@ -333,13 +346,15 @@ final class EventStore private (
 
     val preFiles = listDataFiles()
     assigned
-      // co-locate each partition_id in exactly one task before the
-      // partitioned write: one file per partition per commit (the
-      // reference's segment shape). Without this the write inherits the
-      // stream-version window's hash(stream_id) layout and fans out to
-      // tasks×partitions tiny files.
-      .repartition($"partition_id")
-      .sortWithinPartitions($"partition_sequence")
+      // each partition_id already lives in exactly one task: both
+      // windows above run under the ONE hash(partition_id) exchange
+      // (see `ws`), and nothing after them re-partitions — so the
+      // partitioned write emits one file per partition per commit (the
+      // reference's segment shape) with no extra repartition. The sort
+      // leads with partition_id so the writer's required ordering
+      // (partition columns first) is satisfied and rows land
+      // sequence-sorted within each file without a writer-side re-sort.
+      .sortWithinPartitions($"partition_id", $"partition_sequence")
       .write
       .mode("append")
       .partitionBy("partition_id")

@@ -135,14 +135,21 @@ object AnnIndex {
       if (opqSteps > 0)
         Similarity.opqRotate(corpus, vecCol, vecCol, opqSteps, opqDims)
       else corpus
-    // coarseCentroids, not kmeansCentroids: the in-session paths
-    // (ivfTopK / ivfPqTopKBatch) fall back to the raw corpus id-prefix
-    // when trainIters == 0, while kmeansCentroids at 0 iters returns
-    // the TRAINING SAMPLE's prefix — for sampleMode="hash" those
-    // differ, silently breaking the "training matches the in-session
-    // build exactly" contract for that configuration
-    val cents = Similarity.coarseCentroids(trainCorpus, nlist, trainIters,
-      sampleMode, idCol, vecCol, maxSample)
+    // ONE training-sample collection feeds the coarse trainer and the
+    // PQ books (lazy: the sq8/bq codecs at trainIters == 0 never touch
+    // it) — each collection is a full-corpus TakeOrdered pass, the
+    // dominant training cost at scale, and the pre-r18 shape paid it
+    // once per trainer. The trainIters == 0 fallback keeps
+    // coarseCentroids' raw-corpus id-prefix semantics (the in-session
+    // paths' contract — for sampleMode="hash" the sample prefix would
+    // differ, silently breaking "training matches the in-session
+    // build exactly").
+    lazy val sample = Similarity.collectTrainingSample(trainCorpus,
+      maxSample, sampleMode, idCol, vecCol)
+    val cents =
+      if (trainIters > 0) Similarity.kmeansFrom(sample, nlist, trainIters)
+      else Similarity.coarseCentroids(trainCorpus, nlist, 0,
+        sampleMode, idCol, vecCol, maxSample)
     // residual=true is the classical IVFADC composition: the PQ books
     // train on the SAMPLE's residuals (x minus its nearest final
     // centroid) and every encode/query below follows the flag — the
@@ -150,13 +157,10 @@ object AnnIndex {
     val books =
       if (codec != "pq") Nil // sq8/bq per-vector codes: nothing to train
       else if (residual) {
-        val sample = collectQueryVecs(
-          Similarity.trainingSample(trainCorpus, maxSample,
-            sampleMode, idCol), idCol, vecCol).map(_._2)
         val pre = Model(cents, Nil, residual = true)
-        Similarity.pqTrainFrom(sample.map(pre.residOf), m, k, pqIters)
-      } else Similarity.pqTrain(trainCorpus, m, k, pqIters, maxSample,
-        sampleMode, idCol, vecCol)
+        Similarity.pqTrainFrom(sample.map(s => pre.residOf(s._2)),
+          m, k, pqIters)
+      } else Similarity.pqTrainFrom(sample.map(_._2), m, k, pqIters)
     // bq packs by static word slices, so the dimension count is model
     // state — read off the trained coarse centroids (per-dimension
     // means of the same vectors), zero extra Spark actions
@@ -492,8 +496,28 @@ object AnnIndex {
         vecCol = vecCol, keep = Seq("ivf_cid"))
   }
 
+  /** Frozen-model memo, keyed by generation directory. A generation's
+    * model tables are written once (before publish) and never mutated
+    * — maintenance writes a NEW generation — so re-reading cents+books
+    * from parquet on EVERY append/compact/query call (two scheduled
+    * collect jobs apiece, a fixed maintenance-latency constant at any
+    * corpus size) is pure overhead after the first read. Deliberately
+    * populated only by a GENUINE parquet read, never by [[writeModel]]
+    * (which instead invalidates): the first reader of every generation
+    * still exercises the full model round-trip, so the bench's
+    * persisted-vs-in-session equality canaries keep their power to
+    * catch storage-layer bugs. Bounded LRU; entries for deleted temp
+    * generations age out.
+    */
+  private val modelCache =
+    new java.util.LinkedHashMap[String, Model](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Model]): Boolean = size() > 64
+    }
+
   private def writeModel(spark: SparkSession, dir: String,
       model: Model): Unit = {
+    modelCache.synchronized { modelCache.remove(dir) }
     import spark.implicits._
     // the residual flag and the codec are part of the model contract:
     // a probe must build the encode-matching scoring or every distance
@@ -516,11 +540,25 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
   }
 
-  /** Read the frozen model back. Codebook centroid ids are POSITIONS
-    * (`books(s)(ci)`), so both tables re-sort on their ids — parquet
-    * row order is not a contract.
+  /** Read the frozen model back — through the per-generation memo
+    * (see [[modelCache]]): the first call per generation does the
+    * parquet round-trip, later calls in the same JVM reuse it.
     */
   private def readModel(spark: SparkSession, dir: String): Model = {
+    modelCache.synchronized { Option(modelCache.get(dir)) } match {
+      case Some(m) => m
+      case None =>
+        val m = readModelIO(spark, dir)
+        modelCache.synchronized { modelCache.put(dir, m) }
+        m
+    }
+  }
+
+  /** The actual parquet round-trip behind [[readModel]]. Codebook
+    * centroid ids are POSITIONS (`books(s)(ci)`), so both tables
+    * re-sort on their ids — parquet row order is not a contract.
+    */
+  private def readModelIO(spark: SparkSession, dir: String): Model = {
     val cents = spark.read.parquet(s"$dir/cents")
       .collect().toSeq
       .map(r => (r.getLong(0): Any, r.getSeq[Double](1)))

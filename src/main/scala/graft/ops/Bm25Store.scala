@@ -167,15 +167,19 @@ object Bm25Store {
   }
 
   /** The query terms' bucket set, computed by the ENGINE's own
-    * xxhash64 (one driver-local one-job evaluation over the |terms|
-    * rows — a query constant, like every ANN leg's collected query
-    * batch) so write-side and read-side bucketing can never skew.
+    * `XxHash64`/`Pmod` Catalyst expressions evaluated driver-side over
+    * the |terms| literals — the IDENTICAL implementation the write
+    * side's `pmod(xxhash64(term))` column runs (so bucketing can never
+    * skew), without the scheduled one-row Spark job the pre-r18 form
+    * paid per serve (a serve-latency constant on the hot read path).
     */
-  private def bucketsOf(spark: SparkSession, terms: Seq[String]): Seq[Long] = {
-    import spark.implicits._
-    terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(NumBuckets.toLong)).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+  private def bucketsOf(terms: Seq[String]): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    terms.map { t =>
+      // seed 42L is functions.xxhash64's seed — the write-side column
+      Pmod(XxHash64(Seq(Literal(t)), 42L), Literal(NumBuckets.toLong))
+        .eval(null).asInstanceOf[Long]
+    }.distinct
   }
 
   /** BM25 top-k served from the PERSISTED index: one manifest
@@ -195,7 +199,7 @@ object Bm25Store {
     // a build or compact; one extra delta row per append since)
     val stats = spark.read.parquet(s"$gen/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val buckets = bucketsOf(spark, terms)
+    val buckets = bucketsOf(terms)
     // Σ df_t rows survive the pruned read — materialized once
     // (localCheckpoint) and consumed by BOTH the df aggregation and
     // the per-doc pivot, so the bucket directories are opened once

@@ -116,11 +116,14 @@ object Dedup {
     * delimiter-joined decimal rendering of the band's hash values
     * (unambiguous, engine-portable). */
   def bandKeys(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    (0 until bands).map { b =>
-      val key = concat_ws(":", (0 until rowsPerBand)
-        .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
-      signatures.select(col("id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionAll _)
+    // one pass (posexplode over the per-band key array), not a union
+    // of per-band selects — the union form scanned `signatures` once
+    // per band (see simhashBandKeys)
+    signatures.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws(":", (0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+      }: _*)).as(Seq("band", "bkey")))
 
   /** LSH banding: candidate pairs = documents agreeing on ALL rows of
     * at least one band. Shuffle is on (band index, band key) — uniform
@@ -890,14 +893,39 @@ object Dedup {
     * slice of the fingerprint. The banding primitive shared by the
     * batch self-join ([[simhashBandCandidates]]) and the incremental
     * probe ([[simhashPairsIncremental]]).
+    *
+    * ONE pass, not a union of per-band selects: `posexplode` over the
+    * array of band slices reads `fp` once and emits the `bands` rows
+    * per id from that single scan (pos IS the band index) — the
+    * union form scanned `fp` once per band, which for a
+    * non-materialized fp (seed paths) was `bands` full fingerprint
+    * computations of the corpus.
     */
   def simhashBandKeys(fp: DataFrame, bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val width = bits / bands
-    (0 until bands).map { b =>
-      fp.select(col("id"), lit(b).as("band"),
-        substring(col("simhash"), b * width + 1, width).as("bkey"))
-    }.reduce(_ unionAll _)
+    fp.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("simhash"), b * width + 1, width)): _*))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** [[simhashBandKeys]] WITH the fingerprint carried on every band
+    * row — `(id, band, bkey, simhash)` in the same single pass. This
+    * is the shape the banded indexes store and the verify path needs:
+    * deriving it as `simhashBandKeys(fp).join(fp, "id")` (the pre-r18
+    * form) paid a corpus-sized shuffle join to re-attach a column the
+    * band row's own scan already had in hand.
+    */
+  private[graft] def simhashBandRows(fp: DataFrame, bits: Int,
+      bands: Int): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val width = bits / bands
+    fp.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("simhash"), b * width + 1, width)): _*))
+        .as(Seq("band", "bkey")),
+      col("simhash"))
   }
 
   /** Band-bucket candidate pairs over precomputed fingerprints
@@ -964,8 +992,9 @@ object Dedup {
     * gated query slipped back to it; the 32-bit config is a
     * SMALL-CORPUS DIAGNOSTIC only (its candidate ratio is reported by
     * the bench as `simhash32_candidate_ratio` next to the 64/128
-    * ratios so the gap stays visible). Candidates travel as (a, b) id
-    * pairs only; fingerprints are re-joined for the verify.
+    * ratios so the gap stays visible). Candidates leave the band join
+    * already carrying both fingerprints (they sit on the band rows),
+    * so the Hamming verify is a projection — no re-join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 64, bands: Int = 4, maxDistance: Int = 3,
@@ -1028,10 +1057,21 @@ object Dedup {
       maxDistance: Int): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    val cand = simhashBandCandidates(fp, bits, bands)
-    cand
-      .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
-      .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
+    // fingerprints travel ON the band rows (simhashBandRows), so the
+    // candidate pair (a, b) leaves the band join already carrying
+    // (sa, sb) and the verify is a projection — the pre-r18 form
+    // shipped (a, b) id pairs and paid TWO corpus-sized shuffle joins
+    // to re-attach fingerprints the band rows had in hand. The
+    // distinct's shuffle rows widen by the two bit-strings, but the
+    // two join exchanges (cand + fp, twice) disappear outright.
+    val banded = simhashBandRows(fp, bits, bands)
+    banded.select(col("band"), col("bkey"),
+        col("id").as("a"), col("simhash").as("sa"))
+      .join(banded.select(col("band"), col("bkey"),
+        col("id").as("b"), col("simhash").as("sb")), Seq("band", "bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb"))
+      .distinct()
       .withColumn("hamming",
         hammingDistance(col("sa"), col("sb"), bits).cast("long"))
       .where(col("hamming") <= maxDistance)
@@ -1194,18 +1234,22 @@ object Dedup {
       maxDistance: Int): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    val banded = simhashBandKeys(fp, bits, bands)
+    // fingerprints travel ON the band rows — same verify-as-projection
+    // shape as bandedHammingPairs (the two id-keyed re-join shuffles
+    // are gone); (sa, sb) follow the least/greatest normalization so
+    // sa is always a's fingerprint
+    val banded = simhashBandRows(fp, bits, bands)
     val probe = banded.join(newIds, "id")
-    val cand = probe.select(col("band"), col("bkey"), col("id").as("x"))
-      .join(banded.select(col("band"), col("bkey"), col("id").as("y")),
-        Seq("band", "bkey"))
+    probe.select(col("band"), col("bkey"), col("id").as("x"),
+        col("simhash").as("sx"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("y"),
+        col("simhash").as("sy")), Seq("band", "bkey"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
+        greatest(col("x"), col("y")).as("b"),
+        when(col("x") < col("y"), col("sx")).otherwise(col("sy")).as("sa"),
+        when(col("x") < col("y"), col("sy")).otherwise(col("sx")).as("sb"))
       .distinct()
-    cand
-      .join(fp.select(col("id").as("a"), col("simhash").as("sa")), "a")
-      .join(fp.select(col("id").as("b"), col("simhash").as("sb")), "b")
       .withColumn("hamming", hammingDistance(col("sa"), col("sb"), bits).cast("long"))
       .where(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming"))

@@ -471,14 +471,33 @@ object Similarity {
       throw new IllegalArgumentException(s"unknown sampleMode: $other")
   }
 
-  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int,
-      maxSample: Int = 10000, sampleMode: String = "prefix",
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Any, Seq[Double])] = {
-    val sample: Seq[(Any, Seq[Double])] =
-      trainingSample(corpus, maxSample, sampleMode, idCol)
+  /** Collect the (id, vector) training sample ONCE — the single
+    * corpus pass shared by the coarse and PQ trainers. Composed paths
+    * (IVF-PQ in-session and the persisted index) train BOTH quantizers
+    * from the same sample; collecting it once per path instead of once
+    * per trainer halves the training-time corpus scans (each
+    * collection is a TakeOrdered pass over the full corpus — at 100 TB
+    * the dominant training cost by far).
+    */
+  private[ops] def collectTrainingSample(corpus: DataFrame, maxSample: Int,
+      sampleMode: String, idCol: String,
+      vecCol: String): Seq[(Any, Seq[Double])] =
+    trainingSample(corpus, maxSample, sampleMode, idCol)
       .select(col(idCol), col(vecCol)).collect().toSeq
       .map(r => (r.get(0),
         r.getSeq[Any](1).map { case n: Number => n.doubleValue() }))
+
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int,
+      maxSample: Int = 10000, sampleMode: String = "prefix",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Any, Seq[Double])] =
+    kmeansFrom(collectTrainingSample(corpus, maxSample, sampleMode,
+      idCol, vecCol), nlist, iters)
+
+  /** [[kmeansCentroids]]'s Lloyd's core over an already-collected
+    * (ordered) training sample — callers holding the sample train both
+    * quantizers from one collection. */
+  private[ops] def kmeansFrom(sample: Seq[(Any, Seq[Double])], nlist: Int,
+      iters: Int): Seq[(Any, Seq[Double])] = {
     val init = sample.take(nlist)
     (0 until iters).foldLeft(init) { (cents, _) =>
       val assigned = sample.map { case (_, v) =>
@@ -523,9 +542,8 @@ object Similarity {
       maxSample: Int = 10000, sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] =
     pqTrainFrom(
-      trainingSample(corpus, maxSample, sampleMode, idCol)
-        .select(col(vecCol)).collect().toSeq
-        .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() }),
+      collectTrainingSample(corpus, maxSample, sampleMode, idCol, vecCol)
+        .map(_._2),
       m, k, iters)
 
   /** [[pqTrain]]'s Lloyd's core over an already-collected (ordered)
@@ -824,10 +842,17 @@ object Similarity {
       m: Int = 4, k: Int = 8, iters: Int = 2,
       maxSample: Int = 10000, sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+    // ONE training-sample collection feeds both quantizers (see
+    // collectTrainingSample) — identical sample rows, identical
+    // Lloyd's loops, one fewer full-corpus TakeOrdered pass. The
+    // trainIters == 0 fallback keeps coarseCentroids' corpus-prefix
+    // semantics (which differ from the sample prefix under "hash").
+    val sample = collectTrainingSample(corpus, maxSample, sampleMode,
       idCol, vecCol)
-    val books = pqTrain(corpus, m, k, iters, maxSample, sampleMode,
-      idCol = idCol, vecCol = vecCol)
+    val cents =
+      if (trainIters > 0) kmeansFrom(sample, nlist, trainIters)
+      else coarseCentroids(corpus, nlist, 0, sampleMode, idCol, vecCol)
+    val books = pqTrainFrom(sample.map(_._2), m, k, iters)
     // nearest coarse centroid per corpus vector: shuffle-free
     // projection (same expression as ivfTopK), carried through the
     // code projection
@@ -869,8 +894,14 @@ object Similarity {
       m: Int = 4, k: Int = 8, iters: Int = 2,
       maxSample: Int = 10000, sampleMode: String = "prefix",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = coarseCentroids(corpus, nlist, trainIters, sampleMode,
+    // ONE training-sample collection feeds the coarse trainer AND the
+    // residual PQ books (see collectTrainingSample) — one fewer
+    // full-corpus TakeOrdered pass, identical math.
+    val fullSample = collectTrainingSample(corpus, maxSample, sampleMode,
       idCol, vecCol)
+    val cents =
+      if (trainIters > 0) kmeansFrom(fullSample, nlist, trainIters)
+      else coarseCentroids(corpus, nlist, 0, sampleMode, idCol, vecCol)
     val centOf: Map[Long, Seq[Double]] = cents.map { case (cid, ce) =>
       cid.asInstanceOf[Number].longValue() -> ce
     }.toMap
@@ -883,10 +914,7 @@ object Similarity {
     }
     // PQ books trained on the SAMPLE's residuals (assignment by the
     // same rounded-cosine ranking the engine projection uses)
-    val sample: Seq[Seq[Double]] =
-      trainingSample(corpus, maxSample, sampleMode, idCol)
-        .select(col(vecCol)).collect().toSeq
-        .map(_.getSeq[Any](0).map { case n: Number => n.doubleValue() })
+    val sample: Seq[Seq[Double]] = fullSample.map(_._2)
     val books = pqTrainFrom(sample.map(residOf), m, k, iters)
     // engine-side residual: x − centroid(ivf_cid), elementwise — a
     // zip_with against the cid→centroid map literal, zero shuffle

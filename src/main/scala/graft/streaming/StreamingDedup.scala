@@ -51,16 +51,15 @@ object StreamingDedup {
     * six families. `fp` is (id, simhash).
     */
   def seedFingerprintIndex(fp0: DataFrame, indexDir: String,
-      bits: Int = 64, bands: Int = 4): Unit = {
-    // materialize the fingerprint ONCE: simhashBandKeys unions one
-    // fp.select per band and the id-join adds a fifth reference — an
-    // expensive fingerprint (ImageIO decode, AVI container walk, the
-    // energy kernel over the full at-rest corpus) would otherwise be
-    // recomputed five times inside one write
-    val fp = fp0.localCheckpoint()
-    Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+      bits: Int = 64, bands: Int = 4): Unit =
+    // ONE projection (simhashBandRows: posexplode of the band slices
+    // with the fingerprint carried on each row) — the fingerprint
+    // evaluates once per document in the single write pass, so the
+    // pre-r18 localCheckpoint (which existed because the band-keys
+    // union + id-join referenced fp five times) and the corpus-sized
+    // id-join shuffle are both gone from the seed.
+    Dedup.simhashBandRows(fp0, bits, bands)
       .write.mode("overwrite").parquet(indexDir)
-  }
 
   /** One micro-batch of the streaming probe: fingerprint `batch`,
     * probe the index AND the batch itself on (band, bkey), verify
@@ -85,12 +84,12 @@ object StreamingDedup {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
     val spark = fp0.sparkSession
-    // one fingerprint evaluation per micro-batch (see
-    // seedFingerprintIndex — band-keys + id-join reference fp five
-    // times; the media-decode fingerprints make that five decodes)
-    val fp = fp0.localCheckpoint()
-    val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
-      .localCheckpoint()
+    // ONE projection and ONE checkpoint per micro-batch: the band rows
+    // carry the fingerprint (simhashBandRows), so the fingerprint
+    // (media decode included) evaluates once while this checkpoint
+    // materializes — the pre-r18 shape checkpointed fp separately and
+    // paid an id-join shuffle per batch to re-attach simhash
+    val probe = Dedup.simhashBandRows(fp0, bits, bands).localCheckpoint()
     val pairs = simhashPairsAgainst(probe,
         spark.read.parquet(indexDir), bits, maxDistance)
       .localCheckpoint()
@@ -116,25 +115,26 @@ object StreamingDedup {
     */
   private def simhashPairsAgainst(probe: DataFrame, index: DataFrame,
       bits: Int, maxDistance: Int): DataFrame = {
-    val px = probe.select(col("band"), col("bkey"), col("id").as("x"))
-    val cand = px.join(index.select(col("band"), col("bkey"),
-          col("id").as("y")), Seq("band", "bkey"))
-      .unionByName(px.join(probe.select(col("band"), col("bkey"),
-          col("id").as("y")), Seq("band", "bkey")))
+    // every candidate is found through a band row, and both sides'
+    // band rows carry their fingerprint — so the pair leaves the band
+    // join with (sa, sb) in hand and the Hamming verify is a pure
+    // projection. The pre-r18 shape shipped (a, b) id pairs, derived a
+    // candidate-restricted fingerprint frame from index ∪ probe (one
+    // more scan of the corpus-sized index per micro-batch), and paid
+    // two re-join shuffles; all three steps are gone. (sa, sb) follow
+    // the least/greatest normalization so sa is always a's.
+    val px = probe.select(col("band"), col("bkey"), col("id").as("x"),
+      col("simhash").as("sx"))
+    def ySide(df: DataFrame) = df.select(col("band"), col("bkey"),
+      col("id").as("y"), col("simhash").as("sy"))
+    px.join(ySide(index), Seq("band", "bkey"))
+      .unionByName(px.join(ySide(probe), Seq("band", "bkey")))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
+        greatest(col("x"), col("y")).as("b"),
+        when(col("x") < col("y"), col("sx")).otherwise(col("sy")).as("sa"),
+        when(col("x") < col("y"), col("sy")).otherwise(col("sx")).as("sb"))
       .distinct()
-    val candIds = cand.select(col("a").as("cid"))
-      .unionAll(cand.select(col("b").as("cid"))).distinct()
-    // id appears once per band — collapse to one fingerprint row per
-    // candidate id before the verify joins
-    val fps = index.unionByName(probe)
-      .join(candIds, col("id") === col("cid"), "left_semi")
-      .select(col("id"), col("simhash")).distinct()
-    cand
-      .join(fps.select(col("id").as("a"), col("simhash").as("sa")), "a")
-      .join(fps.select(col("id").as("b"), col("simhash").as("sb")), "b")
       .withColumn("hamming",
         Dedup.hammingDistance(col("sa"), col("sb"), bits).cast("long"))
       .where(col("hamming") <= maxDistance)
@@ -246,8 +246,11 @@ object StreamingDedup {
   def seedSimhashIndexPruned(corpus: DataFrame, textCol: String,
       idCol: String, indexDir: String, parts: Int = 64, bits: Int = 64,
       bands: Int = 4, shingleK: Int = 3): Unit = {
+    // one projection — band rows carry the fingerprint (see
+    // seedFingerprintIndex); the only shuffle left is the pfx
+    // clustering for the partitioned layout
     val fp = Dedup.simhash(corpus, textCol, idCol, bits, shingleK)
-    Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+    Dedup.simhashBandRows(fp, bits, bands)
       .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)
@@ -274,7 +277,9 @@ object StreamingDedup {
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
     val spark = batch.sparkSession
     val fp = Dedup.simhash(batch, textCol, idCol, bits, shingleK)
-    val probe = Dedup.simhashBandKeys(fp, bits, bands).join(fp, "id")
+    // one projection + one checkpoint per batch (fingerprint on the
+    // band rows — see fingerprintProbeBatch)
+    val probe = Dedup.simhashBandRows(fp, bits, bands)
       .withColumn("pfx", bkeyPrefix(col("band"), col("bkey"), parts))
       .localCheckpoint()
     checkPartsMarker(indexDir, parts)
@@ -589,10 +594,13 @@ object StreamingDedup {
     */
   def seedCosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
       indexDir: String, planes: Int = 16, tables: Int = 3): Unit =
-    (0 until tables).map { t =>
-      corpus.select(col(idCol).as("id"), lit(t).as("tbl"),
-        graft.ops.Similarity.lshBucket(col(vecCol), planes, t).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one corpus pass (posexplode over the per-table bucket array; pos
+    // IS the table index) — the pre-r18 union of per-table selects
+    // scanned the corpus `tables` times
+    corpus.select(col(idCol).as("id"),
+        posexplode(array((0 until tables).map(t =>
+          graft.ops.Similarity.lshBucket(col(vecCol), planes, t)): _*))
+          .as(Seq("tbl", "bucket")))
       .write.mode("overwrite").parquet(indexDir)
 
   /** One micro-batch of the streaming EMBEDDING-COSINE probe — the
@@ -634,10 +642,11 @@ object StreamingDedup {
     val bvecs = vecSource
       .join(ids, vecSource(idCol) === ids("probe_id"), "left_semi")
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-    (0 until tables).map { t =>
-      bvecs.select(col("id"), lit(t).as("tbl"),
-        graft.ops.Similarity.lshBucket(col("vec"), planes, t).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one pass over the batch's vectors (see seedCosineIndex)
+    bvecs.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        graft.ops.Similarity.lshBucket(col("vec"), planes, t)): _*))
+        .as(Seq("tbl", "bucket")))
   }
 
   /** Candidate generation + exact rounded-cosine verify of one bucket
@@ -677,10 +686,11 @@ object StreamingDedup {
   def seedCosineIndexPruned(corpus: DataFrame, idCol: String,
       vecCol: String, indexDir: String, parts: Int = 64,
       planes: Int = 16, tables: Int = 3): Unit = {
-    (0 until tables).map { t =>
-      corpus.select(col(idCol).as("id"), lit(t).as("tbl"),
-        graft.ops.Similarity.lshBucket(col(vecCol), planes, t).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one corpus pass (see seedCosineIndex)
+    corpus.select(col(idCol).as("id"),
+        posexplode(array((0 until tables).map(t =>
+          graft.ops.Similarity.lshBucket(col(vecCol), planes, t)): _*))
+          .as(Seq("tbl", "bucket")))
       .withColumn("pfx", keyPrefix(parts, col("tbl"), col("bucket")))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(indexDir)

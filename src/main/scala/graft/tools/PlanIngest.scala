@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: dump the formatted physical plan of the bulk-ingest
+  * assignment pipeline (EventStore.ingest's windows + routed write
+  * input) — the evidence for the r18 ingest exchange-count audit,
+  * which tools/Plans cannot show because ingest is an imperative store
+  * operation, not a gated query. Builds a store and ingests a tiny
+  * probe batch with plan capture enabled, printing the plan of the
+  * LAST write executed (the ingest write itself).
+  */
+object PlanIngest {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    // capture every executed plan; print the ingest write's one
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          plans.add(funcName + "\n" + qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    graft.StoreProvider.storeFor(spark, sf)
+    // the listener bus is async — give it a beat to drain
+    Thread.sleep(1500)
+    import scala.jdk.CollectionConverters._
+    // the ingest write is the first executed command that scans the
+    // events source AND ends in a parquet insert with Window operators
+    plans.asScala.find(p =>
+        p.contains("Window") && p.contains("InsertIntoHadoopFsRelation"))
+      .orElse(plans.asScala.lastOption)
+      .foreach(println)
+    spark.stop()
+  }
+}
