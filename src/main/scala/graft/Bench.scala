@@ -377,11 +377,13 @@ object Bench {
     val dhashRatio: Double =
       try {
         import org.apache.spark.sql.functions.col
+        // null filter after the checkpoint (§4.4 — a pre-checkpoint
+        // filter is pushed into the projection and decodes twice)
         val fp = graft.ops.Multimodal.imageDHash(
             SparkEntry.dhashTwinBmps(spark, sfDir), "payload")
-          .where(col("dhash").isNotNull)
           .select(col("doc_id").as("id"), col("dhash").as("simhash"))
           .localCheckpoint()
+          .where(col("simhash").isNotNull)
         val n = fp.count().toDouble
         val cand = graft.ops.Dedup.simhashBandCandidates(fp, 64, 4)
           .count().toDouble

@@ -2648,10 +2648,13 @@ object SparkEntry {
     // with the periodic in-stream compaction. Union of per-batch
     // pairs == the incremental batch answer (same restricted-recount
     // oracle as dedup_image_dhash_incremental).
+    // (no fingerprint-null filter here: the shared seed/probe core
+    // drops null band keys on the GENERATOR output — a filter on the
+    // decode column gets pushed into the projection and runs ImageIO
+    // twice per row, guide §4.4)
     "stream_dedup_image" -> ((s, d) =>
       streamFingerprintDedupGate(s, d, "verify-sdimg-", ids =>
         graft.ops.Multimodal.imageDHash(dhashTwinBmpsOf(ids), "payload")
-          .where(col("dhash").isNotNull)
           .select(col("doc_id").as("id"), col("dhash").as("simhash")))),
 
     // STREAMING perceptual audio dedup — the same fingerprint-generic
@@ -2664,12 +2667,14 @@ object SparkEntry {
     // fingerprintProbeBatch, periodic in-stream compaction. Union of
     // per-batch pairs == the incremental batch answer (same
     // restricted-recount oracle as dedup_audio_energy_incremental).
+    // (no fingerprint-null filter here either — same §4.4 rationale;
+    // the energy kernel would run twice per row under the pushed-down
+    // filter because EnergyHashExpr is nullable)
     "stream_dedup_audio" -> ((s, d) =>
       streamFingerprintDedupGate(s, d, "verify-sdaud-", ids =>
         audioTwinWavsOf(ids).select(col("doc_id").as("id"),
             graft.ops.Multimodal.wavEnergyHash64(col("payload"))
-              .as("simhash"))
-          .where(col("simhash").isNotNull))),
+              .as("simhash")))),
 
     // STREAMING perceptual video dedup — the sixth family's streaming
     // member, closing the 6-family × batch/incremental/streaming

@@ -395,8 +395,11 @@ object AnnIndex {
   def compact(spark: SparkSession, root: String, targetFiles: Int = 8,
       retain: Int = 1): Unit = {
     val (cur, next) = GenIndex.nextGen(root)
-    val model = readModel(spark, cur)
-    writeModel(spark, s"$root/$next", model)
+    // model tables carried forward as a BYTE-IDENTICAL file copy — the
+    // strongest form of "verbatim", and two fewer scheduled jobs than
+    // the pre-r18 parquet decode + re-serialize round-trip (the model
+    // is frozen; compaction rewrites codes, never the model)
+    copyModel(cur, s"$root/$next")
     // tombstones are APPLIED here (anti-join during the rewrite) and
     // NOT carried into the new generation — the physical half of the
     // delete contract; the new generation starts with an empty
@@ -494,6 +497,23 @@ object AnnIndex {
     else
       Similarity.pqCodesWith(assigned, model.books, idCol = idCol,
         vecCol = vecCol, keep = Seq("ivf_cid"))
+  }
+
+  /** Carry a generation's frozen-model files into a new generation
+    * directory as a byte-level copy (driver-side Hadoop FS I/O, no
+    * Spark jobs) — [[compact]]'s model handoff.
+    */
+  private def copyModel(cur: String, dest: String): Unit = {
+    val (fs, _) = graft.core.Fs.hadoop(cur)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    Seq("cents", "books", "_residual", "_codec", "_opq", "_bqdims")
+      .foreach { n =>
+        val src = new org.apache.hadoop.fs.Path(s"$cur/$n")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src,
+            fs, new org.apache.hadoop.fs.Path(s"$dest/$n"), false, conf)
+      }
   }
 
   /** Frozen-model memo, keyed by generation directory. A generation's

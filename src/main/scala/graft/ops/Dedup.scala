@@ -1038,13 +1038,16 @@ object Dedup {
       bands: Int = 4, maxDistance: Int = 3): DataFrame = {
     require(maxDistance <= bands - 1,
       s"banding into $bands bands is only exact up to distance ${bands - 1}")
-    // decode once, keep only the 64-bit fingerprints (the simhashPairs
-    // materialization discipline — the fp frame feeds the band join
-    // twice plus both verify joins)
+    // decode once: the null filter runs AFTER the checkpoint — placed
+    // before it, Catalyst pushes isnotnull(dhash) below the projection
+    // by alias substitution and the ImageIO decode runs TWICE per row
+    // (once in the Filter, once in the Project — guide §4.4); the
+    // checkpoint holds the few null rows instead, which the filter
+    // then drops for free
     val fp = Multimodal.imageDHash(df, binCol)
-      .where(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("dhash").as("simhash"))
       .localCheckpoint()
+      .where(col("simhash").isNotNull)
     bandedHammingPairs(fp, 64, bands, maxDistance)
   }
 
@@ -1092,10 +1095,14 @@ object Dedup {
     */
   def audioEnergyHashPairs(df: DataFrame, binCol: String, idCol: String,
       bands: Int = 4, maxDistance: Int = 3): DataFrame = {
+    // null filter after the checkpoint: EnergyHashExpr is nullable, so
+    // a pre-checkpoint isnotnull(simhash) is pushed into the
+    // projection and the full-payload energy kernel runs TWICE per
+    // row (guide §4.4 — same duplication as the image decode)
     val fp = df.select(col(idCol).as("id"),
         Multimodal.wavEnergyHash64(col(binCol)).as("simhash"))
-      .where(col("simhash").isNotNull)
       .localCheckpoint()
+      .where(col("simhash").isNotNull)
     bandedHammingPairs(fp, 64, bands, maxDistance)
   }
 
@@ -1108,11 +1115,12 @@ object Dedup {
   def audioEnergyHashPairsIncremental(df: DataFrame, binCol: String,
       idCol: String, isNewCol: Column, bands: Int = 4,
       maxDistance: Int = 3): DataFrame = {
+    // null filter after the checkpoint — see audioEnergyHashPairs
     val fp = df.select(col(idCol).as("id"),
         Multimodal.wavEnergyHash64(col(binCol)).as("simhash"),
         isNewCol.as("isnew"))
-      .where(col("simhash").isNotNull)
       .localCheckpoint()
+      .where(col("simhash").isNotNull)
     bandedHammingPairsIncremental(
       fp.select(col("id"), col("simhash")),
       fp.where(col("isnew")).select(col("id")), 64, bands, maxDistance)
@@ -1269,11 +1277,13 @@ object Dedup {
   def imageDHashPairsIncremental(df: DataFrame, binCol: String,
       idCol: String, isNewCol: Column, bands: Int = 4,
       maxDistance: Int = 3): DataFrame = {
+    // null filter after the checkpoint — see imageDHashPairs (§4.4
+    // pushdown would run the decode twice per row)
     val fp = Multimodal.imageDHash(df, binCol)
-      .where(col("dhash").isNotNull)
       .select(col(idCol).as("id"), col("dhash").as("simhash"),
         isNewCol.as("isnew"))
       .localCheckpoint()
+      .where(col("simhash").isNotNull)
     bandedHammingPairsIncremental(
       fp.select(col("id"), col("simhash")),
       fp.where(col("isnew")).select(col("id")), 64, bands, maxDistance)

@@ -58,7 +58,15 @@ object StreamingDedup {
     // pre-r18 localCheckpoint (which existed because the band-keys
     // union + id-join referenced fp five times) and the corpus-sized
     // id-join shuffle are both gone from the seed.
+    // Undecodable payloads (null fingerprint → null band keys) are
+    // dropped HERE, on the generator output: bkey is produced by the
+    // Generate, so Catalyst cannot push this filter below it into the
+    // fingerprint projection — a caller-side
+    // `where(fingerprint.isNotNull)` is pushed under the projection by
+    // alias substitution and evaluates the decode/kernel TWICE per row
+    // (guide §4.4's duplication, measured on the image/audio tiers).
     Dedup.simhashBandRows(fp0, bits, bands)
+      .where(col("bkey").isNotNull)
       .write.mode("overwrite").parquet(indexDir)
 
   /** One micro-batch of the streaming probe: fingerprint `batch`,
@@ -88,8 +96,13 @@ object StreamingDedup {
     // carry the fingerprint (simhashBandRows), so the fingerprint
     // (media decode included) evaluates once while this checkpoint
     // materializes — the pre-r18 shape checkpointed fp separately and
-    // paid an id-join shuffle per batch to re-attach simhash
-    val probe = Dedup.simhashBandRows(fp0, bits, bands).localCheckpoint()
+    // paid an id-join shuffle per batch to re-attach simhash. The
+    // undecodable-payload filter runs on the generator's bkey output
+    // (see seedFingerprintIndex — a fingerprint-column filter would be
+    // pushed into the projection and run the decode twice per row).
+    val probe = Dedup.simhashBandRows(fp0, bits, bands)
+      .where(col("bkey").isNotNull)
+      .localCheckpoint()
     val pairs = simhashPairsAgainst(probe,
         spark.read.parquet(indexDir), bits, maxDistance)
       .localCheckpoint()

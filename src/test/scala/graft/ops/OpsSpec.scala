@@ -1643,4 +1643,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) === ((1L, 1.0, 1.0)))
     assert(out(12L) === ((0L, 0.0, 0.0)))
   }
+
+  test("simhashBandRows == simhashBandKeys joined back to fp (the " +
+      "one-pass carried-fingerprint banding is a pure refactor)") {
+    // includes a null fingerprint: band rows must still emit one row
+    // per band with null bkey (dropped by equi-joins / the seed
+    // filter), identical to the join form's null-slice rows
+    import spark.implicits._
+    val fp = Seq(
+      (1L, "1010110010101100"), (2L, "1010110010101101"),
+      (3L, null.asInstanceOf[String]), (4L, "0000111100001111"))
+      .toDF("id", "simhash")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band", "bkey", "simhash").collect()
+        .map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    val onePass = rows(Dedup.simhashBandRows(fp, 16, 4))
+    val joined = rows(
+      Dedup.simhashBandKeys(fp, 16, 4).join(fp, Seq("id")))
+    assert(onePass == joined, s"one-pass=$onePass joined=$joined")
+    assert(onePass.size == 16, "4 ids x 4 bands (null slices included)")
+  }
 }
