@@ -1202,7 +1202,7 @@ object Bench {
         s"[bench] bench-summary.json write failed: ${e.getMessage}")
     }
     spark.stop()
-    // the summary AGAIN, on STDERR, as the process's final act: sbt
+    // the summary AGAIN, on STDERR, as the process's last lines: sbt
     // decorates stdout ([info] prefixes, a [success] trailer AFTER our
     // last line) which has defeated the driver's tail parse for five
     // consecutive rounds ("parsed": null) — stderr passes through sbt
@@ -1210,5 +1210,33 @@ object Bench {
     // executor shutdown chatter. The committed bench-summary.json stays
     // the durable record either way.
     System.err.println(summary)
+    // r19: the PER-QUERY map, driver-visible at last. The driver's
+    // bounded (~2000-char) capture head-truncates the single ~7 KB
+    // stdout record line, so no driver round since r11 has had a
+    // per-query comparison (PERF_r18: n_common 0). Emit the map as the
+    // process's final stderr act, CHUNKED so every line fits the
+    // capture bound whole: each line is self-contained JSON
+    // {"metric":"queries_part","part":i,"parts":n,"queries":{...}};
+    // the union of the parts is exactly the full record's `queries`
+    // map. The metric name is distinct from "total" so a tail parser
+    // keyed on the summary can never mistake one part for the whole.
+    locally {
+      val entries = results.toSeq
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      val chunks = mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      entries.foreach { e =>
+        if (cur.nonEmpty && cur.length + e.length + 1 > 1600) {
+          chunks += cur.toString; cur.clear()
+        }
+        if (cur.nonEmpty) cur.append(',')
+        cur.append(e)
+      }
+      if (cur.nonEmpty) chunks += cur.toString
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        System.err.println("{\"metric\":\"queries_part\",\"part\":" +
+          (i + 1) + ",\"parts\":" + chunks.size + ",\"queries\":{" + c + "}}")
+      }
+    }
   }
 }

@@ -3325,9 +3325,47 @@ object SparkEntry {
     } finally graft.core.Fs.deleteRecursively(indexDir.toFile)
   }
 
+  /** Streaming state-store tuning, applied by every streaming scaffold
+    * before its query starts (the confs are captured per query at
+    * start, so this reaches the gated queries in ANY session — the
+    * driver's Verify, the bench, the probes). RocksDB provider +
+    * changelog checkpointing + join state format v3:
+    *
+    *  - format v3 keeps a stream-stream join's FOUR state stores
+    *    (KeyToNumValues/KeyWithIndexToValue × 2 sides) in ONE RocksDB
+    *    instance per partition via virtual column families — the
+    *    per-partition commit count per micro-batch drops 4× (measured
+    *    on this box: `stream_interval_join_left` 17.7 → 5.8 s,
+    *    `stream_interval_join` 9.9 → 3.9 s at 32 cores; the plain
+    *    provider swap without v3 moved nothing, so the win is the
+    *    store-count collapse, not RocksDB itself);
+    *  - changelog checkpointing commits the per-batch DELTA instead of
+    *    snapshot files — at 100 TB-scale state a snapshot-per-commit
+    *    is unshippable, and at bench scale it measures within noise of
+    *    snapshots (5.8 vs 5.3 s), so the scale-correct setting ships.
+    *
+    * Parameterised, not local[32]-tuned: state partitions stay
+    * `spark.sql.shuffle.partitions` (= SPARK_GRAFT_CPUS in the driver
+    * mains) and `SPARK_GRAFT_STATE_STORE=hdfs` restores the default
+    * provider for A/B measurement. Results are provider-independent
+    * (the operator semantics live above the store); the oracle gate
+    * and EventTimeAggsSpec's provider-equality pin hold that line.
+    */
+  private[graft] def tuneStateStore(s: SparkSession): Unit =
+    if (sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb")
+        == "rocksdb") {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+      s.conf.set("spark.sql.streaming.join.stateFormatVersion", "3")
+    }
+
   private def drainStream[T](stream: DataFrame, ckPrefix: String,
       perBatch: DataFrame => DataFrame = identity)(
       extract: org.apache.spark.sql.Row => T): Seq[T] = {
+    tuneStateStore(stream.sparkSession)
     val got = new java.util.concurrent.ConcurrentLinkedQueue[T]()
     val ck = java.nio.file.Files.createTempDirectory(ckPrefix)
     val q = stream.writeStream
@@ -3376,6 +3414,7 @@ object SparkEntry {
       build: (() => DataFrame, String) => DataFrame)(
       extract: org.apache.spark.sql.Row => Option[T]): Seq[T] = {
     import scala.jdk.CollectionConverters._
+    tuneStateStore(s)
     val lateness = s"$latenessDays days"
     val eventsPath = s"${es.root}/events"
     val maxNs = s.read.schema(graft.core.EventSchema.schema)

@@ -399,7 +399,7 @@ object AnnIndex {
     // strongest form of "verbatim", and two fewer scheduled jobs than
     // the pre-r18 parquet decode + re-serialize round-trip (the model
     // is frozen; compaction rewrites codes, never the model)
-    copyModel(cur, s"$root/$next")
+    copyModel(spark, cur, s"$root/$next")
     // tombstones are APPLIED here (anti-join during the rewrite) and
     // NOT carried into the new generation — the physical half of the
     // delete contract; the new generation starts with an empty
@@ -501,12 +501,17 @@ object AnnIndex {
 
   /** Carry a generation's frozen-model files into a new generation
     * directory as a byte-level copy (driver-side Hadoop FS I/O, no
-    * Spark jobs) — [[compact]]'s model handoff.
+    * Spark jobs) — [[compact]]'s model handoff. Invalidates the
+    * model memo for `dest` first: generation numbers restart when a
+    * root is wiped and re-seeded, so in a long-lived JVM the dest
+    * path may carry a memo entry from a prior lifetime of the same
+    * root — serving it after this copy would be silently stale.
     */
-  private def copyModel(cur: String, dest: String): Unit = {
+  private def copyModel(spark: SparkSession, cur: String,
+      dest: String): Unit = {
+    modelCache.synchronized { modelCache.remove(dest) }
     val (fs, _) = graft.core.Fs.hadoop(cur)
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
+    val conf = spark.sparkContext.hadoopConfiguration
     Seq("cents", "books", "_residual", "_codec", "_opq", "_bqdims")
       .foreach { n =>
         val src = new org.apache.hadoop.fs.Path(s"$cur/$n")

@@ -87,12 +87,19 @@ object Bm25Store {
   private def writeGen(docs: DataFrame, dir: String, idCol: String,
       textCol: String): Unit = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // one corpus-linear explode+count shuffle (the inverted-index
-    // build), clustered to one output file per bucket directory
-    postingsOf(base).repartition(col("tbucket"))
+    // ONE corpus pass: the (n_docs, sum_dl) stats aggregate rides the
+    // postings write as observed metrics (a CollectMetrics node below
+    // the explode — every doc row flows through it exactly once, zero
+    // extra scans), instead of the pre-r19 second full corpus scan.
+    // The observed expressions are the pre-r19 stats scan's verbatim,
+    // so the ledger row is bit-identical (Bm25StoreSpec pins
+    // build ≡ seed+appends).
+    val obs = org.apache.spark.sql.Observation()
+    postingsOf(base.observe(obs, statsAggs.head, statsAggs.tail: _*))
+      .repartition(col("tbucket"))
       .write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$dir/postings")
-    statsOf(base).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    writeStatsRow(docs.sparkSession, obs, s"$dir/stats", "overwrite")
   }
 
   /** The posting rows of one document set — whitespace tokens exactly
@@ -110,15 +117,40 @@ object Bm25Store {
       .withColumn("tbucket",
         pmod(xxhash64(col("term")), lit(NumBuckets.toLong)))
 
-  /** One (n_docs, sum_dl) DELTA row. The stats dataset is an
-    * append-only LEDGER of these — [[scoreQuery]] sums it — so index
-    * MAINTENANCE never rewrites an object another reader may hold
-    * open: both postings and stats grow by appended files only, and
-    * the exact-integer sums make the ledger order-independent.
+  /** The (n_docs, sum_dl) DELTA aggregates. The stats dataset is an
+    * append-only LEDGER of one-row deltas — [[scoreQuery]] sums it —
+    * so index MAINTENANCE never rewrites an object another reader may
+    * hold open: both postings and stats grow by appended files only,
+    * and the exact-integer sums make the ledger order-independent.
+    * Since r19 the delta is collected as OBSERVED METRICS on the
+    * postings write (one corpus pass, not two); these expressions are
+    * the single home of the ledger row's semantics.
     */
-  private def statsOf(base: DataFrame): DataFrame =
-    base.agg(count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col("text"))).as("sum_dl"))
+  private def statsAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(TextAnalysis.tokenCount(col("text"))).as("sum_dl"))
+
+  /** Write the observed (n_docs, sum_dl) delta as the ledger row —
+    * one driver-built single-row parquet write (a ~ms job), replacing
+    * the pre-r19 corpus-scan aggregation job. `sum_dl` is null for an
+    * empty batch, exactly as the old `agg` row was.
+    */
+  private def writeStatsRow(spark: SparkSession,
+      obs: org.apache.spark.sql.Observation, dir: String,
+      mode: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val m = obs.get
+    val nDocs = m("n_docs").asInstanceOf[Number].longValue()
+    val sumDl: java.lang.Long = m.get("sum_dl").collect {
+      case v: Number => java.lang.Long.valueOf(v.longValue())
+    }.orNull
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(nDocs, sumDl)),
+        StructType(Seq(StructField("n_docs", LongType, nullable = false),
+          StructField("sum_dl", LongType, nullable = true))))
+      .coalesce(1).write.mode(mode).parquet(dir)
+  }
 
   /** APPEND a document batch into the live generation — the streaming
     * index-maintenance path (the [[AnnIndex.append]] discipline:
@@ -135,12 +167,16 @@ object Bm25Store {
       textCol: String = "text"): Unit = {
     val gen = GenIndex.currentGen(root)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .localCheckpoint() // consumed by postings AND the stats delta
-    postingsOf(base)
+    // one batch pass: the stats delta rides the postings write as
+    // observed metrics (see writeGen) — the pre-r19 form paid a
+    // localCheckpoint materialization job PLUS a second scan for the
+    // stats aggregation, three jobs per micro-batch instead of this
+    // one-batch-pass + one-row-write pair.
+    val obs = org.apache.spark.sql.Observation()
+    postingsOf(base.observe(obs, statsAggs.head, statsAggs.tail: _*))
       .write.partitionBy("tbucket").mode("append")
       .parquet(s"$gen/postings")
-    statsOf(base).coalesce(1)
-      .write.mode("append").parquet(s"$gen/stats")
+    writeStatsRow(docs.sparkSession, obs, s"$gen/stats", "append")
   }
 
   /** Compact the live generation into the next and flip: posting

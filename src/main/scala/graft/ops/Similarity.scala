@@ -844,9 +844,14 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // ONE training-sample collection feeds both quantizers (see
     // collectTrainingSample) — identical sample rows, identical
-    // Lloyd's loops, one fewer full-corpus TakeOrdered pass. The
-    // trainIters == 0 fallback keeps coarseCentroids' corpus-prefix
-    // semantics (which differ from the sample prefix under "hash").
+    // Lloyd's loops, one fewer full-corpus TakeOrdered pass. (The
+    // "identical" claim is vs the default maxSample: the pre-r18 form
+    // trained coarse centroids on the 10000 default regardless of the
+    // caller's maxSample; forwarding it is the CONTRACT now — it
+    // aligns in-session training with AnnIndex, which always
+    // forwarded maxSample.) The trainIters == 0 fallback keeps
+    // coarseCentroids' corpus-prefix semantics (which differ from the
+    // sample prefix under "hash").
     val sample = collectTrainingSample(corpus, maxSample, sampleMode,
       idCol, vecCol)
     val cents =

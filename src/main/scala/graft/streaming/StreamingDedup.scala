@@ -115,16 +115,11 @@ object StreamingDedup {
     * [[simhashProbeBatchPruned]]. Both sides carry
     * (id, band, bkey, simhash). The probe joins the index AND itself
     * (within-batch near-dups would silently vanish for coarse
-    * micro-batching otherwise); the fingerprint lookup for the verify
-    * is CANDIDATE-RESTRICTED (semi-join on the candidate ids) so the
-    * per-batch verify never re-shuffles the corpus-sized index on id —
-    * every candidate found through a band row has its fingerprint ON
-    * that row, so the restricted snapshot is always sufficient. The
-    * semi-join carries no broadcast hint: a normal micro-batch's
-    * candidate set broadcasts via AQE's runtime size check, while a
-    * corpus-scale catch-up batch (millions of candidates) must be free
-    * to degrade to a shuffle join instead of aborting on the broadcast
-    * size limit.
+    * micro-batching otherwise); both sides' band rows CARRY their
+    * fingerprint, so every candidate pair leaves the band join with
+    * (sa, sb) in hand and the Hamming verify is a pure projection —
+    * no fingerprint re-join, no candidate-restricted index re-scan
+    * (the body comment records what the pre-r18 shape paid).
     */
   private def simhashPairsAgainst(probe: DataFrame, index: DataFrame,
       bits: Int, maxDistance: Int): DataFrame = {

@@ -263,6 +263,72 @@ class EventTimeAggsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("intervalJoinLeft is provider-independent: RocksDB + join state format v3 == default HDFS store") {
+    // pins the r19 scaffold tuning (SparkEntry.tuneStateStore): the
+    // state-store provider and the join's state format are storage
+    // choices BELOW the operator — flipping them must never change
+    // emitted rows. Same fixture as the outer-join test above.
+    val es = EventStore.open(
+      spark, Files.createTempDirectory("graft-lojv3-").toString, 4)
+    val t0 = 1700000000000L
+    val Hour = 3600000L
+    es.appendMany(Seq(
+      EventInput("ij-1", "click", timestampMs = Some(t0)),
+      EventInput("ij-1", "purchase", timestampMs = Some(t0)),
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + 600000)),
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + Hour)),
+      EventInput("ij-1", "purchase", timestampMs = Some(t0 + Hour + 1)),
+      EventInput("ij-1", "click", timestampMs = Some(t0 + 2 * Hour)),
+      EventInput("ij-2", "purchase", timestampMs = Some(t0 + 300000)),
+      EventInput("ij-2", "click", timestampMs = Some(t0 + 300000)),
+      EventInput("__sentinel__", "click",
+        timestampMs = Some(t0 + 90L * 24 * Hour)),
+      EventInput("__sentinel__", "purchase",
+        timestampMs = Some(t0 + 90L * 24 * Hour))))
+
+    def feed() = spark.readStream
+      .schema(graft.core.EventSchema.schema)
+      .option("basePath", s"${es.root}/events")
+      .parquet(s"${es.root}/events")
+    def runOnce(name: String): Seq[(String, Long, Option[Long])] = {
+      val q = EventTimeAggs.intervalJoinLeft(feed(), feed(),
+          "click", "purchase", reach = "1 hour", lateness = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        q.processAllAvailable()
+        es.appendMany(Seq(EventInput("__sentinel__", "click",
+          timestampMs = Some(t0 + (91L + name.length) * 24 * Hour))))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            Option(r.getAs[java.lang.Long]("right_version")).map(_.toLong)))
+          .filter(_._1 != "__sentinel__")
+          .sortBy(t => (t._1, t._2, t._3.getOrElse(-1L))).toSeq
+      } finally q.stop()
+    }
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"),
+      "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.join.stateFormatVersion" -> "3")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val hdfs = runOnce("eta_loj_hdfs")
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val rocks = runOnce("eta_loj_rocks")
+      assert(rocks == hdfs,
+        s"state-store provider changed the join result:\n$rocks\nvs\n$hdfs")
+      assert(hdfs.nonEmpty && hdfs.exists(_._3.isEmpty),
+        "fixture must exercise both matched and NULL-extended rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native session_window: exact-gap boundary MERGES; end = last + gap") {
     // pins the boundary the stream_sessions_native oracle encodes as
     // a strict `>` new-session predicate — if a Spark upgrade flips
