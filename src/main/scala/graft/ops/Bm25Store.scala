@@ -108,6 +108,14 @@ object Bm25Store {
     * every term); dl keeps the spaces+1 count (tokenCount) — empty
     * tokens count toward length, never toward tf.
     */
+  // Kept as partial-agg THEN recluster (two exchanges) deliberately:
+  // the r19 one-exchange alternative (repartition(tbucket) first, so
+  // HashPartitioning(tbucket) satisfies both the tf aggregation's
+  // clustering and the write's partitionBy) shuffles RAW exploded
+  // token rows instead of map-side-aggregated (term, doc, tf) rows,
+  // and measured SLOWER at sf0.1 and 10× (stream_bm25_ingest 10×
+  // 11.3 → 12.7 s) — guide §2.3 "aggregate before you shuffle" wins
+  // over §2.4 "share the exchange" here.
   private def postingsOf(base: DataFrame): DataFrame =
     base.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("dl"),

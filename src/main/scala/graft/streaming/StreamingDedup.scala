@@ -204,11 +204,15 @@ object StreamingDedup {
 
   /** Read ONLY the touched pruned-index directories (touched ∩ live,
     * ONE top-level listing instead of O(parts) partition-discovery
-    * listings), materialized once — the probe cores scan their index
-    * twice and the pruned slice is bounded by the batch's keyspace.
-    * Empty hit set → an empty frame with `schemaFrom`'s schema.
-    * Exposed to the layout spec so the pruning evidence is measured on
-    * THIS read path, not a synthetic equivalent.
+    * listings). Empty hit set → an empty frame with `schemaFrom`'s
+    * schema. NOT materialized: since the r18 carried-fingerprint /
+    * source-verify restructures, every probe core scans its index
+    * exactly ONCE (the candidate join; verification re-derives from
+    * the doc/vector source or rides the band rows), so the pre-r19
+    * localCheckpoint here was one pure-overhead scheduled job per
+    * micro-batch — the pairs job now reads the pruned directories
+    * directly. Exposed to the layout spec so the pruning evidence is
+    * measured on THIS read path, not a synthetic equivalent.
     */
   private[streaming] def readTouchedPruned(
       spark: org.apache.spark.sql.SparkSession,
@@ -223,7 +227,6 @@ object StreamingDedup {
     if (hit.isEmpty) schemaFrom.limit(0)
     else spark.read.option("basePath", indexDir)
       .parquet(hit.map(p => s"$indexDir/pfx=$p"): _*).drop("pfx")
-      .localCheckpoint()
   }
 
   /** Distinct prefixes of a (pfx-carrying) probe — a bounded
