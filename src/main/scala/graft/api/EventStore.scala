@@ -296,12 +296,24 @@ final class EventStore private (
 
     val wmMap = state.watermarks
     // head state is keyed by (partition_key, stream); ingest derives
-    // default keys, so join the bases on both columns. When heads have
-    // spilled to parquet this is a distributed join (AQE picks the
-    // strategy) — the driver never materializes the head table.
+    // default keys, so join the bases on both columns — PLUS the
+    // derived partition_id (r19): a stream lives in exactly one
+    // partition, so adding partition_id to the join keys changes no
+    // matches, but it lets a DISTRIBUTED head join (heads spilled to
+    // parquet and too big to broadcast) satisfy its clustering from
+    // the hash(partition_id) exchange established below — the event
+    // payload crosses ONE exchange on every head path, instead of a
+    // join-key re-shuffle sneaking a second payload pass back in at
+    // exactly the scale where heads stop broadcasting (guide §3.3).
+    // While the head side fits the broadcast threshold (the common
+    // case, and everything the bench exercises) AQE still plans a
+    // broadcast join and the shape is unchanged.
     val wmDf = broadcast(wmMap.toSeq.toDF("partition_id", "wm_base"))
+    val pidOfKey = udf((pk: String) =>
+      Ids.partitionIdFor(Ids.partitionHash(java.util.UUID.fromString(pk)), np))
     val headsView = headsDf().select(
       $"stream_id", $"partition_key", $"version".as("head_base"))
+      .withColumn("partition_id", pidOfKey($"partition_key"))
     val headDf =
       if (!hasParquetHeadLayers(state)) broadcast(headsView) else headsView
 
@@ -330,8 +342,17 @@ final class EventStore private (
       Ids.withSingleEventFlag(new UUID(r1, r2), flag = true).toString)
 
     val assigned = base
+      // THE one payload exchange, established before the joins: the
+      // broadcast wm/head joins preserve it, both windows' clustering
+      // is satisfied by it (subset rule), and the partitioned write
+      // inherits it — and if the head side ever degrades to a
+      // distributed join, its requirement (clustering on the join
+      // keys, partition_id included) is ALSO satisfied by it, so the
+      // payload still moves exactly once.
+      .repartition($"partition_id")
       .join(wmDf, Seq("partition_id"), "left")
-      .join(headDf, Seq("stream_id", "partition_key"), "left")
+      .join(headDf, Seq("partition_id", "stream_id", "partition_key"),
+        "left")
       .withColumn("partition_sequence",
         row_number().over(wp).cast("long") + coalesce($"wm_base", lit(-1L)))
       .withColumn("stream_version",

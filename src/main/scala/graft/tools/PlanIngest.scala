@@ -35,16 +35,40 @@ object PlanIngest {
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
       })
-    graft.StoreProvider.storeFor(spark, sf)
-    // the listener bus is async — give it a beat to drain
-    Thread.sleep(1500)
     import scala.jdk.CollectionConverters._
-    // the ingest write is the first executed command that scans the
-    // events source AND ends in a parquet insert with Window operators
-    plans.asScala.find(p =>
-        p.contains("Window") && p.contains("InsertIntoHadoopFsRelation"))
-      .orElse(plans.asScala.lastOption)
-      .foreach(println)
+    def ingestPlans: Seq[String] = plans.asScala.toSeq.filter(p =>
+      p.contains("Window") && p.contains("InsertIntoHadoopFsRelation"))
+    if (args.headOption.contains("layered")) {
+      // ADVICE-r18 #5: the PARQUET-HEADS join path — heads spilled to
+      // a parquet layer on every commit (maxInlineHeads = 0), so the
+      // SECOND ingest's head join runs distributed instead of
+      // broadcast. Its plan is the one under audit: count the
+      // Exchanges the event payload flows through.
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("plan-ingest-layered-").toString
+      val es = graft.api.EventStore.open(spark, root,
+        numPartitions = 8, maxInlineHeads = 0)
+      def batch(tag: String) = (0 until 64)
+        .map(i => (s"pl-$tag-${i % 16}", "E", i.toLong))
+        .toDF("stream_id", "event_name", "arrival")
+      es.ingest(batch("a"), "arrival") // spills heads to parquet
+      plans.clear()
+      es.ingest(batch("b"), "arrival") // joins the parquet head layer
+      Thread.sleep(1500)
+      println("===== ingest plan, PARQUET-HEADS join path " +
+        "(maxInlineHeads=0, second commit) =====")
+      ingestPlans.lastOption.foreach(println)
+      graft.core.Fs.deleteRecursively(new java.io.File(root))
+    } else {
+      graft.StoreProvider.storeFor(spark, sf)
+      // the listener bus is async — give it a beat to drain
+      Thread.sleep(1500)
+      // the ingest write is the first executed command that scans the
+      // events source AND ends in a parquet insert with Window operators
+      ingestPlans.headOption.orElse(plans.asScala.lastOption)
+        .foreach(println)
+    }
     spark.stop()
   }
 }
