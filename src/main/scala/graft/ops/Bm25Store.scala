@@ -99,7 +99,7 @@ object Bm25Store {
       .repartition(col("tbucket"))
       .write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$dir/postings")
-    writeStatsRow(docs.sparkSession, obs, s"$dir/stats", "overwrite")
+    writeStatsRow(docs.sparkSession, obs, base, s"$dir/stats", "overwrite")
   }
 
   /** The posting rows of one document set — whitespace tokens exactly
@@ -141,14 +141,26 @@ object Bm25Store {
   /** Write the observed (n_docs, sum_dl) delta as the ledger row —
     * one driver-built single-row parquet write (a ~ms job), replacing
     * the pre-r19 corpus-scan aggregation job. `sum_dl` is null for an
-    * empty batch, exactly as the old `agg` row was.
+    * empty batch, exactly as the old `agg` row was. Bounded wait on
+    * the observation (the write has already completed when this runs,
+    * so the listener normally lands within ms); if the metrics have
+    * not arrived after 60 s the delta is recomputed from `base`'s
+    * lineage — one extra scan, never a hang and never a wrong row.
     */
   private def writeStatsRow(spark: SparkSession,
-      obs: org.apache.spark.sql.Observation, dir: String,
-      mode: String): Unit = {
+      obs: org.apache.spark.sql.Observation, base: DataFrame,
+      dir: String, mode: String): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val m = obs.get
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val m =
+      try Await.result(Future(obs.get), 60.seconds)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        val r = base.agg(statsAggs.head, statsAggs.tail: _*).head
+        Map[String, Any]("n_docs" -> r.get(0), "sum_dl" -> r.get(1))
+      }
     val nDocs = m("n_docs").asInstanceOf[Number].longValue()
     val sumDl: java.lang.Long = m.get("sum_dl").collect {
       case v: Number => java.lang.Long.valueOf(v.longValue())
@@ -184,7 +196,7 @@ object Bm25Store {
     postingsOf(base.observe(obs, statsAggs.head, statsAggs.tail: _*))
       .write.partitionBy("tbucket").mode("append")
       .parquet(s"$gen/postings")
-    writeStatsRow(docs.sparkSession, obs, s"$gen/stats", "append")
+    writeStatsRow(docs.sparkSession, obs, base, s"$gen/stats", "append")
   }
 
   /** Compact the live generation into the next and flip: posting
